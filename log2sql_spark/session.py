@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode defaults mirror what we would set on a real cluster: AQE on
+(runtime re-planning, skew-join splitting, partition coalescing), Arrow
+for every Python↔JVM crossing, shuffle partitions sized to the
+parallelism actually available rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# On a 1000-executor cluster this would be ~2-3x total cores; in
+# local[N] mode it should match N so no thread sits idle on the tail.
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "log2sql_spark", cpus: str | None = None) -> SparkSession:
+    """Build (or reuse) the session.
+
+    All knobs here survive a 100x scale-up unchanged except
+    ``shuffle.partitions`` which a cluster deploy would raise with the
+    core count; AQE coalescing makes an over-estimate cheap.
+    """
+    cpus = cpus or _DEFAULT_CPUS
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.parquet stores TIMESTAMP(NANOS); Spark reads it
+        # as LongType nanos under this flag (converted in sources.tables).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
