@@ -1,1 +1,251 @@
-"""CDC (binlog → SQL) query registrations. Populated in M2."""
+"""Oracle-checked CDC queries (reference surface R1–R13, SURVEY.md §2.1).
+
+Each query synthesizes a mysqlbinlog -vv dump *from the driver's orders
+table* (deterministic row-by-row rendering), runs the full Spark
+pipeline — text scan → event segmentation → catalog broadcast-join →
+filter → replay/flashback codegen — and returns the rendered SQL. The
+DuckDB oracle reconstructs the expected statements from the same orders
+rows by independent string concatenation, so parser, catalog resolution
+and codegen are all cross-checked against real data.
+
+Money is carried as integer cents (``o_totalprice_cents``) so every
+token the two engines render is integer/string — no float-formatting
+ambiguity in the compare.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log2sql_spark.cdc import binlog_to_sql
+from log2sql_spark.registry import query
+from log2sql_spark.sources.binlog_fixture import render_binlog
+from log2sql_spark.sources.catalog import catalog_from_dict
+from log2sql_spark.sources.tables import load_table
+
+_ORDER_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice_cents",
+    "o_orderdate",
+    "o_orderpriority",
+]
+_CATALOG_SPEC = {
+    "shop.orders": {"columns": _ORDER_COLS, "key_columns": ["o_orderkey"]}
+}
+_KEY_MAX = 2000  # orders subset: o_orderkey <= 2000 (~2k rows at sf0.01)
+
+
+def _orders_subset(spark: SparkSession, sf_dir: str):
+    """Deterministic fixture rows. The collect here is *fixture
+    generation* (bounded, test-scale), not the data path — the pipeline
+    under test stays fully distributed."""
+    df = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") <= _KEY_MAX)
+        .withColumn("cents", F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .orderBy("o_orderkey")
+    )
+    return df.collect()
+
+
+def _row_tokens(r) -> list[tuple[int, str]]:
+    return [
+        (1, str(r["o_orderkey"])),
+        (2, str(r["o_custkey"])),
+        (3, f"'{r['o_orderstatus']}'"),
+        (4, str(r["cents"])),
+        (5, f"'{r['o_orderdate'].strftime('%Y-%m-%d %H:%M:%S')}'"),
+        (6, f"'{r['o_orderpriority']}'"),
+    ]
+
+
+def _write_dump(events: list[dict]) -> str:
+    d = tempfile.mkdtemp(prefix="log2sql_fixture_")
+    path = os.path.join(d, "mysql-bin.000001.txt")
+    with open(path, "w") as fh:
+        fh.write(render_binlog(events))
+    return path
+
+
+# Shared oracle fragments ---------------------------------------------------
+
+_ORACLE_BASE = f"""
+    WITH src AS (
+      SELECT *,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS rn
+      FROM orders WHERE o_orderkey <= {_KEY_MAX}
+    )
+"""
+
+_VALUES_EXPR = (
+    "o_orderkey || ', ' || o_custkey || ', ''' || o_orderstatus || ''', ' || cents"
+    " || ', ''' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || ''', '''"
+    " || o_orderpriority || ''''"
+)
+
+_COL_LIST = "`o_orderkey`, `o_custkey`, `o_orderstatus`, `o_totalprice_cents`, `o_orderdate`, `o_orderpriority`"
+
+
+@query(
+    "cdc_insert_replay",
+    oracle=_ORACLE_BASE
+    + f"""
+    SELECT 4 + 120 * (rn - 1) AS start_pos,
+           4 + 120 * rn AS stop_pos,
+           'INSERT INTO `shop`.`orders`({_COL_LIST}) VALUES (' || {_VALUES_EXPR} || ');' AS sql_text
+    FROM src
+    ORDER BY start_pos
+    """,
+)
+def cdc_insert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT events → replay SQL (R1,R2,R4,R5,R6,R8,R12 end-to-end)."""
+    rows = _orders_subset(spark, sf_dir)
+    events = [
+        {
+            "op": "insert",
+            "db": "shop",
+            "table": "orders",
+            "ts": r["o_orderdate"],
+            "values": _row_tokens(r),
+        }
+        for r in rows
+    ]
+    path = _write_dump(events)
+    cat = catalog_from_dict(spark, _CATALOG_SPEC)
+    return binlog_to_sql(spark, path, cat).select("start_pos", "stop_pos", "sql_text")
+
+
+@query(
+    "cdc_delete_replay_keyed",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT 4 + 120 * (rn - 1) AS start_pos,
+           'DELETE FROM `shop`.`orders` WHERE `o_orderkey`=' || o_orderkey || ' LIMIT 1;' AS sql_text
+    FROM src
+    ORDER BY start_pos
+    """,
+)
+def cdc_delete_replay_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE events carry the full row image but the rendered WHERE uses
+    only the key image (key preference, log2sql.py:169-172 ↔ R7/R12)."""
+    rows = _orders_subset(spark, sf_dir)
+    events = [
+        {
+            "op": "delete",
+            "db": "shop",
+            "table": "orders",
+            "ts": r["o_orderdate"],
+            "values": _row_tokens(r),
+        }
+        for r in rows
+    ]
+    path = _write_dump(events)
+    cat = catalog_from_dict(spark, _CATALOG_SPEC)
+    return binlog_to_sql(spark, path, cat).select("start_pos", "sql_text")
+
+
+@query(
+    "cdc_update_flashback",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT 4 + 120 * (rn - 1) AS start_pos,
+           'UPDATE `shop`.`orders` SET `o_orderkey`=' || o_orderkey
+             || ', `o_totalprice_cents`=' || cents
+             || ' WHERE `o_orderkey`=' || o_orderkey || ' LIMIT 1;' AS sql_text,
+           CAST(count(*) OVER () - rn AS BIGINT) AS apply_rank
+    FROM src
+    ORDER BY start_pos
+    """,
+)
+def cdc_update_flashback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE events (+500 cents) → flashback SQL restoring the original
+    amount, in reverse position order (fixes README.md:23-27).
+    ``apply_rank`` encodes the reverse ordering so the order-insensitive
+    hash still verifies it."""
+    rows = _orders_subset(spark, sf_dir)
+    events = [
+        {
+            "op": "update",
+            "db": "shop",
+            "table": "orders",
+            "ts": r["o_orderdate"],
+            "before": [(1, str(r["o_orderkey"])), (4, str(r["cents"]))],
+            "after": [(1, str(r["o_orderkey"])), (4, str(r["cents"] + 500))],
+        }
+        for r in rows
+    ]
+    path = _write_dump(events)
+    cat = catalog_from_dict(spark, _CATALOG_SPEC)
+    df = binlog_to_sql(spark, path, cat, flashback=True)
+    from pyspark.sql import Window as W
+
+    return df.select(
+        "start_pos",
+        "sql_text",
+        (F.row_number().over(W.orderBy(F.desc("start_pos"))) - 1).cast("long").alias("apply_rank"),
+    )
+
+
+@query(
+    "cdc_filter_pushdown",
+    oracle=_ORACLE_BASE
+    + f"""
+    SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'delete'
+                WHEN o_orderkey % 3 = 1 THEN 'insert'
+                ELSE 'update' END AS op,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(4 + 120 * (rn - 1)) AS BIGINT) AS first_pos,
+           CAST(max(4 + 120 * (rn - 1)) AS BIGINT) AS last_pos
+    FROM src
+    WHERE 4 + 120 * (rn - 1) >= 1204
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY op
+    """,
+)
+def cdc_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-op dump + position/datetime/type filters (R9 + the range
+    pushdown of R1), aggregated per op."""
+    rows = _orders_subset(spark, sf_dir)
+    events = []
+    for r in rows:
+        k = r["o_orderkey"] % 3
+        base = {"db": "shop", "table": "orders", "ts": r["o_orderdate"]}
+        if k == 0:
+            events.append({**base, "op": "delete", "values": _row_tokens(r)})
+        elif k == 1:
+            events.append({**base, "op": "insert", "values": _row_tokens(r)})
+        else:
+            events.append(
+                {
+                    **base,
+                    "op": "update",
+                    "before": [(1, str(r["o_orderkey"])), (4, str(r["cents"]))],
+                    "after": [(1, str(r["o_orderkey"])), (4, str(r["cents"] + 1))],
+                }
+            )
+    path = _write_dump(events)
+    cat = catalog_from_dict(spark, _CATALOG_SPEC)
+    df = binlog_to_sql(
+        spark,
+        path,
+        cat,
+        start_position=1204,
+        start_datetime="1996-01-01 00:00:00",
+    )
+    return (
+        df.groupBy("op")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("start_pos").alias("first_pos"),
+            F.max("start_pos").alias("last_pos"),
+        )
+        .orderBy("op")
+    )
