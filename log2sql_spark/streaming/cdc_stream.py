@@ -1,0 +1,139 @@
+"""Online CDC: continuous binlog-dump ingestion → replay/flashback SQL.
+
+Restores the *online* mode the offline reference deliberately dropped
+(``--stop-never`` commented out at ``main.py:26-27``): new dump files
+appearing in a directory are picked up per micro-batch, parsed with the
+SAME batch transform chain (``parse_envelope_batch`` → ``resolve_columns``
+→ codegen), and appended to a sink. Batch/streaming share one
+implementation — the core promise of Structured Streaming.
+
+The file source delivers whole files per trigger (a file is never split
+across micro-batches), which preserves the per-file ordering contract
+the parser's state machine needs. ``maxFilesPerTrigger`` is the rate
+limit the reference parsed but never honored (``--back-interval``,
+``main.py:83-84``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from log2sql_spark.operators.cdc_codegen import with_sql_text
+from log2sql_spark.sources.binlog import parse_envelope_batch
+from log2sql_spark.sources.catalog import resolve_columns
+
+
+def read_binlog_line_stream(spark: SparkSession, in_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # line_id is added per micro-batch inside foreachBatch —
+    # monotonically_increasing_id() is not allowed on a streaming frame.
+    return reader.load(in_dir).select(F.input_file_name().alias("file"), "value")
+
+
+def stream_binlog_to_sql(
+    spark: SparkSession,
+    in_dir: str,
+    catalog: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    flashback: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """writeStream(foreachBatch): per micro-batch, run the batch CDC
+    chain and append the rendered SQL to parquet at ``out_dir``.
+
+    foreachBatch (rather than a direct streaming sink) because the parse
+    is a grouped applyInPandas over complete files — a batch-shaped
+    operation that the file source's whole-file delivery makes safe.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        lines = batch_df.withColumn("line_id", F.monotonically_increasing_id())
+        envelope = parse_envelope_batch(lines)
+        resolved = resolve_columns(envelope, catalog)
+        rendered = with_sql_text(resolved, flashback=flashback)
+        (
+            rendered.select(
+                "file", "event_seq", "op", "db", "table", "start_pos",
+                "stop_pos", "event_ts", "pos_info", "sql_text",
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    lines = read_binlog_line_stream(spark, in_dir, max_files_per_trigger)
+    return (
+        lines.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def apply_changes_to_state(
+    spark: SparkSession,
+    in_dir: str,
+    catalog: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "id",
+) -> StreamingQuery:
+    """Idempotent MERGE-style apply: maintain latest row state per key.
+
+    Without a transactional table format in this container, the merge is
+    expressed as: (existing state ∪ new after-images) → keep the
+    newest version per key, drop deletes — the same plan a Delta
+    ``MERGE INTO`` would execute. On a real deployment the body of
+    ``process`` becomes ``DeltaTable.merge``; partitioning by the key
+    keeps the rewrite local.
+    """
+    import os
+
+    from pyspark.sql import Window as W
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        lines = batch_df.withColumn("line_id", F.monotonically_increasing_id())
+        envelope = parse_envelope_batch(lines)
+        resolved = resolve_columns(envelope, catalog)
+        changes = resolved.select(
+            F.element_at(F.coalesce("after", "before"), key_col).alias("key"),
+            F.col("op"),
+            F.col("after"),
+            F.col("start_pos"),
+            F.col("file"),
+            F.col("event_seq"),
+        )
+        if os.path.exists(state_dir):
+            prior = spark.read.parquet(state_dir).withColumn("start_pos", F.lit(-1).cast("long"))
+            merged = prior.select("key", "op", "after", "start_pos").unionByName(
+                changes.select("key", "op", "after", "start_pos")
+            )
+        else:
+            merged = changes.select("key", "op", "after", "start_pos")
+        w = W.partitionBy("key").orderBy(F.desc("start_pos"))
+        latest = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .filter(F.col("op") != "delete")
+            .select("key", "op", "after", F.lit(-1).cast("long").alias("start_pos"))
+        )
+        latest.select("key", "op", "after").write.mode("overwrite").parquet(state_dir + ".tmp")
+        # atomic-ish swap for the local filesystem
+        import shutil
+
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(state_dir + ".tmp", state_dir)
+
+    lines = read_binlog_line_stream(spark, in_dir)
+    return (
+        lines.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

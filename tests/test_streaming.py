@@ -1,0 +1,193 @@
+"""Streaming semantics tests: real readStream/writeStream micro-batch
+runs — online CDC ingestion, incremental restarts, watermark late-data
+drops, cross-batch keyed state (SURVEY.md §5.2 item 4)."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+
+import pytest
+
+from log2sql_spark.sources.binlog_fixture import render_binlog
+from log2sql_spark.sources.catalog import catalog_from_dict
+from log2sql_spark.streaming.cdc_stream import apply_changes_to_state, stream_binlog_to_sql
+
+CATALOG = {"shop.orders": {"columns": ["id", "status"], "key_columns": ["id"]}}
+TS = datetime(2024, 5, 1, 12, 0, 7)
+
+
+def _dump(path, events):
+    path.write_text(render_binlog(events))
+
+
+def test_stream_binlog_to_sql_and_incremental_restart(spark, tmp_path):
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    in_dir.mkdir()
+    cat = catalog_from_dict(spark, CATALOG)
+
+    _dump(in_dir / "bin.000001.txt", [
+        {"op": "insert", "db": "shop", "table": "orders", "ts": TS, "values": [(1, "1"), (2, "'a'")]},
+    ])
+    _dump(in_dir / "bin.000002.txt", [
+        {"op": "insert", "db": "shop", "table": "orders", "ts": TS, "values": [(1, "2"), (2, "'b'")]},
+    ])
+    q = stream_binlog_to_sql(spark, str(in_dir), cat, str(out_dir), str(ckpt))
+    q.awaitTermination(120)
+    got = {r["sql_text"] for r in spark.read.parquet(str(out_dir)).collect()}
+    assert got == {
+        "INSERT INTO `shop`.`orders`(`id`, `status`) VALUES (1, 'a');",
+        "INSERT INTO `shop`.`orders`(`id`, `status`) VALUES (2, 'b');",
+    }
+
+    # restart with the same checkpoint: only the NEW file is processed
+    _dump(in_dir / "bin.000003.txt", [
+        {"op": "delete", "db": "shop", "table": "orders", "ts": TS, "values": [(1, "1"), (2, "'a'")]},
+    ])
+    q2 = stream_binlog_to_sql(spark, str(in_dir), cat, str(out_dir), str(ckpt))
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(str(out_dir)).collect()
+    assert len(rows) == 3  # no reprocessing of files 1-2
+    assert "DELETE FROM `shop`.`orders` WHERE `id`=1 LIMIT 1;" in {r["sql_text"] for r in rows}
+
+
+def test_apply_changes_maintains_latest_state(spark, tmp_path):
+    in_dir, state, ckpt = tmp_path / "in", tmp_path / "state", tmp_path / "ckpt"
+    in_dir.mkdir()
+    cat = catalog_from_dict(spark, CATALOG)
+    _dump(in_dir / "bin.000001.txt", [
+        {"op": "insert", "db": "shop", "table": "orders", "ts": TS, "values": [(1, "1"), (2, "'new'")]},
+        {"op": "insert", "db": "shop", "table": "orders", "ts": TS, "values": [(1, "2"), (2, "'new'")]},
+        {"op": "update", "db": "shop", "table": "orders", "ts": TS,
+         "before": [(1, "1"), (2, "'new'")], "after": [(1, "1"), (2, "'shipped'")]},
+        {"op": "delete", "db": "shop", "table": "orders", "ts": TS, "values": [(1, "2"), (2, "'new'")]},
+    ])
+    q = apply_changes_to_state(spark, str(in_dir), cat, str(state), str(ckpt), key_col="id")
+    q.awaitTermination(120)
+    rows = {r["key"]: r["after"] for r in spark.read.parquet(str(state)).collect()}
+    assert rows == {"1": {"id": "1", "status": "'shipped'"}}
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg with watermark: a row older than the
+    watermark arriving in a later micro-batch is dropped."""
+    import pandas as pd
+
+    in_dir = tmp_path / "ev"
+    in_dir.mkdir()
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "event_type", "user_id", "value"])
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode("append").json(
+            str(in_dir / name)
+        )
+
+    t = lambda m, s=0: datetime(2024, 5, 1, 10, m, s)  # noqa: E731
+    # The late-event filter uses the previous batch's watermark (Spark
+    # 3.4+ separates late-event vs eviction watermarks), so the late row
+    # must arrive two batches after the advance to be deterministically
+    # dropped — hence three files.
+    write_file("f1", [
+        (t(0), "click", 1, 1.0),
+        (t(2), "click", 2, 1.0),
+        (t(20), "click", 3, 1.0),  # advances watermark to 10:15
+    ])
+    write_file("f2", [(t(25), "click", 4, 1.0)])
+    write_file("f3", [
+        (t(1), "late", 9, 99.0),   # far behind watermark -> dropped
+        (t(40), "click", 5, 1.0),
+    ])
+    # set mtimes so the file source orders f1 < f2 < f3
+    import os
+
+    now = time.time()
+    for i, name in enumerate(["f1", "f2", "f3"]):
+        d = in_dir / name
+        for p in d.iterdir():
+            os.utime(p, (now - 100 + i * 30, now - 100 + i * 30))
+
+    from log2sql_spark.streaming.windows import tumbling_counts
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # one file per micro-batch so the
+        .json(str(in_dir / "*"))            # watermark advances between f1 and f2
+    )
+    agg = tumbling_counts(stream, width="5 minutes", watermark="5 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        (r["window_start"].minute, r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from wm_test").collect()
+    }
+    # the 10:00-10:05 window must contain only the 2 on-time clicks;
+    # the late 10:01 row from f2 must NOT appear anywhere
+    assert out.get((0, "click")) == 2
+    assert all(et != "late" for (_, et) in out)
+
+
+def test_running_user_totals_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-user totals across micro-batches."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    in_dir = tmp_path / "st"
+    in_dir.mkdir()
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+
+    def write_file(name, rows, mtime):
+        pdf = pd.DataFrame(rows, columns=["ts", "user_id", "value"])
+        d = in_dir / name
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode("append").json(str(d))
+        for p in d.iterdir():
+            os.utime(p, (mtime, mtime))
+
+    now = time.time()
+    write_file("b1", [(TS, 1, 1.50), (TS, 1, 2.25), (TS, 2, 10.0)], now - 100)
+    write_file("b2", [(TS, 1, 0.25), (TS, 3, 5.0)], now - 50)
+
+    from log2sql_spark.streaming.stateful import running_user_totals
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(in_dir / "*"))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("totals_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pdf = spark.sql(
+        "select user_id, max(events_seen) es, max(total_value_cents) c"
+        " from totals_test group by user_id"
+    ).collect()
+    got = {r["user_id"]: (r["es"], r["c"]) for r in pdf}
+    assert got[1] == (3, 400)   # 1.50+2.25+0.25 across two batches
+    assert got[2] == (1, 1000)
+    assert got[3] == (1, 500)
