@@ -194,6 +194,56 @@ def cdc_update_flashback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_typed_roundtrip",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT 'insert' AS op, o_orderkey, o_custkey, o_orderstatus,
+           cents AS o_totalprice_cents, o_orderdate, o_orderpriority
+    FROM src
+    ORDER BY o_orderkey
+    """,
+)
+def cdc_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """typed_view round trip (SURVEY.md §1.2): orders → binlog text →
+    envelope → typed columns, compared against the original table. The
+    strongest CDC statement: parsing + catalog + untokenize + casts must
+    all be lossless for the hash to match."""
+    from log2sql_spark.operators.cdc_typed import typed_view
+    from log2sql_spark.sources.binlog import read_binlog
+    from log2sql_spark.sources.catalog import resolve_columns
+
+    rows = _orders_subset(spark, sf_dir)
+    events = [
+        {
+            "op": "insert",
+            "db": "shop",
+            "table": "orders",
+            "ts": r["o_orderdate"],
+            "values": _row_tokens(r),
+        }
+        for r in rows
+    ]
+    path = _write_dump(events)
+    cat = catalog_from_dict(spark, _CATALOG_SPEC)
+    resolved = resolve_columns(read_binlog(spark, path), cat)
+    typed = typed_view(
+        resolved,
+        {
+            "o_orderkey": "bigint",
+            "o_custkey": "bigint",
+            "o_orderstatus": "string",
+            "o_totalprice_cents": "bigint",
+            "o_orderdate": "timestamp",
+            "o_orderpriority": "string",
+        },
+    )
+    return typed.select(
+        "op", "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice_cents", "o_orderdate", "o_orderpriority",
+    ).orderBy("o_orderkey")
+
+
+@query(
     "cdc_filter_pushdown",
     oracle=_ORACLE_BASE
     + f"""

@@ -1,0 +1,312 @@
+"""Second-wave operator coverage: as-of join, map functions, exact
+percentiles, collect_list, grouped-agg pandas UDAF, explode/lateral,
+csv/json source round-trips, partitioned parquet sink."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log2sql_spark.operators.asof import asof_join
+from log2sql_spark.registry import query
+from log2sql_spark.sources.tables import load_table
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH right_dedup AS (
+      SELECT user_id, ts, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey AS user_id, o_orderdate AS ts, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    ), ev AS (
+      SELECT event_id, ts, user_id, value FROM events WHERE event_id < 2000
+    )
+    SELECT e.event_id, e.ts, e.user_id, e.value,
+           r.o_orderkey, r.o_totalprice
+    FROM ev e ASOF LEFT JOIN right_dedup r
+      ON e.user_id = r.user_id AND r.ts <= e.ts
+    ORDER BY e.event_id
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via union+window (one shuffle on the key): each event
+    picks the user's latest order at-or-before the event time. The right
+    side is deduped to one row per (key, ts) first — both engines then
+    have a deterministic match. DuckDB oracle uses its native ASOF JOIN.
+    """
+    events = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "ts", "user_id", "value")
+    )
+    from pyspark.sql import Window as W
+
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ts"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "ts").orderBy(F.desc("o_orderkey"))
+            ),
+        )
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    return asof_join(
+        events, orders, on="ts", by="user_id", right_cols=["o_orderkey", "o_totalprice"]
+    ).orderBy("event_id")
+
+
+@query(
+    "map_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status_val,
+           2 AS n_entries,
+           'priority,status' AS keys_sorted,
+           o_orderpriority AS via_concat,
+           (o_orderstatus = 'F') AS has_f_status
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions (create_map/element_at/map_keys/map_concat/
+    map_contains_key — the engine's CDC images are maps, reference
+    analogue log2sql.py:25-58). The oracle states the expected values
+    directly since DuckDB's map surface differs."""
+    m = F.create_map(F.lit("status"), F.col("o_orderstatus"))
+    m2 = F.map_concat(m, F.create_map(F.lit("priority"), F.col("o_orderpriority")))
+    return (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") <= 500)
+        .select(
+            "o_orderkey",
+            F.element_at(m2, "status").alias("status_val"),
+            F.size(m2).alias("n_entries"),
+            F.array_join(F.sort_array(F.map_keys(m2)), ",").alias("keys_sorted"),
+            F.element_at(F.map_values(F.map_filter(m2, lambda k, _: k == "priority")), 1).alias(
+                "via_concat"
+            ),
+            F.map_contains_key(F.map_from_entries(F.array(F.struct(F.col("o_orderstatus"), F.lit(1)))), "F").alias(
+                "has_f_status"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS median_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           max_by(l_orderkey, l_extendedprice) AS top_order,
+           min(l_extendedprice) AS min_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + max_by (order statistics are
+    picks/interpolations of actual values — no summation-order issue)."""
+    return (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.5).alias("median_price"),
+            F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+            F.max_by("l_orderkey", "l_extendedprice").alias("top_order"),
+            F.min("l_extendedprice").alias("min_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_collect_list",
+    oracle="""
+    SELECT n_nationkey,
+           array_to_string(list_sort(list(c_custkey::VARCHAR)), ',') AS custkeys,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey <= 200
+    GROUP BY n_nationkey
+    ORDER BY n_nationkey
+    """,
+)
+def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list → sorted CSV string (stringified so the compare is
+    representation-stable across engines)."""
+    cust = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") <= 200)
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list(F.col("c_custkey").cast("string"))), ",").alias(
+                "custkeys"
+            ),
+            F.count("*").alias("n_customers"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "udaf_weighted_mean",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT))
+             / 100.0 / sum(CAST(l_quantity AS BIGINT)) AS weighted_avg_price,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF (Arrow-vectorized): quantity-weighted
+    mean price, computed in exact integer cents inside the UDF so the
+    result is bit-identical to the SQL oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_avg(cents: pd.Series, qty: pd.Series) -> float:
+        q = qty.astype("int64")
+        return float((cents.astype("int64") * q).sum() / 100.0 / q.sum())
+
+    @pandas_udf("long")
+    def n_rows(cents: pd.Series) -> int:
+        # Spark disallows mixing pandas UDAFs with builtin aggregates in
+        # one agg, so the row count is a pandas UDAF too.
+        return len(cents)
+
+    li = load_table(spark, "lineitem", sf_dir).withColumn(
+        "cents", F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            weighted_avg(F.col("cents"), F.col("l_quantity")).alias("weighted_avg_price"),
+            n_rows(F.col("cents")).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "explode_lateral",
+    oracle="""
+    SELECT p_brand, tok AS token, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT p_brand, unnest(string_split(p_name, ' ')) AS tok
+      FROM part WHERE p_partkey <= 400
+    )
+    GROUP BY p_brand, tok
+    ORDER BY p_brand, tok
+    """,
+)
+def explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (lateral view): token frequencies per brand."""
+    return (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_partkey") <= 400)
+        .select("p_brand", F.explode(F.split("p_name", " ")).alias("token"))
+        .groupBy("p_brand", "token")
+        .agg(F.count("*").alias("n"))
+        .orderBy("p_brand", "token")
+    )
+
+
+@query(
+    "source_csv_json_roundtrip",
+    oracle="""
+    SELECT fmt, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM (
+      SELECT 'csv' AS fmt, * FROM orders WHERE o_orderkey <= 3000
+      UNION ALL
+      SELECT 'json' AS fmt, * FROM orders WHERE o_orderkey <= 3000
+    )
+    GROUP BY fmt
+    ORDER BY fmt
+    """,
+)
+def source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV and JSON sources: write an orders subset in both formats,
+    read each back with an explicit schema (no inference scan), verify
+    values survive against the parquet-derived oracle. Doubles round-trip
+    exactly: Spark writes shortest-repr decimal."""
+    sub = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    d = tempfile.mkdtemp(prefix="log2sql_src_")
+    csv_p, json_p = os.path.join(d, "csv"), os.path.join(d, "json")
+    sub.write.mode("overwrite").option("header", True).csv(csv_p)
+    sub.write.mode("overwrite").json(json_p)
+    schema = "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double"
+    csv_df = spark.read.schema(schema).option("header", True).csv(csv_p).withColumn(
+        "fmt", F.lit("csv")
+    )
+    json_df = spark.read.schema(schema).json(json_p).withColumn("fmt", F.lit("json"))
+    return (
+        csv_df.unionByName(json_df)
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("total_cents"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+        .orderBy("fmt")
+    )
+
+
+@query(
+    "sink_partitioned_parquet",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem
+    WHERE l_orderkey <= 2000
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + partition-pruned read-back: writes
+    hive-style l_returnflag=X/l_linestatus=Y directories (at scale, the
+    layout that makes per-partition reads/pruning free), then aggregates
+    the read-back — verified against the original table."""
+    sub = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") <= 2000)
+    d = tempfile.mkdtemp(prefix="log2sql_sink_")
+    sub.write.mode("overwrite").partitionBy("l_returnflag", "l_linestatus").parquet(d)
+    back = spark.read.parquet(d)
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("cents"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -1,0 +1,97 @@
+"""Plan-quality assertions (the 100 TB contract): filters must reach the
+parquet scan, dimension joins must broadcast, shuffle counts must stay
+at the operator's theoretical minimum. A regression here is a
+performance bug even when results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from log2sql_spark import registry
+from log2sql_spark.plans import (
+    broadcast_join_count,
+    explain_str,
+    pushed_filters,
+    shuffle_count,
+    whole_stage_codegen_ids,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return registry.all_queries()
+
+
+def test_q1_filter_pushed_to_scan(spark, qs):
+    df = qs["q1_pricing_summary"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, f"shipdate filter not pushed: {pushed!r}"
+
+
+def test_q1_single_shuffle(spark, qs):
+    # scan → partial agg → exchange → final agg (+1 for the orderBy
+    # range exchange): anything more means lost map-side combine.
+    assert shuffle_count(qs["q1_pricing_summary"](spark, SF)) <= 2
+
+
+def test_q3_broadcasts_dimension(spark, qs):
+    df = qs["q3_shipping_priority"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    pushed = " ".join(pushed_filters(df))
+    assert "c_mktsegment" in pushed and "o_orderdate" in pushed
+
+
+def test_q5_star_join_broadcasts_all_dims(spark, qs):
+    df = qs["q5_local_supplier_volume"](spark, SF)
+    # customer, supplier, nation, region all broadcast; only
+    # lineitem⋈orders may shuffle.
+    assert broadcast_join_count(df) >= 4
+
+
+def test_scan_prunes_columns(spark):
+    from log2sql_spark.sources.tables import load_table
+
+    df = load_table(spark, "lineitem", SF).select("l_orderkey", "l_quantity")
+    plan = explain_str(df)
+    assert "l_extendedprice" not in plan  # ReadSchema must not include it
+
+
+def test_window_topk_single_shuffle(spark, qs):
+    df = qs["window_topk_per_group"](spark, SF)
+    # one hash partition on p_brand (+ final orderBy range exchange)
+    assert shuffle_count(df) <= 2
+
+
+def test_topk_global_uses_take_ordered(spark, qs):
+    plan = explain_str(qs["topk_global"](spark, SF))
+    assert "TakeOrderedAndProject" in plan  # never a full sort
+
+
+def test_asof_join_single_shuffle(spark, qs):
+    # union + window: must cost ONE shuffle on the key, like a
+    # co-partitioned join (plus the right-side dedup window's shuffle
+    # and the final sort) — not a per-row probe join.
+    df = qs["join_asof"](spark, SF)
+    assert shuffle_count(df) <= 3
+
+
+def test_whole_stage_codegen_present(spark, qs):
+    df = qs["q1_pricing_summary"](spark, SF)
+    df.collect()  # AQE shows codegen markers only in the finalized plan
+    assert len(whole_stage_codegen_ids(df)) >= 1
+
+
+def test_cdc_codegen_stays_jvm_side(spark, qs):
+    # the replay render must be pure expressions: no BatchEvalPython /
+    # row-at-a-time Python in the plan (the parse itself is Arrow
+    # applyInPandas, which appears as FlatMapGroupsInPandas — allowed).
+    plan = explain_str(qs["cdc_insert_replay"](spark, SF))
+    assert "BatchEvalPython" not in plan
+
+
+def test_broadcast_threshold_config(spark):
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "64MB"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
