@@ -41,17 +41,23 @@ _CATALOG_SPEC = {
 _KEY_MAX = 2000  # orders subset: o_orderkey <= 2000 (~2k rows at sf0.01)
 
 
+_SUBSET_CACHE: dict[str, list] = {}
+
+
 def _orders_subset(spark: SparkSession, sf_dir: str):
     """Deterministic fixture rows. The collect here is *fixture
     generation* (bounded, test-scale), not the data path — the pipeline
-    under test stays fully distributed."""
-    df = (
-        load_table(spark, "orders", sf_dir)
-        .filter(F.col("o_orderkey") <= _KEY_MAX)
-        .withColumn("cents", F.round(F.col("o_totalprice") * 100, 0).cast("long"))
-        .orderBy("o_orderkey")
-    )
-    return df.collect()
+    under test stays fully distributed. Cached per sf_dir: five CDC
+    queries share the same subset within a session."""
+    if sf_dir not in _SUBSET_CACHE:
+        df = (
+            load_table(spark, "orders", sf_dir)
+            .filter(F.col("o_orderkey") <= _KEY_MAX)
+            .withColumn("cents", F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .orderBy("o_orderkey")
+        )
+        _SUBSET_CACHE[sf_dir] = df.collect()
+    return _SUBSET_CACHE[sf_dir]
 
 
 def _row_tokens(r) -> list[tuple[int, str]]:
@@ -190,6 +196,62 @@ def cdc_update_flashback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_pos",
         "sql_text",
         (F.row_number().over(W.orderBy(F.desc("start_pos"))) - 1).cast("long").alias("apply_rank"),
+    )
+
+
+@query(
+    "cdc_store_pruned_read",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT CASE WHEN o_orderkey % 3 = 1 THEN 'insert' ELSE 'update' END AS op,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key
+    FROM src
+    WHERE o_orderkey % 3 <> 0
+    GROUP BY 1
+    ORDER BY op
+    """,
+)
+def cdc_store_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope store round trip: parse a mixed dump, land it as
+    (db, table, op)-partitioned parquet, read back with op filters that
+    become *partition pruning* (tests/test_plans.py asserts the
+    PartitionFilters in the plan). The at-scale layout for the
+    reference's db/table/type filters (log2sql.py:59-61)."""
+    import tempfile
+
+    from log2sql_spark.sources.binlog import read_binlog
+    from log2sql_spark.sources.cdc_store import read_envelope_store, write_envelope_store
+
+    rows = _orders_subset(spark, sf_dir)
+    events = []
+    for r in rows:
+        k = r["o_orderkey"] % 3
+        base = {"db": "shop", "table": "orders", "ts": r["o_orderdate"]}
+        if k == 0:
+            events.append({**base, "op": "delete", "values": _row_tokens(r)})
+        elif k == 1:
+            events.append({**base, "op": "insert", "values": _row_tokens(r)})
+        else:
+            events.append(
+                {
+                    **base,
+                    "op": "update",
+                    "before": [(1, str(r["o_orderkey"]))],
+                    "after": [(1, str(r["o_orderkey"]))],
+                }
+            )
+    path = _write_dump(events)
+    store = tempfile.mkdtemp(prefix="log2sql_store_")
+    write_envelope_store(read_binlog(spark, path), store, mode="overwrite")
+    pruned = read_envelope_store(spark, store, sql_types=["insert", "update"])
+    return (
+        pruned.groupBy("op")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.element_at(F.coalesce("after", "before"), "1").cast("long")).alias("min_key"),
+        )
+        .orderBy("op")
     )
 
 

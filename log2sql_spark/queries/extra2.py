@@ -1,0 +1,233 @@
+"""Third-wave scalar/aggregate/window coverage + interval self-join."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from log2sql_spark.registry import query
+from log2sql_spark.sources.tables import load_table
+
+
+@query(
+    "string_funcs2",
+    oracle="""
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+           rpad(c_mktsegment, 12, '.') AS seg_padded,
+           reverse(c_name) AS name_rev,
+           repeat(left(c_mktsegment, 1), 3) AS initials,
+           right(c_name, 4) AS name_tail,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lowvowel,
+           CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS dist_to_building
+    FROM customer
+    WHERE c_custkey <= 400
+    ORDER BY c_custkey
+    """,
+)
+def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function wave: padding, reverse/repeat, slicing,
+    translate, edit distance (levenshtein doubles as a fuzzy-dedup
+    primitive)."""
+    return (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_custkey") <= 400)
+        .select(
+            "c_custkey",
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+            F.rpad("c_mktsegment", 12, ".").alias("seg_padded"),
+            F.reverse("c_name").alias("name_rev"),
+            F.repeat(F.substring("c_mktsegment", 1, 1), 3).alias("initials"),
+            F.substring("c_name", -4, 4).alias("name_tail"),
+            F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_lowvowel"),
+            F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("dist_to_building"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "date_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow_sun1,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           o_orderdate + INTERVAL 3 MONTH AS plus_3_months,
+           CAST(make_date(CAST(year(o_orderdate) AS INTEGER), 1, 1) AS TIMESTAMP) AS year_start,
+           CAST(date_diff('month', CAST(make_date(CAST(year(o_orderdate) AS INTEGER), 1, 1) AS TIMESTAMP), o_orderdate) AS INTEGER) AS months_into_year
+    FROM orders
+    WHERE o_orderkey <= 600
+    ORDER BY o_orderkey
+    """,
+)
+def date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date wave: last_day, ISO week, day-of-week (normalized:
+    Spark is 1=Sunday, DuckDB 0=Sunday), quarter, month arithmetic."""
+    ys = F.make_date(F.year("o_orderdate"), F.lit(1), F.lit(1)).cast("timestamp")
+    return (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") <= 600)
+        .select(
+            "o_orderkey",
+            F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+            F.weekofyear("o_orderdate").alias("iso_week"),
+            F.dayofweek("o_orderdate").alias("dow_sun1"),
+            F.quarter("o_orderdate").alias("qtr"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus_3_months"),
+            ys.alias("year_start"),
+            (F.months_between(F.date_trunc("month", "o_orderdate"), ys))
+            .cast("int")
+            .alias("months_into_year"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+           bool_or(o_totalprice > 400000) AS any_huge,
+           bool_and(o_totalprice > 0) AS all_positive,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS low_prio_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: count_if, filtered count/sum, bool_or/and."""
+    return (
+        load_table(spark, "orders", sf_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+            F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority") == "5-LOW",
+                    F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+                )
+            ).alias("low_prio_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "window_value_funcs",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER w AS latest_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order,
+           CAST(count(*) OVER w AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_custkey <= 60
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over an unbounded frame (deterministic order
+    incl. unique tie-break)."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_custkey") <= 60)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("latest_order"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+            F.count("*").over(w).alias("n_orders"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "bitwise_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS low_byte,
+           l_orderkey | 4096 AS with_flag,
+           xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS key_xor_line,
+           CAST(bit_count(l_orderkey) AS INTEGER) AS key_bits,
+           l_orderkey << 2 AS shifted_l,
+           l_orderkey >> 3 AS shifted_r
+    FROM lineitem
+    WHERE l_orderkey <= 300
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator surface (DuckDB: ^ is power, so the oracle uses
+    xor())."""
+    return (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey") <= 300)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("low_byte"),
+            F.col("l_orderkey").bitwiseOR(F.lit(4096)).alias("with_flag"),
+            F.col("l_orderkey").bitwiseXOR(F.col("l_linenumber").cast("long")).alias("key_xor_line"),
+            F.bit_count("l_orderkey").alias("key_bits"),
+            F.expr("shiftleft(l_orderkey, 2)").alias("shifted_l"),
+            F.expr("shiftright(l_orderkey, 3)").alias("shifted_r"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "join_interval_self",
+    oracle="""
+    SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_close_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 2 MINUTE
+    WHERE a.event_id < 4000 AND b.event_id < 4000
+    GROUP BY a.user_id
+    ORDER BY a.user_id
+    """,
+)
+def join_interval_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (temporal band) self-join: same-user event pairs within
+    2 minutes. The equi key (user_id) bounds the quadratic term to
+    per-user group sizes — the scalable shape for temporal joins."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_id") < 4000)
+        .select("event_id", "user_id", "ts")
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & F.col("b.ts").between(
+                F.col("a.ts"), F.col("a.ts") + F.expr("INTERVAL 2 MINUTES")
+            ),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_close_pairs"))
+        .orderBy("user_id")
+    )

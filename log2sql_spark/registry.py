@@ -60,6 +60,7 @@ def _load_query_modules() -> None:
     from log2sql_spark.queries import (  # noqa: F401
         cdc,
         extra,
+        extra2,
         llm,
         relational,
         streaming,

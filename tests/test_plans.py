@@ -92,6 +92,32 @@ def test_cdc_codegen_stays_jvm_side(spark, qs):
     assert "BatchEvalPython" not in plan
 
 
+def test_cdc_store_partition_pruning(spark, tmp_path):
+    """db/table/op filters on the envelope store must become partition
+    pruning (PartitionFilters), not data filters."""
+    from datetime import datetime
+
+    from log2sql_spark.sources.binlog import read_binlog
+    from log2sql_spark.sources.binlog_fixture import render_binlog
+    from log2sql_spark.sources.cdc_store import read_envelope_store, write_envelope_store
+
+    TS = datetime(2024, 5, 1, 12, 0, 7)
+    events = [
+        {"op": "insert", "db": "shop", "table": "orders", "ts": TS, "values": [(1, "1")]},
+        {"op": "delete", "db": "shop", "table": "other", "ts": TS, "values": [(1, "2")]},
+    ]
+    dump = tmp_path / "d.txt"
+    dump.write_text(render_binlog(events))
+    store = str(tmp_path / "store")
+    write_envelope_store(read_binlog(spark, str(dump)), store, mode="overwrite")
+    pruned = read_envelope_store(spark, store, sql_types=["insert"], tables=["orders"])
+    plan = explain_str(pruned)
+    assert "PartitionFilters" in plan
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("op" in ln and "table" in ln for ln in m), m
+    assert pruned.count() == 1
+
+
 def test_broadcast_threshold_config(spark):
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "64MB"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
