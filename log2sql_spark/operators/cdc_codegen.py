@@ -105,13 +105,27 @@ def _update(set_image: Column, where_image: Column) -> Column:
     )
 
 
-def with_sql_text(resolved: DataFrame, flashback: bool = False) -> DataFrame:
+def with_sql_text(resolved: DataFrame, flashback: bool = False, no_pk: bool = False) -> DataFrame:
     """Add ``sql_text`` (the rendered statement) and ``pos_info`` (the
     reference's position comment line, log2sql.py:100-104) columns.
 
+    ``no_pk=True`` renders INSERTs without the primary-key columns
+    (auto-increment-friendly re-insert) — the reference *declares* this
+    flag (`-K`, main.py:79-80) but never implements it; here it works.
+    Mutually exclusive with flashback, as in the reference (main.py:28-29).
+
     Expects a catalog-resolved envelope (named images + ``key_columns``).
     """
+    if flashback and no_pk:
+        raise ValueError("only one of flashback or no_pk can be set (main.py:28-29)")
     before, after = F.col("before"), F.col("after")
+    # no_pk strips key columns from the INSERT image ONLY — predicates
+    # (DELETE/UPDATE WHERE) must keep the key image.
+    insert_after = after
+    if no_pk:
+        insert_after = F.map_filter(
+            after, lambda k, _: ~F.array_contains(F.col("key_columns"), k)
+        )
     if flashback:
         sql = (
             F.when(F.col("op") == "insert", _delete(after))
@@ -120,7 +134,7 @@ def with_sql_text(resolved: DataFrame, flashback: bool = False) -> DataFrame:
         )
     else:
         sql = (
-            F.when(F.col("op") == "insert", _insert(after))
+            F.when(F.col("op") == "insert", _insert(insert_after))
             .when(F.col("op") == "delete", _delete(before))
             .when(F.col("op") == "update", _update(after, before))
         )

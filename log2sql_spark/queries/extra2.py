@@ -196,6 +196,78 @@ def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(count(*) AS BIGINT) AS n,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: only 3 distinct returnflags, so
+    a plain groupBy concentrates 600k rows on 3 reducers; salting into
+    (key, salt-of-16) spreads each hot key across 16, then re-merges.
+    Result must equal the plain aggregation (the oracle)."""
+    from log2sql_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, "lineitem", sf_dir).withColumn(
+        "cents_in", F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    )
+    return salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "cents": ("sum", "cents_in"),
+            "n": ("count", "l_orderkey"),
+            "first_ship": ("min", "l_shipdate"),
+            "last_ship": ("max", "l_shipdate"),
+        },
+        buckets=16,
+        salt_cols=["l_orderkey", "l_linenumber"],
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    WITH dim(l_returnflag, flag_name) AS (
+      VALUES ('A', 'returned-accepted'), ('N', 'not-returned'), ('R', 'returned')
+    )
+    SELECT flag_name, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem JOIN dim USING (l_returnflag)
+    GROUP BY flag_name
+    ORDER BY flag_name
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join: the fact side's 3-value key is maximally skewed;
+    salting spreads it over 16 buckets while the 3-row dim is replicated
+    ×16. Same result as the plain join (the oracle)."""
+    from log2sql_spark.operators.skew import salted_join
+
+    li = load_table(spark, "lineitem", sf_dir)
+    dim = spark.createDataFrame(
+        [("A", "returned-accepted"), ("N", "not-returned"), ("R", "returned")],
+        ["l_returnflag", "flag_name"],
+    )
+    return (
+        salted_join(li, dim, keys=["l_returnflag"], buckets=16, salt_cols=["l_orderkey"])
+        .groupBy("flag_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("cents"),
+        )
+        .orderBy("flag_name")
+    )
+
+
+@query(
     "join_interval_self",
     oracle="""
     SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_close_pairs

@@ -40,7 +40,7 @@ Divergences from the reference (deliberate, documented in SURVEY.md §7):
 from __future__ import annotations
 
 import re
-from collections.abc import Iterator
+from collections.abc import Iterator  # noqa: F401  (used in type comments)
 from datetime import datetime
 
 import pandas as pd
@@ -233,14 +233,30 @@ def binlog_lines(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _parse_whole_files(batches) -> "Iterator[pd.DataFrame]":
+    """mapInPandas worker over (file, whole-file value) rows."""
+    cols = [f.name for f in ENVELOPE_SCHEMA.fields]
+    for pdf in batches:
+        out = []
+        for file, content in zip(pdf["file"], pdf["value"]):
+            out.extend(parse_binlog_lines(content.splitlines(), file=file))
+        yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+
 def read_binlog(spark: SparkSession, path: str) -> DataFrame:
     """Batch source: binlog dump file(s)/glob → envelope DataFrame.
 
-    Parallelism = number of files; each file's state machine runs in one
-    Arrow-batched task (replaces the reference's single-threaded global
-    loop at log2sql.py:75 with a per-file loop that scales out)."""
-    lines = binlog_lines(spark, path)
-    return lines.groupBy("file").applyInPandas(_parse_group, schema=ENVELOPE_SCHEMA)
+    Reads each dump with ``wholetext`` (one row per file, order trivially
+    preserved) and parses via ``mapInPandas`` — NO shuffle: the plan is
+    scan → Arrow-batched parse, one task per file. Parallelism = number
+    of files (replacing the reference's single-threaded global loop at
+    log2sql.py:75 with a per-file loop that scales out). A single dump
+    file is bounded by binlog rotation size (≤1 GB), so whole-file
+    strings are safe per task."""
+    lines = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), "value"
+    )
+    return lines.mapInPandas(_parse_whole_files, schema=ENVELOPE_SCHEMA)
 
 
 def parse_envelope_batch(lines: DataFrame) -> DataFrame:

@@ -1,0 +1,126 @@
+"""Scale-technique tests: bucketed co-located joins (no shuffle), skew
+salting equivalence, no_pk codegen."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from log2sql_spark.plans.explain import explain_str, shuffle_count
+from log2sql_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Pre-bucketing both sides on the join key makes the join
+    shuffle-free — the 100 TB answer to repeated fact⋈fact joins.
+    (saveAsTable writes to the session warehouse; bucketed scans carry
+    the hash-partitioning guarantee Catalyst then reuses.)"""
+    orders = load_table(spark, "orders", SF)
+    li = load_table(spark, "lineitem", SF)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("orders_b")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("lineitem_b")
+    )
+    joined = spark.table("lineitem_b").join(
+        spark.table("orders_b"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    agg = joined.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    # bucketed join: no Exchange below the join; the only shuffle allowed
+    # is the one for the final aggregation.
+    assert shuffle_count(agg) <= 1, explain_str(agg)
+    plain = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+        "o_orderstatus"
+    ).agg(F.count("*").alias("n"))
+    assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, plain.collect()))
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_salted_agg_equals_plain(spark):
+    from log2sql_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, "lineitem", SF)
+    salted = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs={"qty": ("sum", "l_quantity"), "n": ("count", "l_orderkey")},
+        buckets=8,
+        salt_cols=["l_orderkey", "l_linenumber"],
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("qty"), F.count("l_orderkey").alias("n")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    from log2sql_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, "lineitem", SF)
+    with pytest.raises(ValueError, match="algebraic"):
+        salted_aggregate(li, ["l_returnflag"], {"x": ("avg", "l_quantity")})
+
+
+def test_salted_join_equals_plain(spark):
+    from log2sql_spark.operators.skew import salted_join
+
+    li = load_table(spark, "lineitem", SF).select("l_orderkey", "l_returnflag")
+    dim = spark.createDataFrame([("A", 1), ("N", 2), ("R", 3)], ["l_returnflag", "code"])
+    salted = salted_join(li, dim, keys=["l_returnflag"], buckets=8, salt_cols=["l_orderkey"])
+    plain = li.join(dim, "l_returnflag")
+    assert salted.count() == plain.count()
+    s = salted.groupBy("code").count().collect()
+    p = plain.groupBy("code").count().collect()
+    assert sorted(map(tuple, s)) == sorted(map(tuple, p))
+
+
+def test_no_pk_insert_strips_key_columns(spark, tmp_path):
+    from log2sql_spark.operators.cdc_codegen import with_sql_text
+    from log2sql_spark.sources.binlog import read_binlog
+    from log2sql_spark.sources.binlog_fixture import render_binlog
+    from log2sql_spark.sources.catalog import catalog_from_dict, resolve_columns
+
+    TS = datetime(2024, 5, 1, 12, 0, 7)
+    events = [
+        {
+            "op": "insert",
+            "db": "shop",
+            "table": "orders",
+            "ts": TS,
+            "values": [(1, "42"), (2, "'x'")],
+        },
+        {
+            "op": "delete",
+            "db": "shop",
+            "table": "orders",
+            "ts": TS,
+            "values": [(1, "42"), (2, "'x'")],
+        },
+    ]
+    p = tmp_path / "d.txt"
+    p.write_text(render_binlog(events))
+    cat = catalog_from_dict(
+        spark, {"shop.orders": {"columns": ["id", "status"], "key_columns": ["id"]}}
+    )
+    resolved = resolve_columns(read_binlog(spark, str(p)), cat)
+    rows = {r["op"]: r["sql_text"] for r in with_sql_text(resolved, no_pk=True).collect()}
+    # INSERT loses the key column; DELETE still uses it in WHERE
+    assert rows["insert"] == "INSERT INTO `shop`.`orders`(`status`) VALUES ('x');"
+    assert rows["delete"] == "DELETE FROM `shop`.`orders` WHERE `id`=42 LIMIT 1;"
+    with pytest.raises(ValueError, match="flashback or no_pk"):
+        with_sql_text(resolved, flashback=True, no_pk=True)
