@@ -57,9 +57,12 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: damp co-tenant noise on the host
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

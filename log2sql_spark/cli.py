@@ -1,0 +1,141 @@
+"""CLI: drop-in workflow replacement for the reference's ``main.py``.
+
+Same argument surface (``main.py:42-85``) minus the live-MySQL
+connection flags — the catalog comes from a JSON file (or a JDBC URL on
+a real deployment) instead of per-event ``information_schema`` queries —
+plus the flags the reference declared but never honored:
+
+* ``--no-primary-key`` actually strips PKs from INSERTs;
+* ``--stop-never`` runs the online Structured-Streaming mode the
+  offline fork dropped (``main.py:26-27``);
+* DDL output is reachable via ``--include-ddl`` (reference's
+  ``--only-dml`` is dead-defaulted, ``main.py:73-74``).
+
+Usage::
+
+    python -m log2sql_spark --start-file dump.txt --catalog catalog.json
+    python -m log2sql_spark --start-file dump.txt --catalog catalog.json \
+        -B --database shop -t orders lineitem --start-position 4
+    python -m log2sql_spark --watch-dir /dumps --catalog catalog.json \
+        --stop-never --out /cdc/out --checkpoint /cdc/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="log2sql_spark",
+        description="Parse MySQL binlog dumps to replay/flashback SQL on Spark",
+    )
+    src = p.add_argument_group("source")
+    src.add_argument("--start-file", dest="start_file", help="binlog dump file/glob to parse")
+    src.add_argument("--watch-dir", dest="watch_dir", help="directory to stream dumps from")
+    src.add_argument("--catalog", required=True, help="catalog JSON ({'db.table': {columns, key_columns}})")
+
+    interval = p.add_argument_group("interval filter")
+    interval.add_argument("--start-position", type=int, default=None)
+    interval.add_argument("--stop-position", type=int, default=None)
+    interval.add_argument("--start-datetime", default=None, help="YYYY-MM-DD HH:MM:SS")
+    interval.add_argument("--stop-datetime", default=None, help="YYYY-MM-DD HH:MM:SS")
+
+    schema = p.add_argument_group("schema filter")
+    schema.add_argument("-d", "--database", default=None)
+    schema.add_argument("-t", "--tables", nargs="*", default=None)
+
+    event = p.add_argument_group("type filter")
+    event.add_argument("--sql-type", dest="sql_type", nargs="*", default=None,
+                       help="insert/update/delete subset")
+    event.add_argument("--include-ddl", action="store_true", default=False)
+
+    p.add_argument("-K", "--no-primary-key", dest="no_pk", action="store_true", default=False)
+    p.add_argument("-B", "--flashback", action="store_true", default=False)
+    p.add_argument("--stop-never", dest="stop_never", action="store_true", default=False,
+                   help="online mode: keep processing new files (requires --watch-dir)")
+    p.add_argument("--out", default=None, help="output parquet dir (default: print to stdout)")
+    p.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
+    p.add_argument("--cpus", default=None, help="local parallelism (default: SPARK_GRAFT_CPUS)")
+    return p
+
+
+def validate(args: argparse.Namespace) -> None:
+    if args.flashback and args.no_pk:
+        raise ValueError("Only one of flashback or no_pk can be True")  # main.py:28-29
+    if args.stop_never and not (args.watch_dir and args.out and args.checkpoint):
+        raise ValueError("--stop-never requires --watch-dir, --out and --checkpoint")
+    if not args.stop_never and not args.start_file:
+        raise ValueError("Lack of parameter: start_file")  # main.py:24-25
+    from datetime import datetime
+
+    for v in (args.start_datetime, args.stop_datetime):
+        if v is not None:
+            try:
+                datetime.strptime(v, "%Y-%m-%d %H:%M:%S")
+            except ValueError as exc:
+                raise ValueError("Incorrect datetime argument") from exc  # main.py:30-34
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    validate(args)
+
+    from log2sql_spark.session import get_spark
+    from log2sql_spark.sources.catalog import catalog_from_json
+
+    spark = get_spark("log2sql_spark_cli", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    catalog = catalog_from_json(spark, args.catalog)
+
+    filters = dict(
+        sql_types=args.sql_type,
+        database=args.database,
+        tables=args.tables,
+        start_position=args.start_position,
+        stop_position=args.stop_position,
+        start_datetime=args.start_datetime,
+        stop_datetime=args.stop_datetime,
+        include_ddl=args.include_ddl,
+    )
+
+    if args.stop_never:
+        from log2sql_spark.streaming.cdc_stream import stream_binlog_to_sql
+
+        q = stream_binlog_to_sql(
+            spark, args.watch_dir, catalog, args.out, args.checkpoint,
+            flashback=args.flashback,
+        )
+        q.awaitTermination()
+        return 0
+
+    from log2sql_spark.operators.cdc_codegen import with_sql_text
+    from log2sql_spark.operators.cdc_filters import filter_events
+    from log2sql_spark.sources.binlog import read_binlog
+    from log2sql_spark.sources.catalog import resolve_columns
+    from pyspark.sql import functions as F
+
+    envelope = filter_events(read_binlog(spark, args.start_file), **filters)
+    rendered = with_sql_text(
+        resolve_columns(envelope, catalog), flashback=args.flashback, no_pk=args.no_pk
+    )
+    order = (
+        [F.desc("file"), F.desc("start_pos"), F.desc("event_seq")]
+        if args.flashback
+        else ["file", "start_pos", "event_seq"]
+    )
+    rendered = rendered.orderBy(*order)
+    if args.out:
+        rendered.write.mode("overwrite").parquet(args.out)
+    else:
+        # reference prints pos_info comment then the statement
+        # (log2sql.py:62-63); bounded by the dump size, like the reference
+        for row in rendered.select("pos_info", "sql_text").toLocalIterator():
+            print(row["pos_info"])
+            print(row["sql_text"])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -308,6 +308,162 @@ def llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cos_sim", F.round("cos_sim", 6)).orderBy("query_id", "rank")
 
 
+_EMB_CORPUS_SQL = """
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    * (1 + 0.01 * (((CAST(i AS INTEGER) - 1) % 3) - 1))) AS embedding
+      FROM embeddings WHERE vec_id < 50
+    )
+"""
+
+
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings + deterministically perturbed near-dup variants
+    (identical arithmetic on both engines)."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    variants = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double") * (1 + 0.01 * ((i % 3) - 1)),
+        ).alias("embedding"),
+    )
+    return base.unionByName(variants)
+
+
+@query(
+    "llm_dedup_embedding_cosine",
+    oracle=_EMB_CORPUS_SQL
+    + f"""
+    , pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim
+    FROM pairs WHERE cos_sim >= 0.99
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.99), exact all-pairs —
+    the correctness baseline the LSH variant is verified against."""
+    corpus = _emb_corpus(spark, sf_dir)
+    a, b = corpus.alias("a"), corpus.alias("b")
+    from log2sql_spark.operators.similarity import cosine
+
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos_sim", cosine(F.col("a.embedding"), F.col("b.embedding")))
+        .filter(F.col("cos_sim") >= 0.99)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "llm_dedup_embedding_rplsh",
+    oracle=_EMB_CORPUS_SQL
+    + f"""
+    , pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim
+    FROM pairs WHERE cos_sim >= 0.99
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection (sign) LSH near-dup: 16 md5-derived ±1
+    hyperplanes → 16-bit sketch → 4-bit band buckets → candidates →
+    exact-cosine verify ≥ 0.99. At that threshold the per-pair LSH miss
+    probability is ~1e-8, so the verified output equals the exact
+    all-pairs oracle; the candidate join is the scale path (bucket
+    collisions, not |corpus|²)."""
+    from log2sql_spark.operators.dedup import md5_long
+    from log2sql_spark.operators.similarity import cosine
+
+    corpus = _emb_corpus(spark, sf_dir)
+    # (id, dim, value) → 16 signed contributions per element → sketch bits
+    elems = corpus.select("vec_id", F.posexplode("embedding").alias("d", "val"))
+    contribs = elems.select(
+        "vec_id",
+        "val",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+    ).withColumn(
+        "contrib",
+        F.col("val")
+        * F.when(
+            F.pmod(md5_long(F.concat_ws("_", F.col("j"), F.col("d"))), F.lit(2)) == 1, 1.0
+        ).otherwise(-1.0),
+    )
+    bits = (
+        contribs.groupBy("vec_id", "j")
+        .agg(F.sum("contrib").alias("proj"))
+        .withColumn("bit", (F.col("proj") > 0).cast("long"))
+    )
+    sketches = bits.groupBy("vec_id").agg(
+        F.sum(F.expr("shiftleft(bit, CAST(j AS INT))")).alias("sketch")
+    )
+    # 4 bands × 4 bits
+    bands = sketches.select(
+        "vec_id",
+        *[
+            F.expr(f"shiftright(sketch, {4 * b}) & 15").alias(f"band{b}")
+            for b in range(4)
+        ],
+    )
+    cands = None
+    for b in range(4):
+        s = bands.select("vec_id", F.col(f"band{b}").alias("bv"))
+        p = (
+            s.alias("x")
+            .join(s.alias("y"), "bv")
+            .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+            .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
+    verified = (
+        cands.join(corpus.withColumnsRenamed({"vec_id": "id_a", "embedding": "ea"}), "id_a")
+        .join(corpus.withColumnsRenamed({"vec_id": "id_b", "embedding": "eb"}), "id_b")
+        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos_sim") >= 0.99)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+    return verified.orderBy("id_a", "id_b")
+
+
+@query("llm_approx_percentile")  # rows-only: sketch estimates are engine-specific
+def llm_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (GK sketch) over document lengths — the 100 TB
+    substitute for exact quantiles; rows-only driver check (pytest
+    bounds it against the exact percentile)."""
+    return (
+        load_table(spark, "documents", sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.approx_percentile("n_chars", 0.5, 1000).alias("approx_median_chars"),
+            F.approx_percentile("n_chars", 0.9, 1000).alias("approx_p90_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

@@ -1,0 +1,68 @@
+"""CLI tests: the reference-workflow entry point (argument parity with
+main.py:42-85 + the flags the reference never implemented)."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+import pytest
+
+from log2sql_spark.cli import build_parser, main, validate
+from log2sql_spark.sources.binlog_fixture import render_binlog
+
+TS = datetime(2024, 5, 1, 12, 0, 7)
+
+
+@pytest.fixture()
+def dump_and_catalog(tmp_path):
+    dump = tmp_path / "dump.txt"
+    dump.write_text(
+        render_binlog(
+            [
+                {"op": "insert", "db": "shop", "table": "orders", "ts": TS,
+                 "values": [(1, "1"), (2, "'a'")]},
+                {"op": "delete", "db": "other", "table": "t", "ts": TS,
+                 "values": [(1, "9")]},
+            ]
+        )
+    )
+    cat = tmp_path / "cat.json"
+    cat.write_text(json.dumps({"shop.orders": {"columns": ["id", "status"], "key_columns": ["id"]}}))
+    return str(dump), str(cat)
+
+
+def test_cli_replay_to_parquet(spark, dump_and_catalog, tmp_path, capsys):
+    dump, cat = dump_and_catalog
+    out = str(tmp_path / "out")
+    rc = main(["--start-file", dump, "--catalog", cat, "--out", out, "--cpus", "4"])
+    assert rc == 0
+    rows = {r["op"]: r["sql_text"] for r in spark.read.parquet(out).collect()}
+    assert rows["insert"] == "INSERT INTO `shop`.`orders`(`id`, `status`) VALUES (1, 'a');"
+    assert rows["delete"].startswith("DELETE FROM `other`.`t`")
+
+
+def test_cli_filters(spark, dump_and_catalog, tmp_path):
+    dump, cat = dump_and_catalog
+    out = str(tmp_path / "out2")
+    rc = main([
+        "--start-file", dump, "--catalog", cat, "--out", out,
+        "--database", "shop", "--sql-type", "insert", "--cpus", "4",
+    ])
+    assert rc == 0
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0]["op"] == "insert"
+
+
+def test_cli_validation_errors(dump_and_catalog):
+    dump, cat = dump_and_catalog
+    p = build_parser()
+    with pytest.raises(ValueError, match="flashback or no_pk"):
+        validate(p.parse_args(["--start-file", dump, "--catalog", cat, "-B", "-K"]))
+    with pytest.raises(ValueError, match="start_file"):
+        validate(p.parse_args(["--catalog", cat]))
+    with pytest.raises(ValueError, match="datetime"):
+        validate(p.parse_args(["--start-file", dump, "--catalog", cat,
+                               "--start-datetime", "2024/05/01"]))
+    with pytest.raises(ValueError, match="stop-never"):
+        validate(p.parse_args(["--catalog", cat, "--stop-never"]))
