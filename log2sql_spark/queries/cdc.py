@@ -309,6 +309,68 @@ def cdc_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_scd2_history",
+    oracle=_ORACLE_BASE
+    + """
+    , versions AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS key, 'insert' AS version_op,
+             o_orderdate AS valid_from, cents AS version_cents
+      FROM src
+      UNION ALL
+      SELECT CAST(o_orderkey AS VARCHAR), 'update',
+             o_orderdate + INTERVAL 1 SECOND, cents + 500
+      FROM src
+      UNION ALL
+      SELECT CAST(o_orderkey AS VARCHAR), 'update',
+             o_orderdate + INTERVAL 2 SECOND, cents + 1000
+      FROM src
+    )
+    SELECT key, version_op, valid_from,
+           lead(valid_from) OVER (PARTITION BY key ORDER BY valid_from) AS valid_to,
+           (lead(valid_from) OVER (PARTITION BY key ORDER BY valid_from) IS NULL) AS is_current,
+           version_cents
+    FROM versions
+    ORDER BY key, valid_from
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 from CDC: insert + two updates per order become three
+    versioned rows with validity intervals; the latest is current. One
+    window over the key — the warehouse history-table build."""
+    from datetime import timedelta
+
+    from log2sql_spark.operators.cdc_scd2 import scd2_history
+    from log2sql_spark.sources.binlog import read_binlog
+    from log2sql_spark.sources.catalog import resolve_columns
+
+    rows = _orders_subset(spark, sf_dir)
+    events = []
+    for r in rows:
+        base = {"db": "shop", "table": "orders", "ts": r["o_orderdate"]}
+        key = str(r["o_orderkey"])
+        events.append({**base, "op": "insert",
+                       "values": [(1, key), (4, str(r["cents"]))]})
+        events.append({**base, "op": "update", "ts": r["o_orderdate"] + timedelta(seconds=1),
+                       "before": [(1, key), (4, str(r["cents"]))],
+                       "after": [(1, key), (4, str(r["cents"] + 500))]})
+        events.append({**base, "op": "update", "ts": r["o_orderdate"] + timedelta(seconds=2),
+                       "before": [(1, key), (4, str(r["cents"] + 500))],
+                       "after": [(1, key), (4, str(r["cents"] + 1000))]})
+    path = _write_dump(events)
+    cat = catalog_from_dict(spark, _CATALOG_SPEC)
+    resolved = resolve_columns(read_binlog(spark, path), cat)
+    hist = scd2_history(resolved, key_col="o_orderkey")
+    return hist.select(
+        "key",
+        "version_op",
+        "valid_from",
+        "valid_to",
+        "is_current",
+        F.element_at("row_image", "o_totalprice_cents").cast("long").alias("version_cents"),
+    ).orderBy("key", "valid_from")
+
+
+@query(
     "cdc_filter_pushdown",
     oracle=_ORACLE_BASE
     + f"""

@@ -196,6 +196,92 @@ def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "subquery_scalar_correlated",
+    oracle="""
+    SELECT p_type, p_partkey, p_retailprice
+    FROM part p
+    WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                           WHERE p2.p_type = p.p_type)
+    ORDER BY p_type, p_partkey
+    """,
+)
+def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2 shape): cheapest part per
+    type. Catalyst decorrelates it into an aggregate + join."""
+    load_table(spark, "part", sf_dir).createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_type, p_partkey, p_retailprice
+        FROM part p
+        WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                               WHERE p2.p_type = p.p_type)
+        ORDER BY p_type, p_partkey
+        """
+    )
+
+
+@query(
+    "subquery_exists",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_with_big_order
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (planned as a left-semi join)."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_with_big_order
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'total_qty' AS metric, total_qty AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'total_cents' AS metric, total_cents AS value FROM agg
+    ORDER BY l_returnflag, metric
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt: wide per-flag aggregates → long (flag, metric,
+    value) rows."""
+    agg = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("total_cents"),
+        )
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["total_qty", "total_cents"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("l_returnflag", "metric")
+
+
+@query(
     "skew_salted_agg",
     oracle="""
     SELECT l_returnflag,

@@ -115,7 +115,7 @@ def parse_binlog_lines(lines: list[str], file: str = "") -> list[dict]:
         cur, image = None, None
 
     for raw in lines:
-        line = raw.rstrip("\n")
+        line = raw.rstrip("\r\n")
         if not line.startswith("###"):
             # --- header / statement zone ---
             m = _AT_RE.match(line)
@@ -239,7 +239,11 @@ def _parse_whole_files(batches) -> "Iterator[pd.DataFrame]":
     for pdf in batches:
         out = []
         for file, content in zip(pdf["file"], pdf["value"]):
-            out.extend(parse_binlog_lines(content.splitlines(), file=file))
+            # split('\n'), NOT splitlines(): splitlines() also breaks on
+            # \x1c-\x1e/\x85/ , which can occur INSIDE quoted values
+            # (found by the hypothesis round-trip test); the line-based
+            # text source splits only on \n, so match that.
+            out.extend(parse_binlog_lines(content.split("\n"), file=file))
         yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
 
 
