@@ -42,8 +42,11 @@ HEADLINE = [
     "llm_dedup_exact",
     "llm_dedup_minhash_lsh",
     "llm_sim_topk_bruteforce",
+    "llm_sim_topk_vectorized",
     "llm_text_stats",
     "llm_multimodal_features",
+    "cdc_scd2_history",
+    "join_asof",
 ]
 
 

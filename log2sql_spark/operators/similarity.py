@@ -68,6 +68,79 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_vectorized(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized twin of :func:`brute_force_topk`: the query
+    matrix rides into every task as a broadcast numpy array and each
+    candidate batch is scored with one float64 matmul.
+
+    Spark's higher-order-function fold (`aggregate`/`zip_with`) is
+    interpreted per element — fine for correctness, slow at volume; this
+    is the documented fast path (BLAS batch × query matmul) and is
+    ~5-20× faster at 10⁵+ candidates. Scores can differ from the
+    sequential fold in the last float ulp (BLAS summation order), which
+    is why the oracle-checked exact query uses the fold and this variant
+    is benchmarked/tested against it for set equality."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(id_col, vec_col).collect()  # query set: small by contract
+    if not q_rows:  # np.array([]) is 1-D; short-circuit the degenerate case
+        spark = candidates.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank long"
+        )
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (c_mat @ mat.T) / np.outer(c_norm, norms)  # |batch| × |Q|
+            n_c, n_q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, n_c),
+                    "neighbor_id": np.tile(c_ids, n_q),
+                    "cos_sim": sims.T.ravel(),
+                }
+            )
+
+    scored = candidates.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def assign_to_centroids(
     vectors: DataFrame,
     centroids: DataFrame,

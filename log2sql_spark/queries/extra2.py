@@ -354,6 +354,101 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_columns",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count_if(o_custkey IS NULL) AS BIGINT) AS ck_nulls,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS ck_distinct,
+             CAST(min(o_custkey) AS VARCHAR) AS ck_min, CAST(max(o_custkey) AS VARCHAR) AS ck_max,
+             CAST(count_if(o_orderstatus IS NULL) AS BIGINT) AS st_nulls,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS st_distinct,
+             min(o_orderstatus) AS st_min, max(o_orderstatus) AS st_max,
+             CAST(count_if(o_totalprice IS NULL) AS BIGINT) AS tp_nulls,
+             CAST(count(DISTINCT o_totalprice) AS BIGINT) AS tp_distinct,
+             CAST(min(o_totalprice) AS VARCHAR) AS tp_min, CAST(max(o_totalprice) AS VARCHAR) AS tp_max
+      FROM orders
+    )
+    SELECT 'o_custkey' AS col_name, n_rows, ck_nulls AS n_nulls, ck_distinct AS n_distinct,
+           ck_min AS min_str, ck_max AS max_str FROM w
+    UNION ALL
+    SELECT 'o_orderstatus', n_rows, st_nulls, st_distinct, st_min, st_max FROM w
+    UNION ALL
+    SELECT 'o_totalprice', n_rows, tp_nulls, tp_distinct, tp_min, tp_max FROM w
+    ORDER BY col_name
+    """,
+)
+def profile_columns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass multi-column profile (nulls/distinct/min/max)."""
+    from log2sql_spark.operators.profile import profile_columns
+
+    return profile_columns(
+        load_table(spark, "orders", sf_dir),
+        ["o_custkey", "o_orderstatus", "o_totalprice"],
+    ).withColumnRenamed("column", "col_name").orderBy("col_name")
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key
+    FROM orders
+    WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% hash sample: the same rows selected in every engine and run
+    (unlike rand()/TABLESAMPLE) — reproducible experiment splits."""
+    from log2sql_spark.operators.profile import hash_sample
+
+    return hash_sample(load_table(spark, "orders", sf_dir), "o_orderkey", 10).agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"),
+        F.min("o_orderkey").alias("first_key"),
+    )
+
+
+@query(
+    "histogram_value_buckets",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(least(floor(value / 2.0), 9) AS BIGINT) AS bucket FROM events
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over events.value (bucket = floor(v/2),
+    capped): the shuffle moves only (bucket, partial count)."""
+    return (
+        load_table(spark, "events", sf_dir)
+        .select(F.least(F.floor(F.col("value") / 2.0), F.lit(9)).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@query("llm_sim_topk_vectorized")  # rows-only: BLAS summation order ≠ fold
+def llm_sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy fast path of llm_sim_topk_bruteforce (one float64
+    matmul per candidate batch). Scores differ from the sequential fold
+    only in the last ulp, so this is rows-only for the driver; pytest
+    asserts neighbor-set equality with the exact variant."""
+    from log2sql_spark.operators.similarity import brute_force_topk_vectorized
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        brute_force_topk_vectorized(emb.filter(F.col("vec_id") < 20), emb, k=5)
+        .withColumn("cos_sim", F.round("cos_sim", 6))
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
     "join_interval_self",
     oracle="""
     SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_close_pairs

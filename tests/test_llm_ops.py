@@ -105,6 +105,25 @@ def test_cosine_and_bruteforce_topk(spark):
     assert [(r["neighbor_id"], r["rank"]) for r in top] == [(1, 1), (2, 2)]
 
 
+def test_vectorized_topk_matches_fold(spark, sf_dir):
+    """The Arrow/numpy fast path must return the same neighbors/ranks as
+    the interpreted fold (scores agree to ~1 ulp)."""
+    from pyspark.sql import functions as F2
+
+    from log2sql_spark.operators.similarity import brute_force_topk_vectorized
+    from log2sql_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F2.col("vec_id") < 10)
+    exact = brute_force_topk(q, emb, k=5).collect()
+    fast = brute_force_topk_vectorized(q, emb, k=5).collect()
+    key = lambda rows: {(r["query_id"], r["rank"]): r["neighbor_id"] for r in rows}  # noqa: E731
+    assert key(exact) == key(fast)
+    for e, f in zip(sorted(exact, key=lambda r: (r["query_id"], r["rank"])),
+                    sorted(fast, key=lambda r: (r["query_id"], r["rank"]))):
+        assert abs(e["cos_sim"] - f["cos_sim"]) < 1e-9
+
+
 def test_ivf_subset_of_bruteforce_candidates(spark):
     import random
 
