@@ -64,6 +64,7 @@ def _load_query_modules() -> None:
         llm,
         relational,
         streaming,
+        tpch,
     )
 
     _LOADED = True
