@@ -35,6 +35,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Defensive: the driver may call queries() with ITS OWN SparkSession
+    # (without session.py's configs). Both confs are runtime-settable;
+    # without nanosAsLong the events scan throws PARQUET_TYPE_ILLEGAL,
+    # and a non-UTC session TZ would skew timestamp compares.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a
