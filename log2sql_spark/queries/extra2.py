@@ -354,6 +354,76 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "array_funcs2",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey, p_name,
+             string_split(p_name, ' ') AS toks,
+             string_split(p_type, ' ') AS type_toks
+      FROM part WHERE p_partkey <= 300
+    )
+    SELECT p_partkey,
+           flatten([toks, type_toks]) AS all_toks,
+           list_intersect(toks, type_toks) AS common,
+           list_has_any(toks, type_toks) AS overlaps,
+           range(1, CAST(len(toks) AS INTEGER) + 1) AS idx,
+           split_part(toks[1], 'a', 1) AS first_before_a,
+           regexp_extract_all(p_name, '[a-z]+') AS lower_runs
+    FROM t
+    ORDER BY p_partkey
+    """,
+)
+def array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second array wave: flatten, intersect/overlap, sequence,
+    split_part, regexp_extract_all."""
+    toks = F.split(F.col("p_name"), " ")
+    type_toks = F.split(F.col("p_type"), " ")
+    return (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_partkey") <= 300)
+        .select(
+            "p_partkey",
+            F.flatten(F.array(toks, type_toks)).alias("all_toks"),
+            F.array_intersect(toks, type_toks).alias("common"),
+            F.arrays_overlap(toks, type_toks).alias("overlaps"),
+            F.sequence(F.lit(1), F.size(toks)).alias("idx"),
+            F.split_part(F.element_at(toks, 1), F.lit("a"), F.lit(1)).alias("first_before_a"),
+            F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0).alias("lower_runs"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "try_safe_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INTEGER) AS prio_as_int,
+           TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER) AS prio_rank,
+           CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                ELSE CAST(o_totalprice / (o_orderkey % 10) AS DOUBLE) END AS safe_div
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+)
+def try_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casts/division: try_cast and try_divide return NULL
+    instead of failing the job — the ingest-hygiene functions."""
+    return (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") <= 500)
+        .select(
+            "o_orderkey",
+            F.expr("TRY_CAST(o_orderpriority AS INT)").alias("prio_as_int"),
+            F.expr("TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT)").alias("prio_rank"),
+            F.try_divide("o_totalprice", F.col("o_orderkey") % 10).alias("safe_div"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
     "profile_columns",
     oracle="""
     WITH w AS (
