@@ -419,25 +419,29 @@ def llm_dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches = bits.groupBy("vec_id").agg(
         F.sum(F.expr("shiftleft(bit, CAST(j AS INT))")).alias("sketch")
     )
-    # 4 bands × 4 bits
+    # 4 bands × 4 bits; ONE explode + ONE self-join on (band, value)
+    # instead of four separate band joins (plan audit: 17 → ~4 shuffles)
     bands = sketches.select(
         "vec_id",
-        *[
-            F.expr(f"shiftright(sketch, {4 * b}) & 15").alias(f"band{b}")
-            for b in range(4)
-        ],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"shiftright(sketch, {4 * b}) & 15").alias("bv"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    cands = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bv"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
+        .distinct()
     )
-    cands = None
-    for b in range(4):
-        s = bands.select("vec_id", F.col(f"band{b}").alias("bv"))
-        p = (
-            s.alias("x")
-            .join(s.alias("y"), "bv")
-            .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-            .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
-        )
-        cands = p if cands is None else cands.unionByName(p)
-    cands = cands.distinct()
     verified = (
         cands.join(corpus.withColumnsRenamed({"vec_id": "id_a", "embedding": "ea"}), "id_a")
         .join(corpus.withColumnsRenamed({"vec_id": "id_b", "embedding": "eb"}), "id_b")

@@ -31,13 +31,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _revenue_exact() -> F.Column:
-    """sum(l_extendedprice * (1 - l_discount)) via exact integer cents.
+    """sum(l_extendedprice * (1 - l_discount)) via exact scaled decimals.
 
     Both inputs are 2-decimal-exact doubles; per-row scaled products are
     exact integers, so the sum is bit-identical in any engine and any
-    summation order — required for the cross-engine hash compare."""
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    disc_pct = F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    summation order — required for the cross-engine hash compare.
+    DECIMAL (not int64) accumulation: the 2-factor product sum would
+    overflow long around sf10; decimal(38) survives sf100+."""
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(20,0)")
+    disc_pct = F.round((1 - F.col("l_discount")) * 100, 0).cast("decimal(5,0)")
     return F.sum(cents * disc_pct) / 10000.0
 
 
@@ -52,11 +54,11 @@ def _revenue_exact() -> F.Column:
            CAST(count(*) AS BIGINT) AS count_order,
            sum(l_quantity) AS sum_qty,
            sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0 AS sum_disc_price,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * CAST(round((1 - l_discount) * 100) AS BIGINT)
-               * CAST(round((1 + l_tax) * 100) AS BIGINT)) / 1000000.0 AS sum_charge,
+           sum(CAST(round(l_extendedprice * 100) AS DECIMAL(20,0))
+               * CAST(round((1 - l_discount) * 100) AS DECIMAL(5,0))) / 10000.0 AS sum_disc_price,
+           sum(CAST(round(l_extendedprice * 100) AS DECIMAL(20,0))
+               * CAST(round((1 - l_discount) * 100) AS DECIMAL(5,0))
+               * CAST(round((1 + l_tax) * 100) AS DECIMAL(5,0))) / 1000000.0 AS sum_charge,
            sum(l_quantity) / count(*) AS avg_qty,
            sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / count(*) AS avg_price,
            sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / count(*) AS avg_disc
@@ -71,15 +73,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PushedFilters) and the agg is a partial+final hash aggregate, so no
     row leaves an executor before being pre-aggregated (map-side combine).
 
-    Money columns are 2-decimal-exact, so sums are computed over
-    integer cents: bit-identical across engines and summation orders
+    Money columns are 2-decimal-exact, so sums are computed over exact
+    scaled integers: bit-identical across engines and summation orders
     (the oracle hash compare requires cross-engine determinism that raw
-    double summation cannot give).
+    double summation cannot give). Multi-factor products accumulate in
+    DECIMAL — int64 would overflow around sf0.5 for the 3-factor charge
+    (term ≤ 2e13 × 6e6 rows > 2^63); decimal(38) survives sf100+.
     """
     li = _t(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    disc_pct = F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
-    tax_pct = F.round((1 + F.col("l_tax")) * 100, 0).cast("long")
+    cents_dec = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(20,0)")
+    disc_pct = F.round((1 - F.col("l_discount")) * 100, 0).cast("decimal(5,0)")
+    tax_pct = F.round((1 + F.col("l_tax")) * 100, 0).cast("decimal(5,0)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -87,8 +92,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
             F.sum("l_quantity").alias("sum_qty"),
             (F.sum(cents) / 100.0).alias("sum_base_price"),
-            (F.sum(cents * disc_pct) / 10000.0).alias("sum_disc_price"),
-            (F.sum(cents * disc_pct * tax_pct) / 1000000.0).alias("sum_charge"),
+            (F.sum(cents_dec * disc_pct) / 10000.0).alias("sum_disc_price"),
+            (F.sum(cents_dec * disc_pct * tax_pct) / 1000000.0).alias("sum_charge"),
             (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
             (F.sum(cents) / 100.0 / F.count("*")).alias("avg_price"),
             (F.sum(F.round(F.col("l_discount") * 100, 0).cast("long")) / 100.0 / F.count("*")).alias(
@@ -112,8 +117,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0 AS revenue,
+           sum(CAST(round(l_extendedprice * 100) AS DECIMAL(20,0))
+               * CAST(round((1 - l_discount) * 100) AS DECIMAL(5,0))) / 10000.0 AS revenue,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -152,8 +157,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0 AS revenue
+           sum(CAST(round(l_extendedprice * 100) AS DECIMAL(20,0))
+               * CAST(round((1 - l_discount) * 100) AS DECIMAL(5,0))) / 10000.0 AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey

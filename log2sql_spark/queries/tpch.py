@@ -14,8 +14,8 @@ from log2sql_spark.sources.tables import load_table
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue,
+    SELECT sum(CAST(round(l_extendedprice * 100) AS DECIMAL(20,0))
+               * CAST(round(l_discount * 100) AS DECIMAL(5,0))) / 10000.0 AS revenue,
            CAST(count(*) AS BIGINT) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -36,8 +36,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         (
             F.sum(
-                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-                * F.round(F.col("l_discount") * 100, 0).cast("long")
+                F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(20,0)")
+                * F.round(F.col("l_discount") * 100, 0).cast("decimal(5,0)")
             )
             / 10000.0
         ).alias("revenue"),
@@ -121,10 +121,10 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_share",
     oracle="""
     SELECT 100.0 * sum(CASE WHEN p_type = 'STANDARD' THEN
-             CAST(round(l_extendedprice * 100) AS BIGINT)
-             * CAST(round((1 - l_discount) * 100) AS BIGINT) ELSE 0 END)
-           / sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-             * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS standard_share_pct,
+             CAST(round(l_extendedprice * 100) AS DECIMAL(20,0))
+             * CAST(round((1 - l_discount) * 100) AS DECIMAL(5,0)) ELSE 0 END)
+           / sum(CAST(round(l_extendedprice * 100) AS DECIMAL(20,0))
+             * CAST(round((1 - l_discount) * 100) AS DECIMAL(5,0))) AS standard_share_pct,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
@@ -140,9 +140,9 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
     )
     part = load_table(spark, "part", sf_dir)
-    rev = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.round(
+    rev = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(20,0)") * F.round(
         (1 - F.col("l_discount")) * 100, 0
-    ).cast("long")
+    ).cast("decimal(5,0)")
     return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
         (
             100.0
@@ -156,8 +156,8 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_predicates",
     oracle="""
-    SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0 AS revenue,
+    SELECT sum(CAST(round(l_extendedprice * 100) AS DECIMAL(20,0))
+               * CAST(round((1 - l_discount) * 100) AS DECIMAL(5,0))) / 10000.0 AS revenue,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -179,9 +179,9 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
     )
-    rev = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.round(
+    rev = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(20,0)") * F.round(
         (1 - F.col("l_discount")) * 100, 0
-    ).cast("long")
+    ).cast("decimal(5,0)")
     return j.filter(cond).agg(
         (F.sum(rev) / 10000.0).alias("revenue"), F.count("*").alias("n")
     )
