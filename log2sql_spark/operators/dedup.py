@@ -193,6 +193,60 @@ def minhash_dedup_pairs(
     return cands.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id).
+
+    cluster_id is the minimum doc id in the component (the canonical
+    keeper). Iterative label propagation: each round every node adopts
+    the smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds — dedup graphs are star/clique-shaped,
+    so usually 1-2. Each round is one join + one aggregate (shuffle on
+    id); the driver only checks the convergence flag, never data."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        # materialize once: every iteration re-reads the edge set, and
+        # without this the (expensive) pair-finding lineage re-executes
+        # per round
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        # truncate lineage per round — iterative plans otherwise grow
+        # exponentially and re-execute all prior rounds
+        new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(docs: DataFrame, bits: int = 60, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash): bit k of the fingerprint is the sign of the sum of
     (±1) votes from every token's hash bit k. Near-duplicate documents

@@ -123,6 +123,60 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(covar_pop(l_discount, l_tax), 8) AS disc_tax_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate aggregates: Pearson correlation, sample/population
+    covariance (single-pass co-moments)."""
+    return (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+            F.round(F.covar_pop("l_discount", "l_tax"), 8).alias("disc_tax_covar"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_grouping_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+)
+def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping() indicator columns distinguish subtotal rows from real
+    NULL group keys in rollups."""
+    return (
+        load_table(spark, "lineitem", sf_dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+@query(
     "window_value_funcs",
     oracle="""
     SELECT o_custkey, o_orderkey,

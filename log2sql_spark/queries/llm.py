@@ -308,6 +308,90 @@ def llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cos_sim", F.round("cos_sim", 6)).orderBy("query_id", "rank")
 
 
+@query(
+    "llm_dedup_clusters",
+    oracle=_CORPUS_SQL
+    + r"""
+    , grams AS (
+      SELECT doc_id AS id, unnest(list_distinct(g.grams)) AS gram
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+                 i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                      regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                      regexp_split_to_array(trim(text), '\s+')[i+2]
+               ) AS grams
+        FROM corpus
+      ) g(doc_id, grams)
+    ), sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM grams a JOIN grams b USING (gram) WHERE a.id < b.id
+      GROUP BY a.id, b.id
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.6
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      -- transitive closure of the (tiny) dup graph, then min per node
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+      )
+      SELECT * FROM r
+    )
+    SELECT src AS id,
+           CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY src
+    ORDER BY id
+    """,
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components (cluster_id = min doc id of
+    the component, i.e. the canonical keeper). Iterative label
+    propagation on Spark; the oracle computes the same components with a
+    recursive CTE."""
+    from log2sql_spark.operators.dedup import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.6)
+    return dedup_clusters(pairs).orderBy("id")
+
+
+@query(
+    "llm_vocabulary",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS token
+      FROM documents
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS doc_freq
+    FROM toks
+    GROUP BY token
+    ORDER BY doc_freq DESC, token
+    LIMIT 50
+    """,
+)
+def llm_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-50 tokens by document frequency (the
+    explode is the only wide step; counts partial-aggregate map-side)."""
+    from log2sql_spark.operators.dedup import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(50)
+    )
+
+
 _EMB_CORPUS_SQL = """
     WITH corpus AS (
       SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
