@@ -73,21 +73,31 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def exploded_grams(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, gram) rows — the shared input of signatures and verification."""
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold (a < b).
 
     The join is on the *n-gram*, so only documents sharing at least one
     gram ever meet — a similarity self-join, not a cross join. Used both
-    as an operator and as the verifier behind the LSH candidates."""
-    grams = docs.select(
-        F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
-    )
+    as an operator and as the verifier behind the LSH candidates.
+    ``grams`` lets callers share one (persisted) gram set."""
+    if grams is None:
+        grams = exploded_grams(docs, n, text_col, id_col)
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     inter = (
         grams.alias("a")
@@ -122,6 +132,7 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig array<long>): per-document MinHash signature.
 
@@ -129,9 +140,8 @@ def minhash_signatures(
     with one min-aggregate per signature position (all partial-aggregated
     map-side before the shuffle)."""
     a, b = _hash_params(num_hashes, seed)
-    grams = docs.select(
-        F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
-    )
+    if grams is None:
+        grams = exploded_grams(docs, n, text_col, id_col)
     x = F.pmod(md5_long(F.col("gram")), F.lit(MERSENNE31))
     hashed = grams.select(
         "id", *[F.pmod(a[i] * x + b[i], F.lit(MERSENNE31)).alias(f"h{i}") for i in range(num_hashes)]
@@ -187,9 +197,10 @@ def minhash_dedup_pairs(
     and falls super-exponentially above it, so verified output matches
     the exact all-pairs result (the oracle) with overwhelming margin
     while never scoring non-colliding pairs."""
-    sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    grams = exploded_grams(docs, n, text_col, id_col).persist()
+    sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col, grams=grams)
     cands = lsh_candidate_pairs(sigs, bands)
-    exact = ngram_jaccard_pairs(docs, threshold, n, text_col, id_col)
+    exact = ngram_jaccard_pairs(docs, threshold, n, text_col, id_col, grams=grams)
     return cands.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
 
 

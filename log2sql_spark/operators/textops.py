@@ -88,6 +88,27 @@ def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_logprob_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-unigram language-model score per document: mean ln P(w)
+    under the corpus's own token distribution — the cheap perplexity
+    proxy used to rank text quality at pretraining scale.
+
+    Two aggregates + one broadcast join: the vocabulary (small by Zipf)
+    broadcasts to the token stream; nothing quadratic."""
+    toks = docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    total = toks.count()
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .withColumn("logp", F.log(F.col("tf") / F.lit(float(total))))
+        .groupBy("id")
+        .agg(
+            F.round(F.avg("logp"), 6).alias("mean_logprob"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
 def with_fingerprints(
     docs: DataFrame, k: int = 8, window: int = 4, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -283,6 +283,38 @@ def source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderkey <= 3000
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink: write an orders subset as ORC, read it back,
+    verify against the parquet-derived oracle (DuckDB can't read ORC, so
+    the oracle recomputes from the original table — the round trip must
+    be lossless for the hash to match)."""
+    sub = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    d = os.path.join(tempfile.mkdtemp(prefix="log2sql_orc_"), "orders_orc")
+    sub.write.mode("overwrite").orc(d)
+    back = spark.read.orc(d)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("total_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@query(
     "sink_partitioned_parquet",
     oracle="""
     SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,

@@ -363,6 +363,31 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents WHERE doc_id < 300
+    ), total AS (SELECT count(*) AS n FROM toks),
+    vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok)
+    SELECT id,
+           round(avg(ln(tf / (SELECT CAST(n AS DOUBLE) FROM total))), 6) AS mean_logprob,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM toks JOIN vocab USING (tok)
+    GROUP BY id
+    ORDER BY id
+    """,
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: mean token log-probability under the
+    corpus distribution (cheap perplexity proxy for quality ranking)."""
+    from log2sql_spark.operators.textops import unigram_logprob_scores
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
+    return unigram_logprob_scores(docs).orderBy("id")
+
+
+@query(
     "llm_vocabulary",
     oracle=r"""
     WITH toks AS (
