@@ -309,6 +309,66 @@ def cdc_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_schema_evolution",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey > 1000 THEN CAST(o_orderkey * 2 AS VARCHAR) END AS extra_val,
+           CASE WHEN o_orderkey > 1000 THEN 7 ELSE 6 END AS n_cols
+    FROM src
+    ORDER BY o_orderkey
+    """,
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream ALTER TABLE ADD COLUMN: events before the DDL resolve
+    against the 6-column schema, events after it against 7 — via the
+    position-versioned catalog + as-of resolution (restores the dynamic
+    -schema behavior the reference gets from per-event
+    information_schema lookups, without the N+1 round-trips)."""
+    from log2sql_spark.sources.binlog import read_binlog
+    from log2sql_spark.sources.catalog_evolution import (
+        ddl_catalog_deltas,
+        resolve_columns_versioned,
+        versioned_catalog,
+    )
+
+    rows = _orders_subset(spark, sf_dir)
+    events = []
+    for r in rows:
+        if r["o_orderkey"] <= 1000:
+            events.append(
+                {"op": "insert", "db": "shop", "table": "orders",
+                 "ts": r["o_orderdate"], "values": _row_tokens(r)}
+            )
+    events.append(
+        {"op": "ddl", "db": "shop", "table": None, "ts": rows[0]["o_orderdate"],
+         "statement": "ALTER TABLE orders ADD COLUMN extra VARCHAR(30)"}
+    )
+    for r in rows:
+        if r["o_orderkey"] > 1000:
+            events.append(
+                {"op": "insert", "db": "shop", "table": "orders",
+                 "ts": r["o_orderdate"],
+                 "values": _row_tokens(r) + [(7, str(r["o_orderkey"] * 2))]}
+            )
+    path = _write_dump(events)
+    base = catalog_from_dict(spark, _CATALOG_SPEC)
+    envelope = read_binlog(spark, path)
+    resolved = resolve_columns_versioned(
+        envelope, versioned_catalog(base, ddl_catalog_deltas(envelope))
+    )
+    return (
+        resolved.filter(F.col("op") == "insert")
+        .select(
+            F.element_at("after", "o_orderkey").cast("long").alias("o_orderkey"),
+            F.element_at("after", "extra").alias("extra_val"),
+            F.size(F.map_keys(F.col("after"))).alias("n_cols"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
     "cdc_scd2_history",
     oracle=_ORACLE_BASE
     + """
