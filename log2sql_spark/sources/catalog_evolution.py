@@ -35,10 +35,15 @@ _ADD_COL_RE = (
 
 
 def ddl_catalog_deltas(envelope: DataFrame) -> DataFrame:
-    """DDL events → (db, table, added_column, start_pos) rows."""
+    """DDL events → (db, table, added_column, file, start_pos) rows.
+
+    The file is part of the validity key: binlog positions restart per
+    file, and sequentially-named dump files (mysql-bin.00000N) sort in
+    arrival order, so (file, start_pos) is the global event order."""
     ddl = envelope.filter(F.col("op") == "ddl")
     return (
         ddl.select(
+            "file",
             "start_pos",
             F.coalesce(
                 F.regexp_extract("statement", _ADD_COL_RE, 1), F.lit("")
@@ -54,6 +59,7 @@ def ddl_catalog_deltas(envelope: DataFrame) -> DataFrame:
             .alias("db"),
             "table",
             "added_column",
+            "file",
             "start_pos",
         )
     )
@@ -66,13 +72,15 @@ def versioned_catalog(base_catalog: DataFrame, deltas: DataFrame) -> DataFrame:
     appends its column to every earlier version's column list via a
     running collect over the (db, table) window — one shuffle."""
     base = base_catalog.select(
-        "db", "table", "columns", "key_columns", F.lit(-1).cast("long").alias("valid_from_pos")
+        "db", "table", "columns", "key_columns",
+        F.lit("").alias("valid_from_file"),
+        F.lit(-1).cast("long").alias("valid_from_pos"),
     )
     if deltas.isEmpty():
         return base
     w = (
         W.partitionBy("db", "table")
-        .orderBy("start_pos")
+        .orderBy("file", "start_pos")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     evolved = (
@@ -83,6 +91,7 @@ def versioned_catalog(base_catalog: DataFrame, deltas: DataFrame) -> DataFrame:
             "table",
             F.concat("columns", "added_so_far").alias("columns"),
             "key_columns",
+            F.col("file").alias("valid_from_file"),
             F.col("start_pos").alias("valid_from_pos"),
         )
     )
@@ -94,26 +103,29 @@ def resolve_columns_versioned(envelope: DataFrame, catalog_versions: DataFrame) 
     position: as-of join on (db, table) by start_pos (union + window —
     single shuffle, same pattern as operators/asof.py), then the usual
     ordinal→name map rebuild."""
-    ev = envelope.withColumn("_side", F.lit(1)).withColumn(
-        "_pos", F.col("start_pos").cast("long")
+    ev = (
+        envelope.withColumn("_side", F.lit(1))
+        .withColumn("_file", F.col("file"))
+        .withColumn("_pos", F.col("start_pos").cast("long"))
     )
     cat = catalog_versions.select(
         "db",
         "table",
         F.lit(0).alias("_side"),
+        F.col("valid_from_file").alias("_file"),
         F.col("valid_from_pos").alias("_pos"),
         F.col("columns").alias("_cat_columns"),
         F.col("key_columns").alias("_cat_keys"),
     )
     ev_cols = [c for c in envelope.columns]
     both = ev.select(
-        "db", "table", "_side", "_pos",
+        "db", "table", "_side", "_file", "_pos",
         F.struct(*ev_cols).alias("_ev"),
         F.lit(None).cast("array<string>").alias("_cat_columns"),
         F.lit(None).cast("array<string>").alias("_cat_keys"),
     ).unionByName(
         cat.select(
-            "db", "table", "_side", "_pos",
+            "db", "table", "_side", "_file", "_pos",
             F.lit(None).cast(
                 ev.select(F.struct(*ev_cols).alias("s")).schema["s"].dataType.simpleString()
             ).alias("_ev"),
@@ -122,7 +134,7 @@ def resolve_columns_versioned(envelope: DataFrame, catalog_versions: DataFrame) 
     )
     w = (
         W.partitionBy("db", "table")
-        .orderBy("_pos", "_side")
+        .orderBy("_file", "_pos", "_side")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = both.select(

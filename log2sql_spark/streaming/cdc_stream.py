@@ -42,6 +42,7 @@ def stream_binlog_to_sql(
     checkpoint_dir: str,
     flashback: bool = False,
     max_files_per_trigger: int | None = None,
+    evolve_schema: bool = False,
 ) -> StreamingQuery:
     """writeStream(foreachBatch): per micro-batch, run the batch CDC
     chain and append the rendered SQL to parquet at ``out_dir``.
@@ -49,12 +50,43 @@ def stream_binlog_to_sql(
     foreachBatch (rather than a direct streaming sink) because the parse
     is a grouped applyInPandas over complete files — a batch-shaped
     operation that the file source's whole-file delivery makes safe.
+
+    ``evolve_schema=True`` applies in-stream ``ALTER TABLE ADD COLUMN``
+    DDL to column resolution (sources/catalog_evolution.py), persisting
+    the accumulated deltas next to the checkpoint so later micro-batches
+    (and restarts) see schema changes from earlier ones.
     """
+    import os
+
+    deltas_dir = os.path.join(checkpoint_dir, "_schema_deltas")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         lines = batch_df.withColumn("line_id", F.monotonically_increasing_id())
         envelope = parse_envelope_batch(lines)
-        resolved = resolve_columns(envelope, catalog)
+        if evolve_schema:
+            from log2sql_spark.sources.catalog_evolution import (
+                ddl_catalog_deltas,
+                resolve_columns_versioned,
+                versioned_catalog,
+            )
+
+            new_deltas = ddl_catalog_deltas(envelope)
+            if os.path.exists(deltas_dir):
+                all_deltas = spark.read.parquet(deltas_dir).unionByName(new_deltas)
+            else:
+                all_deltas = new_deltas
+            all_deltas = all_deltas.distinct().localCheckpoint()
+            all_deltas.write.mode("overwrite").parquet(deltas_dir + ".tmp")
+            import shutil
+
+            if os.path.exists(deltas_dir):
+                shutil.rmtree(deltas_dir)
+            os.rename(deltas_dir + ".tmp", deltas_dir)
+            resolved = resolve_columns_versioned(
+                envelope, versioned_catalog(catalog, all_deltas)
+            )
+        else:
+            resolved = resolve_columns(envelope, catalog)
         rendered = with_sql_text(resolved, flashback=flashback)
         (
             rendered.select(

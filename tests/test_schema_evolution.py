@@ -95,6 +95,52 @@ def test_no_ddl_matches_static_resolution(spark, tmp_path):
     assert static == versioned
 
 
+def test_streaming_evolution_across_batches_and_restart(spark, tmp_path):
+    """A DDL in one micro-batch must evolve resolution for events in
+    LATER batches and survive a checkpointed restart (deltas persisted
+    next to the checkpoint)."""
+    from log2sql_spark.streaming.cdc_stream import stream_binlog_to_sql
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    in_dir.mkdir()
+    cat = catalog_from_dict(
+        spark, {"shop.orders": {"columns": ["id", "status"], "key_columns": ["id"]}}
+    )
+    (in_dir / "bin.000001.txt").write_text(
+        render_binlog(
+            [
+                {"op": "insert", "db": "shop", "table": "orders", "ts": TS,
+                 "values": [(1, "1"), (2, "'a'")]},
+                {"op": "ddl", "db": "shop", "table": None, "ts": TS,
+                 "statement": "ALTER TABLE orders ADD COLUMN note VARCHAR(20)"},
+            ]
+        )
+    )
+    q = stream_binlog_to_sql(
+        spark, str(in_dir), cat, str(out_dir), str(ckpt), evolve_schema=True
+    )
+    q.awaitTermination(120)
+
+    # batch 2 arrives after a RESTART: the persisted deltas must apply
+    (in_dir / "bin.000002.txt").write_text(
+        render_binlog(
+            [
+                {"op": "insert", "db": "shop", "table": "orders", "ts": TS,
+                 "values": [(1, "2"), (2, "'b'"), (3, "'hi'")]},
+            ]
+        )
+    )
+    q2 = stream_binlog_to_sql(
+        spark, str(in_dir), cat, str(out_dir), str(ckpt), evolve_schema=True
+    )
+    q2.awaitTermination(120)
+    sqls = {r["sql_text"] for r in spark.read.parquet(str(out_dir)).collect() if r["op"] == "insert"}
+    assert "INSERT INTO `shop`.`orders`(`id`, `status`) VALUES (1, 'a');" in sqls
+    assert (
+        "INSERT INTO `shop`.`orders`(`id`, `status`, `note`) VALUES (2, 'b', 'hi');" in sqls
+    )
+
+
 def test_unknown_table_still_falls_back_to_ordinals(spark, tmp_path):
     events = [
         {"op": "insert", "db": "ghost", "table": "t", "ts": TS, "values": [(1, "9")]}
