@@ -11,6 +11,15 @@ from log2sql_spark.registry import query
 from log2sql_spark.sources.tables import load_table
 
 
+def _rev_cents() -> F.Column:
+    """Exact scaled-decimal sum of extendedprice*(1-discount); divide by
+    1e4 after aggregation (see relational._revenue_exact for rationale)."""
+    return F.sum(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(20,0)")
+        * F.round((1 - F.col("l_discount")) * 100, 0).cast("decimal(5,0)")
+    )
+
+
 @query(
     "q6_forecast_revenue",
     oracle="""
@@ -184,6 +193,256 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(5,0)")
     return j.filter(cond).agg(
         (F.sum(rev) / 10000.0).alias("revenue"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "q2_top_supplier_per_region",
+    oracle="""
+    SELECT r_name, n_name, s_suppkey, s_name, s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE s_acctbal = (SELECT max(s2.s_acctbal)
+                       FROM supplier s2 JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                       WHERE n2.n_regionkey = r.r_regionkey)
+    ORDER BY r_name, s_suppkey
+    """,
+)
+def q2_top_supplier_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp in this schema): per-region argmax via a
+    correlated scalar subquery, expressed Spark-first as a window max over
+    the region key — one shuffle on regionkey instead of a self-join, and
+    nation/region broadcast so the supplier scan never shuffles for the
+    dimension joins."""
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    j = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    w = W.partitionBy("r_regionkey")
+    return (
+        j.withColumn("max_bal", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("max_bal"))
+        .select("r_name", "n_name", "s_suppkey", "s_name", "s_acctbal")
+        .orderBy("r_name", "s_suppkey")
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           sum(CAST(round(l_extendedprice * 100) AS DECIMAL(20,0))
+               * CAST(round((1 - l_discount) * 100) AS DECIMAL(5,0))) / 10000.0 AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue ranking. Fact-side filters are
+    pushed to the scans; nation is broadcast; the single shuffle is the
+    groupBy on custkey. Revenue is exact-cents so the DESC sort plus the
+    c_custkey tie-break gives a total order for the LIMIT."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((_rev_cents() / 10000.0).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS total_price,
+           CAST(count(*) AS BIGINT) AS n_small
+    FROM lineitem l JOIN part p ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < 0.5 * (SELECT avg(l_quantity) FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: below-half-average-quantity lines. The correlated
+    avg subquery is decorrelated by hand into a partial agg on partkey
+    joined back to the fact — the plan Catalyst would produce, but with
+    the agg computed BEFORE the part filter so it sees every line (TPC-H
+    semantics). Quantities are integer-valued doubles, so avg is exact
+    and the comparison is engine-independent."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) / 100.0).alias(
+                "total_price"
+            ),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+@query(
+    "q18_large_volume_orders",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders via IN-subquery with HAVING,
+    expressed as an aggregate → semi-join. The qualifying-order set is
+    tiny (sum(qty) > 250 is a steep cut), so it broadcasts into the
+    semi-join and the only big shuffle is the final per-order groupBy."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select(F.col("l_orderkey").alias("big_okey"))
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == F.col("big_okey"), "leftsemi")
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(50)
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (late-ship in place of receipt/commit dates, which
+    this schema lacks): the sole-blamed-supplier pattern — EXISTS another
+    supplier on the order, NOT EXISTS another LATE supplier. Expressed in
+    SQL so Catalyst decorrelates both subqueries to a semi- and an
+    anti-join on l_orderkey; all three lineitem reads reuse one scan."""
+    load_table(spark, "supplier", sf_dir).createOrReplaceTempView("supplier")
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAYS
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 25
+        """
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (mktsegment for the missing phone country code):
+    above-average-balance customers with no recent orders — uncorrelated
+    scalar subquery (broadcast as a literal-like 1-row join) plus an
+    anti-join against the date-filtered orders scan.
+
+    Determinism note: avg(c_acctbal) is a double whose summation order
+    differs across engines, but acctbals are 2dp-exact and the threshold
+    only partitions customers whose balances differ from it by >>1ulp,
+    so the predicate is stable cross-engine."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS numcust,
+               -- 100.0D: in Spark SQL an unsuffixed 100.0 is a DECIMAL literal,
+               -- which would make this column DECIMAL while DuckDB returns DOUBLE
+               sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0D AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
     )
 
 
