@@ -121,3 +121,33 @@ def test_cdc_store_partition_pruning(spark, tmp_path):
 def test_broadcast_threshold_config(spark):
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "64MB"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_q10_pushdown_and_broadcast(spark, qs):
+    df = qs["q10_returned_items"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed and "l_returnflag" in pushed
+    assert broadcast_join_count(df) >= 1  # nation must broadcast
+    # one true shuffle (the groupBy); joins resolve broadcast at sf0.001
+    assert shuffle_count(df) <= 3
+
+
+def test_q18_semi_join_on_qualifying_orders(spark, qs):
+    df = qs["q18_large_volume_orders"](spark, SF)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan  # IN-subquery must decorrelate, not materialize
+    assert shuffle_count(df) <= 4
+
+
+def test_q21_exists_pair_becomes_semi_plus_anti(spark, qs):
+    df = qs["q21_waiting_suppliers"](spark, SF)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q2_region_argmax_single_window_shuffle(spark, qs):
+    df = qs["q2_top_supplier_per_region"](spark, SF)
+    # window max over regionkey + final sort; dims broadcast
+    assert broadcast_join_count(df) >= 2
+    assert shuffle_count(df) <= 3
