@@ -196,12 +196,29 @@ def minhash_dedup_pairs(
     With r=2, b=32 the miss probability at j=0.5 is (1-0.25)^32 ≈ 1e-4
     and falls super-exponentially above it, so verified output matches
     the exact all-pairs result (the oracle) with overwhelming margin
-    while never scoring non-colliding pairs."""
+    while never scoring non-colliding pairs.
+
+    Verification touches ONLY candidate pairs: each candidate joins its
+    two (already-distinct) gram sets and scores size(intersect) /
+    size(union) with array_intersect — integers, so the division is
+    bit-identical to the oracle's. The all-pairs gram self-join
+    (ngram_jaccard_pairs) is never built; at scale the verify cost is
+    O(|candidates|), not O(|gram-sharing pairs|)."""
     grams = exploded_grams(docs, n, text_col, id_col).persist()
     sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col, grams=grams)
     cands = lsh_candidate_pairs(sigs, bands)
-    exact = ngram_jaccard_pairs(docs, threshold, n, text_col, id_col, grams=grams)
-    return cands.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    gram_sets = grams.groupBy("id").agg(F.collect_list("gram").alias("gset"))
+    return (
+        cands.join(gram_sets.withColumnsRenamed({"id": "id_a", "gset": "ga"}), "id_a")
+        .join(gram_sets.withColumnsRenamed({"id": "id_b", "gset": "gb"}), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("ga", "gb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.size("ga") + F.size("gb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
