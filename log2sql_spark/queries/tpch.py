@@ -1,5 +1,10 @@
-"""More TPC-H-shaped queries (Q4/Q6/Q12/Q14/Q19 adapted to the driver
-schema) + time-series gap filling."""
+"""TPC-H-shaped queries + time-series gap filling.
+
+With relational.py (Q1/Q3/Q5/Q13), all 22 TPC-H query shapes are
+covered. The driver schema lacks partsupp, l_commitdate/l_receiptdate
+and c_phone, so Q2/Q9/Q11/Q16/Q20/Q21/Q22 are adapted: same plan shape
+(correlated subqueries, semi/anti pairs, share-of-total HAVING),
+re-expressed over the available columns."""
 
 from __future__ import annotations
 
@@ -670,4 +675,172 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("cents", ignorenulls=True).over(w).alias("cents_filled"),
         )
         .orderBy("day")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           sum(CAST(round(l_extendedprice * 100) AS DECIMAL(20,0))
+                 * CAST(round((1 - l_discount) * 100) AS DECIMAL(5,0))
+               - CAST(round(p_retailprice * 100) AS DECIMAL(20,0))
+                 * CAST(l_quantity AS DECIMAL(5,0)) * 60) / 10000.0 AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (no partsupp: unit cost modeled as 60% of
+    p_retailprice). Profit per supplier-nation per year over parts
+    matching a name pattern; both factors of each term are exact scaled
+    integers so the sum is engine-independent. part/supplier/nation
+    broadcast; the orders join is the one real shuffle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("%gear%"))
+    supp = load_table(spark, "supplier", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    profit_term = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(20,0)")
+        * F.round((1 - F.col("l_discount")) * 100, 0).cast("decimal(5,0)")
+        - F.round(F.col("p_retailprice") * 100, 0).cast("decimal(20,0)")
+        * F.col("l_quantity").cast("decimal(5,0)")
+        * 60
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(profit_term) / 10000.0).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q11_important_volume_nations",
+    oracle="""
+    WITH nat AS (
+      SELECT n_name, sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, cents / 100.0 AS value
+    FROM nat
+    WHERE cents > 0.05 * (SELECT sum(cents) FROM nat)
+    ORDER BY value DESC, n_name
+    """,
+)
+def q11_important_volume_nations(spark, sf_dir):
+    """TPC-H Q11 shape (supplier-nation volume for the missing partsupp
+    stock value): groups whose share exceeds a fraction of the global
+    total — the HAVING-against-scalar-subquery pattern. The global total
+    is a 1-row aggregate of the already-aggregated per-nation frame
+    (re-aggregation, not a rescan) cross-joined back as a broadcast."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    nat = (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("cents"))
+    )
+    total = nat.agg(F.sum("cents").alias("total_cents"))
+    return (
+        nat.join(F.broadcast(total))
+        .filter(F.col("cents") > 0.05 * F.col("total_cents"))
+        .select("n_name", (F.col("cents") / 100.0).alias("value"))
+        .orderBy(F.desc("value"), "n_name")
+    )
+
+
+@query(
+    "q16_supplier_counts_by_part",
+    oracle="""
+    SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'PROMO'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    LIMIT 20
+    """,
+)
+def q16_supplier_counts_by_part(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute with
+    a NOT IN exclusion subquery — planned as a broadcast null-aware
+    anti-join (the excluded-supplier set is tiny) feeding a
+    distinct-aggregate."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_type") != "PROMO")
+    bad = (
+        load_table(spark, "supplier", sf_dir)
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_key"))
+    )
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("bad_key"), "left_anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+        .limit(20)
+    )
+
+
+@query(
+    "q20_dominant_part_suppliers",
+    oracle="""
+    WITH pairs AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+    ), tot AS (
+      SELECT l_partkey, sum(q) AS tq FROM pairs GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier
+    JOIN pairs ON s_suppkey = l_suppkey
+    JOIN tot USING (l_partkey)
+    WHERE q > 0.3 * tq
+    ORDER BY s_suppkey
+    """,
+)
+def q20_dominant_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (shipped-share for the missing availqty): suppliers
+    providing >30% of any part's yearly volume. The per-part total is a
+    re-aggregation of the (suppkey, partkey) partial — the correlated
+    HAVING decorrelated into agg → agg → join, with the second agg and
+    join keyed on partkey so no row ever revisits the fact table."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pairs = li.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_quantity").alias("q"))
+    tot = pairs.groupBy("l_partkey").agg(F.sum("q").alias("tq"))
+    supp = load_table(spark, "supplier", sf_dir)
+    return (
+        pairs.join(tot, "l_partkey")
+        .filter(F.col("q") > 0.3 * F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
     )
