@@ -151,3 +151,25 @@ def test_q2_region_argmax_single_window_shuffle(spark, qs):
     # window max over regionkey + final sort; dims broadcast
     assert broadcast_join_count(df) >= 2
     assert shuffle_count(df) <= 3
+
+
+def test_q8_all_dims_broadcast(spark, qs):
+    df = qs["q8_market_share"](spark, SF)
+    # part, supplier, both nation roles, region all broadcast
+    assert broadcast_join_count(df) >= 5
+    assert shuffle_count(df) <= 3
+
+
+def test_q9_name_filter_pushed(spark, qs):
+    df = qs["q9_product_profit"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "p_name" in pushed
+    assert broadcast_join_count(df) >= 3
+
+
+def test_q20_fact_shuffles_once(spark, qs):
+    df = qs["q20_dominant_part_suppliers"](spark, SF)
+    plan = explain_str(df)
+    # lineitem appears once: pairs/tot re-aggregate the grouped frame
+    assert plan.count("lineitem.parquet") <= 2  # scan may appear in reused subtree
+    assert "BatchEvalPython" not in plan
