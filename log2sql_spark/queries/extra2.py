@@ -417,19 +417,27 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM part WHERE p_partkey <= 300
     )
     SELECT p_partkey,
-           flatten([toks, type_toks]) AS all_toks,
-           list_intersect(toks, type_toks) AS common,
+           array_to_string(flatten([toks, type_toks]), '|') AS all_toks,
+           coalesce(array_to_string(list_sort(list_intersect(toks, type_toks)), '|'), '')
+             AS common,
            list_has_any(toks, type_toks) AS overlaps,
-           range(1, CAST(len(toks) AS INTEGER) + 1) AS idx,
+           array_to_string(range(1, CAST(len(toks) AS INTEGER) + 1), ',') AS idx,
            split_part(toks[1], 'a', 1) AS first_before_a,
-           regexp_extract_all(p_name, '[a-z]+') AS lower_runs
+           coalesce(array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|'), '')
+             AS lower_runs
     FROM t
     ORDER BY p_partkey
     """,
 )
 def array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second array wave: flatten, intersect/overlap, sequence,
-    split_part, regexp_extract_all."""
+    split_part, regexp_extract_all.
+
+    Array columns are serialized (array_join / sorted join) at the query
+    boundary: the driver's canonicalizer sorts rows via pandas, which
+    cannot hash python lists — this was the one red row in round 1.
+    Intersection output order is engine-specific, so `common` is sorted
+    before joining on BOTH engines."""
     toks = F.split(F.col("p_name"), " ")
     type_toks = F.split(F.col("p_type"), " ")
     return (
@@ -437,12 +445,16 @@ def array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_partkey") <= 300)
         .select(
             "p_partkey",
-            F.flatten(F.array(toks, type_toks)).alias("all_toks"),
-            F.array_intersect(toks, type_toks).alias("common"),
+            F.array_join(F.flatten(F.array(toks, type_toks)), "|").alias("all_toks"),
+            F.array_join(F.sort_array(F.array_intersect(toks, type_toks)), "|").alias("common"),
             F.arrays_overlap(toks, type_toks).alias("overlaps"),
-            F.sequence(F.lit(1), F.size(toks)).alias("idx"),
+            F.array_join(
+                F.transform(F.sequence(F.lit(1), F.size(toks)), lambda x: x.cast("string")), ","
+            ).alias("idx"),
             F.split_part(F.element_at(toks, 1), F.lit("a"), F.lit(1)).alias("first_before_a"),
-            F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0).alias("lower_runs"),
+            F.array_join(F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0), "|").alias(
+                "lower_runs"
+            ),
         )
         .orderBy("p_partkey")
     )

@@ -899,9 +899,9 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_funcs",
     oracle="""
     SELECT p_partkey,
-           string_split(p_name, ' ') AS name_tokens,
+           array_to_string(string_split(p_name, ' '), '|') AS name_tokens,
            CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_tokens,
-           list_sort(string_split(p_name, ' ')) AS tokens_sorted,
+           array_to_string(list_sort(string_split(p_name, ' ')), '|') AS tokens_sorted,
            array_to_string(list_sort(string_split(p_name, ' ')), '|') AS tokens_joined,
            string_split(p_name, ' ')[1] AS first_token,
            list_contains(string_split(p_name, ' '), 'red') AS has_red
@@ -912,16 +912,20 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function surface (reference analogue: set→CSV flattening at
-    log2sql.py:117-118 ↔ array_join)."""
+    log2sql.py:117-118 ↔ array_join).
+
+    Array-typed columns are serialized to delimited strings at the query
+    boundary: the driver's canonicalizer sorts rows via pandas and cannot
+    hash python lists (the `array_funcs2` round-1 failure mode)."""
     toks = F.split(F.col("p_name"), " ")
     return (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_partkey") <= 300)
         .select(
             "p_partkey",
-            toks.alias("name_tokens"),
+            F.array_join(toks, "|").alias("name_tokens"),
             F.size(toks).alias("n_tokens"),
-            F.sort_array(toks).alias("tokens_sorted"),
+            F.array_join(F.sort_array(toks), "|").alias("tokens_sorted"),
             F.array_join(F.sort_array(toks), "|").alias("tokens_joined"),
             F.element_at(toks, 1).alias("first_token"),
             F.array_contains(toks, "red").alias("has_red"),
