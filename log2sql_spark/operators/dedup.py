@@ -280,23 +280,28 @@ def simhash(docs: DataFrame, bits: int = 60, text_col: str = "text", id_col: str
     (±1) votes from every token's hash bit k. Near-duplicate documents
     land within small hamming distance.
 
-    Implemented as explode(tokens) × explode(bit positions) → two-level
-    aggregate — pure JVM expressions, linear in corpus size."""
+    One explode (tokens) → ONE groupBy(id) carrying `bits` vote-sum
+    aggregate columns, exactly like minhash_signatures. The earlier
+    design exploded a sequence(0, bits-1) per token — a bits× row blowup
+    before the aggregate; this shape evaluates the same arithmetic per
+    token row but materializes nothing, and map-side partial aggregation
+    shrinks the shuffle to one (id, bits longs) row per id per
+    partition."""
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", md5_long(F.col("tok")))
-    votes = (
-        toks.select("id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("k"))
-        .groupBy("id", "k")
-        .agg(
+    votes = toks.groupBy("id").agg(
+        *[
             F.sum(
-                # shiftright with a column shift needs the SQL form
-                F.when(F.expr("shiftright(h, k) & 1") == 1, 1).otherwise(-1)
-            ).alias("vote")
+                F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{k}")
+            for k in range(bits)
+        ]
+    )
+    fingerprint = None
+    for k in range(bits):
+        term = F.when(F.col(f"v{k}") > 0, F.lit(1 << k).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
-    return votes.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), k)")).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select("id", fingerprint.alias("simhash"))

@@ -173,3 +173,23 @@ def test_q20_fact_shuffles_once(spark, qs):
     # lineitem appears once: pairs/tot re-aggregate the grouped frame
     assert plan.count("lineitem.parquet") <= 2  # scan may appear in reused subtree
     assert "BatchEvalPython" not in plan
+
+
+def test_simhash_single_explode_single_shuffle(spark):
+    """The simhash kernel must not inflate the token stream: exactly one
+    Generate (the token explode) and one aggregate exchange. The round-1
+    shape exploded sequence(0, bits-1) per token — a 60x row blowup
+    visible as a second Generate in the plan."""
+    from log2sql_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], ["doc_id", "text"]
+    )
+    df = simhash(docs, bits=16)
+    plan = explain_str(df, "simple")
+    assert plan.count("Generate") == 1, plan
+    assert shuffle_count(df) <= 1
+    # semantics unchanged by the rewrite: identical docs collide
+    same = spark.createDataFrame([(1, "x y z"), (2, "x y z")], ["doc_id", "text"])
+    vals = [r["simhash"] for r in simhash(same, bits=16).collect()]
+    assert vals[0] == vals[1]
