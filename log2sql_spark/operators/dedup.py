@@ -89,16 +89,61 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     grams: DataFrame | None = None,
+    max_gram_df: int | None = 1024,
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard ≥ threshold (a < b).
+    """All-pairs n-gram Jaccard ≥ threshold (a < b), df-capped.
 
-    The join is on the *n-gram*, so only documents sharing at least one
-    gram ever meet — a similarity self-join, not a cross join. Used both
-    as an operator and as the verifier behind the LSH candidates.
-    ``grams`` lets callers share one (persisted) gram set."""
+    Candidate pairs meet through a self-join on the gram, so cost is
+    Σ_g df(g)² over shared grams — quadratic in how many documents share
+    a gram. Two document-frequency prunes bound it:
+
+    * df == 1 grams are dropped (exact: a singleton gram can never join
+      two documents).
+    * df > ``max_gram_df`` grams are dropped from CANDIDATE GENERATION
+      only — the standard stopword-gram cap. Join cost is then at most
+      ``max_gram_df`` × |gram occurrences|, i.e. linear in corpus size
+      with a constant knob, instead of |corpus|² on stopword grams.
+
+    The Jaccard itself is computed on the FULL gram sets (array_intersect
+    on per-doc sets, the same verify shape as minhash_dedup_pairs), so a
+    surviving pair's score is exact. The only approximation is recall: a
+    qualifying pair is missed iff EVERY gram it shares occurs in more
+    than ``max_gram_df`` documents. A pair at Jaccard ≥ τ shares at
+    least τ/(1+τ)·(|A|+|B|) grams; for near-duplicate thresholds that is
+    dozens of grams, all of which would have to be corpus-stopwords — at
+    which point the pair is boilerplate, not duplication. Pass
+    ``max_gram_df=None`` for the exact verifier/oracle behavior."""
     if grams is None:
         grams = exploded_grams(docs, n, text_col, id_col)
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    join_grams = grams
+    if max_gram_df is not None:
+        gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+        join_grams = (
+            grams.join(
+                gram_df.filter((F.col("df") >= 2) & (F.col("df") <= max_gram_df)),
+                "gram",
+            ).select("id", "gram")
+        )
+        cands = (
+            join_grams.alias("a")
+            .join(join_grams.alias("b"), "gram")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        gram_sets = grams.groupBy("id").agg(F.collect_list("gram").alias("gset"))
+        return (
+            cands.join(gram_sets.withColumnsRenamed({"id": "id_a", "gset": "ga"}), "id_a")
+            .join(gram_sets.withColumnsRenamed({"id": "id_b", "gset": "gb"}), "id_b")
+            .withColumn("n_inter", F.size(F.array_intersect("ga", "gb")))
+            .withColumn(
+                "jaccard",
+                F.col("n_inter") / (F.size("ga") + F.size("gb") - F.col("n_inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     inter = (
         grams.alias("a")
         .join(grams.alias("b"), "gram")

@@ -165,3 +165,36 @@ def test_multimodal_plumbing_and_stubbed_codec(spark, docs):
     # real codec path is stubbed in this container
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_jaccard_df_cap_prunes_stopword_grams_exactly(spark):
+    """The df-capped candidate path must (a) agree with the exact
+    verifier whenever true pairs share a rare gram, (b) skip pairs whose
+    ONLY shared grams are corpus-stopwords, and (c) keep exact scores on
+    full gram sets (not the pruned ones)."""
+    boiler = "terms of service apply to all"
+    rows = [
+        # near-dup pair: boilerplate + a shared rare sentence
+        (1, boiler + " alpha beta gamma delta epsilon"),
+        (2, boiler + " alpha beta gamma delta zeta"),
+        # boilerplate-only docs: share ONLY stopword grams with others
+        (3, boiler + " unique three november kilo lima"),
+        (4, boiler + " unrelated oscar papa quebec romeo"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.25, max_gram_df=None).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.25, max_gram_df=3).collect()
+    }
+    # (1,2) share rare "alpha beta gamma" grams (df=2 <= cap) -> found,
+    # and its score matches the exact metric bit-for-bit.
+    assert (1, 2) in capped and capped[(1, 2)] == exact[(1, 2)]
+    # pairs held together only by the df=4 boilerplate grams are the
+    # documented recall trade-off: present exactly, absent capped.
+    stopword_only = {p for p in exact if p != (1, 2)}
+    assert stopword_only, "fixture should produce boilerplate-only pairs"
+    assert not (stopword_only & set(capped))
