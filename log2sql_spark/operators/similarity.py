@@ -74,6 +74,7 @@ def brute_force_topk_vectorized(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 65_536,
 ) -> DataFrame:
     """Arrow-vectorized twin of :func:`brute_force_topk`: the query
     matrix rides into every task as a broadcast numpy array and each
@@ -92,7 +93,15 @@ def brute_force_topk_vectorized(
     import pandas as pd
     from pyspark.sql import types as T
 
-    q_rows = queries.select(id_col, vec_col).collect()  # query set: small by contract
+    # The query set must be driver-resident (it broadcasts as a numpy
+    # matrix); enforce the "small by contract" bound instead of trusting
+    # it — an oversized query set would otherwise OOM the driver.
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk_vectorized: query set exceeds {max_queries} rows; "
+            "swap the sides or use ivf_topk for large query sets"
+        )
     if not q_rows:  # np.array([]) is 1-D; short-circuit the degenerate case
         spark = candidates.sparkSession
         return spark.createDataFrame(

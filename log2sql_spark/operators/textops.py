@@ -94,13 +94,17 @@ def unigram_logprob_scores(docs: DataFrame, text_col: str = "text", id_col: str 
     proxy used to rank text quality at pretraining scale.
 
     Two aggregates + one broadcast join: the vocabulary (small by Zipf)
-    broadcasts to the token stream; nothing quadratic."""
+    broadcasts to the token stream; nothing quadratic. The corpus token
+    total rides along as a broadcast 1-row aggregate cross-joined into
+    the plan — a driver-side ``toks.count()`` here would run a separate
+    eager job per invocation and break plan laziness."""
     toks = docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
-    total = toks.count()
+    total = toks.agg(F.count("*").cast("double").alias("_total_toks"))
     vocab = toks.groupBy("tok").agg(F.count("*").alias("tf"))
     return (
         toks.join(F.broadcast(vocab), "tok")
-        .withColumn("logp", F.log(F.col("tf") / F.lit(float(total))))
+        .crossJoin(F.broadcast(total))
+        .withColumn("logp", F.log(F.col("tf") / F.col("_total_toks")))
         .groupBy("id")
         .agg(
             F.round(F.avg("logp"), 6).alias("mean_logprob"),

@@ -198,3 +198,27 @@ def test_jaccard_df_cap_prunes_stopword_grams_exactly(spark):
     stopword_only = {p for p in exact if p != (1, 2)}
     assert stopword_only, "fixture should produce boilerplate-only pairs"
     assert not (stopword_only & set(capped))
+
+
+def test_vectorized_topk_query_set_size_guard(spark):
+    from log2sql_spark.operators.similarity import brute_force_topk_vectorized
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="query set exceeds"):
+        brute_force_topk_vectorized(vecs, vecs, k=2, max_queries=3)
+
+
+def test_unigram_logprob_builds_lazily(spark):
+    """Building the scoring plan must not launch a Spark job (the round-1
+    shape ran an eager toks.count() on the driver per invocation)."""
+    from log2sql_spark.operators.textops import unigram_logprob_scores
+
+    docs = spark.createDataFrame([(1, "a b c"), (2, "b c d")], ["doc_id", "text"])
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = unigram_logprob_scores(docs)
+    assert tracker.getJobIdsForGroup(None) == before  # plan only, no job
+    out = {r["id"]: r["n_tokens"] for r in df.collect()}
+    assert out == {1: 3, 2: 3}
