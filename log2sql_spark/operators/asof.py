@@ -35,22 +35,33 @@ def asof_join(
 
     Ties on the timestamp resolve to the right row (matches
     pandas.merge_asof and DuckDB ASOF JOIN '<=' semantics).
+
+    The right side is carried as ONE struct column with a single
+    ``last(ignorenulls=True)``: carrying each right column independently
+    would stitch columns from DIFFERENT right rows whenever the latest
+    right row holds a NULL in one of them — merge_asof/ASOF JOIN carry
+    the whole latest row, NULL fields included.
     """
+    import pyspark.sql.types as T
+
     right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
+    r_struct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
 
     lt = left.select(
         F.col(by).alias("_key"),
         F.col(on).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*left.columns).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     rt = right.select(
         F.col(by).alias("_key"),
         F.col(on).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(lt.schema["_l"].dataType).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("_r"),
     )
     # right rows sort before left rows at equal ts (side 0 < 1) so an
     # exactly-simultaneous right row IS visible to the left row.
@@ -62,11 +73,11 @@ def asof_join(
     carried = lt.unionByName(rt).select(
         "_side",
         "_l",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in right_cols],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
     out = carried.filter(F.col("_side") == 1).select(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+        *[F.col(f"_r.{c}").alias(c) for c in right_cols],
     )
     return out
 

@@ -73,7 +73,19 @@ def salted_join(
     """Skew-safe equi-join: salt the big side, replicate the small side.
 
     The small side grows ×buckets (fine — it is small by contract); the
-    big side's hot keys spread across ``buckets`` reducers."""
+    big side's hot keys spread across ``buckets`` reducers.
+
+    Only join types where every output row is witnessed by a big-side
+    row are allowed: under right/full outer joins an unmatched
+    small-side row would be emitted once per salt replica (``buckets``
+    duplicates)."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+               "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — small-side replication "
+            f"duplicates unmatched rows under right/full outer joins; use one of {sorted(allowed)}"
+        )
     salt_cols = salt_cols or [c for c in big.columns if c not in keys][:1] or keys
     big_s = big.withColumn("_salt", _salt(salt_cols, buckets))
     small_r = small.withColumn(

@@ -76,7 +76,11 @@ _DML_RE = re.compile(
     re.IGNORECASE,
 )
 _VALUE_RE = re.compile(r"^@(\d+)=(.*)$", re.DOTALL)
-_TYPE_COMMENT_RE = re.compile(r"\s/\*.*\*/\s*$", re.DOTALL)
+# Match only the FINAL trailing comment — the body may contain neither
+# '/*' nor '*/', so the leftmost regex match necessarily starts at the
+# LAST comment opener. A plain greedy-left '\s/\*.*\*/' stripped from
+# the first ' /*' inside a quoted value to the annotation's '*/'.
+_TYPE_COMMENT_RE = re.compile(r"\s/\*(?:(?!\*/)(?!/\*).)*\*/\s*$", re.DOTALL)
 _DDL_HEAD_RE = re.compile(r"^\s*(create|rename|alter|drop|truncate)\b", re.IGNORECASE)
 
 _OP_BY_VERB = {"insert into": "insert", "update": "update", "delete from": "delete"}
@@ -85,9 +89,10 @@ _OP_BY_VERB = {"insert into": "insert", "update": "update", "delete from": "dele
 def _strip_type_comment(raw: str) -> str:
     """Drop the trailing ``/* TYPE meta=.. */`` annotation that -vv adds.
 
-    The annotation always trails the value; values containing a literal
-    ``" /*"`` are theoretically ambiguous — same trade-off the textual
-    format itself makes.
+    The annotation always trails the value; only a value whose text
+    itself contains ``*/`` can still confuse the match — values merely
+    containing ``" /*"`` survive because the pattern rejects ``*/``
+    inside the comment body.
     """
     return _TYPE_COMMENT_RE.sub("", raw).strip()
 

@@ -94,7 +94,14 @@ def stream_binlog_to_sql(
                 "stop_pos", "event_ts", "pos_info", "sql_text",
             )
             .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            # Partition by batch_id + dynamic partition overwrite: a
+            # micro-batch retried from the checkpoint after a partial
+            # write replaces ONLY its own partition instead of appending
+            # duplicate rows — the idempotent-sink contract foreachBatch
+            # leaves to the caller.
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(out_dir)
         )
 
@@ -140,19 +147,33 @@ def apply_changes_to_state(
             F.col("file"),
             F.col("event_seq"),
         )
+        # Newest-version ordering must span file rotations: start_pos
+        # restarts per binlog file, so rank by (file, start_pos,
+        # event_seq) — binlog file names are sequence-numbered, so
+        # lexicographic file order IS chronological order. Prior state
+        # carries sentinel values ('' file, -1 positions) that rank
+        # below every real event, and event_seq breaks start_pos ties
+        # deterministically (several row images share one event's pos).
         if os.path.exists(state_dir):
-            prior = spark.read.parquet(state_dir).withColumn("start_pos", F.lit(-1).cast("long"))
-            merged = prior.select("key", "op", "after", "start_pos").unionByName(
-                changes.select("key", "op", "after", "start_pos")
+            prior = (
+                spark.read.parquet(state_dir)
+                .withColumn("file", F.lit(""))
+                .withColumn("start_pos", F.lit(-1).cast("long"))
+                .withColumn("event_seq", F.lit(-1).cast("long"))
+            )
+            merged = prior.select("key", "op", "after", "file", "start_pos", "event_seq").unionByName(
+                changes.select("key", "op", "after", "file", "start_pos", "event_seq")
             )
         else:
-            merged = changes.select("key", "op", "after", "start_pos")
-        w = W.partitionBy("key").orderBy(F.desc("start_pos"))
+            merged = changes.select("key", "op", "after", "file", "start_pos", "event_seq")
+        w = W.partitionBy("key").orderBy(
+            F.desc("file"), F.desc("start_pos"), F.desc("event_seq")
+        )
         latest = (
             merged.withColumn("rn", F.row_number().over(w))
             .filter("rn = 1")
             .filter(F.col("op") != "delete")
-            .select("key", "op", "after", F.lit(-1).cast("long").alias("start_pos"))
+            .select("key", "op", "after")
         )
         latest.select("key", "op", "after").write.mode("overwrite").parquet(state_dir + ".tmp")
         # atomic-ish swap for the local filesystem

@@ -172,3 +172,17 @@ def test_spark_read_binlog_roundtrip(spark, tmp_path):
     assert rows["update"]["before"] == {"1": "1"}
     assert rows["update"]["after"] == {"1": "2"}
     assert rows["insert"]["event_ts"] == TS
+
+
+def test_type_comment_strip_keeps_inner_comment_opener():
+    """A quoted value containing ' /*' must survive -vv annotation
+    stripping: the regex anchors on the FINAL comment and rejects '*/'
+    inside its body."""
+    from log2sql_spark.sources.binlog import _strip_type_comment
+
+    assert (
+        _strip_type_comment("'glob /*.py patterns' /* VARSTRING(80) meta=80 nullable=1 */")
+        == "'glob /*.py patterns'"
+    )
+    assert _strip_type_comment("42 /* INT meta=0 nullable=0 */") == "42"
+    assert _strip_type_comment("'no comment here'") == "'no comment here'"

@@ -124,3 +124,29 @@ def test_no_pk_insert_strips_key_columns(spark, tmp_path):
     assert rows["delete"] == "DELETE FROM `shop`.`orders` WHERE `id`=42 LIMIT 1;"
     with pytest.raises(ValueError, match="flashback or no_pk"):
         with_sql_text(resolved, flashback=True, no_pk=True)
+
+
+def test_salted_join_rejects_outer_small_side():
+    """Replicating the small side x buckets would emit unmatched
+    small-side rows once per replica under right/full outer joins."""
+    import pytest
+
+    from log2sql_spark.operators.skew import salted_join
+
+    with pytest.raises(ValueError, match="unsupported"):
+        salted_join(None, None, keys=["k"], how="full_outer")
+
+
+def test_asof_join_carries_whole_right_row(spark):
+    """A NULL field in the latest right row must stay NULL — not be
+    stitched from an older right row (merge_asof/ASOF JOIN semantics)."""
+    from log2sql_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10)], ["key", "ts"])
+    right = spark.createDataFrame(
+        [("k", 1, "old_price", "old_note"), ("k", 5, "new_price", None)],
+        ["key", "ts", "price", "note"],
+    )
+    (row,) = asof_join(left, right, on="ts", by="key").collect()
+    assert row["price"] == "new_price"
+    assert row["note"] is None  # round-1 shape resurrected "old_note"

@@ -191,3 +191,31 @@ def test_running_user_totals_accumulate_across_batches(spark, tmp_path):
     assert got[1] == (3, 400)   # 1.50+2.25+0.25 across two batches
     assert got[2] == (1, 1000)
     assert got[3] == (1, 500)
+
+
+def test_apply_changes_survives_file_rotation(spark, tmp_path):
+    """start_pos restarts per binlog file: a later file's early event
+    (small start_pos) must still beat an earlier file's late event in
+    one micro-batch — ordering is (file, start_pos, event_seq), never
+    start_pos alone."""
+    in_dir, state, ckpt = tmp_path / "in", tmp_path / "state", tmp_path / "ckpt"
+    in_dir.mkdir()
+    cat = catalog_from_dict(spark, CATALOG)
+    # file 1: many events push start_pos high before updating key 1
+    _dump(in_dir / "bin.000001.txt", [
+        {"op": "insert", "db": "shop", "table": "orders", "ts": TS,
+         "values": [(1, str(i)), (2, "'seed'")]} for i in range(2, 9)
+    ] + [
+        {"op": "insert", "db": "shop", "table": "orders", "ts": TS,
+         "values": [(1, "1"), (2, "'from_file1'")]},
+    ])
+    # file 2 (rotation): positions restart near 4; updates the same key
+    _dump(in_dir / "bin.000002.txt", [
+        {"op": "update", "db": "shop", "table": "orders", "ts": TS,
+         "before": [(1, "1"), (2, "'from_file1'")],
+         "after": [(1, "1"), (2, "'from_file2'")]},
+    ])
+    q = apply_changes_to_state(spark, str(in_dir), cat, str(state), str(ckpt), key_col="id")
+    q.awaitTermination(120)
+    rows = {r["key"]: r["after"]["status"] for r in spark.read.parquet(str(state)).collect()}
+    assert rows["1"] == "'from_file2'"
