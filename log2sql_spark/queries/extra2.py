@@ -568,12 +568,36 @@ def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_sim_topk_vectorized")  # rows-only: BLAS summation order ≠ fold
+def _vectorized_topk_oracle() -> str:
+    from log2sql_spark.queries.llm import _cos_sql
+
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cos_sim
+           FROM q, c WHERE query_id <> neighbor_id
+         ),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos_sim,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+           FROM scored
+         )
+    SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@query("llm_sim_topk_vectorized", oracle=_vectorized_topk_oracle())
 def llm_sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/numpy fast path of llm_sim_topk_bruteforce (one float64
-    matmul per candidate batch). Scores differ from the sequential fold
-    only in the last ulp, so this is rows-only for the driver; pytest
-    asserts neighbor-set equality with the exact variant."""
+    matmul per candidate batch). BLAS and the sequential fold agree to
+    ~1e-15 relative, so rounding cos_sim to 6 dp makes the scores — and
+    therefore the ranks — oracle-comparable against the exact fold
+    computed in SQL; pytest separately asserts neighbor-set equality
+    with the exact variant."""
     from log2sql_spark.operators.similarity import brute_force_topk_vectorized
 
     emb = load_table(spark, "embeddings", sf_dir)

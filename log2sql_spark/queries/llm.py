@@ -561,17 +561,49 @@ def llm_dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.orderBy("id_a", "id_b")
 
 
-@query("llm_approx_percentile")  # rows-only: sketch estimates are engine-specific
+@query(
+    "llm_approx_percentile",
+    oracle="""
+    SELECT lang,
+           quantile_cont(n_chars, 0.5) AS exact_median_chars,
+           quantile_cont(n_chars, 0.9) AS exact_p90_chars,
+           TRUE AS median_within_bound,
+           TRUE AS p90_within_bound
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
 def llm_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (GK sketch) over document lengths — the 100 TB
-    substitute for exact quantiles; rows-only driver check (pytest
-    bounds it against the exact percentile)."""
+    substitute for exact quantiles.
+
+    The sketch value is engine-specific, so the query exposes EXACT
+    interpolated percentile twins (oracle-checked against DuckDB's
+    quantile_cont, the same linear-interpolation definition) plus
+    rank-bound booleans: at accuracy 1000 the GK rank error is at most
+    n/1000 ranks, so the approximate median/p90 must land inside the
+    exact [p40,p60] / [p85,p95] value range. The oracle asserts TRUE —
+    a drifting sketch fails the hash gate."""
     return (
         load_table(spark, "documents", sf_dir)
         .groupBy("lang")
         .agg(
-            F.approx_percentile("n_chars", 0.5, 1000).alias("approx_median_chars"),
-            F.approx_percentile("n_chars", 0.9, 1000).alias("approx_p90_chars"),
+            F.percentile("n_chars", F.lit(0.5)).alias("exact_median_chars"),
+            F.percentile("n_chars", F.lit(0.9)).alias("exact_p90_chars"),
+            F.approx_percentile("n_chars", 0.5, 1000).alias("_am"),
+            F.approx_percentile("n_chars", 0.9, 1000).alias("_ap"),
+            F.percentile("n_chars", F.lit(0.4)).alias("_p40"),
+            F.percentile("n_chars", F.lit(0.6)).alias("_p60"),
+            F.percentile("n_chars", F.lit(0.85)).alias("_p85"),
+            F.percentile("n_chars", F.lit(0.95)).alias("_p95"),
+        )
+        .select(
+            "lang",
+            "exact_median_chars",
+            "exact_p90_chars",
+            F.col("_am").between(F.col("_p40"), F.col("_p60")).alias("median_within_bound"),
+            F.col("_ap").between(F.col("_p85"), F.col("_p95")).alias("p90_within_bound"),
         )
         .orderBy("lang")
     )

@@ -382,17 +382,47 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # no oracle: HLL estimates are engine-specific
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS orders_within_bound,
+           TRUE AS parts_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path where an
-    exact distinct shuffle is too expensive. Rows-only driver check; the
-    pytest suite asserts the estimate is within rsd of exact."""
+    exact distinct shuffle is too expensive.
+
+    The HLL estimate itself is engine-specific and can never hash-match
+    another engine, so the query exposes the EXACT countDistinct twins
+    (oracle-checked) plus error-bound booleans: the estimate at rsd=0.01
+    must land within 5% (5 sigma) of exact. The oracle asserts TRUE, so
+    a drifting sketch fails the correctness gate rather than a softer
+    pytest-only check."""
+    est_ok = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) <= 0.05 * F.col(exact)
+    )
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_orderkey", 0.01).alias("_approx_orders"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("_approx_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            "exact_parts",
+            est_ok("_approx_orders", "exact_orders").alias("orders_within_bound"),
+            est_ok("_approx_parts", "exact_parts").alias("parts_within_bound"),
         )
         .orderBy("l_returnflag")
     )
