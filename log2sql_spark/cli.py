@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     src = p.add_argument_group("source")
     src.add_argument("--start-file", dest="start_file", help="binlog dump file/glob to parse")
+    src.add_argument("--raw", action="store_true", default=False,
+                     help="start-file is a RAW binlog (mysql-bin.NNNNNN): decode via "
+                          "the mysqlbinlog binary like the reference (main.py:88-105)")
+    src.add_argument("--mysqlbinlog-bin", dest="mysqlbinlog_bin", default="mysqlbinlog",
+                     help="mysqlbinlog binary name/path (executors must resolve it too)")
     src.add_argument("--watch-dir", dest="watch_dir", help="directory to stream dumps from")
     src.add_argument("--catalog", required=True, help="catalog JSON ({'db.table': {columns, key_columns}})")
 
@@ -116,7 +121,24 @@ def main(argv: list[str] | None = None) -> int:
     from log2sql_spark.sources.catalog import resolve_columns
     from pyspark.sql import functions as F
 
-    envelope = filter_events(read_binlog(spark, args.start_file), **filters)
+    if args.raw:
+        # raw binlog: range pushdown happens INSIDE mysqlbinlog (it seeks,
+        # we never decode outside the window), mirroring reference
+        # main.py:88-105; filter_events still applies the same range so
+        # semantics are identical either way.
+        from log2sql_spark.sources.binlog_raw import read_binlog_raw
+
+        envelope = read_binlog_raw(
+            spark, args.start_file,
+            binary=args.mysqlbinlog_bin,
+            start_position=args.start_position,
+            stop_position=args.stop_position,
+            start_datetime=args.start_datetime,
+            stop_datetime=args.stop_datetime,
+        )
+    else:
+        envelope = read_binlog(spark, args.start_file)
+    envelope = filter_events(envelope, **filters)
     rendered = with_sql_text(
         resolve_columns(envelope, catalog), flashback=args.flashback, no_pk=args.no_pk
     )
