@@ -57,14 +57,27 @@ def catalog_from_jdbc(spark: SparkSession, url: str, properties: dict | None = N
     """One-shot JDBC catalog load (replaces the reference's per-event
     queries at log2sql.py:29-46 with two reads total).
 
-    Primary keys come from ``COLUMN_KEY='PRI'``; tables without one fall
-    back to the columns of their first unique index, mirroring the
-    reference's STATISTICS subquery (log2sql.py:39-46).
+    The JDBC reads are the only untestable part in this sandbox (no
+    MySQL server / driver jar); the whole transform lives in
+    :func:`catalog_from_information_schema` and is contract-tested with
+    synthetic ``information_schema`` DataFrames.
     """
     properties = properties or {}
     cols = spark.read.jdbc(url, "information_schema.columns", properties=properties)
     stats = spark.read.jdbc(url, "information_schema.statistics", properties=properties)
+    return catalog_from_information_schema(cols, stats)
 
+
+def catalog_from_information_schema(cols: DataFrame, stats: DataFrame) -> DataFrame:
+    """``information_schema.columns`` + ``.statistics`` → catalog rows.
+
+    Primary keys come from ``COLUMN_KEY='PRI'`` (reference
+    log2sql.py:34-36); tables without one fall back to the columns of
+    ONE unique index, mirroring the reference's STATISTICS subquery
+    (log2sql.py:39-46) — the reference takes an unordered ``LIMIT 1``,
+    here the first index *by name* so the choice is deterministic.
+    Tables with neither get an empty ``key_columns`` array.
+    """
     from pyspark.sql import Window as W
 
     base = (
