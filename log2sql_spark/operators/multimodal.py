@@ -82,8 +82,110 @@ def _require(modname: str):
         ) from exc
 
 
+def encode_ppm(width: int, height: int, r: int, g: int, b: int) -> bytes:
+    """Binary PPM (P6) with a constant RGB fill — the deterministic
+    synthetic-image fixture. Kept independent of :func:`decode_ppm`
+    (string-formats the header, tiles the raster) so decode tests are a
+    real round-trip, not a tautology."""
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + bytes((r, g, b)) * (
+        width * height
+    )
+
+
+def encode_bmp(width: int, height: int, r: int, g: int, b: int) -> bytes:
+    """24-bit uncompressed BI_RGB BMP, bottom-up, constant fill.
+
+    Exercises everything that makes BMP awkward: BGR byte order, rows
+    padded to 4-byte boundaries, bottom-up raster."""
+    import struct
+
+    row = bytes((b, g, r)) * width
+    row += b"\x00" * ((-len(row)) % 4)
+    raster = row * height
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster),
+                      2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 14 + 40)
+    return hdr + dib + raster
+
+
+def decode_ppm(content: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python binary PPM (P6) / PGM (P5) parse → (width, height,
+    top-down RGB raster). Handles '#' comments and arbitrary whitespace
+    in the header, per the Netpbm spec."""
+    if content[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM (P6/P5) payload")
+    gray = content[:2] == b"P5"
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    n = width * height * (1 if gray else 3)
+    raster = content[pos : pos + n]
+    if len(raster) != n:
+        raise ValueError(f"raster truncated: want {n} bytes, have {len(raster)}")
+    if gray:  # expand to RGB so every decoder yields one raster shape
+        raster = bytes(v for px in raster for v in (px, px, px))
+    return width, height, raster
+
+
+def decode_bmp(content: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python 24-bit BI_RGB BMP parse → (width, height, top-down
+    RGB raster): un-pads rows, flips bottom-up, swaps BGR→RGB."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_offset,) = struct.unpack_from("<I", content, 10)
+    dib_size, width, height = struct.unpack_from("<Iii", content, 14)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    (compression,) = struct.unpack_from("<I", content, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, comp={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src_y = (height - 1 - y) if bottom_up else y
+        row = content[pix_offset + src_y * stride :][: width * 3]
+        if len(row) != width * 3:
+            raise ValueError("raster truncated")
+        base = y * width * 3
+        # slice-assignment BGR→RGB swap, no per-byte Python loop
+        out[base + 0 : base + width * 3 : 3] = row[2::3]
+        out[base + 1 : base + width * 3 : 3] = row[1::3]
+        out[base + 2 : base + width * 3 : 3] = row[0::3]
+    return width, height, bytes(out)
+
+
+def decode_image_bytes(content: bytes) -> tuple[int, int, bytes]:
+    """Format-sniffing pure-Python decode: PPM/PGM and 24-bit BMP are
+    decoded in-process (no native codec needed); other formats fall
+    through to PIL when installed, else NotImplementedError."""
+    if content[:2] in (b"P6", b"P5"):
+        return decode_ppm(content)
+    if content[:2] == b"BM":
+        return decode_bmp(content)
+    img = decode_image(content)  # PIL path (gated)
+    rgb = img.convert("RGB")
+    return rgb.width, rgb.height, rgb.tobytes()
+
+
 def decode_image(content: bytes):  # pragma: no cover - codec absent here
-    """Real image decode (PIL). STUB: raises NotImplementedError without PIL."""
+    """PIL decode for formats beyond PPM/BMP. STUB without PIL — use
+    :func:`decode_image_bytes` for the pure-Python formats."""
     pil = _require("PIL.Image")
     return pil.Image.open(__import__("io").BytesIO(content))
 
@@ -96,6 +198,88 @@ def resize_image(content: bytes, w: int, h: int):  # pragma: no cover
 def sample_frames(content: bytes, every_ms: int):  # pragma: no cover
     _require("av")
     raise NotImplementedError("frame sampling needs pyav/ffmpeg")
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("pixel_mean", T.DoubleType()),
+        T.StructField("r0", T.IntegerType()),
+        T.StructField("g0", T.IntegerType()),
+        T.StructField("b0", T.IntegerType()),
+        T.StructField("raster_md5", T.StringType()),
+    ]
+)
+
+
+def synthesize_images(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic image payloads keyed off an id column —
+    the in-container stand-in for reading real image files. Every
+    downstream decode sees genuine format bytes (PPM headers, BMP
+    padding + BGR + bottom-up raster), alternating formats by id parity.
+
+    Channel values stay in [1, 127] so the oracle can rebuild the RGB
+    raster as an ASCII string (UTF-8 identity) and md5 it in SQL.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_, contents, metas = [], [], []
+            for raw in pdf[id_col]:
+                did = int(raw)
+                w, h = 1 + did % 13, 1 + did % 7
+                r, g, b = 1 + did % 127, 1 + (did * 7) % 127, 1 + (did * 13) % 127
+                if did % 2 == 0:
+                    fmt, content = "ppm", encode_ppm(w, h, r, g, b)
+                else:
+                    fmt, content = "bmp", encode_bmp(w, h, r, g, b)
+                ids_.append(did)
+                contents.append(content)
+                metas.append(
+                    {
+                        "modality": "image",
+                        "format": fmt,
+                        "width": w,
+                        "height": h,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame({"asset_id": ids_, "content": contents, "meta": metas})
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def decode_image_features(media: DataFrame) -> DataFrame:
+    """Real-decode feature extraction: each asset's binary content goes
+    through the format-sniffing pure-Python decoders (PPM/BMP) and the
+    decoded raster — not the container bytes — feeds the features, so a
+    header, padding, channel-order, or raster-orientation bug breaks the
+    oracle hash."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {k.name: [] for k in DECODED_SCHEMA.fields}
+            for aid, content, meta in zip(pdf["asset_id"], pdf["content"], pdf["meta"]):
+                w, h, raster = decode_image_bytes(bytes(content))
+                rows["asset_id"].append(int(aid))
+                rows["format"].append(meta["format"] if meta is not None else None)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(w * h)
+                rows["pixel_mean"].append(float(sum(raster)) / len(raster))
+                rows["r0"].append(raster[0])
+                rows["g0"].append(raster[1])
+                rows["b0"].append(raster[2])
+                rows["raster_md5"].append(hashlib.md5(raster).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(extract, schema=DECODED_SCHEMA)
 
 
 def fake_decode_features(media: DataFrame) -> DataFrame:

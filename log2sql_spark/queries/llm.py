@@ -18,7 +18,12 @@ from log2sql_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from log2sql_spark.operators.multimodal import documents_as_media, fake_decode_features
+from log2sql_spark.operators.multimodal import (
+    decode_image_features,
+    documents_as_media,
+    fake_decode_features,
+    synthesize_images,
+)
 from log2sql_spark.operators.similarity import brute_force_topk, ivf_topk
 from log2sql_spark.operators.textops import (
     with_fingerprints,
@@ -766,3 +771,45 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
     media = documents_as_media(docs)
     return fake_decode_features(media).orderBy("asset_id")
+
+
+@query(
+    "llm_multimodal_decode",
+    oracle=r"""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+           CAST(1 + doc_id % 13 AS INTEGER) AS width,
+           CAST(1 + doc_id % 7 AS INTEGER) AS height,
+           CAST((1 + doc_id % 13) * (1 + doc_id % 7) AS BIGINT) AS n_pixels,
+           ((1 + doc_id % 127) + (1 + (doc_id * 7) % 127)
+             + (1 + (doc_id * 13) % 127)) / 3.0 AS pixel_mean,
+           CAST(1 + doc_id % 127 AS INTEGER) AS r0,
+           CAST(1 + (doc_id * 7) % 127 AS INTEGER) AS g0,
+           CAST(1 + (doc_id * 13) % 127 AS INTEGER) AS b0,
+           md5(repeat(chr(CAST(1 + doc_id % 127 AS INTEGER))
+                      || chr(CAST(1 + (doc_id * 7) % 127 AS INTEGER))
+                      || chr(CAST(1 + (doc_id * 13) % 127 AS INTEGER)),
+                      CAST((1 + doc_id % 13) * (1 + doc_id % 7) AS INTEGER)))
+             AS raster_md5
+    FROM documents
+    WHERE doc_id < 300
+    ORDER BY asset_id
+    """,
+)
+def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no codec library: deterministic PPM/BMP payloads
+    are synthesized per doc_id (genuine headers, BMP row padding, BGR,
+    bottom-up raster), then parsed back by the pure-Python decoders
+    inside Arrow-batched mapInPandas. The oracle rebuilds every feature
+    analytically — including md5 of the decoded RGB raster (channels
+    kept in [1,127] so the SQL string is byte-identical UTF-8) — so a
+    header, padding, channel-order, or orientation bug hash-mismatches.
+    Upgrades the reference-class stub (multimodal codecs absent in
+    container) to a working decode path."""
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+    media = synthesize_images(docs)
+    return decode_image_features(media).orderBy("asset_id")

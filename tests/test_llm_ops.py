@@ -222,3 +222,59 @@ def test_unigram_logprob_builds_lazily(spark):
     assert tracker.getJobIdsForGroup(None) == before  # plan only, no job
     out = {r["id"]: r["n_tokens"] for r in df.collect()}
     assert out == {1: 3, 2: 3}
+
+
+def test_ppm_bmp_decode_roundtrip():
+    """Pure-Python decoders against independently-built encodings: BMP
+    exercises padding (width 3: 9-byte row padded to 12), bottom-up
+    flip, and BGR swap; PGM exercises gray->RGB expansion."""
+    from log2sql_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image_bytes,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    w, h, raster = decode_ppm(encode_ppm(4, 2, 10, 20, 30))
+    assert (w, h) == (4, 2) and raster == bytes((10, 20, 30)) * 8
+
+    w, h, raster = decode_bmp(encode_bmp(3, 2, 200, 100, 50))
+    assert (w, h) == (3, 2) and raster == bytes((200, 100, 50)) * 6
+
+    # header comments + PGM grayscale expansion
+    pgm = b"P5\n# a comment\n2 1\n255\n\x07\x09"
+    assert decode_ppm(pgm) == (2, 1, bytes((7, 7, 7, 9, 9, 9)))
+
+    # format sniffing dispatches without meta
+    assert decode_image_bytes(encode_ppm(1, 1, 1, 2, 3)) == (1, 1, b"\x01\x02\x03")
+    assert decode_image_bytes(encode_bmp(1, 1, 1, 2, 3)) == (1, 1, b"\x01\x02\x03")
+
+    # non-constant BMP raster: orientation must flip bottom-up to top-down
+    import struct
+
+    top = bytes((1, 2, 3))  # intended top-left pixel, RGB
+    bot = bytes((4, 5, 6))
+    rows_bottom_up = bytes((bot[2], bot[1], bot[0])) + b"\x00" + bytes(
+        (top[2], top[1], top[0])
+    ) + b"\x00"
+    dib = struct.pack("<IiiHHIIiiII", 40, 1, 2, 1, 24, 0, len(rows_bottom_up),
+                      2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows_bottom_up), 0, 0, 54)
+    assert decode_bmp(hdr + dib + rows_bottom_up) == (1, 2, top + bot)
+
+
+def test_multimodal_real_decode_query(spark, sf_dir):
+    """End-to-end: synthesized PPM/BMP binary columns decoded by the real
+    parsers inside mapInPandas; features must match the closed form."""
+    from log2sql_spark.queries.llm import llm_multimodal_decode
+
+    rows = {r["asset_id"]: r for r in llm_multimodal_decode(spark, sf_dir).collect()}
+    assert len(rows) == 300
+    for did in (0, 1, 17, 128):
+        r = rows[did]
+        assert r["format"] == ("ppm" if did % 2 == 0 else "bmp")
+        assert (r["width"], r["height"]) == (1 + did % 13, 1 + did % 7)
+        assert (r["r0"], r["g0"], r["b0"]) == (
+            1 + did % 127, 1 + (did * 7) % 127, 1 + (did * 13) % 127
+        )
