@@ -210,34 +210,6 @@ def parse_binlog_lines(lines: list[str], file: str = "") -> list[dict]:
     return out
 
 
-def _parse_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas worker: one file's lines → envelope rows."""
-    pdf = pdf.sort_values("line_id")
-    file = pdf["file"].iloc[0] if len(pdf) else ""
-    rows = parse_binlog_lines(pdf["value"].tolist(), file=file)
-    cols = [f.name for f in ENVELOPE_SCHEMA.fields]
-    if not rows:
-        return pd.DataFrame(columns=cols)
-    return pd.DataFrame(rows)[cols]
-
-
-def binlog_lines(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed text scan with per-file ordering metadata.
-
-    ``monotonically_increasing_id`` is increasing within a partition and
-    partitions of a text file are created in offset order, so sorting by
-    it inside one file reconstructs line order — the standard Spark
-    pattern for order-sensitive text."""
-    return (
-        spark.read.text(path)
-        .select(
-            F.input_file_name().alias("file"),
-            F.monotonically_increasing_id().alias("line_id"),
-            "value",
-        )
-    )
-
-
 def _parse_whole_files(batches) -> "Iterator[pd.DataFrame]":
     """mapInPandas worker over (file, whole-file value) rows."""
     cols = [f.name for f in ENVELOPE_SCHEMA.fields]
@@ -252,7 +224,7 @@ def _parse_whole_files(batches) -> "Iterator[pd.DataFrame]":
         yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
 
 
-def read_binlog(spark: SparkSession, path: str) -> DataFrame:
+def read_binlog(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """Batch source: binlog dump file(s)/glob → envelope DataFrame.
 
     Reads each dump with ``wholetext`` (one row per file, order trivially
@@ -268,8 +240,21 @@ def read_binlog(spark: SparkSession, path: str) -> DataFrame:
     return lines.mapInPandas(_parse_whole_files, schema=ENVELOPE_SCHEMA)
 
 
-def parse_envelope_batch(lines: DataFrame) -> DataFrame:
-    """Same parse over an already-materialized lines DataFrame
-    (columns: file, line_id, value) — shared by the streaming path's
-    foreachBatch so batch and streaming use one implementation."""
-    return lines.groupBy("file").applyInPandas(_parse_group, schema=ENVELOPE_SCHEMA)
+def read_binlog_batch_files(spark: SparkSession, batch_df: DataFrame) -> DataFrame:
+    """foreachBatch front-end: envelope rows for a streaming micro-batch.
+
+    The streaming text source is used only for file DISCOVERY and
+    checkpoint bookkeeping; the batch's files are re-read with the
+    wholetext batch path (``read_binlog``), where a file is one row and
+    line order is trivially preserved. This replaces the round-1 shape
+    (``monotonically_increasing_id`` sort inside the micro-batch), whose
+    correctness depended on partition enumeration matching file offset
+    order — fragile once a large file splits across partitions.
+
+    The driver-side ``collect()`` is the distinct FILE NAME list of one
+    micro-batch (bounded by ``maxFilesPerTrigger``), never row data.
+    """
+    files = sorted(r["file"] for r in batch_df.select("file").distinct().collect())
+    if not files:
+        return spark.createDataFrame([], ENVELOPE_SCHEMA)
+    return read_binlog(spark, files)

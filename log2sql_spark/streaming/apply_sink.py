@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from log2sql_spark.operators.cdc_codegen import with_sql_text
-from log2sql_spark.sources.binlog import parse_envelope_batch
+from log2sql_spark.sources.binlog import read_binlog_batch_files
 from log2sql_spark.sources.catalog import resolve_columns
 
 
@@ -60,9 +60,9 @@ def stream_apply_sql(
     micro-batch's statements (in binlog order) to ``executor``."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        lines = batch_df.withColumn("line_id", F.monotonically_increasing_id())
+        envelope = read_binlog_batch_files(spark, batch_df)
         rendered = with_sql_text(
-            resolve_columns(parse_envelope_batch(lines), catalog), flashback=flashback
+            resolve_columns(envelope, catalog), flashback=flashback
         )
         ordered = rendered.orderBy("file", "start_pos", "event_seq")
         stmts = [r["sql_text"] for r in ordered.select("sql_text").toLocalIterator()]

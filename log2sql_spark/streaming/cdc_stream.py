@@ -3,13 +3,14 @@
 Restores the *online* mode the offline reference deliberately dropped
 (``--stop-never`` commented out at ``main.py:26-27``): new dump files
 appearing in a directory are picked up per micro-batch, parsed with the
-SAME batch transform chain (``parse_envelope_batch`` → ``resolve_columns``
+SAME batch transform chain (``read_binlog`` → ``resolve_columns``
 → codegen), and appended to a sink. Batch/streaming share one
 implementation — the core promise of Structured Streaming.
 
-The file source delivers whole files per trigger (a file is never split
-across micro-batches), which preserves the per-file ordering contract
-the parser's state machine needs. ``maxFilesPerTrigger`` is the rate
+The streaming text source does file discovery + checkpointing only;
+each micro-batch's files are re-read wholetext by the batch parser
+(``read_binlog_batch_files``), so per-file line order never depends on
+the streaming frame's partitioning. ``maxFilesPerTrigger`` is the rate
 limit the reference parsed but never honored (``--back-interval``,
 ``main.py:83-84``).
 """
@@ -21,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from log2sql_spark.operators.cdc_codegen import with_sql_text
-from log2sql_spark.sources.binlog import parse_envelope_batch
+from log2sql_spark.sources.binlog import read_binlog_batch_files
 from log2sql_spark.sources.catalog import resolve_columns
 
 
@@ -29,8 +30,8 @@ def read_binlog_line_stream(spark: SparkSession, in_dir: str, max_files_per_trig
     reader = spark.readStream.format("text")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    # line_id is added per micro-batch inside foreachBatch —
-    # monotonically_increasing_id() is not allowed on a streaming frame.
+    # Only `file` matters downstream (foreachBatch re-reads wholetext);
+    # `value` rides along because the text source always emits it.
     return reader.load(in_dir).select(F.input_file_name().alias("file"), "value")
 
 
@@ -48,8 +49,8 @@ def stream_binlog_to_sql(
     chain and append the rendered SQL to parquet at ``out_dir``.
 
     foreachBatch (rather than a direct streaming sink) because the parse
-    is a grouped applyInPandas over complete files — a batch-shaped
-    operation that the file source's whole-file delivery makes safe.
+    needs complete files in line order — a batch-shaped operation, served
+    by re-reading the micro-batch's files wholetext.
 
     ``evolve_schema=True`` applies in-stream ``ALTER TABLE ADD COLUMN``
     DDL to column resolution (sources/catalog_evolution.py), persisting
@@ -61,8 +62,7 @@ def stream_binlog_to_sql(
     deltas_dir = os.path.join(checkpoint_dir, "_schema_deltas")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        lines = batch_df.withColumn("line_id", F.monotonically_increasing_id())
-        envelope = parse_envelope_batch(lines)
+        envelope = read_binlog_batch_files(spark, batch_df)
         if evolve_schema:
             from log2sql_spark.sources.catalog_evolution import (
                 ddl_catalog_deltas,
@@ -136,8 +136,7 @@ def apply_changes_to_state(
     from pyspark.sql import Window as W
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        lines = batch_df.withColumn("line_id", F.monotonically_increasing_id())
-        envelope = parse_envelope_batch(lines)
+        envelope = read_binlog_batch_files(spark, batch_df)
         resolved = resolve_columns(envelope, catalog)
         changes = resolved.select(
             F.element_at(F.coalesce("after", "before"), key_col).alias("key"),

@@ -219,3 +219,41 @@ def test_apply_changes_survives_file_rotation(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r["key"]: r["after"]["status"] for r in spark.read.parquet(str(state)).collect()}
     assert rows["1"] == "'from_file2'"
+
+
+def test_stream_parse_survives_multipartition_file(spark, tmp_path):
+    """Round-1 hazard: a dump file big enough for the streaming text
+    source to split across many input partitions. Line order must come
+    from the wholetext re-read, not partition enumeration. Forcing
+    maxPartitionBytes to 1KB makes the old monotonically_increasing_id
+    reconstruction see dozens of partitions for one file."""
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    in_dir.mkdir()
+    # keyless catalog: WHERE carries the full before-image, so the
+    # rendered SQL exposes the before/after line pairing.
+    cat = catalog_from_dict(
+        spark, {"shop.orders": {"columns": ["id", "status"], "key_columns": []}}
+    )
+    # 300 updates whose before/after chain encodes line order: row i
+    # updates status 'v{i-1}' -> 'v{i}', so any line reordering breaks
+    # the rendered WHERE/SET pairing.
+    events = [
+        {"op": "update", "db": "shop", "table": "orders", "ts": TS,
+         "before": [(1, "1"), (2, f"'v{i-1}'")], "after": [(1, "1"), (2, f"'v{i}'")]}
+        for i in range(1, 301)
+    ]
+    _dump(in_dir / "bin.000001.txt", events)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        q = stream_binlog_to_sql(spark, str(in_dir), cat, str(out_dir), str(ckpt))
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    rows = spark.read.parquet(str(out_dir)).orderBy("event_seq").collect()
+    assert len(rows) == 300
+    for i, r in enumerate(rows, start=1):
+        assert r["sql_text"] == (
+            "UPDATE `shop`.`orders` SET `id`=1, `status`='v%d' "
+            "WHERE `id`=1 AND `status`='v%d' LIMIT 1;" % (i, i - 1)
+        ), r["sql_text"]
