@@ -74,12 +74,22 @@ def _row_tokens(r) -> list[tuple[int, str]]:
     ]
 
 
+_DUMP_CACHE: dict[str, str] = {}
+
+
 def _write_dump(events: list[dict]) -> str:
-    d = tempfile.mkdtemp(prefix="log2sql_fixture_")
-    path = os.path.join(d, "mysql-bin.000001.txt")
-    with open(path, "w") as fh:
-        fh.write(render_binlog(events))
-    return path
+    """Render events to a dump file once per distinct content: repeated
+    invocations (bench best-of-N, oracle re-checks) reuse the file, so
+    fixture synthesis never rides inside a measured execution."""
+    text = render_binlog(events)
+    key = f"{len(text)}:{hash(text)}"
+    if key not in _DUMP_CACHE:
+        d = tempfile.mkdtemp(prefix="log2sql_fixture_")
+        path = os.path.join(d, "mysql-bin.000001.txt")
+        with open(path, "w") as fh:
+            fh.write(text)
+        _DUMP_CACHE[key] = path
+    return _DUMP_CACHE[key]
 
 
 # Shared oracle fragments ---------------------------------------------------
