@@ -1,0 +1,194 @@
+"""Training-data pipeline operators: repetition metrics, contamination
+checks, PII redaction, deterministic splits, boilerplate removal
+(north-star family, SURVEY.md §2.2 — the corpus-curation stages between
+raw crawl and tokenizer).
+
+Scale design (100 TB corpus, 1000 executors):
+
+* per-document metrics are pure JVM array/regex expressions — no
+  shuffle, no Python, whole-stage codegen;
+* corpus-level structures (gram document frequencies, eval-set grams)
+  are explode → groupBy with map-side partial aggregation, keyed on the
+  gram value — bounded-width keys, never document payloads;
+* small derived sets (eval-set grams, boilerplate grams: tiny by
+  construction — eval sets are curated, boilerplate is the df tail) are
+  ``broadcast()`` back against the corpus, so the expensive side is one
+  scan + one hash probe per gram, shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from log2sql_spark.operators.dedup import md5_long, tokens, word_ngrams
+
+
+def word_ngrams_all(col: Column, n: int = 2) -> Column:
+    """Word n-grams in document order, duplicates preserved (the
+    repetition-metric denominator; :func:`word_ngrams` dedups). Same
+    zip_with-over-shifted-slices build — never index a computed array
+    inside a HOF lambda (O(n²) re-evaluation)."""
+    toks = tokens(col)
+    grams = toks
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+
+
+def repetition_metrics(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters: fraction of tokens covered by
+    the most frequent word, and duplicate 2-/3-gram fractions.
+
+    The n-gram fractions are in-row array expressions (zero shuffle).
+    The top-word count is explode → two-level groupBy — both aggregates
+    partial map-side, keys are (doc_id, word) then doc_id, so the
+    shuffle carries counts, not text."""
+    t = F.col(text_col)
+    w = tokens(t)
+    g2, g3 = word_ngrams_all(t, 2), word_ngrams_all(t, 3)
+    per_row = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(w).cast("long").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct_words"),
+        F.size(g2).cast("long").alias("n_2grams"),
+        (F.size(g2) - F.size(F.array_distinct(g2))).cast("long").alias("n_dup_2grams"),
+        F.size(g3).cast("long").alias("n_3grams"),
+        (F.size(g3) - F.size(F.array_distinct(g3))).cast("long").alias("n_dup_3grams"),
+    )
+    top = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens(t)).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("id")
+        .agg(F.max("cnt").cast("long").alias("top_word_count"))
+    )
+    return (
+        per_row.join(top, "id")
+        # try_divide: a doc shorter than n words has zero n-grams, and the
+        # fraction is NULL, not an ANSI divide-by-zero error.
+        .withColumn("top_word_frac", F.try_divide("top_word_count", "n_words"))
+        .withColumn("dup_2gram_frac", F.try_divide("n_dup_2grams", "n_2grams"))
+        .withColumn("dup_3gram_frac", F.try_divide("n_dup_3grams", "n_3grams"))
+    )
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval n-gram contamination: per train doc, how many of its
+    distinct word n-grams appear anywhere in the eval set.
+
+    The eval gram set is distinct-ed and ``broadcast()`` (eval suites
+    are small by construction); the train side is one explode + hash
+    probe + per-doc count — no shuffle touches train text beyond the
+    gram stream, and the probe prunes it to matches immediately."""
+    grams = word_ngrams(F.col(text_col), n)
+    eval_grams = (
+        eval_docs.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    shared = (
+        train.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_shared_grams"))
+    )
+    base = train.select(
+        F.col(id_col).alias("id"), F.size(grams).cast("long").alias("n_grams")
+    )
+    return (
+        base.join(shared, "id", "left")
+        .withColumn("n_shared_grams", F.coalesce("n_shared_grams", F.lit(0)).cast("long"))
+        # integer comparison, no float threshold: contaminated iff ≥5%
+        # of the doc's distinct grams appear in the eval set.
+        .withColumn(
+            "contaminated", (F.col("n_shared_grams") * 20 >= F.col("n_grams")).cast("int")
+        )
+        .withColumn("shared_frac", F.try_divide("n_shared_grams", "n_grams"))
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"555-[0-9]{4}"
+_IP_RE = r"10\.[0-9]+\.[0-9]+\.[0-9]+"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub: count and redact emails / phone numbers / IPv4
+    addresses. Pure JVM regex expressions (codegen'd, no UDF) — the
+    patterns are deliberately RE2-compatible so the oracle runs the
+    identical regexes."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), 0))
+    n_ips = F.size(F.regexp_extract_all(t, F.lit(_IP_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return (
+        docs.withColumn("n_emails", n_emails.cast("long"))
+        .withColumn("n_phones", n_phones.cast("long"))
+        .withColumn("n_ips", n_ips.cast("long"))
+        .withColumn("redacted_len", F.length(redacted).cast("long"))
+        .withColumn("redacted_md5", F.md5(redacted))
+    )
+
+
+def split_assign(docs: DataFrame, id_col: str = "doc_id", salt: str = "split-v1") -> Column:
+    """Deterministic train/val/test assignment: 60-bit md5 of the id +
+    salt, bucketed mod 100 → 90/5/5. Hash-based (not random) so the
+    assignment is stable across runs, engines, and repartitioning — the
+    property a reproducible data pipeline needs."""
+    bucket = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))) % 100
+    return (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def boilerplate_gram_flags(
+    docs: DataFrame,
+    min_df: int = 10,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-boilerplate detection: word n-grams occurring in ≥min_df
+    distinct documents are boilerplate (headers/footers/licenses at
+    crawl scale); per doc, count how many of its grams are boilerplate.
+
+    Document frequency is explode(distinct grams) → groupBy(gram) with
+    map-side combine; the boilerplate set (the df≥K tail — small by
+    Zipf) broadcasts back. Same shape at 100 TB: the only shuffle is
+    gram→count, bounded by vocabulary, not corpus size."""
+    grams = word_ngrams(F.col(text_col), n)
+    exploded = docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+    df_counts = exploded.groupBy("gram").agg(F.count("*").alias("df"))
+    boiler = df_counts.filter(F.col("df") >= min_df).select("gram")
+    n_boiler = (
+        exploded.join(F.broadcast(boiler), "gram")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_boiler_grams"))
+    )
+    base = docs.select(F.col(id_col).alias("id"), F.size(grams).cast("long").alias("n_grams"))
+    return (
+        base.join(n_boiler, "id", "left")
+        .withColumn("n_boiler_grams", F.coalesce("n_boiler_grams", F.lit(0)).cast("long"))
+        .withColumn("boiler_frac", F.try_divide("n_boiler_grams", "n_grams"))
+    )

@@ -1,0 +1,246 @@
+"""Oracle-checked training-data pipeline queries: repetition filters,
+eval contamination, PII redaction, deterministic splits, boilerplate
+removal (SURVEY.md §2.2 north-star family — corpus curation).
+
+Tokenization parity: Spark ``split(trim(text), '\\s+')`` ↔ DuckDB
+``regexp_split_to_array(trim(text), '\\s+')``; n-grams are space-joined
+in both. Fractions are single divisions of exact integers, so the
+doubles are correctly rounded on both engines and hash-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log2sql_spark.operators.pipeline import (
+    boilerplate_gram_flags,
+    contamination_check,
+    pii_redact,
+    repetition_metrics,
+    split_assign,
+)
+from log2sql_spark.registry import query
+from log2sql_spark.sources.tables import load_table
+
+_W = r"regexp_split_to_array(trim(text), '\s+')"
+
+_G2 = (
+    "list_transform(range(1, len(w)), i -> "
+    "w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1])"
+)
+_G3 = (
+    "list_transform(range(1, len(w) - 1), i -> "
+    "w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]"
+    " || ' ' || w[CAST(i AS INTEGER) + 2])"
+)
+
+
+@query(
+    "llm_repetition_metrics",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, {_W} AS w FROM documents WHERE doc_id < 300
+    ), g AS (
+      SELECT doc_id, w, {_G2} AS g2, {_G3} AS g3 FROM base
+    )
+    SELECT doc_id AS id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+           CAST(len(g2) AS BIGINT) AS n_2grams,
+           CAST(len(g2) - len(list_distinct(g2)) AS BIGINT) AS n_dup_2grams,
+           CAST(len(g3) AS BIGINT) AS n_3grams,
+           CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) AS n_dup_3grams,
+           CAST(list_max(list_transform(list_distinct(w),
+               x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS top_word_count,
+           list_max(list_transform(list_distinct(w),
+               x -> len(list_filter(w, y -> y = x)))) / len(w) AS top_word_frac,
+           (len(g2) - len(list_distinct(g2))) / len(g2) AS dup_2gram_frac,
+           (len(g3) - len(list_distinct(g3))) / len(g3) AS dup_3gram_frac
+    FROM g
+    ORDER BY id
+    """,
+)
+def llm_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (top-word fraction, duplicate
+    2-/3-gram fractions): in-row array math + a counts-only shuffle for
+    the word mode. The oracle's quadratic list_filter scan is
+    verification-only; the Spark path is explode+groupBy."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
+    return repetition_metrics(docs).orderBy("id")
+
+
+@query(
+    "llm_contamination_check",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id, {_W} AS w FROM documents
+    ), trg AS (
+      SELECT doc_id, list_distinct({_G3}) AS g FROM w WHERE doc_id < 300
+    ), ev AS (
+      SELECT DISTINCT unnest(list_distinct({_G3})) AS gram
+      FROM w WHERE doc_id >= 450
+    ), sh AS (
+      SELECT doc_id, count(*) AS ns
+      FROM (SELECT doc_id, unnest(g) AS gram FROM trg) tg
+      JOIN ev USING (gram)
+      GROUP BY doc_id
+    )
+    SELECT trg.doc_id AS id,
+           CAST(len(g) AS BIGINT) AS n_grams,
+           CAST(coalesce(ns, 0) AS BIGINT) AS n_shared_grams,
+           CAST(CASE WHEN coalesce(ns, 0) * 20 >= len(g) THEN 1 ELSE 0 END
+                AS INTEGER) AS contaminated,
+           CAST(coalesce(ns, 0) AS BIGINT) / CAST(len(g) AS BIGINT) AS shared_frac
+    FROM trg LEFT JOIN sh ON trg.doc_id = sh.doc_id
+    ORDER BY id
+    """,
+)
+def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval word-3-gram contamination with a broadcast eval gram
+    set: the standard pre-release decontamination pass."""
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") < 300)
+    eval_docs = docs.filter(F.col("doc_id") >= 450)
+    return contamination_check(train, eval_docs, n=3).orderBy("id")
+
+
+@query(
+    "llm_pii_redact",
+    oracle=r"""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-'
+                  || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text,
+               '10\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_ips,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '555-[0-9]{4}', '<PHONE>', 'g'),
+               '10\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g')) AS BIGINT) AS redacted_len,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '555-[0-9]{4}', '<PHONE>', 'g'),
+               '10\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g')) AS redacted_md5
+    FROM p
+    ORDER BY doc_id
+    """,
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over deterministically PII-augmented documents (the
+    corpus has none, so each doc gets a synthetic email/phone/IP built
+    identically on both engines). Counts + redacted-text md5 verify the
+    full JVM regex pipeline."""
+    docs = load_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    augmented = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            did.cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad(((did * 37) % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (did % 256).cast("string"),
+            F.lit(".7"),
+        ),
+    )
+    return (
+        pii_redact(augmented)
+        .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted_len", "redacted_md5")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_split_assign",
+    oracle=r"""
+    WITH b AS (
+      SELECT *,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split-v1'), 1, 15))::BIGINT
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*) AS avg_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM b
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (90/5/5), audited
+    per language: assignment is a pure function of doc_id, so it is
+    stable across engines, runs, and repartitioning — no RNG state."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.withColumn("split", split_assign(docs))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@query(
+    "llm_boilerplate_ngrams",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id, {_W} AS w FROM documents
+    ), g AS (
+      SELECT doc_id, list_distinct({_G2}) AS g FROM w
+    ), dfreq AS (
+      SELECT gram, count(*) AS df
+      FROM (SELECT doc_id, unnest(g) AS gram FROM g)
+      GROUP BY gram
+    ), boiler AS (
+      SELECT gram FROM dfreq WHERE df >= 20
+    ), nb AS (
+      SELECT doc_id, count(*) AS n_boiler
+      FROM (SELECT doc_id, unnest(g) AS gram FROM g) dg
+      JOIN boiler USING (gram)
+      GROUP BY doc_id
+    )
+    SELECT g.doc_id AS id,
+           CAST(len(g) AS BIGINT) AS n_grams,
+           CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler_grams,
+           CAST(coalesce(n_boiler, 0) AS BIGINT) / CAST(len(g) AS BIGINT) AS boiler_frac
+    FROM g LEFT JOIN nb ON g.doc_id = nb.doc_id
+    WHERE g.doc_id < 200
+    ORDER BY id
+    """,
+)
+def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-boilerplate flagging: word 2-grams present in ≥20 distinct
+    documents, counted per document via a broadcast of the (small, Zipf
+    tail) boilerplate set. Document frequency is computed over the FULL
+    corpus even though only doc_id<200 rows are returned — the filter
+    prunes the output scan, not the df aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        boilerplate_gram_flags(docs, min_df=20, n=2)
+        .filter(F.col("id") < 200)
+        .orderBy("id")
+    )

@@ -62,6 +62,7 @@ def _load_query_modules() -> None:
         extra,
         extra2,
         llm,
+        llm_pipeline,
         relational,
         streaming,
         tpch,

@@ -1,0 +1,84 @@
+"""Training-data pipeline operators: unit semantics + plan shape
+(broadcast of small derived sets, no shuffle of document payloads)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from log2sql_spark.operators.pipeline import (
+    boilerplate_gram_flags,
+    contamination_check,
+    pii_redact,
+    repetition_metrics,
+    split_assign,
+)
+
+
+def test_repetition_metrics_known_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b a"), (2, "x y z"), (3, "w")], ["doc_id", "text"]
+    )
+    rows = {r["id"]: r for r in repetition_metrics(docs).collect()}
+    r1 = rows[1]  # words: a a b a -> 2grams: "a a","a b","b a"; 3grams: "a a b","a b a"
+    assert (r1["n_words"], r1["n_distinct_words"], r1["top_word_count"]) == (4, 2, 3)
+    assert (r1["n_2grams"], r1["n_dup_2grams"]) == (3, 0)
+    assert (r1["n_3grams"], r1["n_dup_3grams"]) == (2, 0)
+    assert r1["top_word_frac"] == 0.75
+    r3 = rows[3]  # single word: no grams, fractions NULL (0/0), not crash
+    assert (r3["n_2grams"], r3["n_3grams"]) == (0, 0)
+    assert r3["dup_2gram_frac"] is None
+
+
+def test_repetition_metrics_detects_loops(spark):
+    docs = spark.createDataFrame([(1, "spam spam spam spam")], ["doc_id", "text"])
+    (r,) = repetition_metrics(docs).collect()
+    assert r["top_word_frac"] == 1.0
+    assert r["dup_2gram_frac"] == 2 / 3  # "spam spam" x3 -> 2 dups of 3
+
+
+def test_contamination_check_counts_and_plan(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "nothing shared here at all")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(9, "the quick brown fox sleeps")], ["doc_id", "text"])
+    df = contamination_check(train, ev, n=3)
+    rows = {r["id"]: r for r in df.collect()}
+    # shared 3-grams: "the quick brown", "quick brown fox"
+    assert rows[1]["n_shared_grams"] == 2 and rows[1]["contaminated"] == 1
+    assert rows[2]["n_shared_grams"] == 0 and rows[2]["contaminated"] == 0
+    assert "BroadcastHashJoin" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pii_redact_patterns(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail a.b+c@test-x.example.org call 555-0199 and 555-12345 ip 10.1.2.3")],
+        ["doc_id", "text"],
+    )
+    (r,) = pii_redact(docs).collect()
+    assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (1, 2, 1)  # 555-1234 matches inside 555-12345
+
+
+def test_split_assign_deterministic_and_complete(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1000)], ["doc_id"])
+    a = docs.withColumn("split", split_assign(docs)).groupBy("split").count()
+    counts = {r["split"]: r["count"] for r in a.collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 1000
+    assert counts["train"] > 800  # ~90%
+    b = {r["split"]: r["count"] for r in
+         docs.withColumn("split", split_assign(docs)).groupBy("split").count().collect()}
+    assert b == counts  # stable across evaluations
+
+
+def test_boilerplate_flags_broadcast_and_counts(spark):
+    docs = spark.createDataFrame(
+        [(i, "copyright acme corp page %d" % i) for i in range(6)], ["doc_id", "text"]
+    )
+    df = boilerplate_gram_flags(docs, min_df=6, n=2)
+    rows = {r["id"]: r for r in df.collect()}
+    # "copyright acme" and "acme corp" appear in all 6 docs; "corp page"
+    # and "page i" vary only in the last token -> "corp page" df=6 too.
+    assert all(rows[i]["n_boiler_grams"] == 3 for i in range(6))
+    assert all(rows[i]["n_grams"] == 4 for i in range(6))
+    assert "BroadcastHashJoin" in df._jdf.queryExecution().executedPlan().toString()
