@@ -112,6 +112,14 @@ def decode_ppm(content: bytes) -> tuple[int, int, bytes]:
     """Pure-Python binary PPM (P6) / PGM (P5) parse → (width, height,
     top-down RGB raster). Handles '#' comments and arbitrary whitespace
     in the header, per the Netpbm spec."""
+    w, h, raster, _ = _parse_ppm(content)
+    return w, h, raster
+
+
+def _parse_ppm(content: bytes) -> tuple[int, int, bytes, int]:
+    """PPM/PGM parse that also reports bytes consumed (header + raster),
+    so a container of concatenated frames can walk exact offsets without
+    scanning raster bytes for header-lookalike sequences."""
     if content[:2] not in (b"P6", b"P5"):
         raise ValueError("not a binary PPM/PGM (P6/P5) payload")
     gray = content[:2] == b"P5"
@@ -135,9 +143,10 @@ def decode_ppm(content: bytes) -> tuple[int, int, bytes]:
     raster = content[pos : pos + n]
     if len(raster) != n:
         raise ValueError(f"raster truncated: want {n} bytes, have {len(raster)}")
+    consumed = pos + n
     if gray:  # expand to RGB so every decoder yields one raster shape
         raster = bytes(v for px in raster for v in (px, px, px))
-    return width, height, raster
+    return width, height, raster, consumed
 
 
 def decode_bmp(content: bytes) -> tuple[int, int, bytes]:
@@ -181,6 +190,88 @@ def decode_image_bytes(content: bytes) -> tuple[int, int, bytes]:
     img = decode_image(content)  # PIL path (gated)
     rgb = img.convert("RGB")
     return rgb.width, rgb.height, rgb.tobytes()
+
+
+def encode_wav(rate: int, samples: list[int]) -> bytes:
+    """Canonical RIFF/WAVE PCM16 mono encode (pure struct packing)."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(content: bytes) -> tuple[int, list[int]]:
+    """Pure-Python RIFF/WAVE PCM16 mono parse → (sample_rate, samples).
+    Walks the chunk list properly (fmt may not be first; unknown chunks
+    are skipped; chunks are word-aligned per the RIFF spec)."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(content):
+        cid, size = content[pos : pos + 4], struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1:
+                raise ValueError(f"only PCM supported (fmt={audio_fmt})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError(f"only 16-bit mono supported (bits={bits}, ch={channels})")
+    samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+    return rate, samples
+
+
+def resize_nearest(
+    width: int, height: int, raster: bytes, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor RGB resize: src = (dst * src_dim) // dst_dim —
+    the floor mapping, chosen because it is exactly reproducible in
+    integer SQL (the oracle re-derives every output pixel)."""
+    out = bytearray(out_w * out_h * 3)
+    for y in range(out_h):
+        sy = (y * height) // out_h
+        for x in range(out_w):
+            sx = (x * width) // out_w
+            src = (sy * width + sx) * 3
+            dst = (y * out_w + x) * 3
+            out[dst : dst + 3] = raster[src : src + 3]
+    return bytes(out)
+
+
+def encode_ppmv(frames: list[tuple[int, int, bytes]]) -> bytes:
+    """Toy video container for in-container testing: ``PPMV <n>\\n``
+    header followed by n concatenated binary PPM frames. Stands in for a
+    real container (mp4/mkv need ffmpeg) while keeping every byte of the
+    frame-extraction path real."""
+    parts = [f"PPMV {len(frames)}\n".encode("ascii")]
+    for w, h, raster in frames:
+        parts.append(f"P6\n{w} {h}\n255\n".encode("ascii") + raster)
+    return b"".join(parts)
+
+
+def decode_ppmv_frames(content: bytes) -> list[tuple[int, int, bytes]]:
+    """Parse the PPMV toy container into (width, height, raster) frames
+    by repeatedly applying the real PPM decoder at the walked offset."""
+    if not content.startswith(b"PPMV "):
+        raise ValueError("not a PPMV payload")
+    nl = content.index(b"\n")
+    n_frames = int(content[5:nl])
+    pos, frames = nl + 1, []
+    for _ in range(n_frames):
+        w, h, raster, consumed = _parse_ppm(content[pos:])
+        pos += consumed
+        frames.append((w, h, raster))
+    return frames
 
 
 def decode_image(content: bytes):  # pragma: no cover - codec absent here
@@ -280,6 +371,231 @@ def decode_image_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(extract, schema=DECODED_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("mean_sample", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("first_sample", T.IntegerType()),
+        T.StructField("samples_md5", T.StringType()),
+    ]
+)
+
+
+def synthesize_audio(ids: DataFrame, id_col: str = "doc_id", rate: int = 8000) -> DataFrame:
+    """Deterministic PCM16 mono WAV payloads keyed off an id column:
+    sample i is ``((id*31 + i*7) % 201) - 100`` — integer-exact, so the
+    oracle can rebuild the waveform in SQL."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_, contents, metas = [], [], []
+            for raw in pdf[id_col]:
+                did = int(raw)
+                n = 400 + did % 50
+                samples = [((did * 31 + i * 7) % 201) - 100 for i in range(n)]
+                ids_.append(did)
+                contents.append(encode_wav(rate, samples))
+                metas.append(
+                    {
+                        "modality": "audio",
+                        "format": "wav",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": n * 1000 // rate,
+                    }
+                )
+            yield pd.DataFrame({"asset_id": ids_, "content": contents, "meta": metas})
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Real WAV decode inside Arrow-batched mapInPandas: every feature
+    (incl. the sample-string md5) derives from the parsed PCM stream, so
+    chunk-walk or endianness bugs hash-mismatch the oracle."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        for pdf in batches:
+            rows = {k.name: [] for k in AUDIO_SCHEMA.fields}
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                rate, samples = decode_wav(bytes(content))
+                n = len(samples)
+                rows["asset_id"].append(int(aid))
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(n * 1000 // rate)
+                rows["mean_sample"].append(float(sum(samples)) / n)
+                rows["rms"].append(math.sqrt(sum(s * s for s in samples) / n))
+                rows["first_sample"].append(samples[0])
+                rows["samples_md5"].append(
+                    hashlib.md5(",".join(str(s) for s in samples).encode()).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(extract, schema=AUDIO_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("src_w", T.IntegerType()),
+        T.StructField("src_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("r00", T.IntegerType()),
+        T.StructField("g00", T.IntegerType()),
+        T.StructField("b00", T.IntegerType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+def synthesize_gradient_images(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Gradient PPM payloads (pixel value a function of x, y, id): unlike
+    the constant-fill fixtures, resampling coordinates matter, so a
+    resize that picks the wrong source pixel is caught."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_, contents, metas = [], [], []
+            for raw in pdf[id_col]:
+                did = int(raw)
+                w, h = 4 + did % 9, 3 + did % 5
+                raster = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        raster += bytes(
+                            (
+                                1 + (x * 3 + y * 5 + did) % 127,
+                                1 + (x * 7 + y * 11 + did) % 127,
+                                1 + (x * 13 + y * 17 + did) % 127,
+                            )
+                        )
+                content = f"P6\n{w} {h}\n255\n".encode("ascii") + bytes(raster)
+                ids_.append(did)
+                contents.append(content)
+                metas.append(
+                    {
+                        "modality": "image",
+                        "format": "ppm",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame({"asset_id": ids_, "content": contents, "meta": metas})
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def resize_features(media: DataFrame, out_w: int = 4, out_h: int = 3) -> DataFrame:
+    """Decode → nearest-neighbor resize → features of the RESIZED raster
+    (md5 + top-left pixel), all inside one Arrow batch pass."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {k.name: [] for k in RESIZED_SCHEMA.fields}
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                w, h, raster = decode_image_bytes(bytes(content))
+                resized = resize_nearest(w, h, raster, out_w, out_h)
+                rows["asset_id"].append(int(aid))
+                rows["src_w"].append(w)
+                rows["src_h"].append(h)
+                rows["out_w"].append(out_w)
+                rows["out_h"].append(out_h)
+                rows["r00"].append(resized[0])
+                rows["g00"].append(resized[1])
+                rows["b00"].append(resized[2])
+                rows["resized_md5"].append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(extract, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame_mean", T.DoubleType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def synthesize_videos(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """PPMV toy-container payloads: 3–6 constant-fill frames whose color
+    is a function of (id, frame index)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_, contents, metas = [], [], []
+            for raw in pdf[id_col]:
+                did = int(raw)
+                w, h = 2 + did % 3, 1 + did % 3
+                n_frames = 3 + did % 4
+                frames = []
+                for f in range(n_frames):
+                    fill = bytes(
+                        (
+                            1 + (did + 11 * f) % 127,
+                            1 + (7 * did + 5 * f) % 127,
+                            1 + (13 * did + 3 * f) % 127,
+                        )
+                    )
+                    frames.append((w, h, fill * (w * h)))
+                ids_.append(did)
+                contents.append(encode_ppmv(frames))
+                metas.append(
+                    {
+                        "modality": "video",
+                        "format": "ppmv",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": n_frames * 40,
+                    }
+                )
+            yield pd.DataFrame({"asset_id": ids_, "content": contents, "meta": metas})
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def video_frame_features(media: DataFrame, every: int = 2) -> DataFrame:
+    """Frame sampling: decode the container, keep every ``every``-th
+    frame, emit one row per sampled frame — the row-expanding map shape
+    (mapInPandas yields more rows than it consumes) used for real
+    frame-extraction pipelines."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {k.name: [] for k in FRAME_SCHEMA.fields}
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                frames = decode_ppmv_frames(bytes(content))
+                for idx in range(0, len(frames), every):
+                    w, h, raster = frames[idx]
+                    rows["asset_id"].append(int(aid))
+                    rows["frame_idx"].append(idx)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["frame_mean"].append(float(sum(raster)) / len(raster))
+                    rows["frame_md5"].append(hashlib.md5(raster).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(extract, schema=FRAME_SCHEMA)
 
 
 def fake_decode_features(media: DataFrame) -> DataFrame:

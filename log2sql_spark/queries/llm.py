@@ -19,10 +19,16 @@ from log2sql_spark.operators.dedup import (
     simhash,
 )
 from log2sql_spark.operators.multimodal import (
+    audio_features,
     decode_image_features,
     documents_as_media,
     fake_decode_features,
+    resize_features,
+    synthesize_audio,
+    synthesize_gradient_images,
     synthesize_images,
+    synthesize_videos,
+    video_frame_features,
 )
 from log2sql_spark.operators.similarity import brute_force_topk, ivf_topk
 from log2sql_spark.operators.textops import (
@@ -813,3 +819,117 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = synthesize_images(docs)
     return decode_image_features(media).orderBy("asset_id")
+
+
+@query(
+    "llm_multimodal_audio",
+    oracle=r"""
+    WITH p AS (
+      SELECT doc_id, 400 + doc_id % 50 AS n,
+             list_transform(range(0, 400 + doc_id % 50),
+               i -> ((doc_id * 31 + i * 7) % 201) - 100) AS s
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id AS asset_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+           CAST(list_sum(s) AS BIGINT) / n AS mean_sample,
+           sqrt(CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) / n) AS rms,
+           CAST(s[1] AS INTEGER) AS first_sample,
+           md5(array_to_string(list_transform(s, x -> CAST(x AS VARCHAR)), ','))
+             AS samples_md5
+    FROM p
+    ORDER BY asset_id
+    """,
+)
+def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, no codec library: deterministic PCM16 mono WAV
+    payloads (genuine RIFF chunk structure) parsed back by the pure-
+    Python chunk walker inside mapInPandas. The oracle rebuilds the
+    waveform arithmetically — mean/rms are single correctly-rounded
+    divisions of exact integers, and the md5 covers every sample."""
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+    return audio_features(synthesize_audio(docs)).orderBy("asset_id")
+
+
+@query(
+    "llm_multimodal_resize",
+    oracle=r"""
+    WITH p AS (
+      SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INTEGER) AS src_w,
+           CAST(h AS INTEGER) AS src_h,
+           CAST(4 AS INTEGER) AS out_w,
+           CAST(3 AS INTEGER) AS out_h,
+           CAST(1 + doc_id % 127 AS INTEGER) AS r00,
+           CAST(1 + doc_id % 127 AS INTEGER) AS g00,
+           CAST(1 + doc_id % 127 AS INTEGER) AS b00,
+           md5(list_aggregate(list_transform(range(0, 12), p ->
+               chr(CAST(1 + (((p % 4) * w) // 4 * 3
+                        + ((p // 4) * h) // 3 * 5 + doc_id) % 127 AS INTEGER))
+            || chr(CAST(1 + (((p % 4) * w) // 4 * 7
+                        + ((p // 4) * h) // 3 * 11 + doc_id) % 127 AS INTEGER))
+            || chr(CAST(1 + (((p % 4) * w) // 4 * 13
+                        + ((p // 4) * h) // 3 * 17 + doc_id) % 127 AS INTEGER))
+           ), 'string_agg', '')) AS resized_md5
+    FROM p
+    ORDER BY asset_id
+    """,
+)
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize with REAL resampling: gradient PPMs (pixel = f(x, y,
+    id)) are decoded and nearest-neighbor-resized to 4x3; the oracle
+    re-derives every output pixel from the floor source mapping
+    src = (dst * src_dim) // dst_dim and md5s the resized raster, so a
+    wrong source coordinate anywhere hash-mismatches."""
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+    return resize_features(synthesize_gradient_images(docs), 4, 3).orderBy("asset_id")
+
+
+@query(
+    "llm_multimodal_video_frames",
+    oracle=r"""
+    WITH p AS (
+      SELECT doc_id, 2 + doc_id % 3 AS w, 1 + doc_id % 3 AS h,
+             unnest(range(0, 3 + doc_id % 4, 2)) AS f
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id AS asset_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           ((1 + (doc_id + 11 * f) % 127) + (1 + (7 * doc_id + 5 * f) % 127)
+             + (1 + (13 * doc_id + 3 * f) % 127)) / 3.0 AS frame_mean,
+           md5(repeat(chr(CAST(1 + (doc_id + 11 * f) % 127 AS INTEGER))
+                   || chr(CAST(1 + (7 * doc_id + 5 * f) % 127 AS INTEGER))
+                   || chr(CAST(1 + (13 * doc_id + 3 * f) % 127 AS INTEGER)),
+                   CAST(w * h AS INTEGER))) AS frame_md5
+    FROM p
+    ORDER BY asset_id, frame_idx
+    """,
+)
+def llm_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over the PPMV toy container (real mp4/mkv
+    demux needs ffmpeg — absent here — but the container walk, per-frame
+    decode, and the row-expanding mapInPandas shape are all real): every
+    2nd frame's mean and raster md5, one output row per sampled frame."""
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+    return video_frame_features(synthesize_videos(docs), every=2).orderBy(
+        "asset_id", "frame_idx"
+    )

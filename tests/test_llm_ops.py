@@ -278,3 +278,43 @@ def test_multimodal_real_decode_query(spark, sf_dir):
         assert (r["r0"], r["g0"], r["b0"]) == (
             1 + did % 127, 1 + (did * 7) % 127, 1 + (did * 13) % 127
         )
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    from log2sql_spark.operators.multimodal import decode_wav, encode_wav
+    import struct
+
+    samples = [0, 100, -100, 32767, -32768, 7]
+    rate, out = decode_wav(encode_wav(8000, samples))
+    assert rate == 8000 and out == samples
+
+    # fmt after an unknown odd-sized chunk (word-aligned skip), data last
+    data = struct.pack("<3h", 1, -2, 3)
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    body = (b"WAVE"
+            + b"junk" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad to even
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    rate, out = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert rate == 16000 and out == [1, -2, 3]
+
+
+def test_resize_nearest_floor_mapping():
+    from log2sql_spark.operators.multimodal import resize_nearest
+
+    # 2x2 distinct pixels -> 4x4: each source pixel becomes a 2x2 block
+    px = [bytes((i, i, i)) for i in (10, 20, 30, 40)]
+    raster = px[0] + px[1] + px[2] + px[3]
+    out = resize_nearest(2, 2, raster, 4, 4)
+    rows = [out[y * 12 : (y + 1) * 12] for y in range(4)]
+    assert rows[0] == px[0] * 2 + px[1] * 2
+    assert rows[3] == px[2] * 2 + px[3] * 2
+
+
+def test_ppmv_container_walk():
+    from log2sql_spark.operators.multimodal import decode_ppmv_frames, encode_ppmv
+
+    # raster bytes deliberately contain header-lookalike b"\n255\n"
+    tricky = b"\n255\n" + bytes(range(1, 8))  # 12 bytes = 2x2 RGB
+    frames = [(2, 2, tricky), (1, 1, b"\x05\x06\x07")]
+    assert decode_ppmv_frames(encode_ppmv(frames)) == frames
