@@ -192,3 +192,85 @@ def boilerplate_gram_flags(
         .withColumn("n_boiler_grams", F.coalesce("n_boiler_grams", F.lit(0)).cast("long"))
         .withColumn("boiler_frac", F.try_divide("n_boiler_grams", "n_grams"))
     )
+
+
+def embedding_normalize_features(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """L2 normalization audit columns: norm plus first/summed normalized
+    components. Sequential HOF fold keeps the summation order identical
+    to the SQL oracle's list_sum (bit-identical doubles); everything is
+    per-row JVM expression — zero shuffle at any scale."""
+    ed = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vecs = vecs.select("vec_id", ed.alias("ed"))
+    sumsq = F.aggregate("ed", F.lit(0.0), lambda acc, x: acc + x * x)
+    vecs = vecs.withColumn("l2_norm", F.sqrt(sumsq))
+    return vecs.select(
+        "vec_id",
+        "l2_norm",
+        (F.element_at("ed", 1) / F.col("l2_norm")).alias("c0_normalized"),
+        (F.aggregate("ed", F.lit(0.0), lambda acc, x: acc + x) / F.col("l2_norm")).alias(
+            "sum_normalized"
+        ),
+    )
+
+
+def embedding_quantize_features(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization (scale = max|x|/127) with integer
+    audit outputs (sum/min/max/zero-count of the quantized codes — exact
+    on any engine). Rounding is ``floor(x/scale + 0.5)``, not round():
+    round() is decimal-repr half-up on Spark but binary on DuckDB, while
+    floor is bit-deterministic on identical doubles.
+
+    ``scale`` is materialized as a column BEFORE the quantizing lambda:
+    referencing a computed expression inside a HOF lambda re-evaluates
+    it per element (no CSE in HOFs) — O(d²) per row."""
+    ed = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = vecs.select("vec_id", ed.alias("ed")).withColumn(
+        "scale", F.array_max(F.transform("ed", F.abs)) / F.lit(127.0)
+    )
+    q = F.transform("ed", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"))
+    base = base.withColumn("q", q)
+    return base.select(
+        "vec_id",
+        "scale",
+        F.element_at("q", 1).alias("q0"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("sum_q"),
+        F.array_min("q").alias("min_q"),
+        F.array_max("q").alias("max_q"),
+        F.size(F.filter("q", lambda x: x == 0)).cast("long").alias("n_zero"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    context_len: int = 2048,
+    part_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing for pretraining: documents are laid end-to-end
+    in id order within a partition column (here language; in production
+    a shard key) and assigned to the context window their first token
+    lands in — ``bin = start_offset DIV context_len``.
+
+    The cumulative sum is a PARTITIONED window (one per shard), so
+    packing parallelizes across shards instead of serializing the whole
+    corpus through a single global ordering — the 100 TB-safe form of
+    the greedy packer."""
+    from pyspark.sql import Window as W
+
+    tok = F.size(tokens(F.col(text_col))).cast("long")
+    w = W.partitionBy("part").orderBy("id").rowsBetween(W.unboundedPreceding, 0)
+    laid = docs.select(
+        F.col(part_col).alias("part"), F.col(id_col).alias("id"), tok.alias("n_tok")
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    laid = laid.withColumn("bin", F.expr(f"(cum - n_tok) DIV {context_len}"))
+    return (
+        laid.groupBy("part", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.min("id").cast("long").alias("first_doc"),
+            F.max("id").cast("long").alias("last_doc"),
+            (F.sum("n_tok").cast("double") / F.lit(float(context_len))).alias("fill_frac"),
+        )
+    )

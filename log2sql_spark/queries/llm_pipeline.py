@@ -244,3 +244,98 @@ def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id") < 200)
         .orderBy("id")
     )
+
+
+@query(
+    "llm_embedding_normalize",
+    oracle=r"""
+    WITH p AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+      FROM embeddings WHERE vec_id < 300
+    ), n AS (
+      SELECT vec_id, ed, sqrt(list_sum(list_transform(ed, x -> x * x))) AS l2_norm
+      FROM p
+    )
+    SELECT vec_id, l2_norm,
+           ed[1] / l2_norm AS c0_normalized,
+           list_sum(ed) / l2_norm AS sum_normalized
+    FROM n
+    ORDER BY vec_id
+    """,
+)
+def llm_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2 normalization audit: norm + normalized components,
+    sequential-fold summation on both engines (bit-identical doubles,
+    float32 inputs cast exactly to double)."""
+    from log2sql_spark.operators.pipeline import embedding_normalize_features
+
+    vecs = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 300)
+    return embedding_normalize_features(vecs).orderBy("vec_id")
+
+
+@query(
+    "llm_embedding_quantize",
+    oracle=r"""
+    WITH p AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+      FROM embeddings WHERE vec_id < 300
+    ), s AS (
+      SELECT vec_id, ed,
+             list_max(list_transform(ed, x -> abs(x))) / 127.0 AS scale
+      FROM p
+    ), q AS (
+      SELECT vec_id, scale,
+             list_transform(ed, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS q
+      FROM s
+    )
+    SELECT vec_id, scale,
+           q[1] AS q0,
+           CAST(list_sum(q) AS BIGINT) AS sum_q,
+           CAST(list_min(q) AS INTEGER) AS min_q,
+           CAST(list_max(q) AS INTEGER) AS max_q,
+           CAST(len(list_filter(q, x -> x = 0)) AS BIGINT) AS n_zero
+    FROM q
+    ORDER BY vec_id
+    """,
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization with integer audit columns; rounding
+    is floor(x/scale + 0.5) because round() diverges across engines on
+    .5-boundary doubles while floor is bit-deterministic."""
+    from log2sql_spark.operators.pipeline import embedding_quantize_features
+
+    vecs = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 300)
+    return embedding_quantize_features(vecs).orderBy("vec_id")
+
+
+@query(
+    "llm_pack_sequences",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang AS part, doc_id AS id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT *, sum(n_tok) OVER (PARTITION BY part ORDER BY id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT part, CAST((cum - n_tok) // 512 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(min(id) AS BIGINT) AS first_doc,
+           CAST(max(id) AS BIGINT) AS last_doc,
+           CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE) / 512.0 AS fill_frac
+    FROM c
+    GROUP BY 1, 2
+    ORDER BY part, bin
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 512-token context windows,
+    partitioned by language (the shard key at scale): a doc belongs to
+    the window its first token lands in."""
+    from log2sql_spark.operators.pipeline import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pack_sequences(docs, context_len=512).orderBy("part", "bin")

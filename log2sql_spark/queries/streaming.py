@@ -104,3 +104,25 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_after_dedup"))
         .crossJoin(ev.agg(F.count("*").alias("n_original")))
     )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (batch form of the same
+    builder the stream runs): events x customer dimension, per-segment
+    event rollup. Money via integer cents."""
+    from log2sql_spark.streaming.windows import static_enrich_counts
+
+    events = load_table(spark, "events", sf_dir)
+    dim = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    return static_enrich_counts(events, dim).orderBy("c_mktsegment", "event_type")

@@ -68,3 +68,21 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str |
             "session_value",
         )
     )
+
+
+def static_enrich_counts(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: events joined to a static dimension
+    (broadcast — the dimension is loaded once per executor and never
+    shuffles the stream side), aggregated per (segment, event_type).
+
+    In streaming this is the canonical stream-static join: the static
+    side is re-broadcast per micro-batch, no state store involved. The
+    builder takes batch or streaming events unchanged."""
+    return (
+        events.join(F.broadcast(dim), events["user_id"] == dim["c_custkey"])
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias("total_value"),
+        )
+    )

@@ -257,3 +257,41 @@ def test_stream_parse_survives_multipartition_file(spark, tmp_path):
             "UPDATE `shop`.`orders` SET `id`=1, `status`='v%d' "
             "WHERE `id`=1 AND `status`='v%d' LIMIT 1;" % (i, i - 1)
         ), r["sql_text"]
+
+
+def test_stream_static_join_runs_as_stream(spark, tmp_path):
+    """static_enrich_counts on a real readStream: the static dimension
+    broadcasts per micro-batch, no state store needed for the join."""
+    import pandas as pd
+
+    from log2sql_spark.streaming.windows import static_enrich_counts
+
+    ev_dir = tmp_path / "ev"
+    pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-05-01 12:00:00", "2024-05-01 12:01:00"]),
+            "user_id": [1, 2],
+            "event_type": ["click", "view"],
+            "value": [1.5, 2.25],
+        }
+    ).to_parquet(ev_dir / "part0.parquet") if ev_dir.mkdir() is None else None
+    dim = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY")], ["c_custkey", "c_mktsegment"]
+    )
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, event_type string, value double"
+    ).parquet(str(ev_dir))
+    q = (
+        static_enrich_counts(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["c_mktsegment"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    assert rows == {("BUILDING", "click"): (1, 1.5), ("MACHINERY", "view"): (1, 2.25)}
