@@ -644,3 +644,102 @@ def join_interval_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_close_pairs"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "window_range_interval",
+    oracle="""
+    SELECT event_id, event_type, ts,
+           sum(CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY event_type ORDER BY ts
+                   RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
+             / 100.0 AS rolling_10m_value,
+           CAST(count(*) OVER (PARTITION BY event_type ORDER BY ts
+                   RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS rolling_10m_events
+    FROM events
+    WHERE event_id < 2000
+    ORDER BY event_id
+    """,
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window over event time (vs the ROWS frames elsewhere):
+    a true time-interval frame — peers are selected by timestamp
+    distance, not row count. Money as integer cents inside the frame
+    sum so the rolling total is order-independent."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 2000)
+    # RANGE frames need a numeric sort key in Spark: seconds since epoch.
+    # microsecond sort key: unix_timestamp() truncates to seconds, which
+    # would shift frame boundaries vs the oracle's full-precision INTERVAL
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "ts",
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")).over(w) / 100.0).alias(
+                "rolling_10m_value"
+            ),
+            F.count("*").over(w).cast("long").alias("rolling_10m_events"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "sql_multi_cte",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment, c_custkey FROM customer
+    ), per_cust AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT seg.c_mktsegment, per_cust.n_orders, per_cust.cents,
+             row_number() OVER (PARTITION BY seg.c_mktsegment
+                                ORDER BY per_cust.cents DESC, per_cust.o_custkey) AS rk
+      FROM per_cust JOIN seg ON per_cust.o_custkey = seg.c_custkey
+    )
+    SELECT c_mktsegment, rk, n_orders, cents / 100.0 AS total_spend
+    FROM ranked WHERE rk <= 3
+    ORDER BY c_mktsegment, rk
+    """,
+)
+def sql_multi_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end end-to-end: temp views + a multi-CTE
+    ``spark.sql`` query (join, window, top-k per group) — proving a
+    reference user can drive the engine with plain SQL, not just the
+    DataFrame API. Tie-break on o_custkey makes the per-segment top-3
+    deterministic; money stays integer cents until the final scale."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer_v")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        WITH seg AS (
+          SELECT c_mktsegment, c_custkey FROM customer_v
+        ), per_cust AS (
+          SELECT o_custkey,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+          FROM orders_v GROUP BY o_custkey
+        ), ranked AS (
+          SELECT seg.c_mktsegment, per_cust.n_orders, per_cust.cents,
+                 row_number() OVER (PARTITION BY seg.c_mktsegment
+                                    ORDER BY per_cust.cents DESC, per_cust.o_custkey) AS rk
+          FROM per_cust JOIN seg ON per_cust.o_custkey = seg.c_custkey
+        )
+        -- CAST to DOUBLE: in SQL text 100.0 is a DECIMAL literal (unlike
+        -- F.lit(100.0)), and BIGINT/DECIMAL would yield DECIMAL output
+        SELECT c_mktsegment, rk, n_orders, CAST(cents AS DOUBLE) / 100.0D AS total_spend
+        FROM ranked WHERE rk <= 3
+        ORDER BY c_mktsegment, rk
+        """
+    )
