@@ -743,3 +743,67 @@ def sql_multi_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment, rk
         """
     )
+
+
+_BUCKETED_READY: set[str] = set()
+
+
+@query(
+    "bucketed_join_colocated",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketing — the 100 TB fact⋈fact
+    pattern when neither side broadcasts: both tables are written
+    ``bucketBy(8, key)`` (same count, same key), so the sort-merge join
+    consumes bucket layout directly and the ONLY exchange in the query
+    is the final small groupBy. ``hint('merge')`` pins SMJ so the
+    broadcast planner can't hide the property being demonstrated
+    (tests/test_plans.py asserts zero Exchange under the join)."""
+    import hashlib
+    import tempfile
+
+    db = "bkt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if db not in _BUCKETED_READY or not spark.catalog.tableExists(f"{db}.orders_b"):
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        base = tempfile.mkdtemp(prefix="log2sql_bucketed_")
+        (
+            load_table(spark, "orders", sf_dir)
+            .select("o_custkey", "o_totalprice")
+            .write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .option("path", f"{base}/orders_b")
+            .mode("overwrite")
+            .saveAsTable(f"{db}.orders_b")
+        )
+        (
+            load_table(spark, "customer", sf_dir)
+            .select("c_custkey", "c_mktsegment")
+            .write.bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .option("path", f"{base}/customer_b")
+            .mode("overwrite")
+            .saveAsTable(f"{db}.customer_b")
+        )
+        _BUCKETED_READY.add(db)
+    o = spark.table(f"{db}.orders_b")
+    c = spark.table(f"{db}.customer_b")
+    return (
+        o.hint("merge")
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0).alias(
+                "total_spend"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -193,3 +193,23 @@ def test_simhash_single_explode_single_shuffle(spark):
     same = spark.createDataFrame([(1, "x y z"), (2, "x y z")], ["doc_id", "text"])
     vals = [r["simhash"] for r in simhash(same, bits=16).collect()]
     assert vals[0] == vals[1]
+
+
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    """Both sides bucketed by the join key: the sort-merge join must
+    consume bucket layout directly — the whole query's only shuffle is
+    the final groupBy."""
+    from log2sql_spark.plans.explain import explain_str, shuffle_count
+    from log2sql_spark.queries.extra2 import bucketed_join_colocated
+
+    import hashlib
+
+    df = bucketed_join_colocated(spark, sf_dir)  # also materializes tables
+    plan = explain_str(df)
+    assert "SortMergeJoin" in plan
+    # full query: exactly the groupBy + orderBy exchanges, none for the join
+    assert shuffle_count(df) == 2, plan
+    db = "bkt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    o, c = spark.table(f"{db}.orders_b"), spark.table(f"{db}.customer_b")
+    bare = o.hint("merge").join(c, o["o_custkey"] == c["c_custkey"])
+    assert shuffle_count(bare) == 0, explain_str(bare)
