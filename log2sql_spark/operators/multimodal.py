@@ -344,20 +344,45 @@ def synthesize_images(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def decode_image_features(media: DataFrame) -> DataFrame:
+DECODED_SAFE_SCHEMA = T.StructType(
+    DECODED_SCHEMA.fields + [T.StructField("decode_error", T.StringType())]
+)
+
+
+def decode_image_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """Real-decode feature extraction: each asset's binary content goes
     through the format-sniffing pure-Python decoders (PPM/BMP) and the
     decoded raster — not the container bytes — feeds the features, so a
     header, padding, channel-order, or raster-orientation bug breaks the
-    oracle hash."""
+    oracle hash.
+
+    ``on_error``: ``'raise'`` fails the task (strict mode for verified
+    fixtures); ``'null'`` emits the row with NULL features plus a
+    ``decode_error`` message column — at 100 TB a handful of corrupt
+    assets must not kill the job, and quarantining them by filtering on
+    ``decode_error IS NOT NULL`` beats a 400-stage retry loop."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    schema = DECODED_SCHEMA if on_error == "raise" else DECODED_SAFE_SCHEMA
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            rows = {k.name: [] for k in DECODED_SCHEMA.fields}
+            rows = {k.name: [] for k in schema.fields}
             for aid, content, meta in zip(pdf["asset_id"], pdf["content"], pdf["meta"]):
-                w, h, raster = decode_image_bytes(bytes(content))
+                try:
+                    w, h, raster = decode_image_bytes(bytes(content))
+                except Exception as exc:
+                    if on_error == "raise":
+                        raise
+                    rows["asset_id"].append(int(aid))
+                    rows["format"].append(meta["format"] if meta is not None else None)
+                    for k in ("width", "height", "n_pixels", "pixel_mean",
+                              "r0", "g0", "b0", "raster_md5"):
+                        rows[k].append(None)
+                    rows["decode_error"].append(f"{type(exc).__name__}: {exc}")
+                    continue
                 rows["asset_id"].append(int(aid))
                 rows["format"].append(meta["format"] if meta is not None else None)
                 rows["width"].append(w)
@@ -368,9 +393,11 @@ def decode_image_features(media: DataFrame) -> DataFrame:
                 rows["g0"].append(raster[1])
                 rows["b0"].append(raster[2])
                 rows["raster_md5"].append(hashlib.md5(raster).hexdigest())
+                if on_error == "null":
+                    rows["decode_error"].append(None)
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(extract, schema=DECODED_SCHEMA)
+    return media.mapInPandas(extract, schema=schema)
 
 
 AUDIO_SCHEMA = T.StructType(

@@ -339,3 +339,48 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return pack_sequences(docs, context_len=512).orderBy("part", "bin")
+
+
+@query(
+    "llm_source_mix",
+    oracle=r"""
+    WITH t AS (
+      SELECT source, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ), g AS (
+      SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens
+      FROM t GROUP BY 1, 2
+    )
+    SELECT source, lang, n_docs, total_tokens,
+           CAST(total_tokens AS DOUBLE)
+             / (SELECT CAST(sum(n_tok) AS BIGINT) FROM t) AS token_share
+    FROM g
+    ORDER BY source, lang
+    """,
+)
+def llm_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture audit: token counts and corpus share per
+    (source, lang) — the numbers a pretraining mixture re-weighter
+    consumes. The corpus total rides as a broadcast 1-row aggregate
+    (no eager driver-side count), and the share is one division of
+    exact integers."""
+    from log2sql_spark.operators.dedup import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source", "lang", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    g = toks.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+    total = toks.agg(F.sum("n_tok").cast("double").alias("_corpus_tok"))
+    return (
+        g.crossJoin(F.broadcast(total))
+        .withColumn("token_share", F.col("total_tokens") / F.col("_corpus_tok"))
+        .drop("_corpus_tok")
+        .orderBy("source", "lang")
+    )

@@ -318,3 +318,27 @@ def test_ppmv_container_walk():
     tricky = b"\n255\n" + bytes(range(1, 8))  # 12 bytes = 2x2 RGB
     frames = [(2, 2, tricky), (1, 1, b"\x05\x06\x07")]
     assert decode_ppmv_frames(encode_ppmv(frames)) == frames
+
+
+def test_decode_image_features_error_quarantine(spark):
+    """on_error='null': corrupt assets yield NULL features + an error
+    message instead of killing the job; strict mode still raises."""
+    import pyspark
+    from log2sql_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_features,
+        encode_ppm,
+    )
+
+    rows = [
+        (1, bytearray(encode_ppm(2, 2, 9, 9, 9)), ("image", "ppm", 2, 2, None)),
+        (2, bytearray(b"P6\n2 2\n255\nshort"), ("image", "ppm", 2, 2, None)),  # truncated
+        (3, bytearray(b"\x00\x01garbage"), ("image", "???", None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["asset_id"]: r for r in decode_image_features(media, on_error="null").collect()}
+    assert out[1]["decode_error"] is None and out[1]["n_pixels"] == 4
+    assert out[2]["raster_md5"] is None and "truncated" in out[2]["decode_error"]
+    assert out[3]["decode_error"] is not None
+    with pytest.raises(Exception):
+        decode_image_features(media, on_error="raise").collect()
