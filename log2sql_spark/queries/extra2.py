@@ -807,3 +807,91 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "timeseries_rollup_hierarchy",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mon,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM orders
+    GROUP BY ROLLUP (1, 2)
+    ORDER BY yr NULLS FIRST, mon NULLS FIRST
+    """,
+)
+def timeseries_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup (the hypertable/continuous-aggregate shape):
+    year → month subtotals + grand total in one pass — Spark computes
+    all grouping sets in a single shuffle with partial aggregation."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.select(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mon"),
+            "o_totalprice",
+        )
+        .rollup("yr", "mon")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0).alias(
+                "total_value"
+            ),
+        )
+        .orderBy(F.asc_nulls_first("yr"), F.asc_nulls_first("mon"))
+    )
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+    WITH names AS (
+      SELECT DISTINCT p_name FROM part
+    ), typos AS (
+      SELECT p_name AS orig,
+             substr(p_name, 1, 2) || substr(p_name, 4) AS typo
+      FROM names WHERE length(p_name) >= 4
+    )
+    SELECT t.typo, n.p_name AS matched,
+           CAST(levenshtein(t.typo, n.p_name) AS INTEGER) AS dist
+    FROM typos t JOIN names n
+      ON substr(t.typo, 1, 2) = substr(n.p_name, 1, 2)
+     AND abs(length(t.typo) - length(n.p_name)) <= 2
+     AND levenshtein(t.typo, n.p_name) <= 2
+    ORDER BY t.typo, n.p_name
+    """,
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) join with blocking: deterministic typos
+    (3rd char dropped) matched back to the name dictionary on
+    levenshtein ≤ 2 — but only within a (2-char prefix, ±2 length)
+    block, so the quadratic distance computation runs per block, never
+    all-pairs. The equi prefix key is what Spark shuffles on; the
+    distance predicate filters inside the block — the standard entity-
+    resolution shape at scale."""
+    names = load_table(spark, "part", sf_dir).select("p_name").distinct()
+    typos = names.filter(F.length("p_name") >= 4).select(
+        F.col("p_name").alias("orig"),
+        F.concat(
+            F.col("p_name").substr(1, 2), F.expr("substr(p_name, 4)")
+        ).alias("typo"),
+    )
+    n = names.alias("n")
+    t = typos.alias("t")
+    return (
+        t.join(
+            n,
+            (F.col("t.typo").substr(1, 2) == F.col("n.p_name").substr(1, 2))
+            & (
+                F.abs(F.length("t.typo") - F.length("n.p_name")) <= 2
+            )
+            & (F.levenshtein(F.col("t.typo"), F.col("n.p_name")) <= 2),
+        )
+        .select(
+            "t.typo",
+            F.col("n.p_name").alias("matched"),
+            F.levenshtein(F.col("t.typo"), F.col("n.p_name")).cast("int").alias("dist"),
+        )
+        .orderBy("typo", "matched")
+    )
