@@ -29,24 +29,36 @@ def asof_join(
     on: str,
     by: str,
     right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Left as-of join: latest ``right`` row with ``right.on <= left.on``
-    per ``by`` key. Returns all left columns + requested right columns.
+    """Left as-of join per ``by`` key: ``direction='backward'`` picks the
+    latest ``right`` row with ``right.on <= left.on``; ``'forward'`` the
+    earliest with ``right.on >= left.on``. Returns all left columns +
+    requested right columns.
 
     Ties on the timestamp resolve to the right row (matches
-    pandas.merge_asof and DuckDB ASOF JOIN '<=' semantics).
+    pandas.merge_asof and DuckDB ASOF JOIN semantics). With
+    ``tolerance_seconds``, a match farther than the tolerance is nulled
+    out — the left row is kept (merge_asof tolerance semantics).
 
     The right side is carried as ONE struct column with a single
     ``last(ignorenulls=True)``: carrying each right column independently
     would stitch columns from DIFFERENT right rows whenever the latest
     right row holds a NULL in one of them — merge_asof/ASOF JOIN carry
-    the whole latest row, NULL fields included.
+    the whole latest row, NULL fields included. Either direction costs
+    ONE shuffle on the key (the window's sort order flips, nothing else).
     """
     import pyspark.sql.types as T
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
+    # _match_ts rides inside the struct so tolerance can compare against
+    # the ACTUAL matched row's timestamp after the window carry.
     r_struct_type = T.StructType(
         [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+        + [T.StructField("_match_ts", right.schema[on].dataType)]
     )
 
     lt = left.select(
@@ -61,20 +73,39 @@ def asof_join(
         F.col(on).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(lt.schema["_l"].dataType).alias("_l"),
-        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("_r"),
+        F.struct(
+            *[F.col(c).alias(c) for c in right_cols],
+            F.col(on).alias("_match_ts"),
+        ).alias("_r"),
     )
     # right rows sort before left rows at equal ts (side 0 < 1) so an
-    # exactly-simultaneous right row IS visible to the left row.
+    # exactly-simultaneous right row IS visible to the left row; for
+    # 'forward' the timestamp order flips and the carry runs backwards
+    # through time, yielding the earliest following right row.
+    order = [F.col("_ts").desc() if direction == "forward" else F.col("_ts").asc(), "_side"]
     w = (
         W.partitionBy("_key")
-        .orderBy("_ts", "_side")
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = lt.unionByName(rt).select(
         "_side",
+        "_ts",
         "_l",
         F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
+    if tolerance_seconds is not None:
+        # cast covers TIMESTAMP_NTZ inputs (session TZ is pinned to UTC)
+        within = (
+            F.abs(
+                F.unix_micros(F.col("_r._match_ts").cast("timestamp"))
+                - F.unix_micros(F.col("_ts").cast("timestamp"))
+            )
+            <= int(tolerance_seconds * 1_000_000)
+        )
+        carried = carried.withColumn(
+            "_r", F.when(within, F.col("_r")).otherwise(F.lit(None).cast(r_struct_type))
+        )
     out = carried.filter(F.col("_side") == 1).select(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],
         *[F.col(f"_r.{c}").alias(c) for c in right_cols],

@@ -895,3 +895,83 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("typo", "matched")
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH ship AS (
+      SELECT l_orderkey, l_shipdate, l_linenumber, l_quantity FROM (
+        SELECT l_orderkey, l_shipdate, l_linenumber, l_quantity,
+               row_number() OVER (PARTITION BY l_orderkey, l_shipdate
+                                  ORDER BY l_linenumber) AS rn
+        FROM lineitem
+      ) WHERE rn = 1
+    ), o AS (
+      SELECT o_orderkey, o_orderdate, o_totalprice FROM orders WHERE o_orderkey < 4000
+    )
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CASE WHEN s.l_shipdate - o.o_orderdate <= INTERVAL 75 DAY
+                THEN s.l_shipdate END AS first_ship,
+           CASE WHEN s.l_shipdate - o.o_orderdate <= INTERVAL 75 DAY
+                THEN s.l_quantity END AS first_ship_qty
+    FROM o ASOF LEFT JOIN ship s
+      ON o.o_orderkey = s.l_orderkey AND s.l_shipdate >= o.o_orderdate
+    ORDER BY o.o_orderkey
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: each order picks its EARLIEST
+    shipment at-or-after the order date, nulled when it ships more than
+    75 days out (merge_asof tolerance semantics — the left row
+    survives). Same union+window kernel as the backward join, one
+    shuffle; only the window's time order flips."""
+    from pyspark.sql import Window as W
+
+    from log2sql_spark.operators.asof import asof_join
+
+    left = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") < 4000)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_orderdate").alias("ts"),
+            "o_totalprice",
+        )
+    )
+    right = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_shipdate", "l_linenumber", "l_quantity")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("l_orderkey", "l_shipdate").orderBy("l_linenumber")
+            ),
+        )
+        .filter("rn = 1")
+        .select(
+            F.col("l_orderkey").alias("key"),
+            F.col("l_shipdate").alias("ts"),
+            F.col("l_shipdate").alias("ship_ts"),
+            "l_quantity",
+        )
+    )
+    return (
+        asof_join(
+            left,
+            right,
+            on="ts",
+            by="key",
+            right_cols=["ship_ts", "l_quantity"],
+            direction="forward",
+            tolerance_seconds=75 * 86400,
+        )
+        .select(
+            F.col("key").alias("o_orderkey"),
+            F.col("ts").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("ship_ts").alias("first_ship"),
+            F.col("l_quantity").alias("first_ship_qty"),
+        )
+        .orderBy("o_orderkey")
+    )

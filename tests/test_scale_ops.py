@@ -150,3 +150,36 @@ def test_asof_join_carries_whole_right_row(spark):
     (row,) = asof_join(left, right, on="ts", by="key").collect()
     assert row["price"] == "new_price"
     assert row["note"] is None  # round-1 shape resurrected "old_note"
+
+
+def test_asof_forward_and_tolerance(spark):
+    """direction='forward' picks the earliest following right row; the
+    tolerance nulls far matches but keeps the left row; equal timestamps
+    match in both directions."""
+    from datetime import datetime
+
+    from log2sql_spark.operators.asof import asof_join
+
+    L = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10)), (1, datetime(2024, 1, 1, 12)),
+         (1, datetime(2024, 1, 1, 23)), (2, datetime(2024, 1, 1, 10))],
+        ["key", "ts"],
+    )
+    R = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12), "noon"), (1, datetime(2024, 1, 1, 13), "later")],
+        ["key", "ts", "v"],
+    )
+    fwd = {
+        (r["key"], r["ts"].hour): r["v"]
+        for r in asof_join(L, R, on="ts", by="key", direction="forward").collect()
+    }
+    assert fwd == {(1, 10): "noon", (1, 12): "noon", (1, 23): None, (2, 10): None}
+
+    tol = {
+        (r["key"], r["ts"].hour): r["v"]
+        for r in asof_join(
+            L, R, on="ts", by="key", direction="forward", tolerance_seconds=3600
+        ).collect()
+    }
+    # 10:00 -> nearest forward is 12:00, 2h away: nulled by 1h tolerance
+    assert tol == {(1, 10): None, (1, 12): "noon", (1, 23): None, (2, 10): None}
