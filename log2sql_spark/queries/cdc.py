@@ -496,3 +496,76 @@ def cdc_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("op")
     )
+
+
+@query(
+    "cdc_apply_final_state",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT CAST(o_orderkey AS VARCHAR) AS key,
+           CASE WHEN o_orderkey % 3 = 0 THEN cents + 500 ELSE cents END AS cents
+    FROM src
+    WHERE o_orderkey % 5 <> 0
+    ORDER BY key
+    """,
+)
+def cdc_apply_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE materialization: a mixed insert/update/delete dump is
+    replayed into final table state — newest image per key wins
+    (ordered by file, start_pos, event_seq — the same ranking the
+    streaming keyed-state apply uses), deletes drop the key. This is
+    what ``DeltaTable.merge`` would compute; here it is one window over
+    the parsed envelope. Every key is inserted; keys %3==0 get a +500
+    update; keys %5==0 are deleted — the oracle rebuilds the surviving
+    state arithmetically."""
+    from pyspark.sql import Window as W
+
+    from log2sql_spark.sources.binlog import read_binlog
+    from log2sql_spark.sources.catalog import resolve_columns
+
+    rows = _orders_subset(spark, sf_dir)
+    events = []
+    for r in rows:
+        events.append(
+            {"op": "insert", "db": "shop", "table": "orders",
+             "ts": r["o_orderdate"], "values": _row_tokens(r)}
+        )
+    for r in rows:
+        if r["o_orderkey"] % 3 == 0:
+            events.append(
+                {"op": "update", "db": "shop", "table": "orders",
+                 "ts": r["o_orderdate"],
+                 "before": [(1, str(r["o_orderkey"])), (4, str(r["cents"]))],
+                 "after": [(1, str(r["o_orderkey"])), (4, str(r["cents"] + 500))]}
+            )
+    for r in rows:
+        if r["o_orderkey"] % 5 == 0:
+            events.append(
+                {"op": "delete", "db": "shop", "table": "orders",
+                 "ts": r["o_orderdate"],
+                 "values": [(1, str(r["o_orderkey"]))]}
+            )
+    path = _write_dump(events)
+    cat = catalog_from_dict(spark, _CATALOG_SPEC)
+    resolved = resolve_columns(read_binlog(spark, path), cat)
+    changes = resolved.select(
+        F.element_at(F.coalesce("after", "before"), "o_orderkey").alias("key"),
+        "op",
+        "after",
+        "file",
+        "start_pos",
+        "event_seq",
+    )
+    w = W.partitionBy("key").orderBy(
+        F.desc("file"), F.desc("start_pos"), F.desc("event_seq")
+    )
+    return (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .filter(F.col("op") != "delete")
+        .select(
+            "key",
+            F.element_at("after", "o_totalprice_cents").cast("long").alias("cents"),
+        )
+        .orderBy("key")
+    )
