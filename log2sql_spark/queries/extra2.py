@@ -975,3 +975,79 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "string_funcs3",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_name, ' ', 1) AS first_word,
+           translate(p_name, 'aeiou', '12345') AS translated,
+           repeat(left(p_name, 2), 3) AS repeated,
+           reverse(p_name) AS reversed_name,
+           CAST(ascii(p_name) AS INTEGER) AS first_code,
+           left(p_name, 3) AS l3,
+           right(p_name, 3) AS r3,
+           CAST(instr(p_name, 'a') AS BIGINT) AS a_pos,
+           to_hex(p_partkey) AS key_hex,
+           bin(p_partkey) AS key_bin
+    FROM part
+    WHERE p_partkey < 800
+    ORDER BY p_partkey
+    """,
+)
+def string_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third string-function batch: split_part / translate / repeat /
+    reverse / ascii / left / right / instr / hex / bin — all JVM
+    expressions, all reproducible in the oracle dialect."""
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_partkey") < 800)
+    name = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.split_part(name, F.lit(" "), F.lit(1)).alias("first_word"),
+        F.translate(name, "aeiou", "12345").alias("translated"),
+        F.repeat(F.substring(name, 1, 2), 3).alias("repeated"),
+        F.reverse(name).alias("reversed_name"),
+        F.ascii(name).cast("int").alias("first_code"),
+        F.expr("left(p_name, 3)").alias("l3"),
+        F.expr("right(p_name, 3)").alias("r3"),
+        F.instr(name, "a").cast("long").alias("a_pos"),
+        F.hex(F.col("p_partkey")).alias("key_hex"),
+        F.bin(F.col("p_partkey")).alias("key_bin"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "date_funcs3",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           CAST(make_date(CAST(year(o_orderdate) AS INTEGER),
+                     CAST(month(o_orderdate) AS INTEGER), 1) AS TIMESTAMP) AS month_start,
+           CAST(date_add(CAST(o_orderdate AS DATE), INTERVAL 2 MONTH) AS TIMESTAMP)
+             AS plus_two_months,
+           strftime(o_orderdate, '%Y/%m') AS ym
+    FROM orders
+    WHERE o_orderkey < 2000
+    ORDER BY o_orderkey
+    """,
+)
+def date_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third date-function batch: last_day / quarter / ISO week /
+    day-of-year / make_date / add_months (end-of-month clamped the same
+    way on both engines) / date_format."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).cast("timestamp").alias("month_start"),
+        F.add_months(d.cast("date"), 2).cast("timestamp").alias("plus_two_months"),
+        F.date_format(d, "yyyy/MM").alias("ym"),
+    ).orderBy("o_orderkey")
