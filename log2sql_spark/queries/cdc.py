@@ -569,3 +569,52 @@ def cdc_apply_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+@query(
+    "cdc_datasource_scan",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT 4 + 120 * (rn - 1) AS start_pos,
+           4 + 120 * rn AS stop_pos,
+           'insert' AS op, 'shop' AS db, 'orders' AS "table",
+           CAST(o_orderkey AS VARCHAR) AS key
+    FROM src
+    WHERE o_orderkey % 2 = 0 AND 4 + 120 * (rn - 1) >= 1000
+    ORDER BY start_pos
+    """,
+)
+def cdc_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'binlog' Python DataSource (Spark 4 DataSource V2 API):
+    ``spark.read.format('binlog')`` with REAL predicate pushdown — the
+    op/db equality and the start_pos range are handled inside the
+    source (``BinlogReader.pushFilters``), so filtered events never
+    reach Spark, mirroring the reference's argv-level range pushdown
+    (main.py:88-105). The residual key predicate stays in Spark."""
+    from log2sql_spark.sources.binlog_datasource import register
+
+    register(spark)  # the driver's session doesn't come from get_spark()
+    rows = _orders_subset(spark, sf_dir)
+    events = [
+        {"op": "insert", "db": "shop", "table": "orders",
+         "ts": r["o_orderdate"], "values": _row_tokens(r)}
+        for r in rows
+    ]
+    path = _write_dump(events)
+    env = (
+        spark.read.format("binlog")
+        .load(path)
+        .filter(
+            (F.col("op") == "insert")
+            & (F.col("db") == "shop")
+            & (F.col("start_pos") >= 1000)
+        )
+        .select(
+            "start_pos", "stop_pos", "op", "db", "table",
+            # raw envelope: row images are keyed by ordinal ("1", "2", ...)
+            # until resolve_columns applies the catalog
+            F.element_at("after", "1").alias("key"),
+        )
+        .filter(F.col("key").cast("long") % 2 == 0)
+    )
+    return env.orderBy("start_pos")

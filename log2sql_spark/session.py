@@ -25,7 +25,7 @@ def get_spark(app_name: str = "log2sql_spark", cpus: str | None = None) -> Spark
     core count; AQE coalescing makes an over-estimate cheap.
     """
     cpus = cpus or _DEFAULT_CPUS
-    return (
+    spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
@@ -43,3 +43,8 @@ def get_spark(app_name: str = "log2sql_spark", cpus: str | None = None) -> Spark
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .getOrCreate()
     )
+    # expose spark.read.format("binlog") (Python DataSource V2)
+    from log2sql_spark.sources.binlog_datasource import register
+
+    register(spark)
+    return spark

@@ -1,0 +1,155 @@
+"""Python DataSource V2: ``spark.read.format("binlog").load(path)``.
+
+The most idiomatic Spark packaging of the binlog reader (Spark 4's
+Python DataSource API): the envelope schema is the source schema, one
+input partition per dump file (parallelism = file count, matching
+``read_binlog``'s wholetext plan), and predicate pushdown is REAL —
+equality/IN on (op, db, table) and range comparisons on
+(start_pos, stop_pos) are evaluated inside the source before rows ever
+reach Spark, reproducing the reference's R1 argv-level range pushdown
+(``main.py:88-105``) at the DataSource boundary.
+
+Registration happens in ``log2sql_spark.get_spark`` (best-effort), so
+any session can use the format name directly.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from log2sql_spark.sources.binlog import ENVELOPE_SCHEMA, parse_binlog_lines
+
+_EQ_COLS = {"op", "db", "table"}
+_RANGE_COLS = {"start_pos", "stop_pos"}
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class BinlogReaderBase(DataSourceReader):
+    """Scan without pushdown — used when the session has
+    ``spark.sql.python.filterPushdown.enabled=false`` (a reader that
+    defines pushFilters under that conf is rejected outright)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("binlog source requires a path: .load('/dumps/*.txt')")
+        # pushed predicates: col -> set (equality/IN), col -> [(op, bound)]
+        self.eq: dict[str, set] = {}
+        self.ranges: dict[str, list[tuple[str, int]]] = {}
+
+    def partitions(self) -> list[_FilePartition]:
+        paths = (
+            sorted(glob.glob(os.path.join(self.path, "*")))
+            if os.path.isdir(self.path)
+            else sorted(glob.glob(self.path))
+        )
+        if not paths:
+            raise FileNotFoundError(f"no binlog dumps match {self.path!r}")
+        return [_FilePartition(p) for p in paths]
+
+    def _keep(self, ev: dict) -> bool:
+        for col, allowed in self.eq.items():
+            if ev.get(col) not in allowed:
+                return False
+        for col, bounds in self.ranges.items():
+            v = ev.get(col)
+            if v is None:
+                return False
+            for op, bound in bounds:
+                if op == ">" and not v > bound:
+                    return False
+                if op == ">=" and not v >= bound:
+                    return False
+                if op == "<" and not v < bound:
+                    return False
+                if op == "<=" and not v <= bound:
+                    return False
+        return True
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        with open(partition.path, encoding="utf-8", errors="replace") as fh:
+            # split('\n') to match the line-based text source exactly
+            # (splitlines also breaks on \x1c-\x1e/\x85, corrupting values)
+            lines = fh.read().split("\n")
+        fields = [f.name for f in ENVELOPE_SCHEMA.fields]
+        for ev in parse_binlog_lines(lines, file=partition.path):
+            if self._keep(ev):
+                yield tuple(ev.get(name) for name in fields)
+
+
+class BinlogReader(BinlogReaderBase):
+    """Scan WITH predicate pushdown (requires the filterPushdown conf)."""
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        for f in filters:
+            col = f.attribute[-1] if hasattr(f, "attribute") else None
+            if isinstance(f, EqualTo) and col in _EQ_COLS:
+                self.eq.setdefault(col, set()).add(f.value)
+            elif isinstance(f, In) and col in _EQ_COLS:
+                self.eq.setdefault(col, set()).update(f.value)
+            elif isinstance(f, GreaterThan) and col in _RANGE_COLS:
+                self.ranges.setdefault(col, []).append((">", f.value))
+            elif isinstance(f, GreaterThanOrEqual) and col in _RANGE_COLS:
+                self.ranges.setdefault(col, []).append((">=", f.value))
+            elif isinstance(f, LessThan) and col in _RANGE_COLS:
+                self.ranges.setdefault(col, []).append(("<", f.value))
+            elif isinstance(f, LessThanOrEqual) and col in _RANGE_COLS:
+                self.ranges.setdefault(col, []).append(("<=", f.value))
+            else:
+                yield f  # not handled here; Spark evaluates it post-scan
+
+
+class BinlogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "binlog"
+
+    def schema(self):
+        return ENVELOPE_SCHEMA
+
+    def reader(self, schema) -> BinlogReaderBase:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        try:
+            enabled = (
+                spark is not None
+                and spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+                == "true"
+            )
+        except Exception:
+            enabled = False
+        return BinlogReader(self.options) if enabled else BinlogReaderBase(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the 'binlog' format + the runtime conf
+    its pushdown needs. Called from ``get_spark`` AND from queries, so a
+    foreign session (the driver's) gets the format too."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # conf locked down: pushFilters then simply isn't consulted
+    try:
+        spark.dataSource.register(BinlogDataSource)
+    except Exception:
+        pass  # already registered in this session

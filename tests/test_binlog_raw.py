@@ -145,3 +145,48 @@ def test_cli_raw_mode(spark, fake_mysqlbinlog, tmp_path):
     assert rc == 0
     ops = {r["op"] for r in spark.read.parquet(out).collect()}
     assert ops == {"insert", "update", "delete"}
+
+
+def test_binlog_datasource_pushdown_unit():
+    """pushFilters keeps only the supported predicates; read() applies
+    them before rows leave the source."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In, IsNotNull
+
+    from log2sql_spark.sources.binlog_datasource import BinlogReader
+
+    r = BinlogReader({"path": "/tmp/x"})
+    residual = list(
+        r.pushFilters(
+            [
+                EqualTo(("op",), "insert"),
+                In(("db",), ("shop", "crm")),
+                GreaterThanOrEqual(("start_pos",), 1000),
+                IsNotNull(("statement",)),  # unsupported -> residual
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in residual] == ["IsNotNull"]
+    assert r.eq == {"op": {"insert"}, "db": {"shop", "crm"}}
+    assert r.ranges == {"start_pos": [(">=", 1000)]}
+    assert r._keep({"op": "insert", "db": "shop", "start_pos": 1000})
+    assert not r._keep({"op": "delete", "db": "shop", "start_pos": 1000})
+    assert not r._keep({"op": "insert", "db": "shop", "start_pos": 999})
+
+
+def test_binlog_datasource_matches_read_binlog(spark, tmp_path):
+    """format('binlog') rows ≡ read_binlog rows on the same dump."""
+    from log2sql_spark.sources.binlog import read_binlog
+    from log2sql_spark.sources.binlog_fixture import render_binlog
+
+    p = tmp_path / "bin.000001.txt"
+    p.write_text(render_binlog([
+        {"op": "insert", "db": "shop", "table": "orders",
+         "ts": __import__("datetime").datetime(2024, 5, 1, 12, 0, 7),
+         "values": [(1, "1"), (2, "'a=b'")]},
+        {"op": "delete", "db": "shop", "table": "orders",
+         "ts": __import__("datetime").datetime(2024, 5, 1, 12, 0, 8),
+         "values": [(1, "2"), (2, "'z'")]},
+    ]))
+    via_ds = spark.read.format("binlog").load(str(p)).drop("file").collect()
+    via_fn = read_binlog(spark, str(p)).drop("file").collect()
+    assert sorted(map(str, via_ds)) == sorted(map(str, via_fn))
