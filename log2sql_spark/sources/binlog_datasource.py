@@ -30,6 +30,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 from log2sql_spark.sources.binlog import ENVELOPE_SCHEMA, parse_binlog_lines
@@ -140,6 +141,9 @@ class BinlogDataSource(DataSource):
             enabled = False
         return BinlogReader(self.options) if enabled else BinlogReaderBase(self.options)
 
+    def simpleStreamReader(self, schema) -> "BinlogStreamReader":
+        return BinlogStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration of the 'binlog' format + the runtime conf
@@ -153,3 +157,56 @@ def register(spark) -> None:
         spark.dataSource.register(BinlogDataSource)
     except Exception:
         pass  # already registered in this session
+
+
+class BinlogStreamReader(SimpleDataSourceStreamReader):
+    """Streaming scan: ``spark.readStream.format("binlog")``.
+
+    Offset = the last processed file name. Binlog files are
+    sequence-numbered (mysql-bin.000001, .000002, ...), so lexicographic
+    file order IS rotation order; each micro-batch picks up every file
+    strictly after the offset, whole files at a time (a file is never
+    split across batches — the envelope parser needs complete files).
+    Replays between checkpointed offsets are exact (readBetweenOffsets
+    re-parses the same file window), giving the streaming twin of the
+    batch scan the same ordering contract the foreachBatch pipeline has.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("binlog stream requires a path: .load('/dumps')")
+
+    def _files(self) -> list[str]:
+        return (
+            sorted(glob.glob(os.path.join(self.path, "*")))
+            if os.path.isdir(self.path)
+            else sorted(glob.glob(self.path))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"last_file": ""}
+
+    def _parse_files(self, paths: list[str]) -> list[tuple]:
+        # materialized list, not a generator: Spark's prefetch cache
+        # copy.copy()s the returned iterator, which generators reject.
+        fields = [f.name for f in ENVELOPE_SCHEMA.fields]
+        out = []
+        for p in paths:
+            with open(p, encoding="utf-8", errors="replace") as fh:
+                lines = fh.read().split("\n")
+            for ev in parse_binlog_lines(lines, file=p):
+                out.append(tuple(ev.get(name) for name in fields))
+        return out
+
+    def read(self, start: dict):
+        new = [p for p in self._files() if p > start["last_file"]]
+        if not new:
+            return [], start
+        return self._parse_files(new), {"last_file": new[-1]}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        window = [
+            p for p in self._files() if start["last_file"] < p <= end["last_file"]
+        ]
+        return iter(self._parse_files(window))

@@ -295,3 +295,41 @@ def test_stream_static_join_runs_as_stream(spark, tmp_path):
         for r in spark.sql("SELECT * FROM enrich_out").collect()
     }
     assert rows == {("BUILDING", "click"): (1, 1.5), ("MACHINERY", "view"): (1, 2.25)}
+
+
+def test_binlog_stream_datasource(spark, tmp_path):
+    """readStream.format('binlog'): files picked up in rotation order
+    across restarts, offset = last file name in the checkpoint."""
+    in_dir, out, ckpt = tmp_path / "in", tmp_path / "o", tmp_path / "c"
+    in_dir.mkdir()
+    _dump(in_dir / "mysql-bin.000001.txt", [
+        {"op": "insert", "db": "shop", "table": "orders", "ts": TS, "values": [(1, "1")]},
+    ])
+    _dump(in_dir / "mysql-bin.000002.txt", [
+        {"op": "delete", "db": "shop", "table": "orders", "ts": TS, "values": [(1, "2")]},
+    ])
+
+    def run():
+        q = (
+            spark.readStream.format("binlog")
+            .load(str(in_dir))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {(r["op"], r["file"].rsplit("/", 1)[-1])
+           for r in spark.read.parquet(str(out)).collect()}
+    assert got == {("insert", "mysql-bin.000001.txt"), ("delete", "mysql-bin.000002.txt")}
+
+    # restart: only the NEW rotation file is read
+    _dump(in_dir / "mysql-bin.000003.txt", [
+        {"op": "insert", "db": "shop", "table": "orders", "ts": TS, "values": [(1, "3")]},
+    ])
+    run()
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == 3
