@@ -1051,3 +1051,48 @@ def date_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months(d.cast("date"), 2).cast("timestamp").alias("plus_two_months"),
         F.date_format(d, "yyyy/MM").alias("ym"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "udtf_word_positions",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE doc_id < 100
+    ), i AS (
+      SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM t
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INTEGER) AS pos,
+           w[CAST(i AS INTEGER)] AS word,
+           CAST(length(w[CAST(i AS INTEGER)]) AS INTEGER) AS wlen
+    FROM i
+    ORDER BY doc_id, pos
+    """,
+)
+def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (Spark 4 ``@udtf``, Arrow-optimized) in a
+    LATERAL join: one input row expands to one row per word with its
+    position. Completes the UDF/UDAF/UDTF triple — scalar pandas UDFs
+    (multimodal), grouped-agg pandas UDF (udaf_weighted_mean), and now a
+    table function. Python ``str.split()`` matches the oracle's
+    ``\s+`` tokenization for ASCII whitespace."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string, wlen int", useArrow=True)
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield i, w, len(w)
+
+    spark.udtf.register("log2sql_split_words", SplitWords)
+    load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < 100
+    ).createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT doc_id, s.pos, s.word, s.wlen
+        FROM udtf_docs_v, LATERAL log2sql_split_words(text) s
+        ORDER BY doc_id, pos
+        """
+    )
