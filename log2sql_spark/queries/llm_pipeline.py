@@ -384,3 +384,102 @@ def llm_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_corpus_tok")
         .orderBy("source", "lang")
     )
+
+
+@query(
+    "llm_dedup_keep_best",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents WHERE doc_id < 400
+      UNION ALL
+      SELECT doc_id + 10000, text, 'mirror' FROM documents WHERE doc_id < 120
+    ), ranked AS (
+      SELECT doc_id, source, md5(text) AS content_hash,
+             row_number() OVER (
+               PARTITION BY md5(text)
+               ORDER BY CASE WHEN source = 'mirror' THEN 1 ELSE 0 END, doc_id
+             ) AS rk,
+             count(*) OVER (PARTITION BY md5(text)) AS n_copies
+      FROM corpus
+    )
+    SELECT content_hash, CAST(doc_id AS BIGINT) AS keeper_id, source AS keeper_source,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM ranked
+    WHERE rk = 1 AND n_copies > 1
+    ORDER BY keeper_id
+    """,
+)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy dedup: duplicate groups keep the copy from the PREFERRED
+    source (curated beats mirror; doc_id tie-break), not just the first
+    seen — the keeper-selection pass every crawl pipeline runs after
+    hashing. One window over (content_hash); the hash bounds the
+    shuffle key width regardless of document size."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text", "source")
+    base = docs.filter(F.col("doc_id") < 400)
+    mirror = docs.filter(F.col("doc_id") < 120).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", F.lit("mirror").alias("source")
+    )
+    corpus = base.unionByName(mirror).withColumn("content_hash", F.md5("text"))
+    w = W.partitionBy("content_hash").orderBy(
+        F.when(F.col("source") == "mirror", 1).otherwise(0), "doc_id"
+    )
+    return (
+        corpus.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(W.partitionBy("content_hash")))
+        .filter((F.col("rk") == 1) & (F.col("n_copies") > 1))
+        .select(
+            "content_hash",
+            F.col("doc_id").cast("long").alias("keeper_id"),
+            F.col("source").alias("keeper_source"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
+        .orderBy("keeper_id")
+    )
+
+
+@query(
+    "llm_stratified_sample",
+    oracle=r"""
+    WITH s AS (
+      SELECT lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat-v1'), 1, 15))::BIGINT
+               % 10 = 0 AS picked
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (picked) AS BIGINT) AS n_sampled,
+           CAST(count(*) FILTER (picked) AS BIGINT)
+             / CAST(count(*) AS BIGINT) AS sample_rate
+    FROM s
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling audit: a hash-mod-10 pick gives
+    every stratum (language) the same expected 10% rate with zero RNG
+    state — reproducible across engines, runs, and repartitioning,
+    unlike df.sample()."""
+    from log2sql_spark.operators.dedup import md5_long
+
+    docs = load_table(spark, "documents", sf_dir)
+    picked = (
+        md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":strat-v1"))) % 10 == 0
+    )
+    return (
+        docs.withColumn("picked", picked)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum(F.col("picked").cast("long")).cast("long").alias("n_sampled"),
+            (
+                F.sum(F.col("picked").cast("long")).cast("long")
+                / F.count("*").cast("long")
+            ).alias("sample_rate"),
+        )
+        .orderBy("lang")
+    )
