@@ -274,3 +274,60 @@ def pack_sequences(
             (F.sum("n_tok").cast("double") / F.lit(float(context_len))).alias("fill_frac"),
         )
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame, n_merges: int = 4, text_col: str = "text"
+) -> list[tuple[int, str, int]]:
+    """Byte-pair-encoding tokenizer training, distributed: learn
+    ``n_merges`` merge rules over the corpus's word occurrences.
+
+    The iterative shape every BPE trainer has — per round, the PAIR
+    COUNTING runs distributed (explode adjacent symbol pairs → groupBy
+    with map-side combine), and only the single argmax row is collected
+    to the driver to form the next merge rule (exactly how MLlib's
+    k-means collects centroids per iteration). Symbols are wrapped as
+    ``|sym|`` so the merge is one literal ``replace`` — left-to-right
+    non-overlapping on both engines, matching greedy BPE scan order.
+
+    Returns [(round, encoded_pair, count), ...]; ties break on the
+    lexicographically smallest pair, so training is deterministic.
+    """
+    from pyspark.sql import functions as F
+
+    enc = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("word")
+    ).select(F.regexp_replace("word", "(.)", r"|$1|").alias("enc"))
+    merges: list[tuple[int, str, int]] = []
+    enc.persist()
+    try:
+        for rnd in range(1, n_merges + 1):
+            syms = F.split(F.expr("trim(BOTH '|' FROM enc)"), r"\|\|")
+            pairs = enc.select(
+                F.explode(
+                    F.zip_with(
+                        syms,
+                        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+                        lambda a, b: F.concat(F.lit("|"), a, F.lit("||"), b, F.lit("|")),
+                    )
+                ).alias("pair")
+            ).filter(~F.col("pair").contains("|||"))  # drop the null-padded tail
+            top = (
+                pairs.groupBy("pair")
+                .agg(F.count("*").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+            merges.append((rnd, pair, cnt))
+            merged = pair.replace("||", "")
+            new_enc = enc.select(F.replace("enc", F.lit(pair), F.lit(merged)).alias("enc"))
+            new_enc.persist()
+            enc.unpersist()
+            enc = new_enc
+    finally:
+        enc.unpersist()
+    return merges

@@ -483,3 +483,48 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Chained-CTE DuckDB twin of the iterative BPE trainer: round k's
+    merge is the argmax pair of round k-1's encoding — the same
+    left-to-right non-overlapping literal replace as the Spark path."""
+    sql = r"""
+    WITH w AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      FROM documents WHERE doc_id < 50
+    ), r0 AS (
+      SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS enc FROM w
+    )"""
+    selects = []
+    for k in range(1, n_merges + 1):
+        prev = f"r{k - 1}"
+        sql += f""", p{k} AS (
+      SELECT unnest(list_transform(range(1, len(s)),
+          i -> '|' || s[CAST(i AS INTEGER)] || '||' || s[CAST(i AS INTEGER) + 1] || '|'))
+        AS pair
+      FROM (SELECT regexp_split_to_array(trim(enc, '|'), '\\|\\|') AS s FROM {prev})
+    ), m{k} AS (
+      SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p{k}
+      GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
+    ), r{k} AS (
+      SELECT replace(enc, (SELECT pair FROM m{k}),
+                     replace((SELECT pair FROM m{k}), '||', '')) AS enc
+      FROM {prev}
+    )"""
+        selects.append(f"SELECT CAST({k} AS INTEGER) AS round, pair, cnt FROM m{k}")
+    return sql + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY round"
+
+
+@query("llm_bpe_train", oracle=_bpe_oracle(4))
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (4 merge rounds) — the canonical ITERATIVE
+    algorithm shape: distributed pair counting per round, one argmax
+    row collected per round to form the next merge rule (k-means-style
+    driver loop). Deterministic via the (count desc, pair asc)
+    tie-break, so even the learned merge table is oracle-checked."""
+    from log2sql_spark.operators.pipeline import bpe_train_merges
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
+    merges = bpe_train_merges(docs, n_merges=4)
+    return spark.createDataFrame(merges, schema="round int, pair string, cnt long")

@@ -82,3 +82,19 @@ def test_boilerplate_flags_broadcast_and_counts(spark):
     assert all(rows[i]["n_boiler_grams"] == 3 for i in range(6))
     assert all(rows[i]["n_grams"] == 4 for i in range(6))
     assert "BroadcastHashJoin" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bpe_train_greedy_merges(spark):
+    """BPE learns the most frequent adjacent pair each round, and later
+    rounds see the PREVIOUS rounds' merges applied (multi-char symbol)."""
+    from log2sql_spark.operators.pipeline import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abc"), (2, "abab xy")], ["doc_id", "text"]
+    )
+    merges = bpe_train_merges(docs, n_merges=2)
+    # 'a b' appears 2x in each "abab" (3 words) + 1x in "abc" = 7
+    assert merges[0] == (1, "|a||b|", 7)
+    # after merging ab: words are [ab ab, ab ab, ab c, ab ab, x y];
+    # most frequent adjacent pair is now the merged symbol pair
+    assert merges[1] == (2, "|ab||ab|", 3)
