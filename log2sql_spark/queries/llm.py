@@ -933,3 +933,76 @@ def llm_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_features(synthesize_videos(docs), every=2).orderBy(
         "asset_id", "frame_idx"
     )
+
+
+@query(
+    "llm_knn_classify",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+      FROM embeddings WHERE vec_id >= 100 AND vec_id < 150
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings
+    ), scored AS (
+      SELECT query_id, true_label, neighbor_id, label,
+             {_cos_sql('qv', 'cv')} AS cos_sim
+      FROM q, c WHERE query_id <> neighbor_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored
+    ), votes AS (
+      SELECT query_id, true_label, label, CAST(count(*) AS BIGINT) AS votes
+      FROM ranked WHERE rk <= 5
+      GROUP BY query_id, true_label, label
+    ), best AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY votes DESC, label) AS rn
+      FROM votes
+    )
+    SELECT query_id,
+           CAST(label AS INTEGER) AS predicted_label,
+           votes,
+           CAST(true_label AS INTEGER) AS true_label,
+           CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END AS INTEGER) AS correct
+    FROM best WHERE rn = 1
+    ORDER BY query_id
+    """,
+)
+def llm_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding column (k=5 majority vote,
+    ties broken by smallest label): the evaluation-time companion to
+    similarity search — broadcast query set, exact neighbors, then a
+    counts-only vote aggregate. Deterministic end to end, so even the
+    predictions are oracle-checked."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    nn = brute_force_topk(queries, emb, k=5)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        nn.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").cast("long").alias("votes"))
+    )
+    best = votes.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+        ),
+    ).filter("rn = 1")
+    return (
+        best.join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id",
+            F.col("label").cast("int").alias("predicted_label"),
+            "votes",
+            F.col("true_label").cast("int").alias("true_label"),
+            (F.col("label") == F.col("true_label")).cast("int").alias("correct"),
+        )
+        .orderBy("query_id")
+    )
