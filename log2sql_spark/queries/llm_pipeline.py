@@ -528,3 +528,77 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
     merges = bpe_train_merges(docs, n_merges=4)
     return spark.createDataFrame(merges, schema="round int, pair string, cnt long")
+
+
+def _bpe_tokenize_oracle(n_merges: int) -> str:
+    """The learned-merge APPLY twin: same CTE chain as training but with
+    doc_id carried through, ending in per-document BPE token counts."""
+    sql = r"""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      FROM documents WHERE doc_id < 50
+    ), r0 AS (
+      SELECT doc_id, regexp_replace(word, '(.)', '|\1|', 'g') AS enc FROM w
+    )"""
+    for k in range(1, n_merges + 1):
+        prev = f"r{k - 1}"
+        sql += f""", p{k} AS (
+      SELECT unnest(list_transform(range(1, len(s)),
+          i -> '|' || s[CAST(i AS INTEGER)] || '||' || s[CAST(i AS INTEGER) + 1] || '|'))
+        AS pair
+      FROM (SELECT regexp_split_to_array(trim(enc, '|'), '\\|\\|') AS s FROM {prev})
+    ), m{k} AS (
+      SELECT pair FROM p{k}
+      GROUP BY pair ORDER BY count(*) DESC, pair LIMIT 1
+    ), r{k} AS (
+      SELECT doc_id, replace(enc, (SELECT pair FROM m{k}),
+                             replace((SELECT pair FROM m{k}), '||', '')) AS enc
+      FROM {prev}
+    )"""
+    return sql + f"""
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(trim(enc, '|')) - 2 * (len(regexp_split_to_array(
+                trim(enc, '|'), '\\|\\|')) - 1)) AS BIGINT) AS n_chars,
+           CAST(sum(len(regexp_split_to_array(trim(enc, '|'), '\\|\\|'))) AS BIGINT)
+             AS n_bpe_tokens
+    FROM r{n_merges}
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@query("llm_bpe_tokenize", oracle=_bpe_tokenize_oracle(4))
+def llm_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges: per document, word count, character
+    count, and post-merge BPE token count (always ≤ chars — each merge
+    fuses two symbols). Training collects 4 merge rules; applying them
+    is a chain of four literal replaces — pure JVM expressions, no
+    Python in the apply path."""
+    from log2sql_spark.operators.pipeline import bpe_train_merges
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
+    merges = bpe_train_merges(docs, n_merges=4)
+    enc = F.regexp_replace("word", "(.)", r"|$1|")
+    for _, pair, _cnt in merges:
+        enc = F.replace(enc, F.lit(pair), F.lit(pair.replace("||", "")))
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    ).withColumn("enc", enc)
+    syms = F.split(F.expr("trim(BOTH '|' FROM enc)"), r"\|\|")
+    return (
+        words.select(
+            "doc_id",
+            F.size(syms).alias("n_syms"),
+            (F.length(F.expr("trim(BOTH '|' FROM enc)")) - 2 * (F.size(syms) - 1)).alias(
+                "chars"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("chars").cast("long").alias("n_chars"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
