@@ -372,7 +372,20 @@ def decode_image_features(media: DataFrame, on_error: str = "raise") -> DataFram
             rows = {k.name: [] for k in schema.fields}
             for aid, content, meta in zip(pdf["asset_id"], pdf["content"], pdf["meta"]):
                 try:
+                    # the whole per-asset block is quarantined: a payload
+                    # that DECODES but is degenerate (zero-area raster)
+                    # must not escape the error path either
                     w, h, raster = decode_image_bytes(bytes(content))
+                    feats = {
+                        "width": w,
+                        "height": h,
+                        "n_pixels": w * h,
+                        "pixel_mean": float(sum(raster)) / len(raster),
+                        "r0": raster[0],
+                        "g0": raster[1],
+                        "b0": raster[2],
+                        "raster_md5": hashlib.md5(raster).hexdigest(),
+                    }
                 except Exception as exc:
                     if on_error == "raise":
                         raise
@@ -385,14 +398,8 @@ def decode_image_features(media: DataFrame, on_error: str = "raise") -> DataFram
                     continue
                 rows["asset_id"].append(int(aid))
                 rows["format"].append(meta["format"] if meta is not None else None)
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["n_pixels"].append(w * h)
-                rows["pixel_mean"].append(float(sum(raster)) / len(raster))
-                rows["r0"].append(raster[0])
-                rows["g0"].append(raster[1])
-                rows["b0"].append(raster[2])
-                rows["raster_md5"].append(hashlib.md5(raster).hexdigest())
+                for k, v in feats.items():
+                    rows[k].append(v)
                 if on_error == "null":
                     rows["decode_error"].append(None)
             yield pd.DataFrame(rows)

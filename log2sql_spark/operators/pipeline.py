@@ -70,7 +70,9 @@ def repetition_metrics(
         .agg(F.max("cnt").cast("long").alias("top_word_count"))
     )
     return (
-        per_row.join(top, "id")
+        # left join: a NULL-text doc explodes to zero token rows and has
+        # no `top` entry — it must surface with NULL metrics, not vanish.
+        per_row.join(top, "id", "left")
         # try_divide: a doc shorter than n words has zero n-grams, and the
         # fraction is NULL, not an ANSI divide-by-zero error.
         .withColumn("top_word_frac", F.try_divide("top_word_count", "n_words"))
@@ -325,7 +327,10 @@ def bpe_train_merges(
             merges.append((rnd, pair, cnt))
             merged = pair.replace("||", "")
             new_enc = enc.select(F.replace("enc", F.lit(pair), F.lit(merged)).alias("enc"))
-            new_enc.persist()
+            # materialize BEFORE dropping the old cache — persist() is
+            # lazy, and unpersisting first would recompute the whole
+            # replace chain from the source every round (O(rounds²))
+            new_enc.persist().count()
             enc.unpersist()
             enc = new_enc
     finally:

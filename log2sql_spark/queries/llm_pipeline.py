@@ -582,8 +582,10 @@ def llm_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = F.regexp_replace("word", "(.)", r"|$1|")
     for _, pair, _cnt in merges:
         enc = F.replace(enc, F.lit(pair), F.lit(pair.replace("||", "")))
+    from log2sql_spark.operators.dedup import tokens
+
     words = docs.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
     ).withColumn("enc", enc)
     syms = F.split(F.expr("trim(BOTH '|' FROM enc)"), r"\|\|")
     return (

@@ -101,12 +101,17 @@ class BinlogReader(BinlogReaderBase):
     """Scan WITH predicate pushdown (requires the filterPushdown conf)."""
 
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        def constrain(col: str, allowed: set) -> None:
+            # filters are ANDed: multiple predicates on one column
+            # INTERSECT (unioning them would silently widen to OR)
+            self.eq[col] = (self.eq[col] & allowed) if col in self.eq else allowed
+
         for f in filters:
             col = f.attribute[-1] if hasattr(f, "attribute") else None
             if isinstance(f, EqualTo) and col in _EQ_COLS:
-                self.eq.setdefault(col, set()).add(f.value)
+                constrain(col, {f.value})
             elif isinstance(f, In) and col in _EQ_COLS:
-                self.eq.setdefault(col, set()).update(f.value)
+                constrain(col, set(f.value))
             elif isinstance(f, GreaterThan) and col in _RANGE_COLS:
                 self.ranges.setdefault(col, []).append((">", f.value))
             elif isinstance(f, GreaterThanOrEqual) and col in _RANGE_COLS:
@@ -176,6 +181,9 @@ class BinlogStreamReader(SimpleDataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("binlog stream requires a path: .load('/dumps')")
+        # caps driver-side materialization per trigger — catching up on a
+        # directory of rotated dumps must not parse them all in one batch
+        self.max_files = int(options.get("maxFilesPerTrigger", 16))
 
     def _files(self) -> list[str]:
         return (
@@ -200,7 +208,7 @@ class BinlogStreamReader(SimpleDataSourceStreamReader):
         return out
 
     def read(self, start: dict):
-        new = [p for p in self._files() if p > start["last_file"]]
+        new = [p for p in self._files() if p > start["last_file"]][: self.max_files]
         if not new:
             return [], start
         return self._parse_files(new), {"last_file": new[-1]}

@@ -190,3 +190,20 @@ def test_binlog_datasource_matches_read_binlog(spark, tmp_path):
     via_ds = spark.read.format("binlog").load(str(p)).drop("file").collect()
     via_fn = read_binlog(spark, str(p)).drop("file").collect()
     assert sorted(map(str, via_ds)) == sorted(map(str, via_fn))
+
+
+def test_binlog_datasource_conjunctive_filters():
+    """ANDed predicates on one column must INTERSECT, not union (an OR
+    widening would return rows the query excluded)."""
+    from pyspark.sql.datasource import EqualTo, In
+
+    from log2sql_spark.sources.binlog_datasource import BinlogReader
+
+    r = BinlogReader({"path": "/tmp/x"})
+    list(r.pushFilters([In(("op",), ("insert", "update")), EqualTo(("op",), "insert")]))
+    assert r.eq == {"op": {"insert"}}
+    assert not r._keep({"op": "update"})
+
+    r2 = BinlogReader({"path": "/tmp/x"})
+    list(r2.pushFilters([EqualTo(("db",), "a"), EqualTo(("db",), "b")]))
+    assert r2.eq == {"db": set()}  # contradictory -> no rows, still correct

@@ -342,3 +342,15 @@ def test_decode_image_features_error_quarantine(spark):
     assert out[3]["decode_error"] is not None
     with pytest.raises(Exception):
         decode_image_features(media, on_error="raise").collect()
+
+
+def test_decode_quarantine_covers_degenerate_rasters(spark):
+    """A payload that parses but decodes to a zero-area raster must land
+    in the quarantine column, not crash the feature math."""
+    from log2sql_spark.operators.multimodal import MEDIA_SCHEMA, decode_image_features
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"P6\n0 0\n255\n"), ("image", "ppm", 0, 0, None))], MEDIA_SCHEMA
+    )
+    (r,) = decode_image_features(media, on_error="null").collect()
+    assert r["decode_error"] is not None and r["pixel_mean"] is None
