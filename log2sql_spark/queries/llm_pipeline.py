@@ -604,3 +604,99 @@ def llm_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_curation_pipeline",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+    ), t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             length(text) AS nc
+      FROM corpus
+    ), feat AS (
+      SELECT doc_id,
+             CASE WHEN (nc - length(regexp_replace(text, '[一-鿿]', '', 'g'))) * 10 > nc
+                  THEN 'zh'
+                  WHEN len(list_filter(toks, x -> lower(x) IN
+                       ('el','la','de','los','las','un','una','y','en','que')))
+                     > len(list_filter(toks, x -> lower(x) IN
+                       ('the','a','of','and','to','in','is','it','for','on')))
+                  THEN 'es' ELSE 'en' END AS lang_pred,
+             least(1.0, (len(list_distinct(toks)) / len(toks)) * 0.5
+                        + least(1.0, len(toks) / 100.0) * 0.5) AS quality,
+             list_max(list_transform(list_distinct(toks),
+                 x -> len(list_filter(toks, y -> y = x)))) AS topw,
+             len(toks) AS ntok
+      FROM t
+    ), keeper AS (
+      SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+      FROM corpus
+    )
+    SELECT f.doc_id,
+           CASE WHEN lang_pred <> 'en' THEN 'lang'
+                WHEN quality < 0.5 THEN 'quality'
+                WHEN topw * 25 > ntok * 3 THEN 'repetition'
+                WHEN rk > 1 THEN 'duplicate' END AS reject_reason,
+           CAST(CASE WHEN lang_pred <> 'en' OR quality < 0.5
+                     OR topw * 25 > ntok * 3 OR rk > 1
+                THEN 0 ELSE 1 END AS INTEGER) AS kept
+    FROM feat f JOIN keeper k ON f.doc_id = k.doc_id
+    ORDER BY f.doc_id
+    """,
+)
+def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pass: language gate → quality-score gate →
+    repetition gate → exact-dedup keeper, each doc labeled kept or with
+    its FIRST rejection reason — the composed form of the individual
+    operators, one scan + one counts-only shuffle + one hash window.
+    Thresholds compare exact integers where possible (topw*25 > ntok*3
+    ≡ top_word_frac > 0.12) and bit-identical doubles elsewhere."""
+    from pyspark.sql import Window as W
+
+    from log2sql_spark.operators.textops import with_lang_id, with_text_stats
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 300).unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    feats = (
+        with_text_stats(with_lang_id(corpus))
+        .select("doc_id", "text", "lang_pred", "quality_score", "n_tokens")
+    )
+    topw = (
+        corpus.select(
+            "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("topw"))
+    )
+    keeper = corpus.select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
+        .alias("rk"),
+    )
+    j = feats.join(topw, "doc_id").join(keeper, "doc_id")
+    reason = (
+        F.when(F.col("lang_pred") != "en", "lang")
+        .when(F.col("quality_score") < 0.5, "quality")
+        .when(F.col("topw") * 25 > F.col("n_tokens") * 3, "repetition")
+        .when(F.col("rk") > 1, "duplicate")
+    )
+    return (
+        j.select(
+            "doc_id",
+            reason.alias("reject_reason"),
+            reason.isNull().cast("int").alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
