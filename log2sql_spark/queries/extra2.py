@@ -1096,3 +1096,103 @@ def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, pos
         """
     )
+
+
+@query(
+    "map_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey * 2 AS qty_doubled,
+           'PRICE,QTY' AS upper_keys,
+           CAST(round(o_totalprice * 100) AS BIGINT) * 2 AS price_self_sum,
+           'price=' || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+             || ',qty=' || CAST(o_custkey AS VARCHAR) AS entries_sorted,
+           '2' AS from_str_map
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+)
+def map_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order map functions (transform_keys / transform_values /
+    map_zip_with / map_entries / str_to_map). Outputs are extracted
+    scalars or sorted joined entries — DuckDB's map surface differs, so
+    the oracle states expected values computed from the same columns."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") <= 500)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    m = F.create_map(
+        F.lit("qty"), F.col("o_custkey").cast("long"), F.lit("price"), cents
+    )
+    doubled = F.transform_values(m, lambda _k, v: v * 2)
+    upper = F.transform_keys(m, lambda k, _v: F.upper(k))
+    zipped = F.map_zip_with(m, m, lambda _k, a, b: a + b)
+    entries = F.array_join(
+        F.sort_array(
+            F.transform(
+                F.map_entries(m),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+            )
+        ),
+        ",",
+    )
+    sm = F.str_to_map(F.lit("a:1,b:2"), F.lit(","), F.lit(":"))
+    return o.select(
+        "o_orderkey",
+        F.element_at(doubled, "qty").alias("qty_doubled"),
+        F.array_join(F.sort_array(F.map_keys(upper)), ",").alias("upper_keys"),
+        F.element_at(zipped, "price").alias("price_self_sum"),
+        entries.alias("entries_sorted"),
+        F.element_at(sm, "b").alias("from_str_map"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "array_funcs3",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey, string_split(p_name, ' ') AS toks
+      FROM part WHERE p_partkey <= 300
+    )
+    SELECT p_partkey,
+           array_to_string(list_sort(toks, 'DESC'), '|') AS sorted_desc,
+           CAST(coalesce(list_position(toks, 'blue'), 0) AS BIGINT) AS blue_pos,
+           array_to_string(list_filter(toks, x -> x <> 'blue'), '|') AS without_blue,
+           array_to_string(list_transform(range(1, len(toks) + 1),
+               i -> toks[CAST(i AS INTEGER)] || '~'
+                    || toks[CAST(len(toks) - i + 1 AS INTEGER)]), '|') AS zip_rev,
+           array_to_string(list_transform(range(0, 3),
+               i -> toks[1]), '|') AS first_x3,
+           array_to_string(list_sort(list_distinct(list_concat(toks, ['blue', 'ring']))),
+               '|') AS union_sorted,
+           coalesce(array_to_string(list_sort(list_filter(list_distinct(toks),
+               x -> NOT list_contains(['blue', 'ring'], x))), '|'), '') AS except_sorted
+    FROM t
+    ORDER BY p_partkey
+    """,
+)
+def array_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third array-function batch: descending sort, array_position (0
+    when absent on BOTH engines — DuckDB list_position yields NULL,
+    coalesced), array_remove, zip_with against the reversed array,
+    array_repeat, array_union/except — all serialized with array_join at
+    the query boundary (raw arrays break the driver's row canonicalizer).
+    """
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_partkey") <= 300)
+    toks = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.array_join(F.sort_array(toks, asc=False), "|").alias("sorted_desc"),
+        F.array_position(toks, "blue").cast("long").alias("blue_pos"),
+        F.array_join(F.array_remove(toks, "blue"), "|").alias("without_blue"),
+        F.array_join(
+            F.zip_with(toks, F.reverse(toks), lambda a, b: F.concat(a, F.lit("~"), b)),
+            "|",
+        ).alias("zip_rev"),
+        F.array_join(F.array_repeat(F.element_at(toks, 1), 3), "|").alias("first_x3"),
+        F.array_join(
+            F.sort_array(F.array_union(toks, F.array(F.lit("blue"), F.lit("ring")))), "|"
+        ).alias("union_sorted"),
+        F.array_join(
+            F.sort_array(F.array_except(toks, F.array(F.lit("blue"), F.lit("ring")))), "|"
+        ).alias("except_sorted"),
+    ).orderBy("p_partkey")
