@@ -186,3 +186,42 @@ def test_type_comment_strip_keeps_inner_comment_opener():
     )
     assert _strip_type_comment("42 /* INT meta=0 nullable=0 */") == "42"
     assert _strip_type_comment("'no comment here'") == "'no comment here'"
+
+
+def test_parser_ignores_session_noise_lines():
+    """Real mysqlbinlog -vv output interleaves BEGIN/COMMIT/SET
+    GTID/TIMESTAMP noise between events — the parser must skip them
+    without corrupting event boundaries or row images."""
+    from datetime import datetime
+
+    from log2sql_spark.sources.binlog_fixture import render_binlog
+
+    base = render_binlog([
+        {"op": "insert", "db": "shop", "table": "orders",
+         "ts": datetime(2024, 5, 1, 12, 0, 7), "values": [(1, "1"), (2, "'a'")]},
+        {"op": "delete", "db": "shop", "table": "orders",
+         "ts": datetime(2024, 5, 1, 12, 0, 8), "values": [(1, "2"), (2, "'b'")]},
+    ])
+    noisy_lines = []
+    for line in base.split("\n"):
+        if line.startswith("# at "):
+            # inject the session noise a live dump carries before events
+            noisy_lines += [
+                "SET @@SESSION.GTID_NEXT= 'ANONYMOUS'/*!*/;",
+                "BEGIN",
+                "/*!*/;",
+                "COMMIT/*!*/;",
+                "SET TIMESTAMP=1714564807/*!*/;",
+                "# Transaction details omitted",
+            ]
+        noisy_lines.append(line)
+    clean = parse_binlog_lines(base.split("\n"), file="f")
+    noisy = parse_binlog_lines(noisy_lines, file="f")
+    assert [
+        (e["op"], e["db"], e["table"], e.get("values") or e.get("before"), e.get("after"))
+        for e in clean
+    ] == [
+        (e["op"], e["db"], e["table"], e.get("values") or e.get("before"), e.get("after"))
+        for e in noisy
+    ]
+    assert [e["start_pos"] for e in clean] == [e["start_pos"] for e in noisy]

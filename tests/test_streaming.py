@@ -333,3 +333,39 @@ def test_binlog_stream_datasource(spark, tmp_path):
     run()
     rows = spark.read.parquet(str(out)).collect()
     assert len(rows) == 3
+
+
+def test_drop_duplicates_within_watermark_stream(spark, tmp_path):
+    """Real dropDuplicatesWithinWatermark run: duplicates of a key
+    arriving within the watermark window are suppressed across
+    micro-batches; the state for expired keys is dropped (the streaming
+    twin of the batch stream_dedup query)."""
+    import pandas as pd
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-05-01 12:00:00", "2024-05-01 12:00:30"]),
+            "event_id": [1, 1],  # duplicate within the window
+            "v": [10, 11],
+        }
+    ).to_parquet(in_dir / "b0.parquet", coerce_timestamps="us")
+    stream = (
+        spark.readStream.schema("ts timestamp, event_id long, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dedup_out").collect()
+    assert len(rows) == 1 and rows[0]["event_id"] == 1
