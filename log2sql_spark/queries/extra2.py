@@ -1196,3 +1196,31 @@ def array_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.array_except(toks, F.array(F.lit("blue"), F.lit("ring")))), "|"
         ).alias("except_sorted"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "json_funcs2",
+    oracle="""
+    SELECT event_id,
+           to_json(struct_pack(event_id := event_id, event_type := event_type))
+             AS built_json,
+           array_to_string(json_keys(props), ',') AS prop_keys,
+           CAST(json_array_length('[1,2,3]') AS INTEGER) AS arr_len,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS parsed_k
+    FROM events
+    WHERE event_id < 500
+    ORDER BY event_id
+    """,
+)
+def json_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON construction + introspection batch: to_json over a struct of
+    columns (serialization format matches across engines), object key
+    listing, array length, and from_json into a typed struct."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 500)
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type")).alias("built_json"),
+        F.array_join(F.json_object_keys("props"), ",").alias("prop_keys"),
+        F.json_array_length(F.lit("[1,2,3]")).cast("int").alias("arr_len"),
+        F.from_json("props", "k BIGINT")["k"].alias("parsed_k"),
+    ).orderBy("event_id")
