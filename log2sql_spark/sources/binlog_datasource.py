@@ -101,11 +101,17 @@ class BinlogReader(BinlogReaderBase):
     """Scan WITH predicate pushdown (requires the filterPushdown conf)."""
 
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        # Built EAGERLY (plain list, not a generator): Spark treats every
+        # filter NOT returned as handled by the source, so the side
+        # effects recording pushed predicates must happen unconditionally
+        # in the method body — a lazily-consumed generator would let a
+        # partial iteration return rows as if filtered.
         def constrain(col: str, allowed: set) -> None:
             # filters are ANDed: multiple predicates on one column
             # INTERSECT (unioning them would silently widen to OR)
             self.eq[col] = (self.eq[col] & allowed) if col in self.eq else allowed
 
+        unsupported: list[Filter] = []
         for f in filters:
             col = f.attribute[-1] if hasattr(f, "attribute") else None
             if isinstance(f, EqualTo) and col in _EQ_COLS:
@@ -121,7 +127,8 @@ class BinlogReader(BinlogReaderBase):
             elif isinstance(f, LessThanOrEqual) and col in _RANGE_COLS:
                 self.ranges.setdefault(col, []).append(("<=", f.value))
             else:
-                yield f  # not handled here; Spark evaluates it post-scan
+                unsupported.append(f)  # Spark evaluates these post-scan
+        return unsupported
 
 
 class BinlogDataSource(DataSource):
