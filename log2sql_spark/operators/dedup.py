@@ -350,3 +350,55 @@ def simhash(docs: DataFrame, bits: int = 60, text_col: str = "text", id_col: str
         )
         fingerprint = term if fingerprint is None else fingerprint + term
     return votes.select("id", fingerprint.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    fingerprints: DataFrame, bits: int = 60, max_hamming: int = 4
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with hamming(simhash) <= max_hamming,
+    via pigeonhole banding — NEVER an all-pairs self-join.
+
+    Split the `bits`-bit fingerprint into max_hamming+1 equal bands: two
+    fingerprints within hamming distance max_hamming differ in at most
+    max_hamming bits, so by pigeonhole at least one band is bit-identical.
+    Candidate generation is therefore an EQUI-join on (band_idx,
+    band_bits) — a shuffle-hash/sort-merge join whose cost is
+    O(Σ bucket²) over genuinely colliding buckets, not O(n²) — and the
+    exact hamming check runs on collisions only. distinct() collapses
+    pairs that collide in several bands."""
+    bands = max_hamming + 1
+    width = bits // bands
+    rem = bits - width * bands  # last band absorbs any remainder bits
+    offs = [i * width for i in range(bands)]
+    widths = [width] * (bands - 1) + [width + rem]
+    exploded = fingerprints.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), offs[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("band_bits"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.band_idx"), F.col("b.band_bits"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_bits"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -675,7 +675,7 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would shift frame boundaries vs the oracle's full-precision INTERVAL
     w = (
         W.partitionBy("event_type")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-600_000_000, 0)
     )
     return (

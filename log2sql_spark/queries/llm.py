@@ -17,6 +17,7 @@ from log2sql_spark.operators.dedup import (
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_dup_pairs,
 )
 from log2sql_spark.operators.multimodal import (
     audio_features,
@@ -205,22 +206,17 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash near-dup pairs (hamming ≤ 4) over originals +
     exact copies. The md5-derived bit votes are engine-reproducible, so
-    even the fingerprints themselves are oracle-checked."""
+    even the fingerprints themselves are oracle-checked.
+
+    Candidate generation is pigeonhole-banded (5 × 12-bit bands; hamming
+    ≤ 4 ⇒ at least one band identical), an equi-join on (band_idx,
+    band_bits) — the oracle's all-pairs join exists only DuckDB-side as
+    the semantic spec. No BroadcastNestedLoopJoin in this plan."""
     corpus = _corpus(spark, sf_dir).filter(
         (F.col("doc_id") < 200) | (F.col("doc_id") >= 10000)
     )
     sh = simhash(corpus)
-    a, b = sh.alias("a"), sh.alias("b")
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long"),
-        )
-        .filter(F.col("hamming") <= 4)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
-        .orderBy("id_a", "id_b")
-    )
+    return simhash_near_dup_pairs(sh, bits=60, max_hamming=4).orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------
