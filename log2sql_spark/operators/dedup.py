@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MERSENNE31 = 2_147_483_647  # 2^31-1; keeps a*x+b inside 63 bits
@@ -163,6 +163,30 @@ def ngram_jaccard_pairs(
     )
 
 
+def gram_df_stats(grams: DataFrame, max_gram_df: int = 1024) -> DataFrame:
+    """Recall accounting for the df-prune in ``ngram_jaccard_pairs``:
+    one row per gram class — 'singleton' (df=1, exact prune),
+    'joinable' (2 ≤ df ≤ cap), 'capped' (df > cap, the recall
+    trade-off) — with how many distinct grams and gram occurrences fall
+    in each. Makes the ``max_gram_df`` knob observable: a qualifying
+    pair is missed only if every shared gram is 'capped', and this
+    reports exactly how much of the corpus that class covers."""
+    df_tbl = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    return (
+        df_tbl.withColumn(
+            "gram_class",
+            F.when(F.col("df") == 1, "singleton")
+            .when(F.col("df") <= max_gram_df, "joinable")
+            .otherwise("capped"),
+        )
+        .groupBy("gram_class")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("df").alias("n_occurrences"),
+        )
+    )
+
+
 def _hash_params(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
     rng = random.Random(seed)
     a = [rng.randrange(1, MERSENNE31) for _ in range(num_hashes)]
@@ -195,14 +219,9 @@ def minhash_signatures(
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 32) -> DataFrame:
-    """Banded LSH: equal band-slice ⇒ candidate pair (id_a < id_b).
-
-    One explode (×bands) + one groupBy on the band value: the classic
-    shuffle-bounded candidate join. rows-per-band r = |sig|/bands tunes
-    the S-curve: P(candidate) = 1-(1-j^r)^bands."""
-    sig_len = None  # derived lazily from the data
-    exploded = signatures.select(
+def banded_slices(signatures: DataFrame, bands: int = 32) -> DataFrame:
+    """(id, band, slice) rows — one row per LSH band per signature."""
+    return signatures.select(
         "id",
         F.explode(
             F.transform(
@@ -218,12 +237,70 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 32) -> DataFrame:
             )
         ).alias("bs"),
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"))
-    return (
-        exploded.alias("a")
-        .join(exploded.alias("b"), ["band", "slice"])
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 32, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Banded LSH: equal band-slice ⇒ candidate pair (id_a < id_b).
+
+    One explode (×bands) + one groupBy on the band value: the classic
+    shuffle-bounded candidate join. rows-per-band r = |sig|/bands tunes
+    the S-curve: P(candidate) = 1-(1-j^r)^bands.
+
+    ``max_bucket_size`` is the hot-bucket guard: a bucket of k
+    signatures emits k·(k-1)/2 pairs, so one pathological bucket (near-
+    identical boilerplate — every member has the same signature, hence
+    collides in EVERY band) turns the join quadratic. Buckets larger
+    than the cap switch from all-pairs to STAR pairing — every member
+    pairs with the bucket's minimum id only, O(k) pairs — which keeps
+    the duplicate group connected (one component in dedup_clusters)
+    while bounding per-bucket fan-out. Off (None) by default so the
+    exact-oracle queries keep full pair enumeration;
+    ``lsh_bucket_stats`` makes the trade-off observable."""
+    exploded = banded_slices(signatures, bands)
+    if max_bucket_size is None:
+        return (
+            exploded.alias("a")
+            .join(exploded.alias("b"), ["band", "slice"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+    # One shuffle on (band, slice) computes both bucket size and the
+    # star center; unbounded frames need no sort within the bucket.
+    w = Window.partitionBy("band", "slice")
+    sized = exploded.withColumn("bucket_n", F.count("*").over(w)).withColumn(
+        "bucket_min", F.min("id").over(w)
+    )
+    small = sized.filter(F.col("bucket_n") <= max_bucket_size).select(
+        "band", "slice", "id"
+    )
+    all_pairs = (
+        small.alias("a")
+        .join(small.alias("b"), ["band", "slice"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    )
+    star_pairs = sized.filter(
+        (F.col("bucket_n") > max_bucket_size) & (F.col("id") != F.col("bucket_min"))
+    ).select(F.col("bucket_min").alias("id_a"), F.col("id").alias("id_b"))
+    return all_pairs.unionByName(star_pairs).distinct()
+
+
+def lsh_bucket_stats(signatures: DataFrame, bands: int = 32) -> DataFrame:
+    """Histogram of LSH bucket sizes: (bucket_n, n_buckets).
+
+    The observability companion of ``max_bucket_size``: run it before
+    choosing a cap, or alongside a capped run to see exactly how many
+    buckets (and how much quadratic fan-out) the cap removed — the
+    recall trade-off is measured, never silent."""
+    return (
+        banded_slices(signatures, bands)
+        .groupBy("band", "slice")
+        .agg(F.count("*").alias("bucket_n"))
+        .groupBy("bucket_n")
+        .agg(F.count("*").alias("n_buckets"))
     )
 
 

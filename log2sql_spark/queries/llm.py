@@ -13,8 +13,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from log2sql_spark.operators.dedup import (
+    _hash_params,
     exact_dedup,
+    exploded_grams,
+    gram_df_stats,
+    lsh_bucket_stats,
+    lsh_candidate_pairs,
     minhash_dedup_pairs,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_dup_pairs,
@@ -1002,3 +1008,163 @@ def llm_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# LSH observability + hot-bucket guard (scale instrumentation)
+# --------------------------------------------------------------------------
+
+_GRAMS_SQL = r"""
+    , grams AS (
+      SELECT doc_id AS id, unnest(list_distinct(g.grams)) AS gram
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+                 i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                      regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                      regexp_split_to_array(trim(text), '\s+')[i+2]
+               ) AS grams
+        FROM corpus
+      ) g(doc_id, grams)
+    )
+"""
+
+_P = 2_147_483_647
+_A16, _B16 = _hash_params(16)
+
+
+def _minhash16_sql() -> str:
+    """DuckDB CTEs reproducing minhash_signatures(num_hashes=16) and its
+    8-band × 2-row slicing, with the seed-42 hash parameters inlined —
+    the signature path itself is oracle-checked, not just the verified
+    pairs downstream of it."""
+    hcols = ",\n             ".join(
+        f"min(({_A16[i]} * x + {_B16[i]}) % {_P}) AS h{i}" for i in range(16)
+    )
+    bandrows = "\n      UNION ALL\n      ".join(
+        f"SELECT id, {b} AS band, [h{2 * b}, h{2 * b + 1}] AS slice FROM hs"
+        for b in range(8)
+    )
+    return f"""
+    , gh AS (
+      SELECT id, ('0x' || substr(md5(gram), 1, 15))::BIGINT % {_P} AS x FROM grams
+    ), hs AS (
+      SELECT id,
+             {hcols}
+      FROM gh GROUP BY id
+    ), bandrows AS (
+      {bandrows}
+    )
+"""
+
+
+@query(
+    "llm_lsh_bucket_stats",
+    oracle=_CORPUS_SQL
+    + _GRAMS_SQL
+    + _minhash16_sql()
+    + """
+    , buckets AS (
+      SELECT band, slice, CAST(count(*) AS BIGINT) AS bucket_n
+      FROM bandrows GROUP BY band, slice
+    )
+    SELECT bucket_n, CAST(count(*) AS BIGINT) AS n_buckets
+    FROM buckets GROUP BY bucket_n
+    ORDER BY bucket_n
+    """,
+)
+def llm_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-size histogram — the observability companion to the
+    hot-bucket guard. A bucket of k signatures costs k²/2 candidate
+    pairs, so this histogram IS the join's cost model; ops reads it to
+    pick (or audit) ``max_bucket_size``. One extra aggregate over the
+    exact banding used for candidates."""
+    sigs = minhash_signatures(_corpus(spark, sf_dir), num_hashes=16)
+    return lsh_bucket_stats(sigs, bands=8).orderBy("bucket_n")
+
+
+_SKEW_SQL = r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 30
+      UNION ALL
+      SELECT 5000 + r.range AS doc_id, d.text
+      FROM documents d, range(1, 13) r
+      WHERE d.doc_id = 0
+    )
+"""
+
+
+def _skewed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30 distinct docs + 12 extra copies of doc 0: the 13 identical
+    documents share one signature, so every band has a 13-member hot
+    bucket — the boilerplate-skew shape that turns uncapped LSH
+    quadratic."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 30)
+    boiler = (
+        docs.filter(F.col("doc_id") == 0)
+        .crossJoin(spark.range(1, 13).select(F.col("id").alias("rep")))
+        .select((F.lit(5000) + F.col("rep")).cast("long").alias("doc_id"), "text")
+    )
+    return base.unionByName(boiler)
+
+
+@query(
+    "llm_dedup_lsh_capped",
+    oracle=_SKEW_SQL
+    + _GRAMS_SQL
+    + _minhash16_sql()
+    + """
+    , sized AS (
+      SELECT id, band, slice,
+             count(*) OVER (PARTITION BY band, slice) AS bucket_n,
+             min(id) OVER (PARTITION BY band, slice) AS bucket_min
+      FROM bandrows
+    ), allp AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM sized a JOIN sized b USING (band, slice)
+      WHERE a.bucket_n <= 4 AND a.id < b.id
+    ), star AS (
+      SELECT bucket_min AS id_a, id AS id_b FROM sized
+      WHERE bucket_n > 4 AND id <> bucket_min
+    )
+    SELECT DISTINCT id_a, id_b FROM (
+      SELECT * FROM allp UNION ALL SELECT * FROM star
+    )
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-guarded LSH candidates on a skewed corpus: buckets
+    over the cap (the 13 identical docs) emit star pairs around the
+    bucket minimum — O(k) instead of O(k²) — while normal buckets keep
+    full enumeration. The oracle reproduces the exact star/all-pairs
+    split, so the guard's semantics (not just its cost) are checked."""
+    sigs = minhash_signatures(_skewed_corpus(spark, sf_dir), num_hashes=16)
+    return lsh_candidate_pairs(sigs, bands=8, max_bucket_size=4).orderBy("id_a", "id_b")
+
+
+@query(
+    "llm_jaccard_df_stats",
+    oracle=_CORPUS_SQL
+    + _GRAMS_SQL
+    + """
+    , dfs AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM grams GROUP BY gram)
+    SELECT CASE WHEN df = 1 THEN 'singleton'
+                WHEN df <= 16 THEN 'joinable'
+                ELSE 'capped' END AS gram_class,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(df) AS BIGINT) AS n_occurrences
+    FROM dfs GROUP BY 1
+    ORDER BY gram_class
+    """,
+)
+def llm_jaccard_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall accounting for ngram_jaccard_pairs' df-prune: how many
+    grams (and occurrences) are singleton / joinable / capped at
+    max_gram_df=16. A qualifying pair is missed only if every shared
+    gram is 'capped' — this makes that trade-off a measured quantity
+    instead of a silent knob."""
+    grams = exploded_grams(_corpus(spark, sf_dir))
+    return gram_df_stats(grams, max_gram_df=16).orderBy("gram_class")

@@ -183,3 +183,52 @@ def test_asof_forward_and_tolerance(spark):
     }
     # 10:00 -> nearest forward is 12:00, 2h away: nulled by 1h tolerance
     assert tol == {(1, 10): None, (1, 12): "noon", (1, 23): None, (2, 10): None}
+
+
+def test_lsh_hot_bucket_guard_bounds_fanout(spark):
+    """200 identical docs = one max-size bucket in every band. Uncapped
+    LSH enumerates ~200²/2 pairs; the guard's star pairing emits exactly
+    n-1, and the duplicate group still collapses to ONE cluster."""
+    from log2sql_spark.operators.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    text = "identical boilerplate navigation header repeated on every page of the site"
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit(text).alias("text")
+    )
+    sigs = minhash_signatures(docs, num_hashes=16)
+
+    capped = lsh_candidate_pairs(sigs, bands=8, max_bucket_size=8)
+    pairs = capped.collect()
+    assert len(pairs) == 199  # star around id 0, not 19900 all-pairs
+    assert all(r.id_a == 0 for r in pairs)
+
+    clusters = dedup_clusters(capped)
+    assert clusters.select("cluster_id").distinct().count() == 1
+    assert clusters.count() == 200
+
+
+def test_lsh_guard_keeps_small_buckets_exact(spark):
+    """Buckets at or under the cap keep full pair enumeration: capped
+    output equals uncapped output when nothing exceeds the cap."""
+    from log2sql_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "the quick brown fox jumps over the lazy dog near the river bend today",
+        "an entirely different document about spark shuffle partitioning internals",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(docs, num_hashes=16).persist()
+    uncapped = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, bands=8).collect()}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, bands=8, max_bucket_size=8).collect()
+    }
+    sigs.unpersist()
+    assert capped == uncapped and (0, 1) in capped
