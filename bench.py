@@ -47,7 +47,72 @@ HEADLINE = [
     "llm_multimodal_features",
     "cdc_scd2_history",
     "join_asof",
+    # end-to-end curation: quality gates + exact dedup + contamination +
+    # split assignment in one plan — the closest proxy for the real
+    # 100 TB training-data workload
+    "llm_curation_pipeline",
 ]
+
+
+def cdc_parse_throughput(spark) -> dict:
+    """Multi-file binlog parse throughput: the same 100k-event dump as
+    1 file vs 8 files. Unit of parallelism is the file (one mapInPandas
+    task each, no shuffle), so 8 files should scale near-linearly on
+    local[32] — the measured evidence for the per-file-parallel design
+    claim in sources/binlog.py."""
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from log2sql_spark.sources.binlog import read_binlog
+    from log2sql_spark.sources.binlog_fixture import render_binlog
+
+    n_events, n_files = 100_000, 8
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    events = [
+        {
+            "op": "insert",
+            "db": "shop",
+            "table": "orders",
+            "ts": t0 + timedelta(seconds=i % 86_400),
+            "values": [
+                (1, str(i)),
+                (2, str(i % 1000)),
+                (3, "'O'"),
+                (4, str(100_00 + i % 9_000_00)),
+                (5, f"'2024-03-{(i % 28) + 1:02d}'"),
+            ],
+        }
+        for i in range(n_events)
+    ]
+    tmp = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        one = os.path.join(tmp, "one")
+        many = os.path.join(tmp, "many")
+        os.makedirs(one), os.makedirs(many)
+        with open(os.path.join(one, "mysql-bin.000001.txt"), "w") as f:
+            f.write(render_binlog(events))
+        chunk = n_events // n_files
+        for i in range(n_files):
+            with open(os.path.join(many, f"mysql-bin.{i:06d}.txt"), "w") as f:
+                f.write(render_binlog(events[i * chunk : (i + 1) * chunk]))
+
+        def run(path: str) -> float:
+            t = time.time()
+            assert read_binlog(spark, f"{path}/*.txt").count() == n_events
+            return time.time() - t
+
+        run(many)  # warm the Arrow/pandas path outside the measurement
+        t_one, t_many = run(one), run(many)
+        return {
+            "events": n_events,
+            "files_1_sec": round(t_one, 3),
+            "files_8_sec": round(t_many, 3),
+            "events_per_sec_8files": round(n_events / t_many),
+            "speedup_8files": round(t_one / t_many, 2),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:
@@ -76,6 +141,8 @@ def main() -> None:
         times[name] = round(best, 3)
         build_times[name] = round(best_build, 3)
 
+    cdc_parse = cdc_parse_throughput(spark)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -90,6 +157,7 @@ def main() -> None:
                 "queries": times,
                 "build": build_times,
                 "build_total": round(sum(build_times.values()), 3),
+                "cdc_parse": cdc_parse,
                 "sf": sf_val,
             }
         )
