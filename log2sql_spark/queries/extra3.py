@@ -1,0 +1,282 @@
+"""Round-4 surface widening: XML source, regex/URL function waves,
+event-sequence (funnel) analytics, and TF-IDF text analysis.
+
+All extension surface beyond the 305-line reference (SURVEY.md §2.2);
+every query carries a DuckDB oracle. Determinism notes per query —
+floats only ever reach the output as integer-quantized values.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from log2sql_spark.registry import query
+from log2sql_spark.sources.tables import load_table
+
+
+@query(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink (built into Spark 4): write an orders subset as
+    row-tagged XML, read it back with an explicit schema (no inference
+    scan), verify against the parquet-derived oracle — DuckDB can't read
+    XML, so the round trip must be lossless for the hash to match."""
+    sub = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    d = os.path.join(tempfile.mkdtemp(prefix="log2sql_xml_"), "orders_xml")
+    sub.write.mode("overwrite").format("xml").option("rowTag", "order").save(d)
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double"
+        )
+        .format("xml")
+        .option("rowTag", "order")
+        .load(d)
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("total_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@query(
+    "regex_funcs",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+           regexp_extract(text, '(\w+)\s+(\w+)', 2) AS second_word,
+           CAST(len(regexp_extract_all(text, '[aeiou]')) AS BIGINT) AS n_vowels,
+           CAST(len(regexp_extract_all(text, '\b[A-Za-z]{4}\b')) AS BIGINT) AS n_four_letter,
+           regexp_matches(text, 'data') AS has_data,
+           regexp_replace(text, '\s+', '_', 'g') AS squished,
+           CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_split
+    FROM documents
+    WHERE doc_id < 120
+    ORDER BY doc_id
+    """,
+)
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function wave: extract / extract-all / count / like /
+    replace / split — the pattern-matching surface of the engine
+    (reference's only regexes are its parser line-classifiers,
+    log2sql.py:97-99)."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 120)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.regexp_extract("text", r"(\w+)\s+(\w+)", 2).alias("second_word"),
+        F.regexp_count("text", F.lit(r"[aeiou]")).alias("n_vowels"),
+        F.regexp_count("text", F.lit(r"\b[A-Za-z]{4}\b")).alias("n_four_letter"),
+        F.col("text").rlike("data").alias("has_data"),
+        F.regexp_replace("text", r"\s+", "_").alias("squished"),
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_split"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "url_funcs",
+    oracle=r"""
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\?([^#]*)', 1) AS query,
+           regexp_extract(url, '\?.*?lang=([^&#]*)', 1) AS lang_param,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM (
+      SELECT doc_id,
+             'https://corpus.example.com/' || source || '/doc-' || doc_id ||
+             '?lang=' || lang || '&v=2' AS url
+      FROM documents WHERE doc_id < 150
+    )
+    ORDER BY doc_id
+    """,
+)
+def url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing wave (parse_url HOST/PATH/QUERY/param/PROTOCOL) over
+    synthesized per-document URLs; the oracle re-derives each part with
+    regexes, so Spark's parse_url semantics are pinned exactly."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
+    with_url = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://corpus.example.com/"),
+            F.col("source"),
+            F.lit("/doc-"),
+            F.col("doc_id"),
+            F.lit("?lang="),
+            F.col("lang"),
+            F.lit("&v=2"),
+        ).alias("url"),
+    )
+    return with_url.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "events_funnel_steps",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, ts FROM events),
+    v AS (
+      SELECT user_id, min(ts) AS view_ts FROM ev WHERE event_type = 'view'
+      GROUP BY user_id
+    ),
+    c AS (
+      SELECT ev.user_id, min(ts) AS click_ts
+      FROM ev JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts > view_ts
+      GROUP BY ev.user_id
+    ),
+    p AS (
+      SELECT ev.user_id, min(ts) AS purchase_ts
+      FROM ev JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts > click_ts
+      GROUP BY ev.user_id
+    )
+    SELECT v.user_id AS user_id, view_ts, click_ts, purchase_ts,
+           (purchase_ts IS NOT NULL) AS completed,
+           CAST(CASE WHEN purchase_ts IS NOT NULL
+                THEN date_diff('second', view_ts, purchase_ts) END AS BIGINT)
+             AS seconds_to_convert
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    ORDER BY user_id
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence (funnel) detection: first view, first click
+    AFTER that view, first purchase AFTER that click, per user — the
+    MATCH_RECOGNIZE-shaped analytic expressed as chained conditional
+    min-aggregates. All three aggregates shuffle on user_id, so the
+    partitioning is computed once and reused; the step tables are
+    per-user singletons (broadcastable at any corpus scale)."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.join(F.broadcast(v), "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("view_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.join(F.broadcast(c), "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("click_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            F.col("purchase_ts").isNotNull().alias("completed"),
+            F.when(
+                F.col("purchase_ts").isNotNull(),
+                (
+                    F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+                ).cast("long"),
+            ).alias("seconds_to_convert"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "llm_tfidf_topterms",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+    ), toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM corpus
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE len(term) >= 4 GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM corpus),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             CAST(round(tf * ln(n_docs / df) * 1000000) AS BIGINT) AS score_micro
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tf, df, score_micro
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_micro DESC, term
+      ) AS rn FROM scored
+    )
+    WHERE rn <= 3
+    ORDER BY doc_id, score_micro DESC, term
+    """,
+)
+def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (terms ≥ 4 chars). df is one
+    aggregate over the already-grouped tf table, N is a broadcast
+    scalar; the score is emitted integer-quantized (micro-units) so the
+    cross-engine double ln() agrees bit-for-bit after rounding — floats
+    never reach the output raw."""
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).filter(F.length("term") >= 4)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * 1e6, 0)
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("doc_id", F.desc("score_micro"), "term")
+    )

@@ -61,6 +61,7 @@ def _load_query_modules() -> None:
         cdc,
         extra,
         extra2,
+        extra3,
         llm,
         llm_pipeline,
         relational,
