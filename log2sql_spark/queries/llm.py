@@ -9,6 +9,8 @@ the operators have real work whose output the oracle can reproduce.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,6 +48,7 @@ from log2sql_spark.operators.textops import (
 )
 from log2sql_spark.registry import query
 from log2sql_spark.sources.tables import load_table
+from log2sql_spark.streaming.dedup_stream import near_dup_pairs, process_dedup_batch
 
 _CORPUS_SQL = r"""
     WITH corpus AS (
@@ -1168,3 +1171,129 @@ def llm_jaccard_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a silent knob."""
     grams = exploded_grams(_corpus(spark, sf_dir))
     return gram_df_stats(grams, max_gram_df=16).orderBy("gram_class")
+
+
+@query(
+    "stream_minhash_dedup",
+    oracle=_CORPUS_SQL
+    + _GRAMS_SQL
+    + _minhash16_sql()
+    + """
+    , cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bandrows a JOIN bandrows b USING (band, slice)
+      WHERE a.id < b.id
+    ), agree AS (
+      SELECT c.id_a, c.id_b,
+             ("""
+    + " + ".join(f"CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END" for i in range(16))
+    + """) AS n_agree
+      FROM cands c JOIN hs x ON x.id = c.id_a JOIN hs y ON y.id = c.id_b
+    )
+    SELECT id_a, id_b, n_agree / 16.0 AS est_jaccard
+    FROM agree
+    WHERE n_agree / 16.0 >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-replayable twin of the incremental streaming dedup
+    (streaming/dedup_stream.py): the corpus arrives as two micro-batches
+    — originals first, then the exact copies and near-duplicates — each
+    processed against the persisted signature store. The union of
+    per-batch flags equals the one-shot LSH result (every qualifying
+    pair is emitted exactly once, in the batch its second member
+    arrives), which is what the oracle computes. est_jaccard is
+    n_agree/16 — a dyadic rational, so the double compares bit-for-bit
+    across engines."""
+    import tempfile
+
+    corpus = _corpus(spark, sf_dir)
+    store = os.path.join(tempfile.mkdtemp(prefix="log2sql_sdd_"), "store")
+    process_dedup_batch(
+        corpus.filter(F.col("doc_id") < 600), store,
+        threshold=0.5, num_hashes=16, bands=8,
+    )
+    process_dedup_batch(
+        corpus.filter(F.col("doc_id") >= 10000), store,
+        threshold=0.5, num_hashes=16, bands=8,
+    )
+    return near_dup_pairs(spark, store).orderBy("id_a", "id_b")
+
+
+def _ngram_sql(n: int) -> str:
+    """DuckDB CTE for per-doc DISTINCT word n-grams (mirrors
+    operators.dedup.word_ngrams for any n)."""
+    arr = r"regexp_split_to_array(trim(text), '\s+')"
+    terms = " || ' ' || ".join(f"{arr}[i+{j}]" if j else f"{arr}[i]" for j in range(n))
+    return f"""
+    , grams AS (
+      SELECT doc_id AS id, unnest(list_distinct(g.grams)) AS gram
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 range(1, greatest(len({arr}) - {n - 2}, 1)),
+                 i -> {terms}
+               ) AS grams
+        FROM corpus
+      ) g(doc_id, grams)
+    )
+"""
+
+
+@query(
+    "llm_repeated_passages",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 50 OR (doc_id >= 100 AND doc_id < 110)
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+      UNION ALL
+      SELECT doc_id + 20000 AS doc_id, regexp_replace(text, '\s+\S+$', '') AS text
+      FROM documents WHERE doc_id >= 100 AND doc_id < 110
+    )
+    """
+    + _ngram_sql(12)
+    + """
+    SELECT gram AS passage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(id) AS BIGINT) AS first_doc
+    FROM grams
+    GROUP BY gram
+    HAVING count(*) >= 2
+    ORDER BY passage
+    """,
+)
+def llm_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (substring) dedup: 12-token windows shared by ≥2
+    documents — the cross-doc repeated-passage detector (boilerplate,
+    licenses, quoted chunks) that doc-level Jaccard can't see and
+    per-doc winnowing doesn't aggregate. One explode + one groupBy on
+    the window text: the shuffle key is the passage, so cost scales
+    with corpus token count, and the HAVING prunes the (overwhelming)
+    unique-window majority map-side-partially before the reduce."""
+    from log2sql_spark.operators.dedup import word_ngrams
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    orig = docs.filter(
+        (F.col("doc_id") < 50) | ((F.col("doc_id") >= 100) & (F.col("doc_id") < 110))
+    )
+    copies = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    near = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 110)).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    corpus = orig.unionByName(copies).unionByName(near)
+    passages = corpus.select(
+        F.col("doc_id").alias("id"),
+        F.explode(word_ngrams(F.col("text"), 12)).alias("passage"),
+    )
+    return (
+        passages.groupBy("passage")
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("first_doc"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("passage")
+    )

@@ -177,3 +177,23 @@ def near_dup_pairs(spark: SparkSession, store_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.max("est_jaccard").alias("est_jaccard"))
     )
+
+
+def compact_store(spark: SparkSession, store_dir: str, target_file_mb: int = 128) -> dict:
+    """Periodic maintenance: every micro-batch appends one small parquet
+    file per store table, so a long-running stream accumulates thousands
+    of footer-dominated files. Rewrites both tables to ~target-sized
+    files (signatures clustered by id so bucket joins get selective
+    row-group stats). Run between availableNow passes or from a
+    scheduled maintenance job — never concurrently with an active
+    writer."""
+    from ..sources.compaction import compact_parquet
+
+    out = {}
+    for name, path, sort in (
+        ("signatures", _sig_path(store_dir), ["id"]),
+        ("pairs", _pair_path(store_dir), ["id_a", "id_b"]),
+    ):
+        if os.path.isdir(path):
+            out[name] = compact_parquet(spark, path, target_file_mb, sort_by=sort)
+    return out

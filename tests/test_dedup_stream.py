@@ -86,3 +86,38 @@ def test_exact_duplicate_across_batches_estimates_one(spark, tmp_path):
     rows = near_dup_pairs(spark, store).collect()
     assert len(rows) == 1 and rows[0].id_a == 10 and rows[0].id_b == 20
     assert rows[0].est_jaccard == pytest.approx(1.0)
+
+
+def test_compact_store_preserves_contents(spark, tmp_path):
+    """Many tiny per-batch files → few compacted files, same data."""
+    import os
+
+    from log2sql_spark.streaming.dedup_stream import compact_store
+
+    store = str(tmp_path / "store")
+    for b in range(6):
+        batch = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [100 * b, 100 * b + 1], "text": [BASE, BASE + f" extra {b}"]}
+            )
+        )
+        process_dedup_batch(batch, store, threshold=0.5)
+    before_pairs = sorted(
+        (r.id_a, r.id_b, r.est_jaccard) for r in near_dup_pairs(spark, store).collect()
+    )
+    sig_dir = f"{store}/signatures"
+    n_before = len([f for f in os.listdir(sig_dir) if f.endswith(".parquet")])
+    assert n_before >= 6  # one per batch
+
+    counts = compact_store(spark, store)
+    assert counts["signatures"] == 1 and counts["pairs"] == 1
+    after_pairs = sorted(
+        (r.id_a, r.id_b, r.est_jaccard) for r in near_dup_pairs(spark, store).collect()
+    )
+    assert after_pairs == before_pairs
+    assert spark.read.parquet(sig_dir).count() == 12
+
+    # the stream keeps working against the compacted store
+    nxt = spark.createDataFrame(pd.DataFrame({"doc_id": [9999], "text": [BASE]}))
+    process_dedup_batch(nxt, store, threshold=0.5)
+    assert near_dup_pairs(spark, store).filter("id_b = 9999").count() >= 6
