@@ -173,30 +173,46 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence (funnel) detection: first view, first click
     AFTER that view, first purchase AFTER that click, per user — the
     MATCH_RECOGNIZE-shaped analytic expressed as chained conditional
-    min-aggregates. All three aggregates shuffle on user_id, so the
-    partitioning is computed once and reused; the step tables are
-    per-user singletons (broadcastable at any corpus scale)."""
+    window-mins over ONE user_id partitioning: view_ts is a
+    per-partition constant, so the next step's condition (ts > view_ts)
+    references a plain column and the whole funnel costs a single
+    shuffle + one same-key aggregate (no exchange), however many steps
+    the funnel has — vs one shuffle per step the naive
+    aggregate-and-join shape pays."""
     ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("view_ts"))
-    )
-    c = (
-        ev.join(F.broadcast(v), "user_id")
-        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("view_ts")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("click_ts"))
-    )
-    p = (
-        ev.join(F.broadcast(c), "user_id")
-        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("click_ts")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("purchase_ts"))
+    w = Window.partitionBy("user_id")
+    stepped = (
+        ev.withColumn(
+            "view_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "click_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("view_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "purchase_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("click_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
     return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
+        stepped.filter(F.col("view_ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("view_ts").alias("view_ts"),
+            F.min("click_ts").alias("click_ts"),
+            F.min("purchase_ts").alias("purchase_ts"),
+        )
         .select(
             "user_id",
             "view_ts",
@@ -258,10 +274,12 @@ def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
     ).filter(F.length("term") >= 4)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # df as a window count over the already-grouped tf table: one
+    # shuffle on term replaces the aggregate-then-join shape's two.
+    df = F.count("*").over(Window.partitionBy("term"))
     n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
-        tf.join(df, "term")
+        tf.withColumn("df", df.cast("long"))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -280,3 +298,41 @@ def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("doc_id", F.desc("score_micro"), "term")
     )
+
+
+@query(
+    "encoding_funcs",
+    oracle="""
+    SELECT doc_id,
+           to_base64(encode(substr(text, 1, 24))) AS b64,
+           substr(text, 1, 24) = from_base64(to_base64(encode(substr(text, 1, 24))))::VARCHAR
+             AS b64_roundtrip,
+           hex(encode(substr(text, 1, 8))) AS hex8,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(levenshtein(lang, source) AS BIGINT) AS lev_lang_source,
+           sha256(text) AS sha256_hex,
+           md5(text) AS md5_hex
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def encoding_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding/hash wave: base64 (+roundtrip through binary), hex,
+    byte length, levenshtein edit distance, sha256/md5 digests — the
+    binary↔text surface. Inputs capped at 24 chars so neither engine's
+    base64 line-chunking threshold (76 chars) is reachable."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    pre = F.substring("text", 1, 24)
+    return docs.select(
+        "doc_id",
+        F.base64(F.encode(pre, "UTF-8")).alias("b64"),
+        (pre == F.decode(F.unbase64(F.base64(F.encode(pre, "UTF-8"))), "UTF-8")).alias(
+            "b64_roundtrip"
+        ),
+        F.hex(F.encode(F.substring("text", 1, 8), "UTF-8")).alias("hex8"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        F.levenshtein("lang", "source").cast("long").alias("lev_lang_source"),
+        F.sha2("text", 256).alias("sha256_hex"),
+        F.md5("text").alias("md5_hex"),
+    ).orderBy("doc_id")
