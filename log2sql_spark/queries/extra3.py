@@ -336,3 +336,89 @@ def encoding_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("sha256_hex"),
         F.md5("text").alias("md5_hex"),
     ).orderBy("doc_id")
+
+
+@query(
+    "llm_shard_balance_report",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 15))::BIGINT % 8
+               AS shard,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), per AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM toks GROUP BY shard
+    )
+    SELECT shard, n_docs, total_tokens,
+           CAST(round(total_tokens * 10000.0 /
+                (SELECT sum(total_tokens) FROM per)) AS BIGINT) AS share_bp
+    FROM per
+    ORDER BY shard
+    """,
+)
+def llm_shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard balance report for hash sharding: per-shard doc and
+    token totals plus each shard's share in basis points. Hash sharding
+    is the ONLY assignment that needs no global order (a global
+    row_number/ntile is a single-partition bottleneck at 100 TB); this
+    report is how you verify the expected balance actually holds on a
+    real corpus. DuckDB's hash() differs from Spark's, so the shard key
+    is a cross-engine md5-derived hash, same trick as the dedup family."""
+    from log2sql_spark.operators.dedup import md5_long
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.pmod(
+            md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))), F.lit(8)
+        ).alias("shard"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    per = toks.groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+    total = per.agg(F.sum("total_tokens").alias("grand")).select("grand")
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("total_tokens") * 10000.0 / F.col("grand"), 0)
+            .cast("long")
+            .alias("share_bp"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
+    "agg_median",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           median(CAST(round(o_totalprice * 100) AS BIGINT)) AS median_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group over integer cents: an even-count group
+    averages the two middles — (x+y)/2 on integers is dyadic, so the
+    double is bit-identical across engines."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.median(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "median_cents"
+            ),
+            F.min("o_orderkey").alias("min_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
