@@ -312,6 +312,7 @@ def minhash_dedup_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard ≥ threshold.
 
@@ -325,10 +326,15 @@ def minhash_dedup_pairs(
     size(union) with array_intersect — integers, so the division is
     bit-identical to the oracle's. The all-pairs gram self-join
     (ngram_jaccard_pairs) is never built; at scale the verify cost is
-    O(|candidates|), not O(|gram-sharing pairs|)."""
+    O(|candidates|), not O(|gram-sharing pairs|).
+
+    ``max_bucket_size`` enables the hot-bucket guard (see
+    lsh_candidate_pairs): on boilerplate-heavy corpora pass e.g. 256 so
+    one pathological bucket can't go quadratic; verified star pairs
+    still connect the duplicate group for clustering."""
     grams = exploded_grams(docs, n, text_col, id_col).persist()
     sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col, grams=grams)
-    cands = lsh_candidate_pairs(sigs, bands)
+    cands = lsh_candidate_pairs(sigs, bands, max_bucket_size=max_bucket_size)
     gram_sets = grams.groupBy("id").agg(F.collect_list("gram").alias("gset"))
     return (
         cands.join(gram_sets.withColumnsRenamed({"id": "id_a", "gset": "ga"}), "id_a")
