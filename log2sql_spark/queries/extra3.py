@@ -422,3 +422,118 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '1995-12-01'
+    )
+    SELECT strftime(m, '%Y-%m-%d') AS month_start,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)
+             AS cents
+    FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+    GROUP BY m
+    ORDER BY month_start
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): a generated 1995 month
+    spine LEFT-joined to monthly order totals — the gap-proof calendar
+    rollup shape. The recursion materializes 12 driver-light rows; the
+    heavy side stays a single scan+aggregate."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_rcte_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01 00:00:00'
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM months
+          WHERE m < TIMESTAMP '1995-12-01 00:00:00'
+        )
+        SELECT date_format(m, 'yyyy-MM-dd') AS month_start,
+               CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+               coalesce(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)), 0L) AS cents
+        FROM months LEFT JOIN orders_rcte_v ON date_trunc('MONTH', o_orderdate) = m
+        GROUP BY m
+        ORDER BY month_start
+        """
+    )
+
+
+@query(
+    "json_variant_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k_val,
+           CAST(props->>'$.k' AS BIGINT) * 2 AS k_doubled,
+           CAST(props->>'$.k' AS BIGINT) % 10 = 0 AS k_round
+    FROM events
+    WHERE event_id < 300
+    ORDER BY event_id
+    """,
+)
+def json_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT (Spark 4 semi-structured type): parse_json → variant_get
+    typed extraction pinned against DuckDB's JSON operators (DuckDB's
+    JSON cast preserves raw spacing while Spark's to_json minifies, so
+    the serialized form itself is not cross-engine comparable). Variant is the schema-on-read
+    path for ragged metadata columns at scale — extraction happens
+    columnar-side, no Python."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 300)
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_val"),
+        (F.expr("variant_get(parse_json(props), '$.k', 'bigint')") * 2).alias(
+            "k_doubled"
+        ),
+        (F.expr("variant_get(parse_json(props), '$.k', 'bigint')") % 10 == 0).alias(
+            "k_round"
+        ),
+    ).orderBy("event_id")
+
+
+@query(
+    "sql_lateral_subquery",
+    oracle="""
+    SELECT o.o_orderkey AS o_orderkey,
+           CAST(l.n_items AS BIGINT) AS n_items,
+           CAST(l.max_qty AS BIGINT) AS max_qty,
+           CAST(l.cents AS BIGINT) AS cents
+    FROM orders o, LATERAL (
+      SELECT count(*) AS n_items,
+             coalesce(max(CAST(round(l_quantity) AS BIGINT)), 0) AS max_qty,
+             coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) AS cents
+      FROM lineitem WHERE l_orderkey = o.o_orderkey
+    ) l
+    WHERE o.o_orderkey <= 1000
+    ORDER BY o_orderkey
+    """,
+)
+def sql_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL LATERAL correlated subquery (per-order lineitem aggregate):
+    the parser/planner surface for correlated table expressions —
+    Catalyst decorrelates it into a join + aggregate, so the executed
+    plan is the same shuffle-bounded shape as the hand-written
+    DataFrame version, not a nested loop."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_lat_v")
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem_lat_v")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey AS o_orderkey,
+               l.n_items, l.max_qty, l.cents
+        FROM orders_lat_v o,
+        LATERAL (
+          SELECT count(*) AS n_items,
+                 coalesce(max(CAST(round(l_quantity, 0) AS BIGINT)), 0L) AS max_qty,
+                 coalesce(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)), 0L) AS cents
+          FROM lineitem_lat_v WHERE l_orderkey = o.o_orderkey
+        ) l
+        WHERE o.o_orderkey <= 1000
+        ORDER BY o_orderkey
+        """
+    )
