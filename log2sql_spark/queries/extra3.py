@@ -537,3 +537,55 @@ def sql_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+@query(
+    "sql_ctas_insert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey <= 4000 GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n, cents FROM base
+    UNION ALL
+    SELECT 'ZZ_TOTAL' AS o_orderstatus,
+           CAST(sum(n) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM base
+    ORDER BY o_orderstatus
+    """,
+)
+def sql_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog/table management surface: CREATE TABLE AS SELECT into the
+    session warehouse (parquet), then INSERT INTO appending a computed
+    total row, then read the managed table back. The oracle recomputes
+    the same content from the source, so the managed-table write/append/
+    read cycle must be lossless."""
+    import shutil
+
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_ctas_v")
+    spark.sql("DROP TABLE IF EXISTS order_status_summary")
+    # A fresh session's in-memory catalog doesn't know the table, so the
+    # DROP is a no-op while the managed location survives on disk —
+    # remove it explicitly or the CTAS fails with LOCATION_ALREADY_EXISTS.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, "order_status_summary"), ignore_errors=True)
+    spark.sql(
+        """
+        CREATE TABLE order_status_summary USING parquet AS
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        FROM orders_ctas_v WHERE o_orderkey <= 4000 GROUP BY o_orderstatus
+        """
+    )
+    spark.sql(
+        """
+        INSERT INTO order_status_summary
+        SELECT 'ZZ_TOTAL', CAST(sum(n) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        FROM order_status_summary
+        """
+    )
+    return spark.table("order_status_summary").orderBy("o_orderstatus")
