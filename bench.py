@@ -51,6 +51,9 @@ HEADLINE = [
     # split assignment in one plan — the closest proxy for the real
     # 100 TB training-data workload
     "llm_curation_pipeline",
+    # round-4 additions: single-shuffle funnel, passage-level dedup
+    "events_funnel_steps",
+    "llm_repeated_passages",
 ]
 
 

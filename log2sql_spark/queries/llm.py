@@ -1297,3 +1297,89 @@ def llm_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("passage")
     )
+
+
+@query(
+    "llm_ann_recall_eval",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         ex_scored AS (
+           SELECT query_id, neighbor_id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY {_cos_sql('qv', 'cv')} DESC, neighbor_id) AS BIGINT) AS rank
+           FROM q, c WHERE query_id <> neighbor_id
+         ),
+         exact AS (SELECT query_id, neighbor_id FROM ex_scored WHERE rank <= 5),
+         cent AS (
+           SELECT vec_id AS centroid_id, embedding AS centv
+           FROM embeddings WHERE vec_id % 25 = 0
+         ),
+         vecs AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         assign_scored AS (
+           SELECT id, vec, centroid_id,
+                  row_number() OVER (PARTITION BY id
+                    ORDER BY {_cos_sql('vec', 'centv')} DESC, centroid_id) AS rn
+           FROM vecs, cent
+         ),
+         assigned AS (SELECT id, vec, centroid_id FROM assign_scored WHERE rn = 1),
+         probe_scored AS (
+           SELECT query_id, qv, centroid_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY {_cos_sql('qv', 'centv')} DESC, centroid_id) AS rn
+           FROM q, cent
+         ),
+         probes AS (SELECT query_id, qv, centroid_id FROM probe_scored WHERE rn <= 3),
+         cand AS (
+           SELECT p.query_id, p.qv, a.id, a.vec
+           FROM probes p JOIN assigned a USING (centroid_id)
+           WHERE p.query_id <> a.id
+         ),
+         ivf_ranked AS (
+           SELECT query_id, id AS neighbor_id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY {_cos_sql('qv', 'vec')} DESC, id) AS BIGINT) AS rank
+           FROM cand
+         ),
+         ivf AS (SELECT query_id, neighbor_id FROM ivf_ranked WHERE rank <= 5),
+         hits AS (
+           SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+           FROM exact e JOIN ivf USING (query_id, neighbor_id)
+           GROUP BY e.query_id
+         )
+    SELECT qq.query_id, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+           coalesce(n_hit, 0) / 5.0 AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM exact) qq LEFT JOIN hits USING (query_id)
+    ORDER BY query_id
+    """,
+)
+def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured ANN quality: recall@5 of the IVF index (nprobe=3)
+    against the exact top-5, per query vector. The 'measure, don't
+    guess' companion to llm_sim_topk_ivf — approximation error is a
+    number the pipeline reports, not an assumption. Both retrieval
+    chains and the recall division are reproduced in the oracle, so
+    the evaluation itself is hash-checked."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(q, emb, k=5).select("query_id", "neighbor_id")
+    centroids = emb.filter(F.col("vec_id") % 25 == 0)
+    approx = ivf_topk(q, emb, centroids, k=5, nprobe=3).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)) / 5.0).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
