@@ -589,3 +589,48 @@ def sql_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.table("order_status_summary").orderBy("o_orderstatus")
+
+
+@query(
+    "source_json_corrupt_recovery",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_good,
+           CAST(2 AS BIGINT) AS n_corrupt,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS good_cents
+    FROM orders
+    WHERE o_orderkey <= 1500
+    """,
+)
+def source_json_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode corrupt-record recovery: a JSON input containing
+    two malformed lines (written deterministically alongside rows
+    derived from orders) is read with a _corrupt_record column; good
+    rows aggregate to the oracle's orders-derived numbers and the bad
+    lines are counted, not dropped silently — the quarantine pattern
+    every large-scale ingest needs. (The reference would crash or
+    mis-parse: its parser has no error path, log2sql.py:75.)"""
+    sub = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") <= 1500)
+        .select("o_orderkey", "o_totalprice")
+    )
+    d = os.path.join(tempfile.mkdtemp(prefix="log2sql_cor_"), "j")
+    sub.coalesce(1).write.mode("overwrite").json(d)
+    # a separate file, not an append: Spark wrote .crc sidecars for its
+    # own part files and a modified part file fails the checksum read
+    with open(os.path.join(d, "part-99999-malformed.json"), "w") as f:
+        f.write('{"o_orderkey": 99999, "o_totalprice": BROKEN}\n')
+        f.write("not json at all\n")
+    back = spark.read.schema(
+        "o_orderkey bigint, o_totalprice double, _corrupt_record string"
+    ).json(d)
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.col("_corrupt_record")).alias("n_corrupt"),
+        F.sum(
+            F.when(
+                F.col("_corrupt_record").isNull(),
+                F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+            )
+        ).alias("good_cents"),
+    )
