@@ -118,6 +118,37 @@ def cdc_parse_throughput(spark) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def dedup_scale(spark) -> dict:
+    """Full-corpus MinHash+LSH dedup throughput at $SF_DIR (no oracle
+    cap): every document plus exact copies of every 10th one, hot-bucket
+    guard on — the flagship LLM op measured at the scale factor rather
+    than the oracle-bounded 750-doc corpus."""
+    from pyspark.sql import functions as F
+
+    from log2sql_spark.operators.dedup import minhash_dedup_pairs
+    from log2sql_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    ).persist()
+    n_docs = corpus.count()
+    t0 = time.time()
+    n_pairs = minhash_dedup_pairs(
+        corpus, threshold=0.6, num_hashes=64, bands=32, max_bucket_size=256
+    ).count()
+    dt = time.time() - t0
+    corpus.unpersist()
+    return {
+        "docs": n_docs,
+        "pairs": n_pairs,
+        "sec": round(dt, 3),
+        "docs_per_sec": round(n_docs / dt),
+    }
+
+
 def main() -> None:
     spark = get_spark("log2sql_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -145,6 +176,7 @@ def main() -> None:
         build_times[name] = round(best_build, 3)
 
     cdc_parse = cdc_parse_throughput(spark)
+    dedup = dedup_scale(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -161,6 +193,7 @@ def main() -> None:
                 "build": build_times,
                 "build_total": round(sum(build_times.values()), 3),
                 "cdc_parse": cdc_parse,
+                "dedup_scale": dedup,
                 "sf": sf_val,
             }
         )
