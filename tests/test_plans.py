@@ -213,3 +213,40 @@ def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
     o, c = spark.table(f"{db}.orders_b"), spark.table(f"{db}.customer_b")
     bare = o.hint("merge").join(c, o["o_custkey"] == c["c_custkey"])
     assert shuffle_count(bare) == 0, explain_str(bare)
+
+
+def test_funnel_single_partitioning(spark, qs):
+    """The funnel's chained window-mins share one user_id partitioning:
+    1 data shuffle + the output sort, never one shuffle per step."""
+    assert shuffle_count(qs["events_funnel_steps"](spark, SF)) <= 2
+
+
+def test_tfidf_bounded_shuffles(spark, qs):
+    """df-as-window over the grouped tf table keeps TF-IDF at the
+    tf-group, term-window, doc-window, sort budget."""
+    assert shuffle_count(qs["llm_tfidf_topterms"](spark, SF)) <= 5
+
+
+def test_repeated_passages_single_aggregate(spark, qs):
+    """Passage-level dedup is one explode + one groupBy on the window
+    text (+ output sort) — no self-join anywhere in the plan."""
+    df = qs["llm_repeated_passages"](spark, SF)
+    assert shuffle_count(df) <= 3
+    assert "Join" not in explain_str(df)
+
+
+def test_simhash_capped_no_nested_loop(spark, qs):
+    """The banded/capped CANDIDATE paths never fall back to a
+    BroadcastNestedLoopJoin (the O(n^2) shape the banding replaces).
+    The simhash query is checked end-to-end; the capped path is checked
+    on the operator directly because the query's corpus synthesis uses
+    a deliberate 1x12 crossJoin to manufacture the hot bucket."""
+    assert "BroadcastNestedLoopJoin" not in explain_str(qs["llm_dedup_simhash"](spark, SF))
+
+    from log2sql_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from log2sql_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text").limit(50)
+    sigs = minhash_signatures(docs, num_hashes=16)
+    plan = explain_str(lsh_candidate_pairs(sigs, bands=8, max_bucket_size=4))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
