@@ -634,3 +634,57 @@ def source_json_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("good_cents"),
     )
+
+
+@query(
+    "agg_argminmax_listagg",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderstatus, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey AS u
+      FROM orders WHERE o_orderkey <= 500
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(arg_min(o_orderkey, u) AS BIGINT) AS cheapest_key,
+           CAST(arg_max(o_orderkey, u) AS BIGINT) AS priciest_key,
+           bool_and(cents > 0) AS all_positive,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY u) AS keys_by_price
+    FROM t GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_argminmax_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate wave 3: min_by/max_by (arg-extremes), bool_and, and
+    ordered LISTAGG. The by-value is cents*1e7+orderkey — unique, so
+    arg-extremes and the listagg order are total and both engines pick
+    identical rows (min_by on a tied key is engine-arbitrary
+    otherwise)."""
+    t = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") <= 500)
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+            (
+                F.round(F.col("o_totalprice") * 100, 0).cast("long") * 10_000_000
+                + F.col("o_orderkey")
+            ).alias("u"),
+        )
+    )
+    t.createOrReplaceTempView("argmm_t")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               min_by(o_orderkey, u) AS cheapest_key,
+               max_by(o_orderkey, u) AS priciest_key,
+               bool_and(cents > 0) AS all_positive,
+               listagg(CAST(o_orderkey AS STRING), ',')
+                 WITHIN GROUP (ORDER BY u) AS keys_by_price
+        FROM argmm_t GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
