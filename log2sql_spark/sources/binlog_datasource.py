@@ -22,6 +22,7 @@ from collections.abc import Iterable, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -31,6 +32,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from log2sql_spark.sources.binlog import ENVELOPE_SCHEMA, parse_binlog_lines
@@ -155,6 +157,74 @@ class BinlogDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "BinlogStreamReader":
         return BinlogStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "BinlogSqlWriter":
+        if "sql_text" not in [f.name for f in schema.fields]:
+            raise ValueError(
+                "binlog sink requires a 'sql_text' column (rendered replay/"
+                f"flashback SQL); got {[f.name for f in schema.fields]}"
+            )
+        return BinlogSqlWriter(self.options, overwrite)
+
+
+class _SqlFileCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class BinlogSqlWriter(DataSourceWriter):
+    """Distributed ``.sql`` file sink: ``df.write.format("binlog")``.
+
+    The reference's only sink is stdout print of rendered statements
+    (``log2sql.py:14,62,185``); this is that sink made distributed and
+    atomic-ish: each partition writes its rows' ``sql_text`` to its own
+    file (executor-side, no driver collect), commit writes a _SUCCESS
+    manifest with the total row count, abort removes the files the
+    failed attempt reported. Filenames embed a per-attempt uuid so
+    append mode never clobbers an earlier write."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("binlog sink requires a path")
+        self.overwrite = overwrite
+        if overwrite:  # runs driver-side at plan time, before any task
+            import shutil
+
+            shutil.rmtree(self.path, ignore_errors=True)
+
+    def write(self, iterator) -> _SqlFileCommit:
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.sql")
+        n = 0
+        with open(out, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(row["sql_text"])
+                fh.write("\n")
+                n += 1
+        if n == 0:
+            os.remove(out)
+            return _SqlFileCommit("", 0)
+        return _SqlFileCommit(out, n)
+
+    def commit(self, messages) -> None:
+        total = sum(m.n_rows for m in messages if m is not None)
+        with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8") as fh:
+            fh.write(f"{total}\n")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.path:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
 
 
 def register(spark) -> None:
