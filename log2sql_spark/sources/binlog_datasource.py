@@ -22,6 +22,7 @@ from collections.abc import Iterable, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -166,6 +167,14 @@ class BinlogDataSource(DataSource):
             )
         return BinlogSqlWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "BinlogSqlStreamWriter":
+        if "sql_text" not in [f.name for f in schema.fields]:
+            raise ValueError(
+                "binlog stream sink requires a 'sql_text' column; got "
+                f"{[f.name for f in schema.fields]}"
+            )
+        return BinlogSqlStreamWriter(self.options)
+
 
 class _SqlFileCommit(WriterCommitMessage):
     def __init__(self, path: str, n_rows: int):
@@ -219,6 +228,64 @@ class BinlogSqlWriter(DataSourceWriter):
             fh.write(f"{total}\n")
 
     def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.path:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+
+class BinlogSqlStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of the .sql sink: ``writeStream.format("binlog")``.
+
+    Each micro-batch lands in its own ``batch=<id>`` subdirectory (the
+    same idempotent batch_id-partitioned layout as
+    ``streaming/cdc_stream.py``'s foreachBatch sink): a replayed batch
+    overwrites its own directory and no other, so the sink is
+    exactly-once downstream of the checkpoint."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("binlog stream sink requires .option('path', dir)")
+
+    def write(self, iterator) -> _SqlFileCommit:
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path, f".inflight-{pid:05d}-{uuid.uuid4().hex[:8]}.sql"
+        )
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(row["sql_text"])
+                fh.write("\n")
+                n += 1
+        if n == 0:
+            os.remove(tmp)
+            return _SqlFileCommit("", 0)
+        return _SqlFileCommit(tmp, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        bdir = os.path.join(self.path, f"batch={batchId}")
+        shutil.rmtree(bdir, ignore_errors=True)  # replay overwrites itself
+        os.makedirs(bdir, exist_ok=True)
+        total = 0
+        for i, m in enumerate(messages):
+            if m is not None and m.path:
+                os.rename(m.path, os.path.join(bdir, f"part-{i:05d}.sql"))
+                total += m.n_rows
+        with open(os.path.join(bdir, "_SUCCESS"), "w", encoding="utf-8") as fh:
+            fh.write(f"{total}\n")
+
+    def abort(self, messages, batchId: int) -> None:
         for m in messages:
             if m is not None and m.path:
                 try:

@@ -60,3 +60,39 @@ def test_sql_sink_roundtrip_with_parser(spark, tmp_path):
     lines = _read_all_sql(d)
     assert len(lines) == df.count()
     assert all(l.startswith("INSERT INTO") and l.endswith(";") for l in lines)
+
+
+def test_sql_stream_sink_batch_dirs(spark, tmp_path):
+    """writeStream.format('binlog'): each micro-batch lands in its own
+    batch=<id> directory with a _SUCCESS manifest; a second availableNow
+    run (same checkpoint) adds a new batch without touching the first."""
+    import pandas as pd
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    stream = spark.readStream.schema("sql_text string").parquet(str(in_dir))
+
+    pd.DataFrame({"sql_text": ["A;", "B;"]}).to_parquet(in_dir / "b1.parquet")
+    q = (
+        stream.writeStream.format("binlog")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(_read_all_sql(os.path.join(out, "batch=0"))) == ["A;", "B;"]
+
+    pd.DataFrame({"sql_text": ["C;"]}).to_parquet(in_dir / "b2.parquet")
+    q = (
+        stream.writeStream.format("binlog")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(_read_all_sql(os.path.join(out, "batch=1"))) == ["C;"]
+    assert sorted(_read_all_sql(os.path.join(out, "batch=0"))) == ["A;", "B;"]
