@@ -1383,3 +1383,87 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "llm_bigram_logprob",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 400
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM corpus
+    ), bg AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(a)),
+                      i -> {'w1': a[i], 'w2': a[i + 1]})) AS u
+        FROM toks
+      )
+    ), c12 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY w1
+    ), v AS (
+      SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vsz
+      FROM (SELECT unnest(a) AS t FROM toks)
+    ), scored AS (
+      SELECT b.doc_id, ln((c12.c + 1.0) / (c1.c + vsz)) AS lp
+      FROM bg b JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(round(sum(lp) * 1000000) AS BIGINT) AS logprob_micro,
+           CAST(round(exp(-sum(lp) / count(*)) * 1000000) AS BIGINT) AS ppl_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-1 smoothing — the
+    perplexity-filter curation signal one tier above unigram
+    (llm_unigram_logprob). Bigram/unigram counts are two aggregates
+    over the exploded pair table; the vocabulary size is a broadcast
+    scalar; scoring joins each document's pairs to the counts (train =
+    corpus, so every pair hits). Scores are emitted integer-quantized:
+    each ln() term is bit-identical cross-engine and the summation
+    reorder error (~1e-11) is far below the 1e-6 quantum."""
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("a"))
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("a", 1, F.size("a") - 1).alias("w1"),
+                F.slice("a", 2, F.size("a") - 1).alias("w2"),
+            )
+        ).alias("u"),
+    ).select("doc_id", F.col("u.w1").alias("w1"), F.col("u.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = docs.select(F.explode("a").alias("t")).agg(
+        F.countDistinct("t").cast("double").alias("vsz")
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("vsz"))).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum("lp") * 1e6, 0).cast("long").alias("logprob_micro"),
+            F.round(F.exp(-F.sum("lp") / F.count("*")) * 1e6, 0)
+            .cast("long")
+            .alias("ppl_micro"),
+        )
+        .orderBy("doc_id")
+    )
