@@ -688,3 +688,53 @@ def agg_argminmax_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus
         """
     )
+
+
+@query(
+    "events_sequence_pattern",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, s AS sequence,
+           CAST(length(s) AS BIGINT) AS n_events,
+           regexp_matches(s, 'v.*c.*p') AS has_funnel,
+           regexp_matches(s, 'ee') AS has_error_burst,
+           CAST(length(s) - length(regexp_replace(s, 'p', '', 'g')) AS BIGINT)
+             AS n_purchases
+    FROM seq
+    ORDER BY user_id
+    """,
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching: each user's ordered history is
+    collapsed to an initials string (one LISTAGG over a total order)
+    and patterns become plain regexes — 'v.*c.*p' is the funnel,
+    'ee' a repeated-error burst. The regex-on-sequence trick gives
+    MATCH_RECOGNIZE-class expressiveness with one shuffle, and its
+    has_funnel column cross-checks events_funnel_steps from an
+    independent formulation."""
+    ev = load_table(spark, "events", sf_dir)
+    ev.select("user_id", "event_type", "ts", "event_id").createOrReplaceTempView(
+        "events_seq_v"
+    )
+    return spark.sql(
+        """
+        WITH seq AS (
+          SELECT user_id,
+                 listagg(substring(event_type, 1, 1), '')
+                   WITHIN GROUP (ORDER BY ts, event_id) AS s
+          FROM events_seq_v GROUP BY user_id
+        )
+        SELECT user_id, s AS sequence,
+               CAST(length(s) AS BIGINT) AS n_events,
+               s RLIKE 'v.*c.*p' AS has_funnel,
+               s RLIKE 'ee' AS has_error_burst,
+               CAST(length(s) - length(regexp_replace(s, 'p', '')) AS BIGINT)
+                 AS n_purchases
+        FROM seq
+        ORDER BY user_id
+        """
+    )

@@ -232,3 +232,22 @@ def test_lsh_guard_keeps_small_buckets_exact(spark):
     }
     sigs.unpersist()
     assert capped == uncapped and (0, 1) in capped
+
+
+def test_funnel_agrees_with_sequence_regex(spark, sf_dir):
+    """Two independent funnel formulations — chained window-mins vs
+    regex over the collapsed event string — must flag the same users."""
+    from log2sql_spark import registry
+
+    qs = registry.all_queries()
+    funnel = {
+        r.user_id
+        for r in qs["events_funnel_steps"](spark, sf_dir).collect()
+        if r.completed
+    }
+    regexed = {
+        r.user_id
+        for r in qs["events_sequence_pattern"](spark, sf_dir).collect()
+        if r.has_funnel
+    }
+    assert funnel == regexed and funnel
