@@ -738,3 +738,54 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id
         """
     )
+
+
+@query(
+    "join_range_banded",
+    oracle="""
+    SELECT a.event_type AS event_type, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM events a JOIN events b
+      ON b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 MINUTE
+     AND a.event_id <> b.event_id
+    WHERE a.event_id < 1200 AND b.event_id < 1200
+    GROUP BY a.event_type
+    ORDER BY a.event_type
+    """,
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi key) made shuffle-bounded: the left side
+    explodes to its 2-minute band and the next one (any b within
+    [a.ts, a.ts+2min] lands in one of those two), the right side keeps
+    its single band, and the join becomes an EQUI-join on the band with
+    the exact range verified on collisions — each (a, b) meets in
+    exactly b's band, so no dedup is needed. Replaces the
+    BroadcastNestedLoopJoin a naive theta range join costs (the oracle
+    runs exactly that shape) with cost O(rows per 2-minute band)."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_id") < 1200)
+        .select("event_id", "event_type", "ts")
+    )
+    band = lambda c: F.floor(F.unix_timestamp(c) / 120)  # noqa: E731
+    a = ev.select(
+        F.col("event_id").alias("a_id"),
+        F.col("event_type").alias("event_type"),
+        F.col("ts").alias("a_ts"),
+        F.explode(F.array(band(F.col("ts")), band(F.col("ts")) + 1)).alias("band"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+        band(F.col("ts")).alias("band"),
+    )
+    return (
+        a.join(b, "band")
+        .filter(
+            (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 2 MINUTES"))
+            & (F.col("a_id") != F.col("b_id"))
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("event_type")
+    )
