@@ -789,3 +789,50 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "struct_funcs",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             {'status': o_orderstatus,
+              'cents': CAST(round(o_totalprice * 100) AS BIGINT),
+              'cust': o_custkey} AS s
+      FROM orders WHERE o_orderkey <= 800
+    )
+    SELECT o_orderkey,
+           s.status AS status,
+           s.cents AS cents,
+           s.cents > 10000000 AS is_large,
+           s.status || '#' || CAST(s.cust AS VARCHAR) AS status_cust
+    FROM t
+    ORDER BY o_orderkey
+    """,
+)
+def struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct (nested record) wave: named-struct construction, dotted
+    field access, and expressions over fields — the nested-type surface
+    flattened back to plain columns so both engines' outputs compare
+    exactly."""
+    t = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") <= 800)
+        .select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+                F.col("o_custkey").alias("cust"),
+            ).alias("s"),
+        )
+    )
+    return t.select(
+        "o_orderkey",
+        F.col("s.status").alias("status"),
+        F.col("s.cents").alias("cents"),
+        (F.col("s.cents") > 10_000_000).alias("is_large"),
+        F.concat(
+            F.col("s.status"), F.lit("#"), F.col("s.cust").cast("string")
+        ).alias("status_cust"),
+    ).orderBy("o_orderkey")
