@@ -836,3 +836,33 @@ def struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.status"), F.lit("#"), F.col("s.cust").cast("string")
         ).alias("status_cust"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "sql_group_order_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey <= 3000
+    GROUP BY ALL
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (both engines support it): the analyst-ergonomics
+    SQL surface — every non-aggregate select column becomes a grouping
+    key without restating the list."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_gba_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        FROM orders_gba_v
+        WHERE o_orderkey <= 3000
+        GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )

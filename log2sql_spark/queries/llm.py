@@ -1467,3 +1467,83 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_CLUSTERS_SQL = (
+    _CORPUS_SQL
+    + r"""
+    , grams AS (
+      SELECT doc_id AS id, unnest(list_distinct(g.grams)) AS gram
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+                 i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                      regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                      regexp_split_to_array(trim(text), '\s+')[i+2]
+               ) AS grams
+        FROM corpus
+      ) g(doc_id, grams)
+    ), sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM grams a JOIN grams b USING (gram) WHERE a.id < b.id
+      GROUP BY a.id, b.id
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.6
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+      )
+      SELECT * FROM r
+    ), clusters AS (
+      SELECT src AS id,
+             CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY src
+    )
+"""
+)
+
+
+@query(
+    "llm_dedup_cluster_stats",
+    oracle=_CLUSTERS_SQL
+    + """
+    , per AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_n
+      FROM clusters GROUP BY cluster_id
+    )
+    SELECT cluster_n,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_n) AS BIGINT) AS n_docs,
+           CAST(sum(cluster_n - 1) AS BIGINT) AS n_removable
+    FROM per GROUP BY cluster_n
+    ORDER BY cluster_n
+    """,
+)
+def llm_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup outcome accounting: cluster-size histogram with the
+    documents-removable count (cluster size minus its keeper) per size
+    class — the number a curation run reports as its dedup rate. One
+    aggregate over the connected-components output."""
+    from log2sql_spark.operators.dedup import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.6)
+    clusters = dedup_clusters(pairs)
+    per = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_n"))
+    return (
+        per.groupBy("cluster_n")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_n").alias("n_docs"),
+            F.sum(F.col("cluster_n") - 1).alias("n_removable"),
+        )
+        .orderBy("cluster_n")
+    )
