@@ -68,7 +68,7 @@ def brute_force_topk(
     )
 
 
-def brute_force_topk_vectorized(
+def vectorized_partial_scores(
     queries: DataFrame,
     candidates: DataFrame,
     k: int = 5,
@@ -86,7 +86,17 @@ def brute_force_topk_vectorized(
     ~5-20× faster at 10⁵+ candidates. Scores can differ from the
     sequential fold in the last float ulp (BLAS summation order), which
     is why the oracle-checked exact query uses the fold and this variant
-    is benchmarked/tested against it for set equality."""
+    is benchmarked/tested against it for set equality.
+
+    Each Arrow batch emits only its *partial top-k*: per query, the k-th
+    largest score is found with ``np.partition`` (O(|batch|)) and only
+    candidates at-or-above that threshold survive (ties at the boundary
+    are all kept, so the emitted set provably contains the global top-k
+    under the (-cos_sim, neighbor_id) total order). The pre-shuffle
+    volume is therefore ≈|Q|·k rows per batch instead of |batch|·|Q| —
+    at 10⁹ candidates and Q=100 that is the difference between shuffling
+    ~10⁵·k rows and shuffling 10¹¹. The global window is then a cheap
+    final reduce over ≤|Q|·k·n_batches rows."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -104,9 +114,7 @@ def brute_force_topk_vectorized(
         )
     if not q_rows:  # np.array([]) is 1-D; short-circuit the degenerate case
         spark = candidates.sparkSession
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cos_sim double, rank long"
-        )
+        return spark.createDataFrame([], "query_id long, neighbor_id long, cos_sim double")
     q_ids = np.array([r[id_col] for r in q_rows])
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -130,18 +138,45 @@ def brute_force_topk_vectorized(
             c_ids = pdf[id_col].to_numpy()
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_norm = np.linalg.norm(c_mat, axis=1)
-            sims = (c_mat @ mat.T) / np.outer(c_norm, norms)  # |batch| × |Q|
-            n_c, n_q = sims.shape
+            sims = (mat @ c_mat.T) / np.outer(norms, c_norm)  # |Q| × |batch|
+            # Self-matches never rank: force them below any real score so
+            # the partial top-k never spends a slot on them.
+            sims[ids[:, None] == c_ids[None, :]] = -np.inf
+            n_q, n_c = sims.shape
+            kk = min(k, n_c)
+            # k-th largest per query row; keep everything >= it (boundary
+            # ties included — sufficiency: a candidate below its batch's
+            # k-th score is dominated by k batch-mates and can never be
+            # in the global top-k).
+            thresh = np.partition(sims, n_c - kk, axis=1)[:, n_c - kk]
+            keep = (sims >= thresh[:, None]) & np.isfinite(sims)
+            qi, ci = np.nonzero(keep)
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(ids, n_c),
-                    "neighbor_id": np.tile(c_ids, n_q),
-                    "cos_sim": sims.T.ravel(),
+                    "query_id": ids[qi],
+                    "neighbor_id": c_ids[ci],
+                    "cos_sim": sims[qi, ci],
                 }
             )
 
-    scored = candidates.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
-    scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    return candidates.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+
+
+def brute_force_topk_vectorized(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 65_536,
+) -> DataFrame:
+    """Arrow-vectorized exact cosine top-k (see
+    :func:`vectorized_partial_scores` for the scoring/partial-top-k
+    contract). The global window here only reduces ≤|Q|·k·n_batches
+    pre-pruned rows — the heavy |Q|×|C| cross-product never shuffles."""
+    scored = vectorized_partial_scores(
+        queries, candidates, k, id_col, vec_col, max_queries
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

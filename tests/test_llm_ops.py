@@ -124,6 +124,35 @@ def test_vectorized_topk_matches_fold(spark, sf_dir):
         assert abs(e["cos_sim"] - f["cos_sim"]) < 1e-9
 
 
+def test_vectorized_topk_partial_reduction(spark):
+    """Each Arrow batch must emit ~|Q|*k rows, not |batch|*|Q|: the
+    pre-window stage's row count is bounded by |Q|*k*n_batches (plus
+    boundary ties, impossible with these distinct float scores)."""
+    import random
+
+    from log2sql_spark.operators.similarity import (
+        brute_force_topk,
+        vectorized_partial_scores,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(400)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(4)
+    q = emb.filter(F.col("vec_id") < 10)
+    k, n_q, n_parts = 3, 10, 4
+    pre = vectorized_partial_scores(q, emb, k=k)
+    # 400 rows in 4 partitions -> one Arrow batch per partition (default
+    # batch size 10k), so at most |Q|*k rows per partition survive.
+    assert pre.count() <= n_q * k * n_parts  # vs 10*400=4000 unpruned
+    # and the pruned set still yields the exact global top-k
+    from log2sql_spark.operators.similarity import brute_force_topk_vectorized
+
+    exact = brute_force_topk(q, emb, k=k).collect()
+    fast = brute_force_topk_vectorized(q, emb, k=k).collect()
+    key = lambda rs: {(r["query_id"], r["rank"]): r["neighbor_id"] for r in rs}  # noqa: E731
+    assert key(exact) == key(fast)
+
+
 def test_ivf_subset_of_bruteforce_candidates(spark):
     import random
 
