@@ -279,7 +279,12 @@ def pack_sequences(
 
 
 def bpe_train_merges(
-    docs: DataFrame, n_merges: int = 4, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+    sample_mod: int | None = None,
+    id_col: str = "doc_id",
+    sample_salt: str = "bpe-v1",
 ) -> list[tuple[int, str, int]]:
     """Byte-pair-encoding tokenizer training, distributed: learn
     ``n_merges`` merge rules over the corpus's word occurrences.
@@ -292,11 +297,31 @@ def bpe_train_merges(
     ``|sym|`` so the merge is one literal ``replace`` — left-to-right
     non-overlapping on both engines, matching greedy BPE scan order.
 
+    **Sample contract** (the 100 TB knob): each merge round re-scans the
+    training encodings, so training cost is O(n_merges × corpus). With
+    ``sample_mod=m`` the trainer reads only documents where
+    ``md5_60bit(id || ':' || sample_salt) % m == 0`` — a deterministic
+    ~1/m hash-sample that is stable across engines, runs, and
+    repartitioning (the same primitive as ``sample_hash_deterministic``).
+    Pair statistics concentrate fast, so a bounded sample learns the
+    same head merges; at corpus scale ALWAYS set ``sample_mod`` — the
+    full-corpus default is for small/oracle runs only.
+
     Returns [(round, encoded_pair, count), ...]; ties break on the
     lexicographically smallest pair, so training is deterministic.
     """
     from pyspark.sql import functions as F
 
+    if sample_mod:
+        from log2sql_spark.operators.dedup import md5_long
+
+        docs = docs.filter(
+            md5_long(
+                F.concat(F.col(id_col).cast("string"), F.lit(":" + sample_salt))
+            )
+            % sample_mod
+            == 0
+        )
     enc = docs.select(
         F.explode(tokens(F.col(text_col))).alias("word")
     ).select(F.regexp_replace("word", "(.)", r"|$1|").alias("enc"))

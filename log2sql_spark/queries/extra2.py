@@ -1071,7 +1071,7 @@ def date_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A REAL Python UDTF (Spark 4 ``@udtf``, Arrow-optimized) in a
+    r"""A REAL Python UDTF (Spark 4 ``@udtf``, Arrow-optimized) in a
     LATERAL join: one input row expands to one row per word with its
     position. Completes the UDF/UDAF/UDTF triple — scalar pandas UDFs
     (multimodal), grouped-agg pandas UDF (udaf_weighted_mean), and now a

@@ -485,17 +485,25 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(n_merges: int) -> str:
+#: DuckDB twin of bpe_train_merges' hash-sample: corpus slice doc_id<200,
+#: deterministically thinned to ~1/4 by the 60-bit md5 of "id:bpe-v1".
+_BPE_SAMPLE_WHERE = (
+    "doc_id < 200 AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) "
+    "|| ':bpe-v1'), 1, 15))::BIGINT % 4 = 0"
+)
+
+
+def _bpe_oracle(n_merges: int, where: str = "doc_id < 50") -> str:
     """Chained-CTE DuckDB twin of the iterative BPE trainer: round k's
     merge is the argmax pair of round k-1's encoding — the same
     left-to-right non-overlapping literal replace as the Spark path."""
     sql = r"""
     WITH w AS (
       SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
-      FROM documents WHERE doc_id < 50
+      FROM documents WHERE {where}
     ), r0 AS (
       SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS enc FROM w
-    )"""
+    )""".replace("{where}", where)
     selects = []
     for k in range(1, n_merges + 1):
         prev = f"r{k - 1}"
@@ -516,17 +524,23 @@ def _bpe_oracle(n_merges: int) -> str:
     return sql + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY round"
 
 
-@query("llm_bpe_train", oracle=_bpe_oracle(4))
+@query("llm_bpe_train", oracle=_bpe_oracle(4, _BPE_SAMPLE_WHERE))
 def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (4 merge rounds) — the canonical ITERATIVE
     algorithm shape: distributed pair counting per round, one argmax
     row collected per round to form the next merge rule (k-means-style
     driver loop). Deterministic via the (count desc, pair asc)
-    tie-break, so even the learned merge table is oracle-checked."""
+    tie-break, so even the learned merge table is oracle-checked.
+
+    Trains on a hash-deterministic ~1/4 sample of the doc_id<200 slice
+    (``sample_mod=4`` — see :func:`bpe_train_merges`' sample contract):
+    at corpus scale every merge round re-scans the training set, so the
+    trainer must be bounded by sampling, and the oracle proves the
+    sampled run is still engine-exact."""
     from log2sql_spark.operators.pipeline import bpe_train_merges
 
-    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
-    merges = bpe_train_merges(docs, n_merges=4)
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    merges = bpe_train_merges(docs, n_merges=4, sample_mod=4)
     return spark.createDataFrame(merges, schema="round int, pair string, cnt long")
 
 

@@ -98,3 +98,29 @@ def test_bpe_train_greedy_merges(spark):
     # after merging ab: words are [ab ab, ab ab, ab c, ab ab, x y];
     # most frequent adjacent pair is now the merged symbol pair
     assert merges[1] == (2, "|ab||ab|", 3)
+
+
+def test_bpe_train_sample_mod_bounds_corpus(spark):
+    """sample_mod must thin the training set by the deterministic hash
+    filter — the same ids every run — and still learn merges."""
+    from log2sql_spark.operators.dedup import md5_long
+    from log2sql_spark.operators.pipeline import bpe_train_merges
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "abab abab" if i % 2 == 0 else "zq zq") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    picked = [
+        r["doc_id"]
+        for r in docs.filter(
+            md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":bpe-v1"))) % 3
+            == 0
+        ).collect()
+    ]
+    assert 0 < len(picked) < 40  # a real subset, deterministically chosen
+    sampled = bpe_train_merges(docs, n_merges=1, sample_mod=3)
+    full = bpe_train_merges(docs, n_merges=1)
+    # counts come from the sample only (smaller corpus -> smaller count)
+    assert sampled[0][2] < full[0][2]
+    assert sampled == bpe_train_merges(docs, n_merges=1, sample_mod=3)  # stable
