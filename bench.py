@@ -107,12 +107,30 @@ def cdc_parse_throughput(spark) -> dict:
 
         run(many)  # warm the Arrow/pandas path outside the measurement
         t_one, t_many = run(one), run(many)
+
+        # Intra-file parallelism: the SAME single 100k-event file through
+        # the chunked reader — a giant dump no longer serializes on one
+        # core (sources/binlog.py read_binlog_split).
+        from log2sql_spark.sources.binlog import read_binlog_split
+
+        one_file = os.path.join(one, "mysql-bin.000001.txt")
+        size = os.path.getsize(one_file)
+        t_split = float("inf")
+        for _ in range(2):  # best-of-2: first run pays Python-worker spawn
+            t = time.time()
+            assert (
+                read_binlog_split(spark, one_file, chunk_bytes=size // 16 + 1).count()
+                == n_events
+            )
+            t_split = min(t_split, time.time() - t)
         return {
             "events": n_events,
             "files_1_sec": round(t_one, 3),
             "files_8_sec": round(t_many, 3),
+            "file_1_split16_sec": round(t_split, 3),
             "events_per_sec_8files": round(n_events / t_many),
             "speedup_8files": round(t_one / t_many, 2),
+            "speedup_split16": round(t_one / t_split, 2),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -11,8 +11,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 from log2sql_spark.operators.cdc_codegen import flashback_sql, replay_sql
 from log2sql_spark.operators.cdc_filters import filter_events
-from log2sql_spark.sources.binlog import read_binlog
+from log2sql_spark.sources.binlog import read_binlog, read_binlog_split
 from log2sql_spark.sources.catalog import resolve_columns
+
+
+def envelope_to_sql(
+    envelope: DataFrame, catalog: DataFrame, flashback: bool = False, **filters
+) -> DataFrame:
+    """parse-agnostic back half of the pipeline: envelope → filter →
+    catalog resolve → codegen. Shared by the whole-file, chunked, and
+    streaming front-ends."""
+    envelope = filter_events(envelope, **filters)
+    resolved = resolve_columns(envelope, catalog)
+    return flashback_sql(resolved) if flashback else replay_sql(resolved)
 
 
 def binlog_to_sql(
@@ -20,17 +31,23 @@ def binlog_to_sql(
     path: str,
     catalog: DataFrame,
     flashback: bool = False,
+    split_chunk_bytes: int | None = None,
     **filters,
 ) -> DataFrame:
     """Full pipeline. ``filters`` forwards to
     :func:`log2sql_spark.operators.cdc_filters.filter_events`.
+
+    ``split_chunk_bytes`` switches the scan to the intra-file parallel
+    chunked reader (:func:`read_binlog_split`) — the giant-single-dump
+    path; default is one task per file.
 
     Returns a DataFrame with the envelope columns plus ``pos_info`` and
     ``sql_text``, ordered for application (forward for replay, reverse
     for flashback — the rollback ordering the reference lacks,
     README.md:23-27).
     """
-    envelope = read_binlog(spark, path)
-    envelope = filter_events(envelope, **filters)
-    resolved = resolve_columns(envelope, catalog)
-    return flashback_sql(resolved) if flashback else replay_sql(resolved)
+    if split_chunk_bytes:
+        envelope = read_binlog_split(spark, path, chunk_bytes=split_chunk_bytes)
+    else:
+        envelope = read_binlog(spark, path)
+    return envelope_to_sql(envelope, catalog, flashback=flashback, **filters)

@@ -142,6 +142,41 @@ def cdc_insert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_split_parse_replay",
+    oracle=_ORACLE_BASE
+    + f"""
+    SELECT 4 + 120 * (rn - 1) AS start_pos,
+           4 + 120 * rn AS stop_pos,
+           'INSERT INTO `shop`.`orders`({_COL_LIST}) VALUES (' || {_VALUES_EXPR} || ');' AS sql_text
+    FROM src
+    ORDER BY start_pos
+    """,
+)
+def cdc_split_parse_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same end-to-end replay as ``cdc_insert_replay`` but through the
+    intra-file PARALLEL scan (``read_binlog_split``, 16 KiB chunks →
+    ~40 tasks over one file): proves the chunked reader's event
+    stitching (boundary alignment, event_seq prefix-sum, `use` carry)
+    is invisible to the rest of the pipeline — identical oracle."""
+    rows = _orders_subset(spark, sf_dir)
+    events = [
+        {
+            "op": "insert",
+            "db": "shop",
+            "table": "orders",
+            "ts": r["o_orderdate"],
+            "values": _row_tokens(r),
+        }
+        for r in rows
+    ]
+    path = _write_dump(events)
+    cat = catalog_from_dict(spark, _CATALOG_SPEC)
+    return binlog_to_sql(spark, path, cat, split_chunk_bytes=16_384).select(
+        "start_pos", "stop_pos", "sql_text"
+    )
+
+
+@query(
     "cdc_delete_replay_keyed",
     oracle=_ORACLE_BASE
     + """

@@ -104,6 +104,18 @@ def parse_binlog_lines(lines: list[str], file: str = "") -> list[dict]:
     below distribute it per file. Kept separate so unit tests can hit
     edge cases without a SparkSession.
     """
+    events, _ = parse_binlog_lines_with_state(lines, file)
+    return events
+
+
+def parse_binlog_lines_with_state(
+    lines: list[str], file: str = ""
+) -> tuple[list[dict], str | None]:
+    """Like :func:`parse_binlog_lines` but also returns the last ``use``
+    database seen — the one piece of parser state that outlives an
+    event-group boundary, which the chunked reader must carry between
+    chunks (a chunk that starts mid-file has not seen earlier ``use``
+    statements, so its pre-``use`` DDL events need the carried value)."""
     events: list[dict] = []
     start_pos: int | None = None
     stop_pos: int | None = None
@@ -207,7 +219,7 @@ def parse_binlog_lines(lines: list[str], file: str = "") -> list[dict]:
         ev["file"] = file
         ev["event_seq"] = seq
         out.append(ev)
-    return out
+    return out, use_db
 
 
 def _parse_whole_files(batches) -> "Iterator[pd.DataFrame]":
@@ -258,3 +270,168 @@ def read_binlog_batch_files(spark: SparkSession, batch_df: DataFrame) -> DataFra
     if not files:
         return spark.createDataFrame([], ENVELOPE_SCHEMA)
     return read_binlog(spark, files)
+
+
+# --- intra-file parallel parse (giant single dumps) ------------------------
+
+_CHUNK_SCHEMA = T.StructType(
+    list(ENVELOPE_SCHEMA.fields) + [T.StructField("chunk_id", T.IntegerType(), False)]
+)
+_CHUNK_META_OP = "_chunk_meta"
+
+
+def _iter_chunk_lines(fh, start: int, end: int):
+    """Yield the decoded lines of one ``# at``-aligned chunk.
+
+    Split contract (Hadoop TextInputFormat, lifted to event granularity):
+    a chunk OWNS every event whose ``# at`` boundary line starts at a
+    byte offset in ``[start, end)``; it reads past ``end`` to finish a
+    straddling event and discards its own leading partial event (owned
+    by the previous chunk). Concatenating all chunks' lines therefore
+    reproduces the file's line sequence exactly, aligned on event-group
+    boundaries.
+    """
+    fh.seek(max(start - 1, 0))
+    if start > 0:
+        # Hadoop convention: discard the leading partial line — unless
+        # `start` lands exactly on a line start (previous byte is \n),
+        # in which case that line is ours (the previous chunk stopped
+        # strictly before it).
+        if fh.read(1) != b"\n":
+            fh.readline()
+        while True:  # skip forward to the first owned boundary
+            pos = fh.tell()
+            if pos >= end:
+                return  # no boundary starts in this range: nothing owned
+            line = fh.readline()
+            if not line:
+                return
+            if line.startswith(b"# at "):
+                yield line.decode("utf-8", "replace")
+                break
+    while True:
+        pos = fh.tell()
+        line = fh.readline()
+        if not line:
+            return
+        if pos >= end and line.startswith(b"# at "):
+            return  # next chunk's first owned event
+        yield line.decode("utf-8", "replace")
+
+
+def _parse_chunks(batches) -> "Iterator[pd.DataFrame]":
+    """mapInPandas worker over (file, chunk_id, start, end) range rows.
+
+    Every chunk — even an empty one — emits one ``_chunk_meta`` row
+    (event_seq = its event count, statement = last ``use`` db), which
+    the assembly stage prefix-sums into exact global sequence offsets
+    and the DDL ``use`` carry-over."""
+    cols = [f.name for f in _CHUNK_SCHEMA.fields]
+    for pdf in batches:
+        out = []
+        for file, chunk_id, start, end in zip(
+            pdf["file"], pdf["chunk_id"], pdf["start"], pdf["end"]
+        ):
+            local = file[7:] if file.startswith("file://") else file
+            with open(local, "rb") as fh:
+                lines = list(_iter_chunk_lines(fh, int(start), int(end)))
+            events, last_use = parse_binlog_lines_with_state(lines, file=file)
+            for ev in events:
+                ev["chunk_id"] = int(chunk_id)
+            out.extend(events)
+            out.append(
+                {
+                    "file": file,
+                    "event_seq": len(events),
+                    "op": _CHUNK_META_OP,
+                    "db": None,
+                    "table": None,
+                    "start_pos": None,
+                    "stop_pos": None,
+                    "event_ts": None,
+                    "before": None,
+                    "after": None,
+                    "statement": last_use,
+                    "chunk_id": int(chunk_id),
+                }
+            )
+        yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+
+def read_binlog_split(
+    spark: SparkSession, path: str | list[str], chunk_bytes: int = 64 << 20
+) -> DataFrame:
+    """Intra-file parallel batch source: one giant binlog dump parses
+    ``ceil(size / chunk_bytes)``-wide instead of serializing on one core
+    (the whole-file path's limit — and the reference's, ``main.py:104``).
+
+    Chunks are planned driver-side from file SIZES only (no data reads),
+    parsed in parallel aligned on ``# at`` event boundaries (see
+    :func:`_iter_chunk_lines`), then stitched exactly: per-chunk event
+    counts prefix-sum into the same global ``event_seq`` the whole-file
+    parse assigns, and the last ``use`` database of earlier chunks
+    resolves pre-``use`` DDL events of later ones. The stitch state is
+    one tiny meta row per chunk — a broadcast join, never a shuffle of
+    event data; the parsed chunks are cached so meta and event branches
+    share one parse pass.
+
+    Executors open the file directly (shared/local filesystem or any
+    fsspec-mountable store); output is byte-for-byte identical to
+    :func:`read_binlog` (asserted in ``tests/test_binlog_split.py``).
+    """
+    import glob as _glob
+    import os
+
+    from pyspark.sql import Window as W
+    from pyspark.storagelevel import StorageLevel
+
+    paths = [path] if isinstance(path, str) else list(path)
+    files: list[str] = []
+    for p in paths:
+        p = p[7:] if p.startswith("file://") else p
+        if os.path.isdir(p):
+            files.extend(sorted(_glob.glob(os.path.join(p, "*"))))
+        else:
+            files.extend(sorted(_glob.glob(p)) or [p])
+
+    ranges = []
+    for f in files:
+        size = os.path.getsize(f)
+        cid = 0
+        for off in range(0, max(size, 1), chunk_bytes):
+            ranges.append((f, cid, off, min(off + chunk_bytes, size)))
+            cid += 1
+    rdf = spark.createDataFrame(
+        ranges, "file string, chunk_id int, start long, end long"
+    ).repartition(len(ranges))
+
+    parsed = rdf.mapInPandas(_parse_chunks, schema=_CHUNK_SCHEMA).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    prior = (
+        W.partitionBy("file").orderBy("chunk_id").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = (
+        parsed.filter(F.col("op") == _CHUNK_META_OP)
+        .select(
+            "file",
+            "chunk_id",
+            F.col("event_seq").alias("n_events"),
+            F.col("statement").alias("last_use"),
+        )
+        .withColumn("seq_offset", F.coalesce(F.sum("n_events").over(prior), F.lit(0)))
+        .withColumn("carry_use", F.last("last_use", ignorenulls=True).over(prior))
+        .select("file", "chunk_id", "seq_offset", "carry_use")
+    )
+    return (
+        parsed.filter(F.col("op") != _CHUNK_META_OP)
+        .join(F.broadcast(offsets), ["file", "chunk_id"])
+        .withColumn("event_seq", (F.col("event_seq") + F.col("seq_offset")).cast("long"))
+        .withColumn(
+            "db",
+            F.when(
+                (F.col("op") == "ddl") & F.col("db").isNull(), F.col("carry_use")
+            ).otherwise(F.col("db")),
+        )
+        .select(*[f.name for f in ENVELOPE_SCHEMA.fields])
+    )
