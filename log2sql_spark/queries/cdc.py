@@ -607,6 +607,76 @@ def cdc_apply_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_merge_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS key, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT key, status, cents FROM src WHERE key % 3 = 2
+    UNION ALL
+    SELECT key,
+           CASE WHEN key % 9 = 0 THEN 'U2' ELSE 'U1' END AS status,
+           cents + CASE WHEN key % 9 = 0 THEN 2 ELSE 1 END AS cents
+    FROM src WHERE key % 3 = 0
+    UNION ALL
+    SELECT key + 100000 AS key, 'N' AS status, cents FROM src WHERE key % 3 = 2
+    ORDER BY key
+    """,
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reusable MERGE INTO operator (operators/merge.py) against a
+    real store: updates overwrite (and a second-version update outranks
+    the first — version ordering, not arrival order), deletes drop the
+    key, inserts land, untouched keys survive. One shuffle + one window;
+    the oracle reconstructs the final state set-algebraically, a
+    genuinely different formulation than the union-rank plan.
+    (Reference analog: the applied replay SQL, log2sql.py:161-185.)"""
+    from log2sql_spark.operators.merge import merge_into
+    from log2sql_spark.sources.tables import load_table
+
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") <= _KEY_MAX)
+    store = orders.select(
+        F.col("o_orderkey").cast("long").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    upd1 = store.filter(F.col("key") % 3 == 0).select(
+        F.lit("update").alias("op"),
+        "key",
+        F.lit("U1").alias("status"),
+        (F.col("cents") + 1).alias("cents"),
+        F.lit(1).alias("version"),
+    )
+    upd2 = store.filter(F.col("key") % 9 == 0).select(
+        F.lit("update").alias("op"),
+        "key",
+        F.lit("U2").alias("status"),
+        (F.col("cents") + 2).alias("cents"),
+        F.lit(2).alias("version"),
+    )
+    dels = store.filter(F.col("key") % 3 == 1).select(
+        F.lit("delete").alias("op"),
+        "key",
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(1).alias("version"),
+    )
+    ins = store.filter(F.col("key") % 3 == 2).select(
+        F.lit("insert").alias("op"),
+        (F.col("key") + 100000).alias("key"),
+        F.lit("N").alias("status"),
+        F.col("cents"),
+        F.lit(1).alias("version"),
+    )
+    changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+    return merge_into(store, changes, key_cols="key", version_cols="version").orderBy(
+        "key"
+    )
+
+
+@query(
     "cdc_datasource_scan",
     oracle=_ORACLE_BASE
     + """

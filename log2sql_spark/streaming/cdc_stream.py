@@ -125,15 +125,21 @@ def apply_changes_to_state(
     """Idempotent MERGE-style apply: maintain latest row state per key.
 
     Without a transactional table format in this container, the merge is
-    expressed as: (existing state ∪ new after-images) → keep the
-    newest version per key, drop deletes — the same plan a Delta
-    ``MERGE INTO`` would execute. On a real deployment the body of
-    ``process`` becomes ``DeltaTable.merge``; partitioning by the key
-    keeps the rewrite local.
+    :func:`log2sql_spark.operators.merge.merge_into` over the parquet
+    store — the same plan a Delta ``MERGE INTO`` would execute. On a
+    real deployment the body of ``process`` becomes ``DeltaTable.merge``;
+    partitioning by the key keeps the rewrite local.
+
+    Newest-version ordering must span file rotations: start_pos restarts
+    per binlog file, so changes rank by (file, start_pos, event_seq) —
+    binlog file names are sequence-numbered, so lexicographic file order
+    IS chronological order; event_seq breaks start_pos ties (several row
+    images share one event's position). The prior store always ranks
+    below any change (merge_into's priority column).
     """
     import os
 
-    from pyspark.sql import Window as W
+    from log2sql_spark.operators.merge import merge_into
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         envelope = read_binlog_batch_files(spark, batch_df)
@@ -142,39 +148,18 @@ def apply_changes_to_state(
             F.element_at(F.coalesce("after", "before"), key_col).alias("key"),
             F.col("op"),
             F.col("after"),
-            F.col("start_pos"),
             F.col("file"),
+            F.col("start_pos"),
             F.col("event_seq"),
         )
-        # Newest-version ordering must span file rotations: start_pos
-        # restarts per binlog file, so rank by (file, start_pos,
-        # event_seq) — binlog file names are sequence-numbered, so
-        # lexicographic file order IS chronological order. Prior state
-        # carries sentinel values ('' file, -1 positions) that rank
-        # below every real event, and event_seq breaks start_pos ties
-        # deterministically (several row images share one event's pos).
         if os.path.exists(state_dir):
-            prior = (
-                spark.read.parquet(state_dir)
-                .withColumn("file", F.lit(""))
-                .withColumn("start_pos", F.lit(-1).cast("long"))
-                .withColumn("event_seq", F.lit(-1).cast("long"))
-            )
-            merged = prior.select("key", "op", "after", "file", "start_pos", "event_seq").unionByName(
-                changes.select("key", "op", "after", "file", "start_pos", "event_seq")
-            )
+            store = spark.read.parquet(state_dir).select("key", "after")
         else:
-            merged = changes.select("key", "op", "after", "file", "start_pos", "event_seq")
-        w = W.partitionBy("key").orderBy(
-            F.desc("file"), F.desc("start_pos"), F.desc("event_seq")
+            store = spark.createDataFrame([], "key string, after map<string,string>")
+        latest = merge_into(
+            store, changes, key_cols="key", version_cols=["file", "start_pos", "event_seq"]
         )
-        latest = (
-            merged.withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .filter(F.col("op") != "delete")
-            .select("key", "op", "after")
-        )
-        latest.select("key", "op", "after").write.mode("overwrite").parquet(state_dir + ".tmp")
+        latest.write.mode("overwrite").parquet(state_dir + ".tmp")
         # atomic-ish swap for the local filesystem
         import shutil
 
