@@ -16,7 +16,8 @@ ambiguity in the compare.
 from __future__ import annotations
 
 import os
-import tempfile
+
+from log2sql_spark.scratch import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -84,7 +85,7 @@ def _write_dump(events: list[dict]) -> str:
     text = render_binlog(events)
     key = f"{len(text)}:{hash(text)}"
     if key not in _DUMP_CACHE:
-        d = tempfile.mkdtemp(prefix="log2sql_fixture_")
+        d = scratch_dir("log2sql_fixture_")
         path = os.path.join(d, "mysql-bin.000001.txt")
         with open(path, "w") as fh:
             fh.write(text)
@@ -266,8 +267,6 @@ def cdc_store_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     become *partition pruning* (tests/test_plans.py asserts the
     PartitionFilters in the plan). The at-scale layout for the
     reference's db/table/type filters (log2sql.py:59-61)."""
-    import tempfile
-
     from log2sql_spark.sources.binlog import read_binlog
     from log2sql_spark.sources.cdc_store import read_envelope_store, write_envelope_store
 
@@ -290,7 +289,7 @@ def cdc_store_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
     path = _write_dump(events)
-    store = tempfile.mkdtemp(prefix="log2sql_store_")
+    store = scratch_dir("log2sql_store_")
     write_envelope_store(read_binlog(spark, path), store, mode="overwrite")
     pruned = read_envelope_store(spark, store, sql_types=["insert", "update"])
     return (

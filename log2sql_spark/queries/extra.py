@@ -5,7 +5,7 @@ csv/json source round-trips, partitioned parquet sink."""
 from __future__ import annotations
 
 import os
-import tempfile
+from log2sql_spark.scratch import scratch_dir
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -261,7 +261,7 @@ def source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") <= 3000)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     )
-    d = tempfile.mkdtemp(prefix="log2sql_src_")
+    d = scratch_dir("log2sql_src_")
     csv_p, json_p = os.path.join(d, "csv"), os.path.join(d, "json")
     sub.write.mode("overwrite").option("header", True).csv(csv_p)
     sub.write.mode("overwrite").json(json_p)
@@ -303,7 +303,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") <= 3000)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
-    d = os.path.join(tempfile.mkdtemp(prefix="log2sql_orc_"), "orders_orc")
+    d = os.path.join(scratch_dir("log2sql_orc_"), "orders_orc")
     sub.write.mode("overwrite").orc(d)
     back = spark.read.orc(d)
     return back.agg(
@@ -331,7 +331,7 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout that makes per-partition reads/pruning free), then aggregates
     the read-back — verified against the original table."""
     sub = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") <= 2000)
-    d = tempfile.mkdtemp(prefix="log2sql_sink_")
+    d = scratch_dir("log2sql_sink_")
     sub.write.mode("overwrite").partitionBy("l_returnflag", "l_linestatus").parquet(d)
     back = spark.read.parquet(d)
     return (

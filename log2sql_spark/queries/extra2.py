@@ -768,12 +768,13 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast planner can't hide the property being demonstrated
     (tests/test_plans.py asserts zero Exchange under the join)."""
     import hashlib
-    import tempfile
+
+    from log2sql_spark.scratch import scratch_dir
 
     db = "bkt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     if db not in _BUCKETED_READY or not spark.catalog.tableExists(f"{db}.orders_b"):
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
-        base = tempfile.mkdtemp(prefix="log2sql_bucketed_")
+        base = scratch_dir("log2sql_bucketed_")
         (
             load_table(spark, "orders", sf_dir)
             .select("o_custkey", "o_totalprice")

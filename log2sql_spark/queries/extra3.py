@@ -9,7 +9,7 @@ floats only ever reach the output as integer-quantized values.
 from __future__ import annotations
 
 import os
-import tempfile
+from log2sql_spark.scratch import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -40,7 +40,7 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") <= 2000)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     )
-    d = os.path.join(tempfile.mkdtemp(prefix="log2sql_xml_"), "orders_xml")
+    d = os.path.join(scratch_dir("log2sql_xml_"), "orders_xml")
     sub.write.mode("overwrite").format("xml").option("rowTag", "order").save(d)
     back = (
         spark.read.schema(
@@ -614,7 +614,7 @@ def source_json_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") <= 1500)
         .select("o_orderkey", "o_totalprice")
     )
-    d = os.path.join(tempfile.mkdtemp(prefix="log2sql_cor_"), "j")
+    d = os.path.join(scratch_dir("log2sql_cor_"), "j")
     sub.coalesce(1).write.mode("overwrite").json(d)
     # a separate file, not an append: Spark wrote .crc sidecars for its
     # own part files and a modified part file fails the checksum read

@@ -1206,10 +1206,10 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrives), which is what the oracle computes. est_jaccard is
     n_agree/16 — a dyadic rational, so the double compares bit-for-bit
     across engines."""
-    import tempfile
+    from log2sql_spark.scratch import scratch_dir
 
     corpus = _corpus(spark, sf_dir)
-    store = os.path.join(tempfile.mkdtemp(prefix="log2sql_sdd_"), "store")
+    store = os.path.join(scratch_dir("log2sql_sdd_"), "store")
     process_dedup_batch(
         corpus.filter(F.col("doc_id") < 600), store,
         threshold=0.5, num_hashes=16, bands=8,

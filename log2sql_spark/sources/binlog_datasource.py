@@ -187,21 +187,29 @@ class BinlogSqlWriter(DataSourceWriter):
 
     The reference's only sink is stdout print of rendered statements
     (``log2sql.py:14,62,185``); this is that sink made distributed and
-    atomic-ish: each partition writes its rows' ``sql_text`` to its own
-    file (executor-side, no driver collect), commit writes a _SUCCESS
-    manifest with the total row count, abort removes the files the
-    failed attempt reported. Filenames embed a per-attempt uuid so
-    append mode never clobbers an earlier write."""
+    atomic-ish via stage-and-rename: each task writes its rows'
+    ``sql_text`` to a dot-prefixed ``.inflight-*`` temp (executor-side,
+    no driver collect), and only ``commit()`` renames reported temps to
+    their visible ``part-*.sql`` names — so a task attempt that dies
+    mid-write leaves an invisible temp, never a half file a reader
+    could pick up, and a retry cannot double-publish. Commit writes a
+    _SUCCESS manifest with the total row count and sweeps stale
+    ``.inflight-*`` orphans; abort removes the reported temps.
+
+    Overwrite mode is also deferred to ``commit()``: the previous
+    output stays intact until every task has reported, so a failed
+    overwrite job leaves the old contents untouched (non-destructive
+    overwrite). Filenames embed a per-attempt uuid so append mode never
+    clobbers an earlier write.
+
+    Rename-at-commit runs driver-side — like the streaming twin, the
+    sink root must be a shared (or local) filesystem."""
 
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("binlog sink requires a path")
         self.overwrite = overwrite
-        if overwrite:  # runs driver-side at plan time, before any task
-            import shutil
-
-            shutil.rmtree(self.path, ignore_errors=True)
 
     def write(self, iterator) -> _SqlFileCommit:
         import uuid
@@ -210,20 +218,50 @@ class BinlogSqlWriter(DataSourceWriter):
 
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.sql")
+        tmp = os.path.join(
+            self.path, f".inflight-part-{pid:05d}-{uuid.uuid4().hex[:8]}.sql"
+        )
         n = 0
-        with open(out, "w", encoding="utf-8") as fh:
+        with open(tmp, "w", encoding="utf-8") as fh:
             for row in iterator:
                 fh.write(row["sql_text"])
                 fh.write("\n")
                 n += 1
         if n == 0:
-            os.remove(out)
+            os.remove(tmp)
             return _SqlFileCommit("", 0)
-        return _SqlFileCommit(out, n)
+        return _SqlFileCommit(tmp, n)
 
     def commit(self, messages) -> None:
-        total = sum(m.n_rows for m in messages if m is not None)
+        import glob as _glob
+
+        if self.overwrite:  # old output survives until every task reported
+            for old in _glob.glob(os.path.join(self.path, "part-*.sql")) + [
+                os.path.join(self.path, "_SUCCESS")
+            ]:
+                try:
+                    os.remove(old)
+                except OSError:
+                    pass
+        total = 0
+        committed = set()
+        for m in messages:
+            if m is not None and m.path:
+                final = os.path.join(
+                    self.path, os.path.basename(m.path)[len(".inflight-"):]
+                )
+                os.rename(m.path, final)
+                committed.add(m.path)
+                total += m.n_rows
+        # crashed/zombie attempts left temps no message reports: sweep
+        # them (single concurrent writer per sink dir, as with any
+        # file-based Spark sink).
+        for stale in _glob.glob(os.path.join(self.path, ".inflight-*.sql")):
+            if stale not in committed:
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
         with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8") as fh:
             fh.write(f"{total}\n")
 
@@ -243,7 +281,14 @@ class BinlogSqlStreamWriter(DataSourceStreamWriter):
     same idempotent batch_id-partitioned layout as
     ``streaming/cdc_stream.py``'s foreachBatch sink): a replayed batch
     overwrites its own directory and no other, so the sink is
-    exactly-once downstream of the checkpoint."""
+    exactly-once downstream of the checkpoint.
+
+    Commit renames executor-written ``.inflight-*`` temps driver-side,
+    so the sink root must be a filesystem both sides see (local dir,
+    NFS, or a FUSE-mounted object store) — the standard assumption of
+    rename-based committers. Crashed attempts leave orphaned temps that
+    no commit message reports; each commit sweeps any strays left in
+    the root after renaming its own batch's files."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -272,6 +317,7 @@ class BinlogSqlStreamWriter(DataSourceStreamWriter):
         return _SqlFileCommit(tmp, n)
 
     def commit(self, messages, batchId: int) -> None:
+        import glob as _glob
         import shutil
 
         bdir = os.path.join(self.path, f"batch={batchId}")
@@ -284,6 +330,14 @@ class BinlogSqlStreamWriter(DataSourceStreamWriter):
                 total += m.n_rows
         with open(os.path.join(bdir, "_SUCCESS"), "w", encoding="utf-8") as fh:
             fh.write(f"{total}\n")
+        # orphans from crashed attempts (no message ever reports them):
+        # micro-batches run sequentially, so anything still in the root
+        # after this batch's renames is stale.
+        for stale in _glob.glob(os.path.join(self.path, ".inflight-*.sql")):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

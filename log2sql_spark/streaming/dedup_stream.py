@@ -56,10 +56,12 @@ def _pair_path(store_dir: str) -> str:
 
 def _stored_signatures(spark: SparkSession, store_dir: str) -> DataFrame:
     path = _sig_path(store_dir)
-    try:
-        return spark.read.schema(SIG_SCHEMA).parquet(path)
-    except Exception:  # first batch: store does not exist yet
+    # First batch is the ONLY silent-empty case; a genuine read failure
+    # (corrupt footer, permissions) must propagate — treating it as
+    # "first batch" would silently drop all cross-batch pairs.
+    if not os.path.isdir(path):
         return spark.createDataFrame([], SIG_SCHEMA)
+    return spark.read.schema(SIG_SCHEMA).parquet(path)
 
 
 def _banded(sigs: DataFrame, bands: int) -> DataFrame:
