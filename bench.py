@@ -25,6 +25,11 @@ from log2sql_spark import get_spark, registry  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# sf1 = 10x the driver's sf0.1, synthesized deterministically by
+# tools/gen_sf.py (key-space replication; referential integrity and all
+# value distributions preserved). Generated once per machine, cached.
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", os.path.join(_REPO, ".bench_data", "sf1"))
+
 # Representative operator mix: scan+agg, joins of every stripe, windows,
 # sessionization, full CDC pipeline, dedup/similarity/text ops.
 HEADLINE = [
@@ -167,6 +172,136 @@ def dedup_scale(spark) -> dict:
     }
 
 
+# Queries whose cost scales with the tables (CDC queries synthesize
+# their own SF-independent fixtures, so they are excluded here; the
+# oracle-capped minhash query is covered uncapped by dedup_scale below).
+SF1_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q13_customer_order_counts",
+    "agg_rollup",
+    "window_topk_per_group",
+    "topk_global",
+    "join_asof",
+    "events_funnel_steps",
+    "llm_text_stats",
+    "llm_dedup_exact",
+    "llm_sim_topk_vectorized",
+    "llm_curation_pipeline",
+    "stream_tumbling_window",
+]
+
+
+def ensure_sf1_dir() -> str:
+    """Generate the sf1 tables if absent (one-time ~20 s, then cached)."""
+    import importlib.util
+
+    marker = os.path.join(SF1_DIR, "lineitem.parquet")
+    if not os.path.exists(marker):
+        spec = importlib.util.spec_from_file_location(
+            "gen_sf", os.path.join(_REPO, "tools", "gen_sf.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.generate(SF1_DIR, 10)
+    return SF1_DIR
+
+
+def skew_join_aqe(spark, sf_dir: str) -> dict:
+    """Measurable AQE skew mitigation: remap 30% of sf1 lineitem rows
+    (~1.8M) onto ONE hot orderkey, sort-merge join against orders, and
+    time the identical plan with AQE skew-join splitting off vs on.
+    The hot shuffle partition is ~14x the median; with splitting off it
+    serializes one core while 31 idle — exactly the straggler a skewed
+    key produces at 100 TB. Thresholds are lowered in proportion to the
+    sf1 partition sizes (a cluster deploy would keep the 256 MB
+    defaults); everything else is identical between the two runs."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    skewed = li.withColumn(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 10 < 3, F.lit(0)).otherwise(F.col("l_orderkey")),
+    )
+    plan = (
+        skewed.join(orders.hint("merge"), skewed.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+
+    def run(skew_enabled: bool) -> float:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_enabled).lower())
+        best = float("inf")
+        for _ in range(2):
+            t = time.time()
+            plan.write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t)
+        return best
+
+    saved_thresh = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB"
+    )
+    saved_advisory = spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+    )
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16MB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
+        t_off = run(False)
+        t_on = run(True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", saved_thresh
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", saved_advisory)
+    return {
+        "skew_off_sec": round(t_off, 3),
+        "skew_on_sec": round(t_on, 3),
+        "speedup": round(t_off / t_on, 2),
+    }
+
+
+def sf1_section(spark) -> dict:
+    """Run the scale-sensitive headline subset at sf1 (10x bench data),
+    plus the AQE skew demo and the uncapped MinHash dedup on the sf1
+    corpus (50k docs where every base doc has 9 near-duplicate copies —
+    a dense-duplication workload the oracle-capped query can't show)."""
+    sf1 = ensure_sf1_dir()
+    qs = registry.all_queries()
+    times: dict[str, float] = {}
+    for name in SF1_QUERIES:
+        df = qs[name](spark, sf1)
+        t0 = time.time()
+        df.write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+
+    from log2sql_spark.operators.dedup import minhash_dedup_pairs
+    from log2sql_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf1).select("doc_id", "text")
+    n_docs = docs.count()
+    t0 = time.time()
+    n_pairs = minhash_dedup_pairs(
+        docs, threshold=0.6, num_hashes=64, bands=32, max_bucket_size=256
+    ).count()
+    dedup_sec = round(time.time() - t0, 3)
+
+    return {
+        "queries": times,
+        "total": round(sum(times.values()), 3),
+        "skew_join_aqe": skew_join_aqe(spark, sf1),
+        "dedup": {
+            "docs": n_docs,
+            "pairs": n_pairs,
+            "sec": dedup_sec,
+            "docs_per_sec": round(n_docs / dedup_sec),
+        },
+    }
+
+
 def main() -> None:
     spark = get_spark("log2sql_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -195,6 +330,7 @@ def main() -> None:
 
     cdc_parse = cdc_parse_throughput(spark)
     dedup = dedup_scale(spark)
+    sf1 = sf1_section(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -212,6 +348,7 @@ def main() -> None:
                 "build_total": round(sum(build_times.values()), 3),
                 "cdc_parse": cdc_parse,
                 "dedup_scale": dedup,
+                "sf1": sf1,
                 "sf": sf_val,
             }
         )

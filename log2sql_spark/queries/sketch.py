@@ -1,0 +1,103 @@
+r"""Sketch-based approximate analytics: count-min sketch heavy hitters.
+
+The curation primitive the rest of the LLM pipeline lacked: estimating
+per-key frequencies over a stream/corpus WITHOUT a full groupBy shuffle.
+``F.count_min_sketch`` partial-aggregates a fixed-size sketch per
+partition map-side and merges the (eps, confidence)-sized summaries —
+at 100 TB that is a constant ~MBs of state per executor instead of a
+key-space-wide shuffle, which is the entire point of the sketch.
+
+Probing is driver-side by design: the merged sketch is a single small
+binary and the candidate set is small; the distributed work (one pass
+over the corpus) is where the data size shows up. Estimates
+overcount only on full-depth hash collisions; with the chosen widths
+vs the key cardinalities here the estimates are exact, so each query
+carries an exact-count DuckDB oracle (same contract the reference's
+aggregate tests use — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log2sql_spark.registry import query
+from log2sql_spark.sources.tables import load_table
+
+
+def _read_cms(spark: SparkSession, sketch_bytes: bytes):
+    """Deserialize a merged count-min sketch for driver-side probing."""
+    return spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sketch_bytes)
+    )
+
+
+@query(
+    "sketch_countmin_event_types",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS est_count
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def sketch_countmin_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event counts via count-min sketch: one distributed pass
+    builds the sketch (map-side partials, tiny merge), then the distinct
+    types (bounded, dimension-like) are probed against it. Width 2/eps =
+    20k cells vs a handful of keys -> collision-free, estimates exact."""
+    events = load_table(spark, "events", sf_dir)
+    sk_row = events.agg(
+        F.count_min_sketch("event_type", F.lit(1e-4), F.lit(0.999), F.lit(42)).alias("sk")
+    ).head()
+    sk = _read_cms(spark, sk_row.sk)
+    types = sorted(
+        r.event_type for r in events.select("event_type").distinct().collect()
+    )
+    rows = [(t, sk.estimateCount(t)) for t in types]
+    return spark.createDataFrame(rows, "event_type string, est_count bigint")
+
+
+@query(
+    "sketch_countmin_token_heavy_hitters",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ),
+    probe AS (
+      SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT t.token, CAST(count(*) AS BIGINT) AS est_tf
+    FROM toks t JOIN probe p USING (token)
+    GROUP BY t.token
+    HAVING count(*) >= 100
+    ORDER BY token
+    """,
+)
+def sketch_countmin_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens: sketch the full corpus term stream (explode
+    stays in whole-stage codegen; the aggregate ships fixed-size sketch
+    partials, not tokens), then probe a candidate set drawn from a
+    document sample — the classic two-pass heavy-hitter scheme where
+    pass 1 is O(sketch) memory regardless of vocabulary size."""
+    from log2sql_spark.operators.dedup import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    term_stream = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    sk_row = term_stream.agg(
+        F.count_min_sketch("token", F.lit(2e-5), F.lit(0.999), F.lit(42)).alias("sk")
+    ).head()
+    sk = _read_cms(spark, sk_row.sk)
+    candidates = sorted(
+        r.token
+        for r in docs.filter(F.col("doc_id") < 20)
+        .select(F.explode(F.array_distinct(tokens(F.col("text")))).alias("token"))
+        .distinct()
+        .collect()
+    )
+    rows = [
+        (t, est) for t in candidates if (est := sk.estimateCount(t)) >= 100
+    ]
+    return spark.createDataFrame(rows, "token string, est_tf bigint")

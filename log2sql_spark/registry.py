@@ -65,6 +65,7 @@ def _load_query_modules() -> None:
         llm,
         llm_pipeline,
         relational,
+        sketch,
         streaming,
         tpch,
     )
