@@ -101,3 +101,43 @@ def sketch_countmin_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> Dat
         (t, est) for t in candidates if (est := sk.estimateCount(t)) >= 100
     ]
     return spark.createDataFrame(rows, "token string, est_tf bigint")
+
+
+@query(
+    "sketch_hll_distinct_users",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS est_users
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS est_users
+    FROM events
+    ORDER BY event_type
+    """,
+)
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup: per-type DataSketches HLL
+    sketches of user_id (``hll_sketch_agg``), with the global count
+    derived by UNIONING THE SKETCHES (``hll_union_agg``) — never
+    re-scanning the data. That re-aggregability is what makes
+    pre-computed rollups work at 100 TB: daily sketches merge into
+    monthly counts for free, which a plain COUNT(DISTINCT) can never
+    do. At these cardinalities the sketch is in exact (sparse) mode, so
+    the estimates equal the exact-oracle counts."""
+    events = load_table(spark, "events", sf_dir)
+    # lgConfigK=20: the sketch stays in exact coupon mode up to
+    # ~2^(lgK-3) ≈ 131k distinct keys (covers sf1's 15k users; the
+    # default lgK=12 promotes to approximate HLL mode at sf0.1 already).
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(20)).alias("sk")
+    )
+    per_type = per_type.persist()  # tiny: one sketch row per type
+    out = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est_users")
+    ).unionByName(
+        per_type.agg(
+            F.lit("ALL").alias("event_type"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        )
+    )
+    return out.orderBy("event_type")

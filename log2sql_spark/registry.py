@@ -64,6 +64,7 @@ def _load_query_modules() -> None:
         extra3,
         llm,
         llm_pipeline,
+        quality,
         relational,
         sketch,
         streaming,
