@@ -332,6 +332,15 @@ def minhash_dedup_pairs(
     lsh_candidate_pairs): on boilerplate-heavy corpora pass e.g. 256 so
     one pathological bucket can't go quadratic; verified star pairs
     still connect the duplicate group for clustering."""
+    # The gram explode + 64 signature hashes are the compute-dominant
+    # stage, and their parallelism is inherited from the INPUT's
+    # partitioning — a corpus read from a few large parquet files would
+    # run them on a few cores while the rest idle. Spread the (narrow,
+    # pre-explode) doc rows across the full parallelism first; the
+    # round-robin shuffle moves only raw documents, never grams.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     grams = exploded_grams(docs, n, text_col, id_col).persist()
     sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col, grams=grams)
     cands = lsh_candidate_pairs(sigs, bands, max_bucket_size=max_bucket_size)

@@ -119,7 +119,17 @@ SPAN_SOURCES = {
 }
 
 
-def generate(out_dir: str, multiplier: int, base: str = BASE) -> None:
+def generate(
+    out_dir: str,
+    multiplier: int,
+    base: str = BASE,
+    tables: tuple[str, ...] | None = None,
+) -> None:
+    """Scale the base tables by ``multiplier`` into ``out_dir``.
+
+    ``tables`` restricts generation to a subset (e.g. only `documents`
+    at 100x for the dedup scale bench, without paying for a 600M-row
+    lineitem)."""
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     spans = {
@@ -129,6 +139,8 @@ def generate(out_dir: str, multiplier: int, base: str = BASE) -> None:
         for key, tbl in SPAN_SOURCES.items()
     }
     for table, cols in PLANS.items():
+        if tables is not None and table not in tables:
+            continue
         dest = os.path.join(out_dir, f"{table}.parquet")
         if os.path.exists(dest):
             continue
