@@ -1,0 +1,178 @@
+"""Time-series analytics: hypertable-style rollups, gap-filling, and
+cohort retention over the event stream.
+
+The rollup query is the batch twin of a continuous aggregate: it
+materializes re-aggregable hourly partials (sum/count, never avg) and
+derives the daily report FROM THE PARTIALS — the pattern that lets a
+100 TB event store answer month queries from hour summaries without
+re-scanning raw events. Gap-filling densifies sparse per-key series
+with sequence+explode (rows generated executor-side, proportional to
+the key's span) and carries values forward with an IGNORE NULLS window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from log2sql_spark.registry import query
+from log2sql_spark.sources.tables import load_table
+
+_CENTS = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
+
+
+@query(
+    "ts_rollup_reaggregate",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+)
+def ts_rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level continuous-aggregate rollup: hourly partials (count +
+    integer-cent sum — mergeable statistics only) re-aggregate into the
+    daily report. The oracle computes daily DIRECTLY from raw events,
+    so the hash match proves partial re-aggregation is lossless — the
+    correctness property a hypertable's month-from-hour queries rely
+    on. Both aggregations are map-side combined; the second one runs
+    over 24x fewer rows than raw."""
+    events = load_table(spark, "events", sf_dir)
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_CENTS("value")).alias("sum_cents"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "hour").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@query(
+    "ts_gapfill_locf",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      WHERE event_type = 'purchase' AND user_id < 20
+      GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM purchases GROUP BY 1
+    ),
+    dense AS (
+      SELECT s.user_id, gs.day AS day
+      FROM spans s, LATERAL (
+        SELECT unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS day
+      ) gs
+    )
+    SELECT d.user_id, d.day,
+           coalesce(p.n, 0) AS n,
+           last_value(p.cents IGNORE NULLS) OVER (
+             PARTITION BY d.user_id ORDER BY d.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cents_locf
+    FROM dense d LEFT JOIN purchases p USING (user_id, day)
+    ORDER BY user_id, day
+    """,
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling with last-observation-carried-forward: densify each
+    user's daily purchase series over [first, last] purchase day
+    (sequence+explode — generated executor-side, sized by the user's
+    own span, never a global calendar cross join), left-join the
+    actuals, fill counts with 0 and carry the cent value forward with
+    an IGNORE NULLS last() window. One shuffle for the daily agg, one
+    for the window; the join key (user_id, day) is co-partitioned with
+    the window's partition key."""
+    events = load_table(spark, "events", sf_dir)
+    purchases = (
+        events.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 20))
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_CENTS("value")).alias("cents"))
+    )
+    dense = (
+        purchases.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dense.join(purchases, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("cents", ignorenulls=True).over(w).alias("cents_locf"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+@query(
+    "ts_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             CAST(floor(date_diff('day', f.cohort_day,
+                                  date_trunc('day', e.ts)) / 7)
+                  AS BIGINT) AS week_offset,
+             date_trunc('week', f.cohort_day) AS cohort_week
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM activity
+    GROUP BY 1, 2
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week,
+    counted distinct per week-offset of later activity. The firsts
+    aggregate is tiny (one row per user) and broadcast back onto the
+    event stream, so the only wide operation over raw events is the
+    final distinct-count — no event-to-event self-join."""
+    events = load_table(spark, "events", sf_dir)
+    days = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(F.broadcast(firsts), "user_id")
+        .select(
+            F.date_trunc("week", "cohort_day").alias("cohort_week"),
+            F.floor(F.datediff(F.col("day"), F.col("cohort_day")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -36,6 +36,15 @@ def get_spark(app_name: str = "log2sql_spark", cpus: str | None = None) -> Spark
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Split size sized for local[N]: the bench datasets arrive as ONE
+        # parquet file per table (sf1 lineitem ~184 MB), so the default
+        # 128 MB split would scan the biggest fact table on 2 cores while
+        # 30 idle. 8 MB splits every bench table across the full
+        # parallelism (scan-heavy sf1 queries ~40% faster). A cluster
+        # deploy reverts to the 128 MB default: at 100 TB the input is
+        # many files and 8 MB splits would mean 12.5M scan tasks of pure
+        # scheduling overhead.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark reads it
         # as LongType nanos under this flag (converted in sources.tables).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
