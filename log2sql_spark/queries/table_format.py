@@ -1,0 +1,95 @@
+"""Snapshot-store (minimal table format) queries: MERGE INTO + time
+travel, oracle-verified.
+
+The store under test is :mod:`log2sql_spark.store.snapshots` — atomic
+manifest commits over immutable parquet, the sandbox stand-in for
+Delta/Iceberg on the CDC apply path (reference end state: replay SQL
+applied to MySQL, ``log2sql.py:161-185``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log2sql_spark.registry import query
+from log2sql_spark.scratch import scratch_dir
+from log2sql_spark.sources.tables import load_table
+
+
+@query(
+    "store_snapshot_time_travel",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 1000
+    ),
+    v2 AS (
+      SELECT k, status, cents FROM base WHERE k % 10 NOT IN (0, 5)
+      UNION ALL
+      SELECT k, 'U' AS status, cents + 100 AS cents FROM base WHERE k % 10 = 5
+      UNION ALL
+      SELECT k + 100000 AS k, 'N' AS status, CAST(42 AS BIGINT) AS cents
+      FROM base WHERE k % 100 = 7
+    )
+    SELECT CAST(1 AS BIGINT) AS version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM base
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM v2
+    ORDER BY version
+    """,
+)
+def store_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end table-format exercise: commit v1 (1000 order rows),
+    MERGE a CDC batch (deletes on k%10=0, updates on k%10=5, inserts on
+    k%100=7) producing v2, then aggregate BOTH versions by reading them
+    back through the manifest log — the oracle recomputes each state
+    relationally, so the hash match proves commits are atomic-complete,
+    the merge applied exact MERGE INTO semantics, and time travel
+    reconstructs the pre-merge snapshot bit-for-bit."""
+    from log2sql_spark.store import SnapshotStore
+
+    store = SnapshotStore(scratch_dir("log2sql_snapstore_"))
+    base = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    store.commit(base, mode="overwrite")
+
+    deletes = base.filter(F.col("k") % 10 == 0).select(
+        "k", "status", "cents", F.lit("delete").alias("op"), F.lit(1).alias("seq")
+    )
+    updates = base.filter(F.col("k") % 10 == 5).select(
+        "k",
+        F.lit("U").alias("status"),
+        (F.col("cents") + 100).alias("cents"),
+        F.lit("update").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    inserts = base.filter(F.col("k") % 100 == 7).select(
+        (F.col("k") + 100000).alias("k"),
+        F.lit("N").alias("status"),
+        F.lit(42).cast("bigint").alias("cents"),
+        F.lit("insert").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    store.merge(spark, changes, key_cols="k", version_cols="seq")
+
+    def state(version: int) -> DataFrame:
+        return store.read(spark, version).agg(
+            F.lit(version).cast("bigint").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+
+    return state(1).unionByName(state(2)).orderBy("version")

@@ -68,6 +68,7 @@ def _load_query_modules() -> None:
         relational,
         sketch,
         streaming,
+        table_format,
         timeseries,
         tpch,
     )
