@@ -174,3 +174,61 @@ def apply_changes_to_state(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_changes_to_snapshot_store(
+    spark: SparkSession,
+    in_dir: str,
+    catalog: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    key_col: str = "id",
+) -> StreamingQuery:
+    """The production apply path end-to-end: ``foreachBatch → MERGE INTO``
+    a transactional snapshot store (SURVEY.md §1.1's named target, with
+    :class:`~log2sql_spark.store.SnapshotStore` standing in for
+    Delta/Iceberg).
+
+    Vs :func:`apply_changes_to_state`'s parquet swap, every micro-batch
+    commits one new snapshot through an atomic manifest publish: a crash
+    mid-batch leaves the previous version intact and fully readable (no
+    rmtree window), re-running the batch after restart is idempotent at
+    the row level (merge_into's version ordering), and each batch's
+    pre-image stays time-travelable until ``vacuum`` — the audit trail a
+    CDC consumer actually wants. Version ordering spans file rotations
+    via (file, start_pos, event_seq), same as the parquet-state twin.
+    """
+    from log2sql_spark.store import SnapshotStore
+
+    store = SnapshotStore(store_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        envelope = read_binlog_batch_files(spark, batch_df)
+        resolved = resolve_columns(envelope, catalog)
+        changes = resolved.select(
+            F.element_at(F.coalesce("after", "before"), key_col).alias("key"),
+            F.col("op"),
+            F.col("after"),
+            F.col("file"),
+            F.col("start_pos"),
+            F.col("event_seq"),
+        )
+        if store.head_version() is None:
+            store.commit(
+                spark.createDataFrame([], "key string, after map<string,string>"),
+                mode="overwrite",
+            )
+        store.merge(
+            spark,
+            changes,
+            key_cols="key",
+            version_cols=["file", "start_pos", "event_seq"],
+        )
+
+    lines = read_binlog_line_stream(spark, in_dir)
+    return (
+        lines.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -369,3 +369,37 @@ def test_drop_duplicates_within_watermark_stream(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM dedup_out").collect()
     assert len(rows) == 1 and rows[0]["event_id"] == 1
+
+
+def test_apply_changes_to_snapshot_store(spark, tmp_path):
+    from log2sql_spark.store import SnapshotStore
+    from log2sql_spark.streaming.cdc_stream import apply_changes_to_snapshot_store
+
+    in_dir, store_dir, ckpt = tmp_path / "in", tmp_path / "snapstore", tmp_path / "ckpt"
+    in_dir.mkdir()
+    cat = catalog_from_dict(spark, CATALOG)
+    _dump(in_dir / "bin.000001.txt", [
+        {"op": "insert", "db": "shop", "table": "orders", "ts": TS, "values": [(1, "1"), (2, "'new'")]},
+        {"op": "insert", "db": "shop", "table": "orders", "ts": TS, "values": [(1, "2"), (2, "'new'")]},
+        {"op": "update", "db": "shop", "table": "orders", "ts": TS,
+         "before": [(1, "1"), (2, "'new'")], "after": [(1, "1"), (2, "'shipped'")]},
+    ])
+    q = apply_changes_to_snapshot_store(spark, str(in_dir), cat, str(store_dir), str(ckpt), key_col="id")
+    q.awaitTermination(120)
+    store = SnapshotStore(str(store_dir))
+    head1 = store.head_version()
+    rows = {r["key"]: r["after"] for r in store.read(spark).select("key", "after").collect()}
+    assert rows == {"1": {"id": "1", "status": "'shipped'"},
+                    "2": {"id": "2", "status": "'new'"}}
+
+    # second micro-batch (restart, new file): delete key 2 — new snapshot,
+    # and the pre-delete state stays time-travelable
+    _dump(in_dir / "bin.000002.txt", [
+        {"op": "delete", "db": "shop", "table": "orders", "ts": TS, "values": [(1, "2"), (2, "'new'")]},
+    ])
+    q2 = apply_changes_to_snapshot_store(spark, str(in_dir), cat, str(store_dir), str(ckpt), key_col="id")
+    q2.awaitTermination(120)
+    assert store.head_version() > head1
+    assert [r["key"] for r in store.read(spark).select("key").collect()] == ["1"]
+    old = {r["key"] for r in store.read(spark, version=head1).select("key").collect()}
+    assert old == {"1", "2"}
