@@ -51,6 +51,22 @@ def store_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally, so the hash match proves commits are atomic-complete,
     the merge applied exact MERGE INTO semantics, and time travel
     reconstructs the pre-merge snapshot bit-for-bit."""
+    store = _two_version_store(spark, sf_dir)
+
+    def state(version: int) -> DataFrame:
+        return store.read(spark, version).agg(
+            F.lit(version).cast("bigint").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+
+    return state(1).unionByName(state(2)).orderBy("version")
+
+
+def _two_version_store(spark: SparkSession, sf_dir: str):
+    """v1 = 1000 order rows; v2 = v1 after a CDC merge (deletes on
+    k%10=0, updates on k%10=5, inserts on k%100=7). Shared fixture of
+    the time-travel and change-data-feed queries."""
     from log2sql_spark.store import SnapshotStore
 
     store = SnapshotStore(scratch_dir("log2sql_snapstore_"))
@@ -84,12 +100,39 @@ def store_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = deletes.unionByName(updates).unionByName(inserts)
     store.merge(spark, changes, key_cols="k", version_cols="seq")
+    return store
 
-    def state(version: int) -> DataFrame:
-        return store.read(spark, version).agg(
-            F.lit(version).cast("bigint").alias("version"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("cents").alias("sum_cents"),
-        )
 
-    return state(1).unionByName(state(2)).orderBy("version")
+@query(
+    "store_change_data_feed",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 1000
+    ),
+    v2 AS (
+      SELECT k, status, cents FROM base WHERE k % 10 NOT IN (0, 5)
+      UNION ALL
+      SELECT k, 'U' AS status, cents + 100 AS cents FROM base WHERE k % 10 = 5
+      UNION ALL
+      SELECT k + 100000 AS k, 'N' AS status, CAST(42 AS BIGINT) AS cents
+      FROM base WHERE k % 100 = 7
+    )
+    SELECT k, status, cents, 'added' AS change_type
+    FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM base)
+    UNION ALL
+    SELECT k, status, cents, 'removed' AS change_type
+    FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM v2)
+    ORDER BY k, change_type
+    """,
+)
+def store_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed without a change log: the row-level diff
+    between two retained snapshots (Delta CDF's read side, derived
+    purely from the manifest log). Deletes surface as `removed`,
+    inserts as `added`, updates as one of each sharing the key —
+    verified against the oracle recomputing both states and their
+    EXCEPT ALL diff relationally."""
+    store = _two_version_store(spark, sf_dir)
+    return store.diff(spark, 1, 2).orderBy("k", "change_type")

@@ -156,6 +156,25 @@ class SnapshotStore:
         )
         return self.commit(merged, mode="overwrite")
 
+    def diff(
+        self, spark: SparkSession, from_version: int, to_version: int
+    ) -> DataFrame:
+        """Change data feed between two snapshots: full-row set diff,
+        rows only in ``to_version`` tagged ``added``, rows only in
+        ``from_version`` tagged ``removed`` (an update appears as one of
+        each — the caller can pair them on the key). Computed from the
+        retained snapshots alone, no change log needed; both sides are
+        one exceptAll (a single aggregate-shaped shuffle each)."""
+        from pyspark.sql import functions as F
+
+        a = self.read(spark, from_version)
+        b = self.read(spark, to_version)
+        return b.exceptAll(a).withColumn(
+            "change_type", F.lit("added")
+        ).unionByName(
+            a.exceptAll(b).withColumn("change_type", F.lit("removed"))
+        )
+
     # ---- maintenance --------------------------------------------------
 
     def vacuum(self, keep_last: int = 1, include_orphans: bool = False) -> list[str]:
