@@ -136,3 +136,79 @@ def store_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXCEPT ALL diff relationally."""
     store = _two_version_store(spark, sf_dir)
     return store.diff(spark, 1, 2).orderBy("k", "change_type")
+
+
+@query(
+    "store_pruned_merge_narrow",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 1000
+    ),
+    v2 AS (
+      SELECT k, status, cents FROM base
+      WHERE k < 100 OR k >= 200 OR (k % 10 NOT IN (0, 5))
+      UNION ALL
+      SELECT k, 'U' AS status, cents + 100 AS cents FROM base
+      WHERE k >= 100 AND k < 200 AND k % 10 = 5
+    )
+    SELECT CASE WHEN k >= 100 AND k < 200 THEN 'in_range' ELSE 'outside' END
+             AS segment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM v2
+    GROUP BY 1
+    ORDER BY segment
+    """,
+)
+def store_pruned_merge_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-pruned MERGE: the store is committed CLUSTERED on the key
+    (8 range-partitioned files with per-file min/max stats in the
+    manifest), then a change batch confined to keys [100, 200) merges —
+    only the overlapping file(s) are read and rewritten, the rest carry
+    into the new manifest by reference (asserted file-by-file in
+    tests/test_snapshot_store.py; this query verifies the DATA both
+    inside and outside the rewritten range against the oracle). At
+    100 TB this is what keeps per-batch merge cost proportional to the
+    change footprint instead of the table size."""
+    from log2sql_spark.store import SnapshotStore
+
+    store = SnapshotStore(scratch_dir("log2sql_prunedstore_"))
+    base = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    store.commit(base, mode="overwrite", cluster_by="k", target_files=8)
+
+    in_range = base.filter((F.col("k") >= 100) & (F.col("k") < 200))
+    deletes = in_range.filter(F.col("k") % 10 == 0).select(
+        "k", "status", "cents", F.lit("delete").alias("op"), F.lit(1).alias("seq")
+    )
+    updates = in_range.filter(F.col("k") % 10 == 5).select(
+        "k",
+        F.lit("U").alias("status"),
+        (F.col("cents") + 100).alias("cents"),
+        F.lit("update").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    store.merge(spark, deletes.unionByName(updates), key_cols="k", version_cols="seq")
+
+    return (
+        store.read(spark)
+        .groupBy(
+            F.when((F.col("k") >= 100) & (F.col("k") < 200), "in_range")
+            .otherwise("outside")
+            .alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("segment")
+    )

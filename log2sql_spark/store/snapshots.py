@@ -8,7 +8,7 @@ jars exist in this container, so this module implements the part of a
 table format those engines provide and the apply path actually needs:
 
 * **Atomic, readable-or-invisible commits.** Every commit writes NEW
-  immutable data directories first, then publishes a JSON manifest via
+  immutable data files first, then publishes a JSON manifest via
   ``os.replace`` (atomic on POSIX). A crash mid-write leaves orphan
   data files but no manifest — readers never observe a partial commit.
   This is exactly the Iceberg snapshot contract, minus the catalog.
@@ -23,28 +23,37 @@ table format those engines provide and the apply path actually needs:
   on the new head) — single-writer-wins semantics on any filesystem
   with atomic rename; on object stores a real deployment swaps this
   for a catalog conditional-put, same protocol.
-* **MERGE INTO.** ``merge`` composes :func:`~log2sql_spark.operators.
-  merge.merge_into` (latest-change-per-key window, delete/upsert
-  semantics, idempotent under re-delivery) with an overwrite commit.
+* **MERGE INTO with file-level pruning.** ``merge`` composes
+  :func:`~log2sql_spark.operators.merge.merge_into` (latest-change-per-
+  key window, delete/upsert semantics, idempotent under re-delivery)
+  with a commit. When the store is CLUSTERED (``cluster_by=<key>``:
+  range-partitioned files with per-file min/max key stats recorded in
+  the manifest), a merge reads and rewrites ONLY the files whose key
+  range overlaps the change batch — untouched files carry over into the
+  new manifest by reference. At 100 TB this is the difference between
+  rewriting the table per batch and rewriting a few hundred MB: merge
+  cost scales with the CHANGE footprint, not the table. This is the
+  same mechanism as Delta's data skipping + Iceberg's manifest stats.
 
-Scale notes: the manifest holds directory paths, not per-file entries,
-so its size is O(commits), not O(files); data stays wherever the
-cluster's DFS puts it and is only ever read through
-``spark.read.parquet`` with full pushdown. A merge rewrites the whole
-table here (the honest cost of MERGE without file-level statistics);
-partition the store by key ranges and merge per-partition to bound the
-rewrite, or swap in Delta/Iceberg at the same call site.
+Scale notes: manifest size is O(files touched per commit + carried
+entries) — file counts are controlled by ``target_files`` per commit
+and ``compact()``. Data is only ever read through
+``spark.read.parquet`` with full pushdown.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from log2sql_spark.operators.merge import merge_into
+
+_JSONABLE = (int, float, str, bool)
 
 
 class ConflictError(RuntimeError):
@@ -55,8 +64,28 @@ class ConflictError(RuntimeError):
 class Snapshot:
     version: int
     parent: int | None
-    mode: str  # "append" | "overwrite"
-    dirs: list[str]  # relative data directories composing the snapshot
+    mode: str  # "append" | "overwrite" | "merge"
+    entries: list[dict]  # {"path": rel, "min": key|None, "max": key|None}
+    cluster_by: str | None
+
+    @property
+    def dirs(self) -> list[str]:
+        """Top-level data directories referenced by this snapshot (an
+        entry is either a dir or a file inside one)."""
+        seen: list[str] = []
+        for e in self.entries:
+            parts = e["path"].split(os.sep)
+            top = os.path.join(parts[0], parts[1])
+            if top not in seen:
+                seen.append(top)
+        return seen
+
+    @property
+    def has_stats(self) -> bool:
+        return bool(self.entries) and all(
+            e.get("min") is not None and e.get("max") is not None
+            for e in self.entries
+        )
 
 
 class SnapshotStore:
@@ -82,39 +111,91 @@ class SnapshotStore:
         with open(os.path.join(self._manifest_dir, f"v{version}.json")) as f:
             m = json.load(f)
         return Snapshot(
-            version=m["version"], parent=m["parent"], mode=m["mode"], dirs=m["dirs"]
+            version=m["version"],
+            parent=m["parent"],
+            mode=m["mode"],
+            entries=m["entries"],
+            cluster_by=m.get("cluster_by"),
         )
 
     # ---- commits ------------------------------------------------------
 
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
-        """Write ``df`` as a new snapshot; returns the new version.
-
-        Data lands in a fresh immutable directory named after the
-        version being attempted; the manifest publish is the atomic
-        commit point. ``overwrite`` replaces the visible contents but
-        deletes nothing — prior snapshots stay readable until
-        ``vacuum``."""
-        if mode not in ("append", "overwrite"):
-            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-        parent = self.head_version()
-        version = 1 if parent is None else parent + 1
-        # Attempt-unique directory: two racing writers targeting the same
-        # next version must not write into the same path (the publish
-        # step decides the winner; the loser's directory stays orphaned
-        # until vacuum). mkdtemp gives uniqueness + creation atomicity.
-        import tempfile
-
+    def _write_data(
+        self,
+        df: DataFrame,
+        version: int,
+        cluster_by: str | None,
+        target_files: int,
+    ) -> list[dict]:
+        """Write df into an attempt-unique immutable directory; return
+        manifest entries. Attempt-unique because two racing writers
+        targeting the same next version must not share a path (the
+        publish step decides the winner; the loser's directory stays
+        orphaned until vacuum). Clustered writes range-partition on the
+        key and record per-file min/max stats — the data-skipping index
+        a later merge prunes with."""
         data_root = os.path.join(self.path, "data")
         os.makedirs(data_root, exist_ok=True)
         data_abs = tempfile.mkdtemp(prefix=f"v{version}-", dir=data_root)
         data_rel = os.path.join("data", os.path.basename(data_abs))
-        df.write.mode("overwrite").parquet(data_abs)
-        dirs = [data_rel] if mode == "overwrite" or parent is None else (
-            self.snapshot(parent).dirs + [data_rel]
+        if cluster_by is None:
+            df.write.mode("overwrite").parquet(data_abs)
+            return [{"path": data_rel, "min": None, "max": None}]
+        clustered = df.repartitionByRange(target_files, cluster_by)
+        clustered.write.mode("overwrite").parquet(data_abs)
+        # One tiny follow-up job computes the per-file key stats (Delta
+        # gets these from write transaction metrics; the extra scan here
+        # reads only the key column of the files just written).
+        stats = (
+            df.sparkSession.read.parquet(data_abs)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min(cluster_by).alias("lo"), F.max(cluster_by).alias("hi"))
+            .collect()
         )
+        entries = []
+        for r in stats:
+            p = r.f[len("file:"):] if r.f.startswith("file:") else r.f
+            lo = r.lo.item() if hasattr(r.lo, "item") else r.lo
+            hi = r.hi.item() if hasattr(r.hi, "item") else r.hi
+            if not isinstance(lo, _JSONABLE) or not isinstance(hi, _JSONABLE):
+                lo = hi = None  # unorderable-in-JSON key type: no pruning
+            entries.append(
+                {"path": os.path.relpath(p, self.path), "min": lo, "max": hi}
+            )
+        return sorted(entries, key=lambda e: e["path"])
+
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        cluster_by: str | None = None,
+        target_files: int = 8,
+    ) -> int:
+        """Write ``df`` as a new snapshot; returns the new version.
+
+        The manifest publish is the atomic commit point. ``overwrite``
+        replaces the visible contents but deletes nothing — prior
+        snapshots stay readable until ``vacuum``. ``cluster_by`` writes
+        range-clustered files with per-file key stats, enabling pruned
+        merges."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        parent = self.head_version()
+        version = 1 if parent is None else parent + 1
+        entries = self._write_data(df, version, cluster_by, target_files)
+        if mode == "append" and parent is not None:
+            prev = self.snapshot(parent)
+            entries = prev.entries + entries
+            if prev.cluster_by != cluster_by:
+                cluster_by = None  # mixed layouts: stats no longer total
         self._publish(
-            {"version": version, "parent": parent, "mode": mode, "dirs": dirs}
+            {
+                "version": version,
+                "parent": parent,
+                "mode": mode,
+                "entries": entries,
+                "cluster_by": cluster_by,
+            }
         )
         return version
 
@@ -136,7 +217,7 @@ class SnapshotStore:
         if version is None:
             raise ValueError(f"store at {self.path} has no commits")
         snap = self.snapshot(version)
-        paths = [os.path.join(self.path, d) for d in snap.dirs]
+        paths = [os.path.join(self.path, e["path"]) for e in snap.entries]
         return spark.read.parquet(*paths)
 
     # ---- MERGE INTO ---------------------------------------------------
@@ -150,11 +231,69 @@ class SnapshotStore:
         op_col: str = "op",
         delete_op: str = "delete",
     ) -> int:
-        """Apply CDC changes (MERGE INTO semantics) as one new snapshot."""
-        merged = merge_into(
-            self.read(spark), changes, key_cols, version_cols, op_col, delete_op
+        """Apply CDC changes (MERGE INTO semantics) as one new snapshot.
+
+        On a clustered store (single key column matching ``cluster_by``,
+        per-file stats present), only the files whose [min, max] key
+        range overlaps the change batch's key bounds are read, merged,
+        and rewritten; every other file carries into the new manifest
+        by reference. Unclustered stores fall back to a full rewrite.
+        Returns the new version either way."""
+        keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        parent = self.head_version()
+        if parent is None:
+            raise ValueError("merge requires an existing snapshot; commit first")
+        snap = self.snapshot(parent)
+        pruned = (
+            snap.cluster_by is not None
+            and keys == [snap.cluster_by]
+            and snap.has_stats
         )
-        return self.commit(merged, mode="overwrite")
+        if not pruned:
+            merged = merge_into(
+                self.read(spark), changes, key_cols, version_cols, op_col, delete_op
+            )
+            return self.commit(
+                merged, mode="overwrite", cluster_by=snap.cluster_by
+            )
+
+        key = keys[0]
+        bounds = changes.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).head()
+        lo = bounds.lo.item() if hasattr(bounds.lo, "item") else bounds.lo
+        hi = bounds.hi.item() if hasattr(bounds.hi, "item") else bounds.hi
+        if lo is None:  # empty (or all-null-key) change batch
+            touched, untouched = [], list(snap.entries)
+        else:
+            touched = [
+                e for e in snap.entries if not (e["max"] < lo or e["min"] > hi)
+            ]
+            touched_paths = {e["path"] for e in touched}
+            untouched = [
+                e for e in snap.entries if e["path"] not in touched_paths
+            ]
+        if touched:
+            base = spark.read.parquet(
+                *[os.path.join(self.path, e["path"]) for e in touched]
+            )
+        else:
+            base = self.read(spark, parent).limit(0)
+        merged = merge_into(base, changes, keys, version_cols, op_col, delete_op)
+        version = parent + 1
+        new_entries = self._write_data(
+            merged, version, snap.cluster_by, max(1, len(touched))
+        )
+        self._publish(
+            {
+                "version": version,
+                "parent": parent,
+                "mode": "merge",
+                "entries": untouched + new_entries,
+                "cluster_by": snap.cluster_by,
+            }
+        )
+        return version
 
     def diff(
         self, spark: SparkSession, from_version: int, to_version: int
@@ -163,12 +302,28 @@ class SnapshotStore:
         rows only in ``to_version`` tagged ``added``, rows only in
         ``from_version`` tagged ``removed`` (an update appears as one of
         each — the caller can pair them on the key). Computed from the
-        retained snapshots alone, no change log needed; both sides are
-        one exceptAll (a single aggregate-shaped shuffle each)."""
-        from pyspark.sql import functions as F
+        retained snapshots alone, no change log needed. Files present in
+        BOTH manifests (carried by reference through pruned merges)
+        cancel out of the diff by construction, so only the rewritten
+        footprint is compared."""
+        a_snap, b_snap = self.snapshot(from_version), self.snapshot(to_version)
+        a_paths = {e["path"] for e in a_snap.entries}
+        b_paths = {e["path"] for e in b_snap.entries}
+        only_a = sorted(a_paths - b_paths)
+        only_b = sorted(b_paths - a_paths)
+        if not only_a and not only_b:
+            empty = self.read(spark, from_version).limit(0)
+            return empty.withColumn("change_type", F.lit(""))
 
-        a = self.read(spark, from_version)
-        b = self.read(spark, to_version)
+        def _read(paths: list[str], version: int) -> DataFrame:
+            if not paths:
+                return self.read(spark, version).limit(0)
+            return spark.read.parquet(
+                *[os.path.join(self.path, p) for p in paths]
+            )
+
+        a = _read(only_a, from_version)
+        b = _read(only_b, to_version)
         return b.exceptAll(a).withColumn(
             "change_type", F.lit("added")
         ).unionByName(
@@ -177,11 +332,29 @@ class SnapshotStore:
 
     # ---- maintenance --------------------------------------------------
 
+    def compact(self, spark: SparkSession, target_files: int = 8) -> int:
+        """Rewrite the head snapshot into ``target_files`` files (keeping
+        the cluster layout if any) — the small-file compaction every
+        streaming-ingest table needs; appears as a normal overwrite
+        commit, so it is time-travel-safe and atomic like any other."""
+        snap = self.snapshot(self.head_version())
+        return self.commit(
+            self.read(spark),
+            mode="overwrite",
+            cluster_by=snap.cluster_by,
+            target_files=target_files,
+        )
+
     def vacuum(self, keep_last: int = 1, include_orphans: bool = False) -> list[str]:
         """Drop manifests older than the last ``keep_last`` and delete
         data directories no retained snapshot references. Returns the
         deleted directories. The only destructive operation, and it
         never touches the head.
+
+        Granularity is the top-level commit directory: a directory is
+        deleted only when NO retained snapshot references any file
+        inside it (pruned merges carry individual files forward, which
+        keeps their parent directory alive).
 
         ``include_orphans`` additionally removes data directories no
         manifest at all references (crashed or conflict-losing commit

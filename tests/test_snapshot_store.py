@@ -95,3 +95,71 @@ def test_vacuum_keeps_shared_dirs(spark, store):
     store.commit(_df(spark, [(2, "b")]), mode="append")
     store.vacuum(keep_last=1)
     assert sorted(r.k for r in store.read(spark).collect()) == [1, 2]
+
+
+def test_clustered_commit_records_file_stats(spark, store):
+    df = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") % 7).cast("string").alias("val"))
+    store.commit(df, cluster_by="k", target_files=4)
+    snap = store.snapshot(1)
+    assert snap.cluster_by == "k"
+    assert snap.has_stats
+    assert len(snap.entries) == 4
+    # files are range-disjoint and cover [0, 999]
+    ranges = sorted((e["min"], e["max"]) for e in snap.entries)
+    assert ranges[0][0] == 0 and ranges[-1][1] == 999
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo
+
+
+def test_pruned_merge_rewrites_only_overlapping_files(spark, store):
+    df = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit("x").alias("val"))
+    store.commit(df, cluster_by="k", target_files=4)
+    before = store.snapshot(1).entries
+    # changes confined to keys 10..20: exactly one file overlaps
+    changes = spark.createDataFrame(
+        [(10, "UPD", "update", 1), (20, None, "delete", 1)],
+        "k bigint, val string, op string, seq int",
+    )
+    store.merge(spark, changes, key_cols="k", version_cols="seq")
+    after = store.snapshot(2)
+    assert after.mode == "merge"
+    before_paths = {e["path"] for e in before}
+    after_paths = {e["path"] for e in after.entries}
+    carried = before_paths & after_paths
+    assert len(carried) == 3  # 3 of 4 files untouched, carried by reference
+    # data is correct
+    got = {r.k: r.val for r in store.read(spark).filter(F.col("k").isin(10, 20, 30)).collect()}
+    assert got == {10: "UPD", 30: "x"}
+    assert store.read(spark).count() == 999
+    # time travel to v1 still has the original 1000 rows
+    assert store.read(spark, 1).count() == 1000
+    # the CDF between versions only compares the rewritten footprint
+    d = {(r.k, r.change_type) for r in store.diff(spark, 1, 2).collect()}
+    assert (10, "added") in d and (10, "removed") in d and (20, "removed") in d
+    assert not any(k == 30 for k, _ in d)
+
+
+def test_pruned_merge_insert_outside_all_ranges(spark, store):
+    store.commit(
+        spark.range(0, 100).select(F.col("id").alias("k"), F.lit("x").alias("val")),
+        cluster_by="k", target_files=2,
+    )
+    changes = spark.createDataFrame(
+        [(5000, "new", "insert", 1)], "k bigint, val string, op string, seq int"
+    )
+    store.merge(spark, changes, key_cols="k", version_cols="seq")
+    assert store.read(spark).count() == 101
+    assert store.read(spark).filter(F.col("k") == 5000).count() == 1
+
+
+def test_compact_reduces_files_keeps_data(spark, store):
+    for i in range(5):
+        store.commit(
+            spark.range(i * 10, i * 10 + 10).select(F.col("id").alias("k"), F.lit(str(i)).alias("val")),
+            mode="append",
+        )
+    assert len(store.snapshot(store.head_version()).entries) == 5
+    store.compact(spark, target_files=1)
+    head = store.snapshot(store.head_version())
+    assert len(head.dirs) == 1
+    assert store.read(spark).count() == 50
