@@ -264,6 +264,88 @@ def skew_join_aqe(spark, sf_dir: str) -> dict:
     }
 
 
+def store_merge_bench(spark, sf_dir: str) -> dict:
+    """File-pruned MERGE vs full-rewrite MERGE on the snapshot store:
+    the same 1%-of-keys change batch applied to the sf1 orders table
+    (1.5M rows) committed clustered (32 range files + per-file stats)
+    vs unclustered. The pruned merge reads/rewrites only the files the
+    batch's key range overlaps; the ratio is the table-format scale
+    claim measured directly — at 100 TB it is the difference between
+    rewriting the table per micro-batch and rewriting one file.
+    Bytes-rewritten is the scale metric (wall clock at sf1 is dominated
+    by fixed per-job latency, which amortizes away on a real table)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from log2sql_spark.store import SnapshotStore
+
+    base = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    n_keys = 15_000  # ~1% of the sf1 key space
+    changes = (
+        base.filter(F.col("k") < n_keys)
+        .select(
+            "k",
+            F.lit("U").alias("status"),
+            (F.col("cents") + 1).alias("cents"),
+            F.lit("update").alias("op"),
+            F.lit(1).alias("seq"),
+        )
+        .persist()
+    )
+    changes.count()
+    tmp = tempfile.mkdtemp(prefix="bench_store_")
+    try:
+        def du(p: str) -> int:
+            total = 0
+            for root, _, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            return total
+
+        clustered = SnapshotStore(os.path.join(tmp, "clustered"))
+        clustered.commit(base, mode="overwrite", cluster_by="k", target_files=32)
+        b0 = du(os.path.join(clustered.path, "data"))
+        t0 = time.time()
+        clustered.merge(spark, changes, key_cols="k", version_cols="seq")
+        t_pruned = time.time() - t0
+        bytes_pruned = du(os.path.join(clustered.path, "data")) - b0
+        head = clustered.snapshot(clustered.head_version())
+        parent = clustered.snapshot(head.parent)
+        carried = {e["path"] for e in head.entries} & {
+            e["path"] for e in parent.entries
+        }
+
+        full = SnapshotStore(os.path.join(tmp, "full"))
+        full.commit(base, mode="overwrite")
+        b0 = du(os.path.join(full.path, "data"))
+        t0 = time.time()
+        full.merge(spark, changes, key_cols="k", version_cols="seq")
+        t_full = time.time() - t0
+        bytes_full = du(os.path.join(full.path, "data")) - b0
+        return {
+            "rows": 1_500_000,
+            "changed_keys": n_keys,
+            "pruned_sec": round(t_pruned, 3),
+            "full_rewrite_sec": round(t_full, 3),
+            "pruned_mb_written": round(bytes_pruned / 1e6, 1),
+            "full_mb_written": round(bytes_full / 1e6, 1),
+            "write_reduction": round(bytes_full / max(1, bytes_pruned), 1),
+            "files_carried": len(carried),
+            "files_total": len(parent.entries),
+        }
+    finally:
+        changes.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def sf1_section(spark) -> dict:
     """Run the scale-sensitive headline subset at sf1 (10x bench data),
     plus the AQE skew demo and the uncapped MinHash dedup on the sf1
@@ -293,6 +375,7 @@ def sf1_section(spark) -> dict:
         "queries": times,
         "total": round(sum(times.values()), 3),
         "skew_join_aqe": skew_join_aqe(spark, sf1),
+        "store_merge": store_merge_bench(spark, sf1),
         "dedup": {
             "docs": n_docs,
             "pairs": n_pairs,

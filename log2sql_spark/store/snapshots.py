@@ -67,6 +67,7 @@ class Snapshot:
     mode: str  # "append" | "overwrite" | "merge"
     entries: list[dict]  # {"path": rel, "min": key|None, "max": key|None}
     cluster_by: str | None
+    schema_json: str | None  # lets an all-pruned/empty snapshot keep its schema
 
     @property
     def dirs(self) -> list[str]:
@@ -116,6 +117,7 @@ class SnapshotStore:
             mode=m["mode"],
             entries=m["entries"],
             cluster_by=m.get("cluster_by"),
+            schema_json=m.get("schema"),
         )
 
     # ---- commits ------------------------------------------------------
@@ -143,26 +145,60 @@ class SnapshotStore:
             return [{"path": data_rel, "min": None, "max": None}]
         clustered = df.repartitionByRange(target_files, cluster_by)
         clustered.write.mode("overwrite").parquet(data_abs)
-        # One tiny follow-up job computes the per-file key stats (Delta
-        # gets these from write transaction metrics; the extra scan here
-        # reads only the key column of the files just written).
-        stats = (
-            df.sparkSession.read.parquet(data_abs)
-            .groupBy(F.input_file_name().alias("f"))
-            .agg(F.min(cluster_by).alias("lo"), F.max(cluster_by).alias("hi"))
-            .collect()
-        )
+        # Per-file key stats come straight from the parquet FOOTERS the
+        # write just produced (Delta gets the same numbers from write
+        # transaction metrics) — driver-side metadata reads, no extra
+        # Spark job. Parquet footer min/max may be truncated for long
+        # binary values, but truncation keeps them CONSERVATIVE bounds
+        # (min rounds down, max rounds up), which is exactly what range
+        # pruning needs. An empty input writes no part files at all —
+        # that is a legal empty snapshot (schema in the manifest).
         entries = []
-        for r in stats:
-            p = r.f[len("file:"):] if r.f.startswith("file:") else r.f
-            lo = r.lo.item() if hasattr(r.lo, "item") else r.lo
-            hi = r.hi.item() if hasattr(r.hi, "item") else r.hi
-            if not isinstance(lo, _JSONABLE) or not isinstance(hi, _JSONABLE):
-                lo = hi = None  # unorderable-in-JSON key type: no pruning
+        for name in sorted(os.listdir(data_abs)):
+            if not name.endswith(".parquet") or name.startswith(("_", ".")):
+                continue
+            fpath = os.path.join(data_abs, name)
+            lo, hi = self._footer_bounds(fpath, cluster_by)
             entries.append(
-                {"path": os.path.relpath(p, self.path), "min": lo, "max": hi}
+                {
+                    "path": os.path.relpath(fpath, self.path),
+                    "min": lo,
+                    "max": hi,
+                }
             )
-        return sorted(entries, key=lambda e: e["path"])
+        return entries
+
+    @staticmethod
+    def _footer_bounds(fpath: str, column: str):
+        """(min, max) of ``column`` across a parquet file's row groups,
+        from footer statistics only; (None, None) when stats are absent
+        or not JSON-representable (which just disables pruning for the
+        file, never correctness)."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(fpath).metadata
+        # Index by the full dotted path: parquet footers list LEAF
+        # columns, and a nested field (e.g. a map's internal "key" leaf)
+        # can share its bare name with a top-level column.
+        idx = {md.schema.column(i).path: i for i in range(md.num_columns)}.get(column)
+        if idx is None:
+            return None, None
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None, None
+            rlo, rhi = st.min, st.max
+            if isinstance(rlo, bytes):
+                try:
+                    rlo, rhi = rlo.decode(), rhi.decode()
+                except UnicodeDecodeError:
+                    return None, None
+            if not isinstance(rlo, _JSONABLE) or not isinstance(rhi, _JSONABLE):
+                return None, None
+            lo = rlo if lo is None or rlo < lo else lo
+            hi = rhi if hi is None or rhi > hi else hi
+        return lo, hi
 
     def commit(
         self,
@@ -195,6 +231,7 @@ class SnapshotStore:
                 "mode": mode,
                 "entries": entries,
                 "cluster_by": cluster_by,
+                "schema": df.schema.json(),
             }
         )
         return version
@@ -217,6 +254,12 @@ class SnapshotStore:
         if version is None:
             raise ValueError(f"store at {self.path} has no commits")
         snap = self.snapshot(version)
+        if not snap.entries:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(snap.schema_json))
+            )
         paths = [os.path.join(self.path, e["path"]) for e in snap.entries]
         return spark.read.parquet(*paths)
 
@@ -291,6 +334,7 @@ class SnapshotStore:
                 "mode": "merge",
                 "entries": untouched + new_entries,
                 "cluster_by": snap.cluster_by,
+                "schema": merged.schema.json(),
             }
         )
         return version

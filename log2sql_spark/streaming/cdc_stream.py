@@ -183,11 +183,17 @@ def apply_changes_to_snapshot_store(
     store_path: str,
     checkpoint_dir: str,
     key_col: str = "id",
+    clustered: bool = True,
 ) -> StreamingQuery:
     """The production apply path end-to-end: ``foreachBatch → MERGE INTO``
     a transactional snapshot store (SURVEY.md §1.1's named target, with
     :class:`~log2sql_spark.store.SnapshotStore` standing in for
     Delta/Iceberg).
+
+    ``clustered`` (default) keeps the store range-clustered on the key
+    with per-file stats, so each micro-batch's merge reads and rewrites
+    only the files its keys overlap — per-batch apply cost tracks the
+    batch, not the accumulated table.
 
     Vs :func:`apply_changes_to_state`'s parquet swap, every micro-batch
     commits one new snapshot through an atomic manifest publish: a crash
@@ -217,6 +223,7 @@ def apply_changes_to_snapshot_store(
             store.commit(
                 spark.createDataFrame([], "key string, after map<string,string>"),
                 mode="overwrite",
+                cluster_by="key" if clustered else None,
             )
         store.merge(
             spark,

@@ -163,3 +163,18 @@ def test_compact_reduces_files_keeps_data(spark, store):
     head = store.snapshot(store.head_version())
     assert len(head.dirs) == 1
     assert store.read(spark).count() == 50
+
+
+def test_footer_stats_with_colliding_nested_leaf(spark, store):
+    # a map column's internal leaf is also named "key" — stats must come
+    # from the TOP-LEVEL key column (regression: leaf-name collision)
+    df = spark.createDataFrame(
+        [("a", {"zz": "1"}), ("m", {"aa": "2"})],
+        "key string, after map<string,string>",
+    )
+    store.commit(df, cluster_by="key", target_files=1)
+    snap = store.snapshot(1)
+    assert snap.has_stats
+    lo = min(e["min"] for e in snap.entries)
+    hi = max(e["max"] for e in snap.entries)
+    assert (lo, hi) == ("a", "m")
