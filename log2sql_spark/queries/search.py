@@ -1,0 +1,103 @@
+r"""Ranked retrieval over the document corpus: BM25 scoring.
+
+The search-side companion of the LLM curation operators: the same
+inverted-index statistics (tf, df, doc length) the quality/TF-IDF
+queries compute, folded into the BM25 ranking function. Everything is
+JVM expressions over two aggregates and a broadcast of the per-term
+stats; at 100 TB the term-stats side is tiny (|query terms| rows) and
+the per-document side is one pass over the exploded token stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log2sql_spark.registry import query
+from log2sql_spark.sources.tables import load_table
+
+_QUERY_TERMS = ("spark", "hash", "window", "merge")
+_K1, _B = 1.2, 0.75
+
+
+@query(
+    "llm_bm25_search",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             (SELECT avg(CAST(dl AS DOUBLE)) FROM doclen) AS avgdl
+      FROM documents
+    ),
+    qterms AS (SELECT unnest(['spark', 'hash', 'window', 'merge']) AS tok),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM toks JOIN qterms USING (tok)
+      GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM toks JOIN qterms USING (tok)
+      GROUP BY tok
+    )
+    SELECT doc_id,
+           round(sum(
+             ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({_K1} + 1)
+             / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl / s.avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df USING (tok)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed term query (k1=1.2, b=0.75). One explode
+    over the corpus feeds three aggregates: per-doc length, per-(doc,
+    term) tf (the join against the 4-term query list prunes before the
+    shuffle), and per-term df; n_docs/avgdl are a broadcast scalar.
+    Scores round to 6dp BEFORE the ordering so the ranking is
+    cross-engine deterministic (ties broken by doc_id)."""
+    from log2sql_spark.operators.dedup import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    toks = toks.persist()
+    qterms = spark.createDataFrame([(t,) for t in _QUERY_TERMS], "tok string")
+
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).crossJoin(
+        doclen.agg(F.avg("dl").alias("avgdl"))
+    )
+    qtoks = toks.join(F.broadcast(qterms), "tok")
+    tf = qtoks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df = qtoks.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf")
+            * (_K1 + 1)
+            / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+    return scored

@@ -66,6 +66,7 @@ def _load_query_modules() -> None:
         llm_pipeline,
         quality,
         relational,
+        search,
         sketch,
         streaming,
         table_format,
