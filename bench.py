@@ -141,6 +141,60 @@ def cdc_parse_throughput(spark) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def cdc_stream_throughput(spark) -> dict:
+    """End-to-end ONLINE CDC throughput: 8 binlog dump files through the
+    real Structured Streaming path (readStream file discovery ->
+    checkpointed foreachBatch -> wholetext parse -> broadcast catalog ->
+    codegen -> parquet sink), availableNow trigger. Events/s here
+    includes checkpointing and sink commit — the number a production
+    deployment sees, vs cdc_parse's pure-parse rate."""
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from log2sql_spark.sources.binlog_fixture import render_binlog
+    from log2sql_spark.sources.catalog import catalog_from_dict
+    from log2sql_spark.streaming.cdc_stream import stream_binlog_to_sql
+
+    n_events, n_files = 200_000, 8
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    events = [
+        {
+            "op": "insert",
+            "db": "shop",
+            "table": "orders",
+            "ts": t0 + timedelta(seconds=i % 86_400),
+            "values": [(1, str(i)), (2, "'O'")],
+        }
+        for i in range(n_events)
+    ]
+    cat = catalog_from_dict(
+        spark, {"shop.orders": {"columns": ["id", "status"], "key_columns": ["id"]}}
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        chunk = n_events // n_files
+        for i in range(n_files):
+            with open(os.path.join(in_dir, f"mysql-bin.{i:06d}.txt"), "w") as f:
+                f.write(render_binlog(events[i * chunk : (i + 1) * chunk]))
+        out_dir, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        t = time.time()
+        q = stream_binlog_to_sql(spark, in_dir, cat, out_dir, ckpt)
+        q.awaitTermination(300)
+        dt = time.time() - t
+        n_out = spark.read.parquet(out_dir).count()
+        assert n_out == n_events, f"expected {n_events} sql rows, got {n_out}"
+        return {
+            "events": n_events,
+            "sec": round(dt, 3),
+            "events_per_sec": round(n_events / dt),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def dedup_scale(spark) -> dict:
     """Full-corpus MinHash+LSH dedup throughput at $SF_DIR (no oracle
     cap): every document plus exact copies of every 10th one, hot-bucket
@@ -453,6 +507,7 @@ def main() -> None:
         build_times[name] = round(best_build, 3)
 
     cdc_parse = cdc_parse_throughput(spark)
+    cdc_stream = cdc_stream_throughput(spark)
     dedup = dedup_scale(spark)
     sf1 = sf1_section(spark)
 
@@ -471,6 +526,7 @@ def main() -> None:
                 "build": build_times,
                 "build_total": round(sum(build_times.values()), 3),
                 "cdc_parse": cdc_parse,
+                "cdc_stream": cdc_stream,
                 "dedup_scale": dedup,
                 "sf1": sf1,
                 "sf": sf_val,
