@@ -81,9 +81,9 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = qtoks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
-    df = qtoks.groupBy("tok").agg(
-        F.countDistinct("doc_id").cast("double").alias("df")
-    )
+    # df falls out of tf for free: one row per (doc, term) — no second
+    # pass over the token stream
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
     scored = (
         tf.join(F.broadcast(df), "tok")
         .join(doclen, "doc_id")

@@ -261,7 +261,12 @@ class SnapshotStore:
                 [], StructType.fromJson(json.loads(snap.schema_json))
             )
         paths = [os.path.join(self.path, e["path"]) for e in snap.entries]
-        return spark.read.parquet(*paths)
+        # mergeSchema: additive schema evolution — an append that widened
+        # the schema reads back with NULLs for columns absent in older
+        # files (the manifest's recorded schema is the current contract;
+        # per-snapshot schemas make old versions read with THEIR schema,
+        # so time travel is schema-accurate too).
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     # ---- MERGE INTO ---------------------------------------------------
 

@@ -178,3 +178,17 @@ def test_footer_stats_with_colliding_nested_leaf(spark, store):
     lo = min(e["min"] for e in snap.entries)
     hi = max(e["max"] for e in snap.entries)
     assert (lo, hi) == ("a", "m")
+
+
+def test_append_schema_evolution(spark, store):
+    store.commit(_df(spark, [(1, "a")]))
+    widened = spark.createDataFrame(
+        [(2, "b", "eu")], "k bigint, val string, region string"
+    )
+    store.commit(widened, mode="append")
+    head = store.read(spark)
+    assert set(head.columns) == {"k", "val", "region"}
+    got = {r.k: r.region for r in head.collect()}
+    assert got == {1: None, 2: "eu"}  # old rows read as NULL in new cols
+    # time travel: v1 keeps its original (narrow) schema
+    assert set(store.read(spark, 1).columns) == {"k", "val"}
