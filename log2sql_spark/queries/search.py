@@ -101,3 +101,48 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return scored
+
+
+@query(
+    "collation_group_ci",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                  ELSE lower(o_orderpriority) END AS p
+      FROM orders
+    )
+    SELECT lower(p) AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT p) AS BIGINT) AS n_case_variants
+    FROM mixed
+    GROUP BY lower(p)
+    ORDER BY priority
+    """,
+)
+def collation_group_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation-aware grouping: a deterministically case-mangled
+    priority column groups under UTF8_LCASE so 'URGENT' and 'urgent'
+    land in one bucket, while a BINARY countDistinct inside the group
+    counts the case variants. The collated comparison runs inside the
+    hash aggregate (no lower() materialization on the grouping path);
+    the output key is lowercased only for the cross-engine contract —
+    DuckDB expresses the same semantics with lower() equivalence."""
+    orders = load_table(spark, "orders", sf_dir)
+    mixed = orders.select(
+        F.when(F.col("o_orderkey") % 2 == 0, F.upper("o_orderpriority"))
+        .otherwise(F.lower("o_orderpriority"))
+        .alias("p")
+    )
+    return (
+        mixed.groupBy(F.collate(F.col("p"), "UTF8_LCASE").alias("p_ci"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.collate(F.col("p"), "UTF8_BINARY")).alias(
+                "n_case_variants"
+            ),
+        )
+        .select(
+            F.lower(F.col("p_ci")).alias("priority"), "n", "n_case_variants"
+        )
+        .orderBy("priority")
+    )
