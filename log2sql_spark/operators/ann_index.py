@@ -1,0 +1,100 @@
+"""Persistent IVF index: build once into a snapshot store, probe many.
+
+``ivf_topk`` (operators/similarity.py) recomputes the centroid
+assignment on every call — fine for one-shot queries, wasteful for a
+serving pattern where one corpus answers many query batches. Here the
+inverted file is MATERIALIZED: vectors are assigned to centroids once
+and committed to a :class:`~log2sql_spark.store.SnapshotStore`
+CLUSTERED on ``centroid_id``, so the manifest carries per-file
+centroid-id ranges. A probe then reads only the files whose range
+intersects the probed centroid ids (`read_pruned`) — at 100 TB the
+scan cost per query batch is nprobe/|centroids| of the corpus, served
+straight from the index files, with the assignment cost paid once at
+build time. Rebuilds after corpus changes are ordinary store commits
+(atomic, time-travelable), and the same store supports MERGE for
+incremental vector upserts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from log2sql_spark.operators.similarity import assign_to_centroids, cosine
+from log2sql_spark.store import SnapshotStore
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_files: int = 8,
+) -> SnapshotStore:
+    """Materialize the inverted file: (id, vec, centroid_id) clustered
+    by centroid_id (range-partitioned files + manifest stats), plus the
+    centroid table as a sibling store. Returns the index store."""
+    assigned = assign_to_centroids(vectors, centroids, id_col, vec_col)
+    store = SnapshotStore(index_path)
+    store.commit(
+        assigned, mode="overwrite", cluster_by="centroid_id", target_files=target_files
+    )
+    cent_store = SnapshotStore(index_path + "_centroids")
+    cent_store.commit(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+        ),
+        mode="overwrite",
+    )
+    return store
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a prebuilt index. The probe set
+    (|queries| × nprobe centroid ids) is computed against the broadcast
+    centroid table, then the inverted file is read PRUNED to the files
+    whose centroid range intersects the probe set — everything else
+    never leaves disk."""
+    cent = SnapshotStore(index_path + "_centroids").read(spark)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probes = (
+        q.join(F.broadcast(cent))
+        .withColumn("c_sim", cosine(F.col("q_vec"), F.col("centroid_vec")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    probe_ids = sorted(
+        r.centroid_id for r in probes.select("centroid_id").distinct().collect()
+    )
+    index = SnapshotStore(index_path)
+    lists = index.read_pruned(spark, probe_ids).filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    scored = (
+        lists.join(probes, "centroid_id")
+        .filter(F.col("query_id") != F.col("id"))
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("vec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "cos_sim", "rank")
+    )

@@ -273,9 +273,7 @@ def llm_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cos_sim", F.round("cos_sim", 6)).orderBy("query_id", "rank")
 
 
-@query(
-    "llm_sim_topk_ivf",
-    oracle=f"""
+_IVF_ORACLE = f"""
     WITH cent AS (
       SELECT vec_id AS centroid_id, embedding AS centv
       FROM embeddings WHERE vec_id % 25 = 0
@@ -311,7 +309,12 @@ def llm_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank
-    """,
+    """
+
+
+@query(
+    "llm_sim_topk_ivf",
+    oracle=_IVF_ORACLE,
 )
 def llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: 1/25th of vectors as deterministic
@@ -321,6 +324,32 @@ def llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     centroids = emb.filter(F.col("vec_id") % 25 == 0)
     out = ivf_topk(emb.filter(F.col("vec_id") < 20), emb, centroids, k=5, nprobe=3)
+    return out.withColumn("cos_sim", F.round("cos_sim", 6)).orderBy("query_id", "rank")
+
+
+@query(
+    "llm_ann_indexed",
+    oracle=_IVF_ORACLE,
+)
+def llm_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING form of IVF: the inverted file is built ONCE into a
+    snapshot store clustered by centroid_id (operators/ann_index.py),
+    then the query batch probes it — the store's manifest stats prune
+    the read down to the files holding the probed centroids, so per-
+    batch scan cost is nprobe/|centroids| of the corpus with the
+    assignment cost paid at build time. Same centroids/nprobe as
+    llm_sim_topk_ivf, hence the identical oracle: the index round-trip
+    must be semantically invisible."""
+    import os
+
+    from log2sql_spark.operators.ann_index import build_ivf_index, ivf_topk_indexed
+    from log2sql_spark.scratch import scratch_dir
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.filter(F.col("vec_id") % 25 == 0)
+    idx = os.path.join(scratch_dir("log2sql_annidx_"), "ivf")
+    build_ivf_index(spark, idx, emb, centroids)
+    out = ivf_topk_indexed(spark, idx, emb.filter(F.col("vec_id") < 20), k=5, nprobe=3)
     return out.withColumn("cos_sim", F.round("cos_sim", 6)).orderBy("query_id", "rank")
 
 

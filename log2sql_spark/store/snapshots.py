@@ -268,6 +268,33 @@ class SnapshotStore:
         # so time travel is schema-accurate too).
         return spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        values: list,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Manifest data skipping for point lookups: read only the files
+        whose [min, max] cluster-key range contains at least one of
+        ``values``. Falls back to a full read when stats are absent; the
+        caller still applies its exact filter (this is a superset read,
+        like any min/max skip). At scale this turns a keyed lookup into
+        O(matching files) I/O without any external index."""
+        version = self.head_version() if version is None else version
+        snap = self.snapshot(version)
+        if not snap.has_stats or not values:
+            return self.read(spark, version)
+        keep = [
+            e
+            for e in snap.entries
+            if any(e["min"] <= v <= e["max"] for v in values)
+        ]
+        if not keep:
+            return self.read(spark, version).limit(0)
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, e["path"]) for e in keep]
+        )
+
     # ---- MERGE INTO ---------------------------------------------------
 
     def merge(

@@ -1,0 +1,61 @@
+"""Persistent IVF index (operators/ann_index.py): build-once/probe-many
+equivalence with the direct ivf_topk, and manifest-stat read pruning."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from log2sql_spark.operators.ann_index import build_ivf_index, ivf_topk_indexed
+from log2sql_spark.operators.similarity import ivf_topk
+from log2sql_spark.sources.tables import load_table
+from log2sql_spark.store import SnapshotStore
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(
+        (r.query_id, r.neighbor_id, round(r.cos_sim, 6), r.rank) for r in df.collect()
+    )
+
+
+def test_indexed_matches_direct_ivf(spark, tmp_path):
+    emb = load_table(spark, "embeddings", SF)
+    centroids = emb.filter(F.col("vec_id") % 25 == 0)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, idx, emb, centroids)
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    direct = ivf_topk(queries, emb, centroids, k=5, nprobe=3)
+    indexed = ivf_topk_indexed(spark, idx, queries, k=5, nprobe=3)
+    assert _rows(indexed) == _rows(direct)
+
+    # build once, probe again with a DIFFERENT batch — no rebuild
+    head_before = SnapshotStore(idx).head_version()
+    queries2 = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 30))
+    direct2 = ivf_topk(queries2, emb, centroids, k=5, nprobe=3)
+    indexed2 = ivf_topk_indexed(spark, idx, queries2, k=5, nprobe=3)
+    assert _rows(indexed2) == _rows(direct2)
+    assert SnapshotStore(idx).head_version() == head_before
+
+
+def test_read_pruned_skips_files(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "s"))
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    store.commit(df, cluster_by="k", target_files=8)
+    snap = store.snapshot(1)
+    assert len(snap.entries) == 8
+
+    pruned = store.read_pruned(spark, [3, 5])
+    # the pruned frame reads a strict subset of files
+    n_files = pruned.select(F.input_file_name()).distinct().count()
+    assert n_files == 1
+    got = sorted(r.k for r in pruned.filter(F.col("k").isin(3, 5)).collect())
+    assert got == [3, 5]
+
+    # values outside every range -> empty, schema intact
+    assert store.read_pruned(spark, [10**9]).count() == 0
