@@ -146,3 +146,48 @@ def collation_group_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "generator_funcs",
+    oracle=r"""
+    WITH p AS (
+      SELECT p_partkey, regexp_split_to_array(p_name, ' ') AS w, p_brand, p_size
+      FROM part WHERE p_partkey < 100
+    ),
+    words AS (
+      SELECT p_partkey, 'word' AS kind,
+             CAST(gs.i - 1 AS BIGINT) AS pos, w[CAST(gs.i AS INTEGER)] AS val
+      FROM p, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) gs
+    ),
+    attrs AS (
+      SELECT p_partkey, 'attr' AS kind,
+             CAST(a.i - 1 AS BIGINT) AS pos,
+             CASE a.i WHEN 1 THEN p_brand ELSE CAST(p_size AS VARCHAR) END AS val
+      FROM p, LATERAL (SELECT unnest([1, 2]) AS i) a
+    )
+    SELECT * FROM words
+    UNION ALL
+    SELECT * FROM attrs
+    ORDER BY p_partkey, kind, pos
+    """,
+)
+def generator_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator expressions: posexplode (value + ordinal position in
+    one generate, no window needed for the index) and stack (N-column
+    unpivot without a join). Both run inside Generate operators that
+    pipeline with the scan — row expansion never shuffles."""
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_partkey") < 100)
+    words = part.select(
+        "p_partkey",
+        F.lit("word").alias("kind"),
+        F.posexplode(F.split(F.col("p_name"), " ")),
+    ).select(
+        "p_partkey", "kind", F.col("pos").cast("bigint").alias("pos"), F.col("col").alias("val")
+    )
+    attrs = part.select(
+        "p_partkey",
+        F.lit("attr").alias("kind"),
+        F.expr("stack(2, 0L, p_brand, 1L, CAST(p_size AS STRING)) AS (pos, val)"),
+    )
+    return words.unionByName(attrs).orderBy("p_partkey", "kind", "pos")
