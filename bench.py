@@ -244,6 +244,12 @@ SF1_QUERIES = [
     "llm_sim_topk_vectorized",
     "llm_curation_pipeline",
     "stream_tumbling_window",
+    # round-5 additions: sketchable rollups, BM25 over 50k docs, IVF probe
+    "ts_rollup_reaggregate",
+    "ts_cohort_retention",
+    "quality_value_histogram",
+    "llm_bm25_search",
+    "llm_sim_topk_ivf",
 ]
 
 

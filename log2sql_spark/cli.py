@@ -61,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stop-never", dest="stop_never", action="store_true", default=False,
                    help="online mode: keep processing new files (requires --watch-dir)")
     p.add_argument("--out", default=None, help="output parquet dir (default: print to stdout)")
+    p.add_argument("--apply-store", dest="apply_store", default=None,
+                   help="apply changes into a snapshot store (MERGE semantics, "
+                        "atomic versioned commits, time travel) instead of "
+                        "rendering SQL")
+    p.add_argument("--key-column", dest="key_column", default="id",
+                   help="row-image key column for --apply-store (default: id)")
     p.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
     p.add_argument("--cpus", default=None, help="local parallelism (default: SPARK_GRAFT_CPUS)")
     return p
@@ -69,8 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
 def validate(args: argparse.Namespace) -> None:
     if args.flashback and args.no_pk:
         raise ValueError("Only one of flashback or no_pk can be True")  # main.py:28-29
-    if args.stop_never and not (args.watch_dir and args.out and args.checkpoint):
-        raise ValueError("--stop-never requires --watch-dir, --out and --checkpoint")
+    if args.stop_never and not (
+        args.watch_dir and args.checkpoint and (args.out or args.apply_store)
+    ):
+        raise ValueError(
+            "--stop-never requires --watch-dir, --checkpoint and --out/--apply-store"
+        )
+    if args.apply_store and args.flashback:
+        raise ValueError("--apply-store applies forward changes; drop -B")
     if not args.stop_never and not args.start_file:
         raise ValueError("Lack of parameter: start_file")  # main.py:24-25
     from datetime import datetime
@@ -106,12 +118,22 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if args.stop_never:
-        from log2sql_spark.streaming.cdc_stream import stream_binlog_to_sql
+        if args.apply_store:
+            from log2sql_spark.streaming.cdc_stream import (
+                apply_changes_to_snapshot_store,
+            )
 
-        q = stream_binlog_to_sql(
-            spark, args.watch_dir, catalog, args.out, args.checkpoint,
-            flashback=args.flashback,
-        )
+            q = apply_changes_to_snapshot_store(
+                spark, args.watch_dir, catalog, args.apply_store,
+                args.checkpoint, key_col=args.key_column,
+            )
+        else:
+            from log2sql_spark.streaming.cdc_stream import stream_binlog_to_sql
+
+            q = stream_binlog_to_sql(
+                spark, args.watch_dir, catalog, args.out, args.checkpoint,
+                flashback=args.flashback,
+            )
         q.awaitTermination()
         return 0
 
@@ -139,6 +161,31 @@ def main(argv: list[str] | None = None) -> int:
     else:
         envelope = read_binlog(spark, args.start_file)
     envelope = filter_events(envelope, **filters)
+    if args.apply_store:
+        # offline apply: the whole dump merges into the store as ONE
+        # atomic versioned commit (the batch twin of --stop-never
+        # --apply-store; reference analog: piping rendered SQL into
+        # mysql, log2sql.py:161-185, minus the replay race)
+        from log2sql_spark.store import SnapshotStore
+
+        store = SnapshotStore(args.apply_store)
+        changes = resolve_columns(envelope, catalog).select(
+            F.element_at(F.coalesce("after", "before"), args.key_column).alias("key"),
+            F.col("op"), F.col("after"),
+            F.col("file"), F.col("start_pos"), F.col("event_seq"),
+        )
+        if store.head_version() is None:
+            store.commit(
+                spark.createDataFrame([], "key string, after map<string,string>"),
+                mode="overwrite", cluster_by="key",
+            )
+        version = store.merge(
+            spark, changes, key_cols="key",
+            version_cols=["file", "start_pos", "event_seq"],
+        )
+        n = store.read(spark).count()
+        print(f"applied: store={args.apply_store} version={version} rows={n}")
+        return 0
     rendered = with_sql_text(
         resolve_columns(envelope, catalog), flashback=args.flashback, no_pk=args.no_pk
     )

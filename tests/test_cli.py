@@ -66,3 +66,38 @@ def test_cli_validation_errors(dump_and_catalog):
                                "--start-datetime", "2024/05/01"]))
     with pytest.raises(ValueError, match="stop-never"):
         validate(p.parse_args(["--catalog", cat, "--stop-never"]))
+
+
+def test_cli_apply_store(spark, dump_and_catalog, tmp_path, capsys):
+    dump, cat = dump_and_catalog
+    store_dir = str(tmp_path / "snapstore")
+    rc = main([
+        "--start-file", dump, "--catalog", cat, "-d", "shop",
+        "--apply-store", store_dir,
+    ])
+    assert rc == 0
+    from log2sql_spark.store import SnapshotStore
+
+    store = SnapshotStore(store_dir)
+    rows = {r.key: r.after for r in store.read(spark).collect()}
+    assert rows == {"1": {"id": "1", "status": "'a'"}}
+    assert "version=2" in capsys.readouterr().out
+
+    # applying the same dump again is idempotent and adds one version
+    rc = main([
+        "--start-file", dump, "--catalog", cat, "-d", "shop",
+        "--apply-store", store_dir,
+    ])
+    assert rc == 0
+    assert {r.key: r.after for r in store.read(spark).collect()} == rows
+
+
+def test_cli_apply_store_validation(dump_and_catalog):
+    dump, cat = dump_and_catalog
+    import pytest as _pytest
+
+    args = build_parser().parse_args(
+        ["--start-file", dump, "--catalog", cat, "-B", "--apply-store", "/tmp/x"]
+    )
+    with _pytest.raises(ValueError):
+        validate(args)
