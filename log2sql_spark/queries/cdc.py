@@ -722,3 +722,111 @@ def cdc_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("key").cast("long") % 2 == 0)
     )
     return env.orderBy("start_pos")
+
+
+@query(
+    "cdc_scd2_asof_lookup",
+    oracle=_ORACLE_BASE
+    + """
+    , versions AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS key, 'insert' AS version_op,
+             o_orderdate AS valid_from, cents AS version_cents
+      FROM src
+      UNION ALL
+      SELECT CAST(o_orderkey AS VARCHAR), 'update',
+             o_orderdate + INTERVAL 1 SECOND, cents + 500
+      FROM src
+      UNION ALL
+      SELECT CAST(o_orderkey AS VARCHAR), 'update',
+             o_orderdate + INTERVAL 2 SECOND, cents + 1000
+      FROM src
+    ),
+    hist AS (
+      SELECT key, version_op, valid_from,
+             lead(valid_from) OVER (PARTITION BY key ORDER BY valid_from)
+               AS valid_to,
+             version_cents
+      FROM versions
+    ),
+    lookups AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS key,
+             o_orderdate + CASE WHEN o_orderkey % 2 = 0
+                                THEN INTERVAL '1500' MILLISECOND
+                                ELSE INTERVAL '30' SECOND END AS as_of
+      FROM src
+    )
+    SELECT l.key, l.as_of, h.version_op, h.version_cents
+    FROM lookups l JOIN hist h
+      ON l.key = h.key
+     AND h.valid_from <= l.as_of
+     AND (h.valid_to IS NULL OR l.as_of < h.valid_to)
+    ORDER BY l.key
+    """,
+)
+def cdc_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 history: each key asks
+    "what was the row AS OF t?" — even keys probe mid-history (t =
+    first update's validity window), odd keys probe after the last
+    change (current version). One equi-join on the key plus the
+    validity-interval predicate; because validity windows partition
+    time per key, exactly one version matches — the correctness
+    property a warehouse's temporal join relies on."""
+    from datetime import timedelta
+
+    from log2sql_spark.operators.cdc_scd2 import scd2_history
+    from log2sql_spark.sources.binlog import read_binlog
+    from log2sql_spark.sources.catalog import resolve_columns
+
+    rows = _orders_subset(spark, sf_dir)
+    events = []
+    for r in rows:
+        base = {"db": "shop", "table": "orders", "ts": r["o_orderdate"]}
+        key = str(r["o_orderkey"])
+        events.append({**base, "op": "insert",
+                       "values": [(1, key), (4, str(r["cents"]))]})
+        events.append({**base, "op": "update", "ts": r["o_orderdate"] + timedelta(seconds=1),
+                       "before": [(1, key), (4, str(r["cents"]))],
+                       "after": [(1, key), (4, str(r["cents"] + 500))]})
+        events.append({**base, "op": "update", "ts": r["o_orderdate"] + timedelta(seconds=2),
+                       "before": [(1, key), (4, str(r["cents"] + 500))],
+                       "after": [(1, key), (4, str(r["cents"] + 1000))]})
+    path = _write_dump(events)
+    cat = catalog_from_dict(spark, _CATALOG_SPEC)
+    hist = scd2_history(
+        resolve_columns(read_binlog(spark, path), cat), key_col="o_orderkey"
+    ).select(
+        "key",
+        "version_op",
+        "valid_from",
+        "valid_to",
+        F.element_at("row_image", "o_totalprice_cents").cast("long").alias(
+            "version_cents"
+        ),
+    )
+    def _py_ts(ts):
+        return ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+
+    lookups = spark.createDataFrame(
+        [
+            (
+                str(r["o_orderkey"]),
+                _py_ts(r["o_orderdate"])
+                + (
+                    timedelta(milliseconds=1500)
+                    if r["o_orderkey"] % 2 == 0
+                    else timedelta(seconds=30)
+                ),
+            )
+            for r in rows
+        ],
+        "key string, as_of timestamp",
+    )
+    return (
+        lookups.join(hist, "key")
+        .filter(
+            (F.col("valid_from") <= F.col("as_of"))
+            & (F.col("valid_to").isNull() | (F.col("as_of") < F.col("valid_to")))
+        )
+        .select("key", "as_of", "version_op", "version_cents")
+        .orderBy("key")
+    )
