@@ -249,7 +249,7 @@ SF1_QUERIES = [
     "ts_cohort_retention",
     "quality_value_histogram",
     "llm_bm25_search",
-    "llm_sim_topk_ivf",
+    "llm_ann_indexed",
 ]
 
 

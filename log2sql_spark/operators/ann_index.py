@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from log2sql_spark.operators.similarity import assign_to_centroids, cosine
+from log2sql_spark.operators.similarity import (
+    assign_to_centroids_vectorized,
+    cosine,
+)
 from log2sql_spark.store import SnapshotStore
 
 
@@ -37,7 +40,7 @@ def build_ivf_index(
     """Materialize the inverted file: (id, vec, centroid_id) clustered
     by centroid_id (range-partitioned files + manifest stats), plus the
     centroid table as a sibling store. Returns the index store."""
-    assigned = assign_to_centroids(vectors, centroids, id_col, vec_col)
+    assigned = assign_to_centroids_vectorized(vectors, centroids, id_col, vec_col)
     store = SnapshotStore(index_path)
     store.commit(
         assigned, mode="overwrite", cluster_by="centroid_id", target_files=target_files

@@ -195,16 +195,44 @@ def assign_to_centroids(
     At scale this result is written partitioned by centroid_id — the
     inverted file."""
     c = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("centroid_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
     )
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # The |vectors| x |centroids| score is the compute-dominant stage and
+    # inherits the INPUT's partitioning — one parquet file would run it
+    # on 1-2 cores. Spread the narrow vector rows first (same rationale
+    # as minhash_dedup_pairs); norms are precomputed once per side so
+    # each pair evaluates only the dot product (the naive cosine
+    # recomputes both norms per pair: 3x the higher-order-function work,
+    # which is interpreted, not codegen'd).
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    if v.rdd.getNumPartitions() < par:
+        v = v.repartition(par)
+    v = v.withColumn("v_norm", _norm(F.col("vec")))
     scored = v.join(F.broadcast(c)).withColumn(
-        "c_sim", cosine(F.col("vec"), F.col("centroid_vec"))
+        "c_sim",
+        _dot(F.col("vec"), F.col("centroid_vec"))
+        / (F.col("v_norm") * F.col("c_norm")),
     )
-    w = W.partitionBy("id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    # Argmax via max_by, NOT a per-id window: the |vectors| x |centroids|
+    # cross product partial-aggregates map-side to ONE row per vector
+    # before the shuffle. The window form shuffled the entire scored
+    # cross product (vec + centroid_vec per row) — at 20k vectors x 800
+    # centroids that is a 16M-row, multi-GB shuffle and took minutes;
+    # this form shuffles |vectors| rows. Tie-break matches the old
+    # ordering (c_sim desc, centroid_id asc) via the (c_sim, -centroid)
+    # struct key.
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
+        scored.groupBy("id")
+        .agg(
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(F.col("c_sim"), (-F.col("centroid_id")).alias("tb")),
+            ).alias("centroid_id"),
+            F.first("vec").alias("vec"),
+        )
         .select("id", "vec", "centroid_id")
     )
 
@@ -251,3 +279,46 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("id").alias("neighbor_id"), "cos_sim", "rank")
     )
+
+
+def assign_to_centroids_vectorized(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BLAS form of :func:`assign_to_centroids`: the centroid matrix is
+    small by design (that is what makes it a centroid table), so it
+    rides to every task as a numpy array and each Arrow batch assigns
+    via one normalized matmul + argmax — thousands of times fewer
+    interpreter dispatches than the per-pair higher-order-function
+    cosine. Tie-break matches the expression form: numpy argmax takes
+    the FIRST maximum and the centroid axis is sorted by id, so ties go
+    to the smallest centroid_id."""
+    import numpy as np
+    import pandas as pd
+
+    cents = centroids.select(id_col, vec_col).collect()
+    cid = np.array([r[0] for r in cents], dtype=np.int64)
+    order = np.argsort(cid)
+    cid = cid[order]
+    C = np.array([list(r[1]) for r in cents], dtype=np.float64)[order]
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    if v.rdd.getNumPartitions() < par:
+        v = v.repartition(par)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            best = np.argmax(Vn @ Cn.T, axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"].values, "vec": pdf["vec"], "centroid_id": cid[best]}
+            )
+
+    return v.mapInPandas(assign, schema="id long, vec array<float>, centroid_id long")

@@ -191,3 +191,63 @@ def generator_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("stack(2, 0L, p_brand, 1L, CAST(p_size AS STRING)) AS (pos, val)"),
     )
     return words.unionByName(attrs).orderBy("p_partkey", "kind", "pos")
+
+
+@query(
+    "sort_global_ranked",
+    oracle="""
+    SELECT CAST(row_number() OVER (
+             ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+           l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber
+    FROM lineitem
+    WHERE l_orderkey < 3000
+    ORDER BY rn
+    """,
+)
+def sort_global_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order global rank (terasort shape) WITHOUT the single-task
+    global window: rows range-partition on the sort key, rank locally
+    per partition (parallel windows), and a driver-side cumulative sum
+    of the 16 partition counts turns local ranks into global ones. The
+    result is identical to row_number() over a global ORDER BY — the
+    oracle computes exactly that — but every heavy step scales out;
+    partition boundaries may vary run to run, the computed rank never
+    does (the total order is unique: shipdate, orderkey, linenumber)."""
+    from pyspark.sql import Window
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey") < 3000)
+        .select(
+            "l_shipdate",
+            "l_orderkey",
+            F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        )
+    )
+    ranged = li.repartitionByRange(
+        16, "l_shipdate", "l_orderkey", "l_linenumber"
+    ).withColumn("pid", F.spark_partition_id())
+    w = Window.partitionBy("pid").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    local = ranged.withColumn("lrn", F.row_number().over(w)).persist()
+    counts = sorted(
+        (r.pid, r.n)
+        for r in local.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "pid int, off bigint"
+    )
+    return (
+        local.join(F.broadcast(off_df), "pid")
+        .select(
+            (F.col("lrn") + F.col("off")).cast("bigint").alias("rn"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .orderBy("rn")
+    )
