@@ -323,7 +323,8 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_range",
     oracle="""
     SELECT a.p_brand, CAST(count(*) AS BIGINT) AS n_near_size_pairs
-    FROM part a JOIN part b
+    FROM (SELECT * FROM part WHERE p_partkey < 20000) a
+    JOIN (SELECT * FROM part WHERE p_partkey < 20000) b
       ON a.p_brand = b.p_brand
      AND a.p_partkey < b.p_partkey
      AND b.p_size BETWEEN a.p_size - 1 AND a.p_size + 1
@@ -332,11 +333,17 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Band (range) join: equi key prunes the cross space, BETWEEN adds
-    the non-equi band. At scale the equi component keeps this a shuffled
-    hash/sort-merge join instead of a cartesian product."""
-    a = _t(spark, sf_dir, "part").alias("a")
-    b = _t(spark, sf_dir, "part").alias("b")
+    """Band (range) join, NAIVE form: equi key (brand) prunes the cross
+    space, BETWEEN filters post-match — but within one brand the match
+    loop is quadratic, so this shape is QUADRATIC-BY-CONTRACT and kept
+    on a fixed-size corpus (p_partkey < 20000, the full table at
+    sf<=0.1) as the semantic spec. The scale path is
+    ``join_range_banded`` (queries/extra3.py): the band folds into the
+    equi key by exploding each row into its size bands, which the sf1
+    sweep shows stays flat while this twin grows with the square of the
+    per-brand group."""
+    a = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 20000).alias("a")
+    b = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 20000).alias("b")
     return (
         a.join(
             b,
@@ -408,15 +415,24 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_ok = lambda approx, exact: (  # noqa: E731
         F.abs(F.col(approx) - F.col(exact)) <= 0.05 * F.col(exact)
     )
+    # Exact-distinct and HLL aggregates run as SEPARATE aggregations
+    # joined on the (tiny) group key. Mixing countDistinct with
+    # approx_count_distinct in one agg makes Catalyst route the HLL
+    # buffers through the multi-distinct Expand + sort-based aggregate
+    # fallback — each of the 3x-expanded rows drags a serialized
+    # rsd=0.01 HLL sketch through the sort (measured 170s at sf1 vs
+    # ~5s for the two plans separately; found by the sf1 sweep).
+    li = _t(spark, sf_dir, "lineitem")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("_approx_parts"),
+    )
     return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_orderkey").alias("exact_orders"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-            F.approx_count_distinct("l_orderkey", 0.01).alias("_approx_orders"),
-            F.approx_count_distinct("l_partkey", 0.01).alias("_approx_parts"),
-        )
+        exact.join(approx, "l_returnflag")
         .select(
             "l_returnflag",
             "exact_orders",
