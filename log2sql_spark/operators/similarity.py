@@ -54,11 +54,31 @@ def brute_force_topk(
     ``queries`` is broadcast — the join is a map-side nested loop, no
     shuffle of the candidate corpus; only k rows per query survive the
     window (WindowGroupLimit prunes eagerly)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    # Same two scale guards as assign_to_centroids: the nested loop is
+    # compute-dominant and inherits the candidates' partitioning (one
+    # parquet file = 1-2 cores working), and per-side norms fold once
+    # per row instead of once per pair (the pair then costs ONE dot,
+    # not three). Values are bit-identical: the per-side folds are the
+    # same sequential folds the inline cosine performed.
+    par = candidates.sparkSession.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < par:
+        c = c.repartition(par)
+    c = c.withColumn("c_norm", _norm(F.col("c_vec")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cos_sim",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
