@@ -265,12 +265,20 @@ def ivf_topk(
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized_assign: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: probe the nprobe nearest inverted lists.
 
     Same output shape as brute_force_topk; recall < 1 by construction,
-    trading scanned volume (nprobe/|centroids|) for it."""
-    assigned = assign_to_centroids(candidates, centroids, id_col, vec_col)
+    trading scanned volume (nprobe/|centroids|) for it. Assignment runs
+    through the numpy-matmul path by default (oracle-identical to the
+    expression fold — verified at every SF by llm_ann_indexed sharing
+    llm_sim_topk_ivf's SQL oracle); pass ``vectorized_assign=False``
+    for the pure-expression twin."""
+    assign = (
+        assign_to_centroids_vectorized if vectorized_assign else assign_to_centroids
+    )
+    assigned = assign(candidates, centroids, id_col, vec_col)
 
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
