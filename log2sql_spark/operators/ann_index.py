@@ -101,3 +101,89 @@ def ivf_topk_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("id").alias("neighbor_id"), "cos_sim", "rank")
     )
+
+
+def train_kmeans_centroids(
+    spark: SparkSession,
+    vectors: DataFrame,
+    k: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means for IVF centroid training.
+
+    Init is deterministic (the k vectors with the smallest ids — no RNG,
+    so retraining reproduces the index bit-for-bit). Each round assigns
+    every vector via the numpy-matmul path and recomputes centroids as
+    per-cluster means with ONE aggregate (posexplode to (dim, value),
+    avg per (centroid, dim), rebuild the array) — all map-side combined,
+    so a round costs one pass over the vectors + a |k| x |dim| shuffle.
+    Empty clusters keep their previous centroid. Returns (vec_id,
+    embedding) shaped like a centroid table for build_ivf_index.
+    """
+    centroids = (
+        vectors.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(W.orderBy(id_col))
+            .cast("long")
+            .alias("cid"),
+            F.col(vec_col).alias("cvec"),
+        )
+    )
+    cent_rows = centroids.collect()  # k rows, tiny by contract
+    for _ in range(iterations):
+        cent_df = spark.createDataFrame(
+            [(r.cid, r.cvec) for r in cent_rows], "vec_id long, embedding array<float>"
+        )
+        assigned = assign_to_centroids_vectorized(
+            vectors, cent_df, id_col=id_col, vec_col=vec_col
+        )
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode("vec").alias("dim", "val")
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("dims")
+            )
+            .select(
+                "centroid_id",
+                F.transform("dims", lambda s: s["m"].cast("float")).alias("cvec"),
+            )
+            .collect()
+        )
+        new = {r.centroid_id: r.cvec for r in means}
+        cent_rows = [
+            type(r)(cid=r.cid, cvec=new.get(r.cid, r.cvec)) for r in cent_rows
+        ]
+    return spark.createDataFrame(
+        [(r.cid, r.cvec) for r in cent_rows], "vec_id long, embedding array<float>"
+    )
+
+
+def kmeans_inertia(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean cosine distance (1 - similarity) of every vector to its
+    assigned centroid — the convergence metric for the trainer."""
+    assigned = assign_to_centroids_vectorized(vectors, centroids, id_col, vec_col)
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    row = (
+        assigned.join(F.broadcast(cent), "centroid_id")
+        .select((1 - cosine(F.col("vec"), F.col("cvec"))).alias("d"))
+        .agg(F.avg("d").alias("inertia"))
+        .head()
+    )
+    return float(row.inertia)

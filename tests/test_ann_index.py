@@ -59,3 +59,24 @@ def test_read_pruned_skips_files(spark, tmp_path):
 
     # values outside every range -> empty, schema intact
     assert store.read_pruned(spark, [10**9]).count() == 0
+
+
+def test_kmeans_training_improves_centroids(spark):
+    from log2sql_spark.operators.ann_index import (
+        kmeans_inertia,
+        train_kmeans_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", SF).select("vec_id", "embedding")
+    naive = emb.orderBy("vec_id").limit(8)
+    trained = train_kmeans_centroids(spark, emb, k=8, iterations=4)
+    assert trained.count() == 8
+    i_naive = kmeans_inertia(emb, naive)
+    i_trained = kmeans_inertia(emb, trained)
+    assert i_trained < i_naive  # Lloyd's iterations must reduce inertia
+
+    # deterministic: retraining reproduces the exact centroids
+    again = train_kmeans_centroids(spark, emb, k=8, iterations=4)
+    a = {r.vec_id: list(r.embedding) for r in trained.collect()}
+    b = {r.vec_id: list(r.embedding) for r in again.collect()}
+    assert a == b
