@@ -1,0 +1,94 @@
+"""Incremental view maintenance (IVM): keep an aggregate materialized
+view current by applying CDC deltas, never recomputing from base.
+
+The capability a CDC feed exists to enable: at 100 TB the base table
+cannot be re-aggregated per batch, but a sum/count MV is a group-wise
+abelian monoid, so each change contributes a signed delta —
+
+* insert  -> +after
+* delete  -> -before
+* update  -> -before +after
+
+— and folding those into the old MV gives exactly the MV of the new
+state (the classic delta rule for distributive aggregates). The apply
+is one map-side-combined aggregate over the (small) change batch plus
+one group-key join against the MV: cost scales with the BATCH, not the
+base table. Non-distributive aggregates (min/max, distinct) need
+retained auxiliary state and are out of scope here — use the snapshot
+store + recompute for those.
+
+Change-batch contract: ``op`` plus the after-image columns unprefixed
+and the before-image columns prefixed ``before_`` (insert: after only,
+delete: before only, update: both — NULL where an image is absent).
+``sum_cols`` maps output aggregate name -> SOURCE COLUMN NAME, so the
+same measure reads from either image.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def aggregate_mv(
+    base: DataFrame, group_cols: list[str], sum_cols: dict[str, str]
+) -> DataFrame:
+    """Materialize the view: count(*) as n plus the given sums."""
+    return base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col(src)).alias(name) for name, src in sum_cols.items()],
+    )
+
+
+def delta_aggregate(
+    changes: DataFrame,
+    group_cols: list[str],
+    sum_cols: dict[str, str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Signed per-group deltas from a CDC batch: one contribution row
+    per row image, partial-aggregated — the output is |affected groups|
+    rows however large the batch."""
+    sign = F.when(F.col("_img") == "after", F.lit(1)).otherwise(F.lit(-1))
+
+    after = (
+        changes.filter(F.col(op_col).isin("insert", "update"))
+        .select(
+            *group_cols,
+            *[F.col(src).alias(name) for name, src in sum_cols.items()],
+        )
+        .withColumn("_img", F.lit("after"))
+    )
+    before = (
+        changes.filter(F.col(op_col).isin("delete", "update"))
+        .select(
+            *[F.col(f"before_{g}").alias(g) for g in group_cols],
+            *[F.col(f"before_{src}").alias(name) for name, src in sum_cols.items()],
+        )
+        .withColumn("_img", F.lit("before"))
+    )
+    return (
+        after.unionByName(before)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(sign).alias("d_n"),
+            *[F.sum(sign * F.col(name)).alias(f"d_{name}") for name in sum_cols],
+        )
+    )
+
+
+def apply_delta(mv: DataFrame, delta: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold deltas into the view; groups whose count reaches 0 drop out
+    (their sums are exactly 0 too, by the monoid argument)."""
+    sum_names = [c for c in mv.columns if c not in group_cols]
+    joined = mv.join(delta, group_cols, "full_outer")
+    out = joined.select(
+        *group_cols,
+        *[
+            (
+                F.coalesce(F.col(n), F.lit(0)) + F.coalesce(F.col(f"d_{n}"), F.lit(0))
+            ).alias(n)
+            for n in sum_names
+        ],
+    )
+    return out.filter(F.col("n") > 0)

@@ -212,3 +212,70 @@ def store_pruned_merge_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "mv_incremental_orders",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 5000
+    ),
+    v2 AS (
+      SELECT k, status, cents FROM base WHERE k % 10 NOT IN (0, 5)
+      UNION ALL
+      SELECT k, 'U' AS status, cents + 100 AS cents FROM base WHERE k % 10 = 5
+      UNION ALL
+      SELECT k + 100000 AS k, 'N' AS status, CAST(42 AS BIGINT) AS cents
+      FROM base WHERE k % 100 = 7
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM v2
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def mv_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-status (count, sum) MV is
+    materialized from the base once, then a CDC batch (deletes on
+    k%10=0, GROUP-MOVING updates on k%10=5 — the status changes, so the
+    delta debits one group and credits another — inserts on k%100=7)
+    folds in as signed deltas. The oracle aggregates the post-change
+    state from scratch, so the hash match proves delta maintenance ==
+    full recompute; the incremental path only ever aggregates the
+    change batch and joins |groups| rows."""
+    from log2sql_spark.operators.ivm import aggregate_mv, apply_delta, delta_aggregate
+
+    base = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") < 5000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    mv = aggregate_mv(base, ["status"], {"sum_cents": "cents"})
+
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("bigint")
+    deletes = base.filter(F.col("k") % 10 == 0).select(
+        F.lit("delete").alias("op"),
+        null_s.alias("status"), null_l.alias("cents"),
+        F.col("status").alias("before_status"), F.col("cents").alias("before_cents"),
+    )
+    updates = base.filter(F.col("k") % 10 == 5).select(
+        F.lit("update").alias("op"),
+        F.lit("U").alias("status"), (F.col("cents") + 100).alias("cents"),
+        F.col("status").alias("before_status"), F.col("cents").alias("before_cents"),
+    )
+    inserts = base.filter(F.col("k") % 100 == 7).select(
+        F.lit("insert").alias("op"),
+        F.lit("N").alias("status"), F.lit(42).cast("bigint").alias("cents"),
+        null_s.alias("before_status"), null_l.alias("before_cents"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    delta = delta_aggregate(changes, ["status"], {"sum_cents": "cents"})
+    return apply_delta(mv, delta, ["status"]).orderBy("status")
