@@ -68,6 +68,7 @@ class Snapshot:
     entries: list[dict]  # {"path": rel, "min": key|None, "max": key|None}
     cluster_by: str | None
     schema_json: str | None  # lets an all-pruned/empty snapshot keep its schema
+    meta: dict  # caller metadata (e.g. applied streaming batch_id)
 
     @property
     def dirs(self) -> list[str]:
@@ -118,6 +119,7 @@ class SnapshotStore:
             entries=m["entries"],
             cluster_by=m.get("cluster_by"),
             schema_json=m.get("schema"),
+            meta=m.get("meta", {}),
         )
 
     # ---- commits ------------------------------------------------------
@@ -206,6 +208,7 @@ class SnapshotStore:
         mode: str = "append",
         cluster_by: str | None = None,
         target_files: int = 8,
+        meta: dict | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version.
 
@@ -232,6 +235,7 @@ class SnapshotStore:
                 "entries": entries,
                 "cluster_by": cluster_by,
                 "schema": df.schema.json(),
+                "meta": meta or {},
             }
         )
         return version

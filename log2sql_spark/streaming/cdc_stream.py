@@ -239,3 +239,64 @@ def apply_changes_to_snapshot_store(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def maintain_mv_stream(
+    spark: SparkSession,
+    in_dir: str,
+    catalog: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    group_col: str,
+    sum_col: str,
+) -> StreamingQuery:
+    """Continuous aggregate: maintain a (group, count, sum) materialized
+    view over the CDC stream by folding each micro-batch's SIGNED deltas
+    (operators/ivm.py) into the MV — never re-aggregating the base.
+
+    Exactly-once: foreachBatch is at-least-once, and a delta apply is
+    NOT naturally idempotent (re-applying double-counts), so the applied
+    batch_id rides in the snapshot manifest's metadata and an already-
+    applied batch is skipped on re-delivery — the transactional-sink
+    pattern, with the store's atomic commit as the transaction."""
+    from log2sql_spark.operators.ivm import apply_delta, delta_aggregate
+    from log2sql_spark.store import SnapshotStore
+
+    store = SnapshotStore(store_path)
+    sum_name = f"sum_{sum_col}"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        head = store.head_version()
+        if head is not None:
+            applied = store.snapshot(head).meta.get("batch_id", -1)
+            if applied >= batch_id:
+                return  # re-delivered batch: already folded in
+        envelope = read_binlog_batch_files(spark, batch_df)
+        resolved = resolve_columns(envelope, catalog)
+        changes = resolved.select(
+            "op",
+            F.element_at("after", group_col).alias(group_col),
+            F.element_at("after", sum_col).cast("long").alias(sum_col),
+            F.element_at("before", group_col).alias(f"before_{group_col}"),
+            F.element_at("before", sum_col).cast("long").alias(f"before_{sum_col}"),
+        )
+        delta = delta_aggregate(changes, [group_col], {sum_name: sum_col})
+        if head is None:
+            mv = spark.createDataFrame(
+                [], f"{group_col} string, n bigint, {sum_name} bigint"
+            )
+        else:
+            mv = store.read(spark)
+        store.commit(
+            apply_delta(mv, delta, [group_col]),
+            mode="overwrite",
+            meta={"batch_id": batch_id},
+        )
+
+    lines = read_binlog_line_stream(spark, in_dir)
+    return (
+        lines.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

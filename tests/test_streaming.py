@@ -403,3 +403,44 @@ def test_apply_changes_to_snapshot_store(spark, tmp_path):
     assert [r["key"] for r in store.read(spark).select("key").collect()] == ["1"]
     old = {r["key"] for r in store.read(spark, version=head1).select("key").collect()}
     assert old == {"1", "2"}
+
+
+def test_maintain_mv_stream(spark, tmp_path):
+    from log2sql_spark.store import SnapshotStore
+    from log2sql_spark.streaming.cdc_stream import maintain_mv_stream
+
+    in_dir, store_dir, ckpt = tmp_path / "in", tmp_path / "mv", tmp_path / "ckpt"
+    in_dir.mkdir()
+    cat = catalog_from_dict(
+        spark,
+        {"shop.orders": {"columns": ["id", "status", "amount"], "key_columns": ["id"]}},
+    )
+    _dump(in_dir / "bin.000001.txt", [
+        {"op": "insert", "db": "shop", "table": "orders", "ts": TS,
+         "values": [(1, "1"), (2, "'new'"), (3, "100")]},
+        {"op": "insert", "db": "shop", "table": "orders", "ts": TS,
+         "values": [(1, "2"), (2, "'new'"), (3, "50")]},
+        {"op": "insert", "db": "shop", "table": "orders", "ts": TS,
+         "values": [(1, "3"), (2, "'done'"), (3, "70")]},
+    ])
+    q = maintain_mv_stream(spark, str(in_dir), cat, str(store_dir), str(ckpt),
+                           group_col="status", sum_col="amount")
+    q.awaitTermination(120)
+    store = SnapshotStore(str(store_dir))
+    mv = {r.status: (r.n, r.sum_amount) for r in store.read(spark).collect()}
+    assert mv == {"'new'": (2, 150), "'done'": (1, 70)}
+
+    # batch 2 after restart: group-moving update + delete
+    _dump(in_dir / "bin.000002.txt", [
+        {"op": "update", "db": "shop", "table": "orders", "ts": TS,
+         "before": [(1, "1"), (2, "'new'"), (3, "100")],
+         "after": [(1, "1"), (2, "'done'"), (3, "110")]},
+        {"op": "delete", "db": "shop", "table": "orders", "ts": TS,
+         "values": [(1, "2"), (2, "'new'"), (3, "50")]},
+    ])
+    q2 = maintain_mv_stream(spark, str(in_dir), cat, str(store_dir), str(ckpt),
+                            group_col="status", sum_col="amount")
+    q2.awaitTermination(120)
+    mv2 = {r.status: (r.n, r.sum_amount) for r in store.read(spark).collect()}
+    assert mv2 == {"'done'": (2, 180)}  # 'new' hit zero and dropped out
+    assert store.snapshot(store.head_version()).meta["batch_id"] >= 1
