@@ -69,6 +69,8 @@ class Snapshot:
     cluster_by: str | None
     schema_json: str | None  # lets an all-pruned/empty snapshot keep its schema
     meta: dict  # caller metadata (e.g. applied streaming batch_id)
+    layout: str = "range"  # physical layout of clustered data: range | hash
+    n_buckets: int | None = None  # fixed bucket count for hash layout
 
     @property
     def dirs(self) -> list[str]:
@@ -81,6 +83,12 @@ class Snapshot:
             if top not in seen:
                 seen.append(top)
         return seen
+
+    @property
+    def has_buckets(self) -> bool:
+        return bool(self.entries) and all(
+            e.get("bucket") is not None for e in self.entries
+        )
 
     @property
     def has_stats(self) -> bool:
@@ -120,6 +128,8 @@ class SnapshotStore:
             cluster_by=m.get("cluster_by"),
             schema_json=m.get("schema"),
             meta=m.get("meta", {}),
+            layout=m.get("layout", "range"),
+            n_buckets=m.get("n_buckets"),
         )
 
     # ---- commits ------------------------------------------------------
@@ -202,6 +212,41 @@ class SnapshotStore:
             hi = rhi if hi is None or rhi > hi else hi
         return lo, hi
 
+    def _write_data_hash(
+        self, df: DataFrame, version: int, cluster_by: str, n_buckets: int
+    ) -> list[dict]:
+        """Hash-bucket layout: rows land in ``_bucket=<k>`` directories by
+        ``pmod(xxhash64(key), n)``. The right physical design for keys
+        without meaningful ranges (uuid/string CDC keys, where range
+        stats on a uniform key space prune nothing): any key maps to
+        exactly one bucket, so lookups and merges touch O(|affected
+        buckets|) directories regardless of key distribution. The bucket
+        count is FIXED for the store's lifetime (recorded in the
+        manifest) — changing it is a rewrite, as with any bucketing."""
+        data_root = os.path.join(self.path, "data")
+        os.makedirs(data_root, exist_ok=True)
+        data_abs = tempfile.mkdtemp(prefix=f"v{version}-", dir=data_root)
+        data_rel = os.path.join("data", os.path.basename(data_abs))
+        (
+            df.withColumn(
+                "_bucket", F.pmod(F.xxhash64(F.col(cluster_by)), F.lit(n_buckets))
+            )
+            .repartition(n_buckets, "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(data_abs)
+        )
+        entries = []
+        for name in sorted(os.listdir(data_abs)):
+            if name.startswith("_bucket="):
+                entries.append(
+                    {
+                        "path": os.path.join(data_rel, name),
+                        "bucket": int(name.split("=", 1)[1]),
+                    }
+                )
+        return entries
+
     def commit(
         self,
         df: DataFrame,
@@ -209,24 +254,36 @@ class SnapshotStore:
         cluster_by: str | None = None,
         target_files: int = 8,
         meta: dict | None = None,
+        layout: str = "range",
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version.
 
         The manifest publish is the atomic commit point. ``overwrite``
         replaces the visible contents but deletes nothing — prior
         snapshots stay readable until ``vacuum``. ``cluster_by`` writes
-        range-clustered files with per-file key stats, enabling pruned
-        merges."""
+        clustered data enabling pruned merges: ``layout="range"``
+        (range-partitioned files + per-file min/max stats — best for
+        ordered numeric keys) or ``layout="hash"`` (fixed xxhash64
+        buckets — best for arbitrary string/uuid keys)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if layout not in ("range", "hash"):
+            raise ValueError(f"layout must be range|hash, got {layout!r}")
         parent = self.head_version()
         version = 1 if parent is None else parent + 1
-        entries = self._write_data(df, version, cluster_by, target_files)
+        n_buckets = target_files if layout == "hash" else None
+        if cluster_by is not None and layout == "hash":
+            entries = self._write_data_hash(df, version, cluster_by, target_files)
+        else:
+            entries = self._write_data(df, version, cluster_by, target_files)
         if mode == "append" and parent is not None:
             prev = self.snapshot(parent)
             entries = prev.entries + entries
-            if prev.cluster_by != cluster_by:
-                cluster_by = None  # mixed layouts: stats no longer total
+            if prev.cluster_by != cluster_by or prev.layout != layout or (
+                layout == "hash" and prev.n_buckets != n_buckets
+            ):
+                cluster_by = None  # mixed layouts: pruning no longer sound
+                n_buckets = None
         self._publish(
             {
                 "version": version,
@@ -236,6 +293,8 @@ class SnapshotStore:
                 "cluster_by": cluster_by,
                 "schema": df.schema.json(),
                 "meta": meta or {},
+                "layout": layout,
+                "n_buckets": n_buckets,
             }
         )
         return version
@@ -270,7 +329,12 @@ class SnapshotStore:
         # files (the manifest's recorded schema is the current contract;
         # per-snapshot schemas make old versions read with THEIR schema,
         # so time travel is schema-accurate too).
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        if "_bucket" in df.columns:
+            # hash layout: partition-dir inference may resurface the
+            # internal bucket column when sibling dirs share a parent
+            df = df.drop("_bucket")
+        return df
 
     def read_pruned(
         self,
@@ -286,18 +350,41 @@ class SnapshotStore:
         O(matching files) I/O without any external index."""
         version = self.head_version() if version is None else version
         snap = self.snapshot(version)
-        if not snap.has_stats or not values:
+        if not values:
             return self.read(spark, version)
-        keep = [
-            e
-            for e in snap.entries
-            if any(e["min"] <= v <= e["max"] for v in values)
-        ]
+        if snap.layout == "hash" and snap.has_buckets and snap.n_buckets:
+            buckets = self._buckets_of(spark, snap, values)
+            keep = [e for e in snap.entries if e["bucket"] in buckets]
+        elif snap.has_stats:
+            keep = [
+                e
+                for e in snap.entries
+                if any(e["min"] <= v <= e["max"] for v in values)
+            ]
+        else:
+            return self.read(spark, version)
         if not keep:
             return self.read(spark, version).limit(0)
-        return spark.read.option("mergeSchema", "true").parquet(
+        df = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, e["path"]) for e in keep]
         )
+        if "_bucket" in df.columns:
+            df = df.drop("_bucket")
+        return df
+
+    def _buckets_of(self, spark: SparkSession, snap: Snapshot, values: list) -> set:
+        """Buckets the given key values hash into (one tiny Spark job —
+        xxhash64 lives JVM-side; |values| is small by contract)."""
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        field = schema[snap.cluster_by]
+        rows = [(v,) for v in values]
+        vdf = spark.createDataFrame(rows, StructType([field]))
+        out = vdf.select(
+            F.pmod(F.xxhash64(F.col(snap.cluster_by)), F.lit(snap.n_buckets)).alias("b")
+        ).distinct()
+        return {r.b for r in out.collect()}
 
     # ---- MERGE INTO ---------------------------------------------------
 
@@ -323,17 +410,22 @@ class SnapshotStore:
         if parent is None:
             raise ValueError("merge requires an existing snapshot; commit first")
         snap = self.snapshot(parent)
-        pruned = (
-            snap.cluster_by is not None
-            and keys == [snap.cluster_by]
-            and snap.has_stats
-        )
+        key_matches = snap.cluster_by is not None and keys == [snap.cluster_by]
+        if key_matches and snap.layout == "hash" and snap.has_buckets and snap.n_buckets:
+            return self._merge_hash(
+                spark, snap, changes, keys[0], version_cols, op_col, delete_op
+            )
+        pruned = key_matches and snap.layout == "range" and snap.has_stats
         if not pruned:
             merged = merge_into(
                 self.read(spark), changes, key_cols, version_cols, op_col, delete_op
             )
             return self.commit(
-                merged, mode="overwrite", cluster_by=snap.cluster_by
+                merged,
+                mode="overwrite",
+                cluster_by=snap.cluster_by,
+                layout=snap.layout,
+                target_files=snap.n_buckets or 8,
             )
 
         key = keys[0]
@@ -371,6 +463,60 @@ class SnapshotStore:
                 "entries": untouched + new_entries,
                 "cluster_by": snap.cluster_by,
                 "schema": merged.schema.json(),
+            }
+        )
+        return version
+
+    def _merge_hash(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        changes: DataFrame,
+        key: str,
+        version_cols,
+        op_col: str,
+        delete_op: str,
+    ) -> int:
+        """Bucket-pruned merge: only the buckets the change keys hash
+        into are read, merged, and rewritten; every other bucket
+        directory carries by reference. Works for ANY key distribution
+        (no range assumption) — the merge footprint is exactly the
+        affected buckets."""
+        touched_buckets = {
+            r.b
+            for r in changes.select(
+                F.pmod(F.xxhash64(F.col(key)), F.lit(snap.n_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        touched = [e for e in snap.entries if e["bucket"] in touched_buckets]
+        untouched = [e for e in snap.entries if e["bucket"] not in touched_buckets]
+        if touched:
+            base = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, e["path"]) for e in touched]
+            )
+            if "_bucket" in base.columns:
+                base = base.drop("_bucket")
+        else:
+            base = self.read(spark, snap.version).limit(0)
+        merged = merge_into(base, changes, [key], version_cols, op_col, delete_op)
+        version = snap.version + 1
+        new_entries = self._write_data_hash(
+            merged, version, snap.cluster_by, snap.n_buckets
+        )
+        # merged rows can only hash into touched buckets, so new entries
+        # never collide with carried ones
+        self._publish(
+            {
+                "version": version,
+                "parent": snap.version,
+                "mode": "merge",
+                "entries": untouched + new_entries,
+                "cluster_by": snap.cluster_by,
+                "schema": merged.schema.json(),
+                "layout": "hash",
+                "n_buckets": snap.n_buckets,
             }
         )
         return version
@@ -422,7 +568,11 @@ class SnapshotStore:
             self.read(spark),
             mode="overwrite",
             cluster_by=snap.cluster_by,
-            target_files=target_files,
+            layout=snap.layout,
+            # hash layout: the bucket count is the store's contract, so
+            # compaction merges the per-bucket small files but never
+            # changes the bucketing
+            target_files=snap.n_buckets if snap.layout == "hash" and snap.n_buckets else target_files,
         )
 
     def vacuum(self, keep_last: int = 1, include_orphans: bool = False) -> list[str]:

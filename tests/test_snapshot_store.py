@@ -192,3 +192,41 @@ def test_append_schema_evolution(spark, store):
     assert got == {1: None, 2: "eu"}  # old rows read as NULL in new cols
     # time travel: v1 keeps its original (narrow) schema
     assert set(store.read(spark, 1).columns) == {"k", "val"}
+
+
+def test_hash_layout_bucket_pruned_merge(spark, store):
+    df = spark.createDataFrame(
+        [(f"user-{i}", "x") for i in range(200)], "k string, val string"
+    )
+    store.commit(df, cluster_by="k", layout="hash", target_files=8)
+    snap = store.snapshot(1)
+    assert snap.layout == "hash" and snap.n_buckets == 8
+    assert snap.has_buckets and len(snap.entries) == 8
+    assert set(store.read(spark).columns) == {"k", "val"}  # _bucket hidden
+
+    changes = spark.createDataFrame(
+        [("user-7", "UPD", "update", 1), ("user-8", None, "delete", 1),
+         ("user-9999", "new", "insert", 1)],
+        "k string, val string, op string, seq int",
+    )
+    store.merge(spark, changes, key_cols="k", version_cols="seq")
+    after = store.snapshot(2)
+    assert after.mode == "merge" and after.layout == "hash"
+    carried = {e["path"] for e in snap.entries} & {e["path"] for e in after.entries}
+    assert len(carried) >= 5  # at most 3 buckets rewritten
+    got = {r.k: r.val for r in store.read(spark).filter(
+        F.col("k").isin("user-7", "user-8", "user-9999", "user-11")).collect()}
+    assert got == {"user-7": "UPD", "user-9999": "new", "user-11": "x"}
+    assert store.read(spark).count() == 200  # -1 delete +1 insert
+
+    # point lookup prunes to the key's bucket(s)
+    pruned = store.read_pruned(spark, ["user-7"])
+    n_files = pruned.select(F.input_file_name()).distinct().count()
+    assert n_files <= 2
+    assert pruned.filter(F.col("k") == "user-7").count() == 1
+
+    # compaction preserves bucketing
+    store.compact(spark)
+    head = store.snapshot(store.head_version())
+    assert head.layout == "hash" and head.n_buckets == 8
+    assert store.read(spark).count() == 200

@@ -44,13 +44,13 @@ def _model(base: dict[int, str], history):
 # hypothesis notices Spark's py4j threads fiddling the recursion limit;
 # harmless here, and not something the test controls
 @pytest.mark.filterwarnings("ignore::hypothesis.errors.HypothesisWarning")
-@given(history=HISTORY, split=SPLITS, clustered=st.booleans())
+@given(history=HISTORY, split=SPLITS, layout=st.sampled_from(["none", "range", "hash"]))
 @settings(
     max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_merge_matches_model(spark, tmp_path_factory, history, split, clustered):
+def test_merge_matches_model(spark, tmp_path_factory, history, split, layout):
     base = {0: "base0", 5: "base5"}
     store = SnapshotStore(str(tmp_path_factory.mktemp("prop") / "s"))
     store.commit(
@@ -58,7 +58,8 @@ def test_merge_matches_model(spark, tmp_path_factory, history, split, clustered)
             [(k, v) for k, v in base.items()], "k bigint, val string"
         ),
         mode="overwrite",
-        cluster_by="k" if clustered else None,
+        cluster_by=None if layout == "none" else "k",
+        layout="range" if layout == "none" else layout,
         target_files=3,
     )
 
