@@ -177,7 +177,7 @@ def main(argv: list[str] | None = None) -> int:
         if store.head_version() is None:
             store.commit(
                 spark.createDataFrame([], "key string, after map<string,string>"),
-                mode="overwrite", cluster_by="key",
+                mode="overwrite", cluster_by="key", layout="hash",
             )
         version = store.merge(
             spark, changes, key_cols="key",

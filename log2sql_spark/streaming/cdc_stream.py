@@ -220,10 +220,15 @@ def apply_changes_to_snapshot_store(
             F.col("event_seq"),
         )
         if store.head_version() is None:
+            # hash layout: binlog keys are arbitrary strings, so fixed
+            # xxhash64 buckets (not range stats) is the layout that
+            # prunes — each micro-batch merge rewrites only the buckets
+            # its keys hash into
             store.commit(
                 spark.createDataFrame([], "key string, after map<string,string>"),
                 mode="overwrite",
                 cluster_by="key" if clustered else None,
+                layout="hash" if clustered else "range",
             )
         store.merge(
             spark,
