@@ -182,7 +182,7 @@ def apply_changes_to_snapshot_store(
     catalog: DataFrame,
     store_path: str,
     checkpoint_dir: str,
-    key_col: str = "id",
+    key_col: str | None = "id",
     clustered: bool = True,
 ) -> StreamingQuery:
     """The production apply path end-to-end: ``foreachBatch → MERGE INTO``
@@ -194,6 +194,12 @@ def apply_changes_to_snapshot_store(
     with per-file stats, so each micro-batch's merge reads and rewrites
     only the files its keys overlap — per-batch apply cost tracks the
     batch, not the accumulated table.
+
+    ``key_col=None`` derives each row's key from the CATALOG instead of
+    one fixed column: the store key becomes ``db.table:<key values>``
+    (the table's declared key_columns read from the row image), so one
+    store holds the latest state of EVERY table in the dump — the
+    multi-table apply the single-column form cannot do.
 
     Vs :func:`apply_changes_to_state`'s parquet swap, every micro-batch
     commits one new snapshot through an atomic manifest publish: a crash
@@ -211,8 +217,20 @@ def apply_changes_to_snapshot_store(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         envelope = read_binlog_batch_files(spark, batch_df)
         resolved = resolve_columns(envelope, catalog)
+        img = F.coalesce("after", "before")
+        if key_col is None:
+            key_vals = F.transform(
+                "key_columns", lambda c: F.coalesce(F.element_at(img, c), F.lit(""))
+            )
+            key = F.concat_ws(
+                ":",
+                F.concat_ws(".", "db", "table"),
+                F.concat_ws("|", key_vals),
+            )
+        else:
+            key = F.element_at(img, key_col)
         changes = resolved.select(
-            F.element_at(F.coalesce("after", "before"), key_col).alias("key"),
+            key.alias("key"),
             F.col("op"),
             F.col("after"),
             F.col("file"),

@@ -444,3 +444,33 @@ def test_maintain_mv_stream(spark, tmp_path):
     mv2 = {r.status: (r.n, r.sum_amount) for r in store.read(spark).collect()}
     assert mv2 == {"'done'": (2, 180)}  # 'new' hit zero and dropped out
     assert store.snapshot(store.head_version()).meta["batch_id"] >= 1
+
+
+def test_apply_snapshot_store_multi_table(spark, tmp_path):
+    from log2sql_spark.store import SnapshotStore
+    from log2sql_spark.streaming.cdc_stream import apply_changes_to_snapshot_store
+
+    in_dir, store_dir, ckpt = tmp_path / "in", tmp_path / "mt", tmp_path / "ckpt"
+    in_dir.mkdir()
+    cat = catalog_from_dict(spark, {
+        "shop.orders": {"columns": ["id", "status"], "key_columns": ["id"]},
+        "shop.users": {"columns": ["uid", "name"], "key_columns": ["uid"]},
+    })
+    _dump(in_dir / "bin.000001.txt", [
+        {"op": "insert", "db": "shop", "table": "orders", "ts": TS,
+         "values": [(1, "1"), (2, "'new'")]},
+        {"op": "insert", "db": "shop", "table": "users", "ts": TS,
+         "values": [(1, "1"), (2, "'ann'")]},  # same key value, other table
+        {"op": "update", "db": "shop", "table": "users", "ts": TS,
+         "before": [(1, "1"), (2, "'ann'")], "after": [(1, "1"), (2, "'anne'")]},
+    ])
+    q = apply_changes_to_snapshot_store(
+        spark, str(in_dir), cat, str(store_dir), str(ckpt), key_col=None
+    )
+    q.awaitTermination(120)
+    rows = {r.key: r.after for r in SnapshotStore(str(store_dir)).read(spark).collect()}
+    # the same key VALUE under two tables stays two independent rows
+    assert rows == {
+        "shop.orders:1": {"id": "1", "status": "'new'"},
+        "shop.users:1": {"uid": "1", "name": "'anne'"},
+    }
