@@ -56,4 +56,8 @@ def get_spark(app_name: str = "log2sql_spark", cpus: str | None = None) -> Spark
     from log2sql_spark.sources.binlog_datasource import register
 
     register(spark)
+    # expose spark.readStream.format("snapshot_cdf") (store CDF stream)
+    from log2sql_spark.sources.cdf_datasource import register as register_cdf
+
+    register_cdf(spark)
     return spark
