@@ -61,3 +61,51 @@ def test_cdf_stream_versions_and_restart(spark, tmp_path):
     assert {(r.k, r._version, r._change_type) for r in rows if r._version == 3} == {
         (1, 3, "removed")
     }
+
+
+def test_full_chain_binlog_to_store_to_cdf(spark, tmp_path):
+    """The whole pipeline: binlog dump stream -> MERGE INTO the snapshot
+    store -> CDF stream -> downstream consumer, with no component aware
+    of the others beyond the store contract."""
+    from datetime import datetime
+
+    from log2sql_spark.sources.binlog_fixture import render_binlog
+    from log2sql_spark.sources.catalog import catalog_from_dict
+    from log2sql_spark.streaming.cdc_stream import apply_changes_to_snapshot_store
+
+    ts = datetime(2024, 5, 1, 12, 0, 7)
+    in_dir, store_dir = tmp_path / "in", tmp_path / "store"
+    ckpt1, ckpt2, out_dir = tmp_path / "c1", tmp_path / "c2", tmp_path / "out"
+    in_dir.mkdir()
+    cat = catalog_from_dict(
+        spark, {"shop.orders": {"columns": ["id", "status"], "key_columns": ["id"]}}
+    )
+    (in_dir / "bin.000001.txt").write_text(render_binlog([
+        {"op": "insert", "db": "shop", "table": "orders", "ts": ts,
+         "values": [(1, "1"), (2, "'new'")]},
+        {"op": "insert", "db": "shop", "table": "orders", "ts": ts,
+         "values": [(1, "2"), (2, "'new'")]},
+        {"op": "update", "db": "shop", "table": "orders", "ts": ts,
+         "before": [(1, "2"), (2, "'new'")], "after": [(1, "2"), (2, "'done'")]},
+    ]))
+    q = apply_changes_to_snapshot_store(
+        spark, str(in_dir), cat, str(store_dir), str(ckpt1), key_col="id"
+    )
+    q.awaitTermination(120)
+
+    q2 = (
+        spark.readStream.format("snapshot_cdf")
+        .load(str(store_dir))
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt2))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    feed = spark.read.parquet(str(out_dir))
+    # final state reached through the feed == final state in the store
+    adds = {r.key: r.after for r in feed.filter(F.col("_change_type") == "added").collect()}
+    assert adds["1"] == {"id": "1", "status": "'new'"}
+    assert adds["2"] == {"id": "2", "status": "'done'"}  # latest change won
+    assert feed.filter(F.col("_change_type") == "removed").count() == 0
