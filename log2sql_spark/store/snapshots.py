@@ -228,8 +228,16 @@ class SnapshotStore:
         data_abs = tempfile.mkdtemp(prefix=f"v{version}-", dir=data_root)
         data_rel = os.path.join("data", os.path.basename(data_abs))
         (
+            # NULL keys hash to bucket 0 (coalesce) instead of spilling
+            # into a __HIVE_DEFAULT_PARTITION__ directory the manifest
+            # could not represent; lookups for NULL are meaningless, so
+            # only bucket 0 ever over-reads for them.
             df.withColumn(
-                "_bucket", F.pmod(F.xxhash64(F.col(cluster_by)), F.lit(n_buckets))
+                "_bucket",
+                F.coalesce(
+                    F.pmod(F.xxhash64(F.col(cluster_by)), F.lit(n_buckets)),
+                    F.lit(0),
+                ),
             )
             .repartition(n_buckets, "_bucket")
             .write.partitionBy("_bucket")
@@ -485,7 +493,10 @@ class SnapshotStore:
         touched_buckets = {
             r.b
             for r in changes.select(
-                F.pmod(F.xxhash64(F.col(key)), F.lit(snap.n_buckets)).alias("b")
+                F.coalesce(
+                    F.pmod(F.xxhash64(F.col(key)), F.lit(snap.n_buckets)),
+                    F.lit(0),  # null keys live in bucket 0 (see _write_data_hash)
+                ).alias("b")
             )
             .distinct()
             .collect()

@@ -230,3 +230,21 @@ def test_hash_layout_bucket_pruned_merge(spark, store):
     head = store.snapshot(store.head_version())
     assert head.layout == "hash" and head.n_buckets == 8
     assert store.read(spark).count() == 200
+
+
+def test_hash_layout_null_keys(spark, store):
+    df = spark.createDataFrame(
+        [("a", "1"), (None, "2"), (None, "3")], "k string, val string"
+    )
+    store.commit(df, cluster_by="k", layout="hash", target_files=4)
+    assert store.read(spark).count() == 3  # null keys stored, not crashed
+    # merging a null-key change touches bucket 0, where nulls live
+    changes = spark.createDataFrame(
+        [(None, "X", "update", 1)], "k string, val string, op string, seq int"
+    )
+    store.merge(spark, changes, key_cols="k", version_cols="seq")
+    vals = sorted(
+        r.val for r in store.read(spark).filter(F.col("k").isNull()).collect()
+    )
+    # merge_into groups ALL null keys as one key: latest change wins
+    assert vals == ["X"]
