@@ -272,6 +272,8 @@ def maintain_mv_stream(
     checkpoint_dir: str,
     group_col: str,
     sum_col: str,
+    database: str | None = None,
+    table: str | None = None,
 ) -> StreamingQuery:
     """Continuous aggregate: maintain a (group, count, sum) materialized
     view over the CDC stream by folding each micro-batch's SIGNED deltas
@@ -296,6 +298,12 @@ def maintain_mv_stream(
                 return  # re-delivered batch: already folded in
         envelope = read_binlog_batch_files(spark, batch_df)
         resolved = resolve_columns(envelope, catalog)
+        # scope to the MV's table: a multi-table dump must not leak other
+        # tables' rows (whose images lack these columns) into the deltas
+        if database is not None:
+            resolved = resolved.filter(F.col("db") == database)
+        if table is not None:
+            resolved = resolved.filter(F.col("table") == table)
         changes = resolved.select(
             "op",
             F.element_at("after", group_col).alias(group_col),

@@ -423,8 +423,14 @@ def test_maintain_mv_stream(spark, tmp_path):
         {"op": "insert", "db": "shop", "table": "orders", "ts": TS,
          "values": [(1, "3"), (2, "'done'"), (3, "70")]},
     ])
+    # an unrelated table in the same dump must not leak into the MV
+    _dump(in_dir / "bin.000000.txt", [
+        {"op": "insert", "db": "other", "table": "t", "ts": TS,
+         "values": [(1, "9")]},
+    ])
     q = maintain_mv_stream(spark, str(in_dir), cat, str(store_dir), str(ckpt),
-                           group_col="status", sum_col="amount")
+                           group_col="status", sum_col="amount",
+                           database="shop", table="orders")
     q.awaitTermination(120)
     store = SnapshotStore(str(store_dir))
     mv = {r.status: (r.n, r.sum_amount) for r in store.read(spark).collect()}
@@ -439,7 +445,8 @@ def test_maintain_mv_stream(spark, tmp_path):
          "values": [(1, "2"), (2, "'new'"), (3, "50")]},
     ])
     q2 = maintain_mv_stream(spark, str(in_dir), cat, str(store_dir), str(ckpt),
-                            group_col="status", sum_col="amount")
+                            group_col="status", sum_col="amount",
+                            database="shop", table="orders")
     q2.awaitTermination(120)
     mv2 = {r.status: (r.n, r.sum_amount) for r in store.read(spark).collect()}
     assert mv2 == {"'done'": (2, 180)}  # 'new' hit zero and dropped out
