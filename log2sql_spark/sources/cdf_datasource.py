@@ -156,5 +156,136 @@ class SnapshotCdfStreamReader(SimpleDataSourceStreamReader):
         return iter(rows)
 
 
+# ---------------------------------------------------------------------------
+# Batch read source: spark.read.format("snapshot")
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+
+
+class _EntryPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class SnapshotReader(DataSourceReader):
+    """Batch scan of a snapshot-store version with SOURCE-SIDE pruning:
+    EqualTo/In filters on the store's cluster key resolve to the files
+    or buckets that can contain the keys (manifest range stats or
+    xxhash buckets) BEFORE any partition is planned — pushdown against
+    our own table format through the Spark 4 Python DataSource API.
+    Remaining predicates are returned to Spark and evaluated post-scan
+    as usual. ``option("version", N)`` time-travels the scan."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("snapshot source requires a path: .load('/store')")
+        self.version = (
+            int(options["version"]) if options.get("version") is not None else None
+        )
+        self.key_values: set | None = None
+
+    def _store(self):
+        from log2sql_spark.store import SnapshotStore
+
+        return SnapshotStore(self.path)
+
+    def _snap(self):
+        store = self._store()
+        v = self.version if self.version is not None else store.head_version()
+        return store, store.snapshot(v)
+
+    def pushFilters(self, filters: list[Filter]):
+        _, snap = self._snap()
+        key = snap.cluster_by
+        unsupported: list[Filter] = []
+        for f in filters:
+            col = f.attribute[-1] if hasattr(f, "attribute") else None
+            if key is not None and col == key and isinstance(f, EqualTo):
+                vals = {f.value}
+                self.key_values = (
+                    vals if self.key_values is None else self.key_values & vals
+                )
+            elif key is not None and col == key and isinstance(f, In):
+                vals = set(f.value)
+                self.key_values = (
+                    vals if self.key_values is None else self.key_values & vals
+                )
+                unsupported.append(f)  # pruning is file-level; re-check rows
+            else:
+                unsupported.append(f)
+        if self.key_values is not None:
+            # EqualTo handled exactly only at file granularity; let Spark
+            # re-verify rows (the prune is a superset read by design)
+            unsupported = list(filters)
+        return unsupported
+
+    def partitions(self) -> list[_EntryPartition]:
+        store, snap = self._snap()
+        entries = snap.entries
+        if self.key_values:
+            vals = sorted(self.key_values)
+            if snap.layout == "hash" and snap.has_buckets and snap.n_buckets:
+                # xxhash64 lives JVM-side; planning may run in a Python
+                # worker with no session — prune only when one is active,
+                # otherwise fall back to a full scan (never incorrect,
+                # pruning is an optimization)
+                from pyspark.sql import SparkSession
+
+                spark = SparkSession.getActiveSession()
+                if spark is not None:
+                    buckets = store._buckets_of(spark, snap, vals)
+                    entries = [e for e in entries if e["bucket"] in buckets]
+            elif snap.has_stats:
+                entries = [
+                    e
+                    for e in entries
+                    if any(e["min"] <= v <= e["max"] for v in vals)
+                ]
+        return [
+            _EntryPartition(os.path.join(store.path, e["path"])) for e in entries
+        ]
+
+    def read(self, partition: _EntryPartition) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        _, snap = self._snap()
+        fields = [
+            f["name"] for f in json.loads(snap.schema_json)["fields"]
+        ]
+        out = []
+        tbl = pq.read_table(partition.path)
+        for rec in tbl.to_pylist():
+            out.append(tuple(rec.get(f) for f in fields))
+        return iter(out)
+
+
+class SnapshotDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot"
+
+    def schema(self) -> StructType:
+        store_path = self.options.get("path")
+        version = self.options.get("version")
+        if version is not None:
+            from log2sql_spark.store import SnapshotStore
+
+            snap = SnapshotStore(store_path).snapshot(int(version))
+            return StructType.fromJson(json.loads(snap.schema_json))
+        return _store_schema(store_path)
+
+    def reader(self, schema) -> SnapshotReader:
+        return SnapshotReader(self.options)
+
+
 def register(spark) -> None:
     spark.dataSource.register(SnapshotCdfDataSource)
+    spark.dataSource.register(SnapshotDataSource)

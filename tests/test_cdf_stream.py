@@ -109,3 +109,27 @@ def test_full_chain_binlog_to_store_to_cdf(spark, tmp_path):
     assert adds["1"] == {"id": "1", "status": "'new'"}
     assert adds["2"] == {"id": "2", "status": "'done'"}  # latest change won
     assert feed.filter(F.col("_change_type") == "removed").count() == 0
+
+
+def test_snapshot_batch_datasource_with_pruning(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "bs"))
+    df = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    store.commit(df, cluster_by="k", target_files=8)
+    changes = spark.createDataFrame(
+        [(10, 999, "update", 1)], "k bigint, v bigint, op string, seq int"
+    )
+    store.merge(spark, changes, key_cols="k", version_cols="seq")
+
+    # head read through the SQL surface
+    head = spark.read.format("snapshot").load(str(store.path))
+    assert head.count() == 1000
+    got = head.filter(F.col("k").isin(10, 500)).orderBy("k").collect()
+    assert [(r.k, r.v) for r in got] == [(10, 999), (500, 1500)]
+    # point filter plans fewer partitions than the file count (pruned)
+    pruned = spark.read.format("snapshot").load(str(store.path)).filter(F.col("k") == 10)
+    assert pruned.count() == 1
+    assert pruned.rdd.getNumPartitions() < 8
+
+    # time travel via option
+    v1 = spark.read.format("snapshot").option("version", 1).load(str(store.path))
+    assert v1.filter(F.col("k") == 10).head().v == 30
