@@ -141,3 +141,107 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("event_type")
+
+
+@query(
+    "sketch_kll_revenue_quantiles",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           quantile_disc(rev_cents, 0.25) AS q25_cents,
+           quantile_disc(rev_cents, 0.50) AS q50_cents,
+           quantile_disc(rev_cents, 0.75) AS q75_cents,
+           quantile_disc(rev_cents, 0.90) AS q90_cents
+    FROM daily
+    """,
+)
+def sketch_kll_revenue_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles: daily-revenue KLL sketches built PER MONTH
+    (``kll_sketch_agg_bigint``), merged into the global distribution with
+    ``kll_merge_agg_bigint`` — the rank-sketch analog of the HLL rollup
+    above. At 100 TB the per-shard/per-day sketches are a few KB each and
+    re-aggregate into any coarser rollup without re-reading the data,
+    which an exact percentile (global sort) cannot do. Item count here is
+    the number of distinct days (~2.4k, SF-independent), far below k=8192,
+    so the sketch holds every item and quantiles are exact — matching
+    DuckDB's ``quantile_disc`` (both use the inclusive rank rule)."""
+    orders = load_table(spark, "orders", sf_dir)
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
+    )
+    monthly_partials = daily.groupBy(F.trunc("d", "month").alias("m")).agg(
+        F.kll_sketch_agg_bigint("rev_cents", 8192).alias("sk")
+    )
+    merged = monthly_partials.agg(F.kll_merge_agg_bigint("sk", 8192).alias("sk"))
+    return merged.select(
+        F.kll_sketch_get_n_bigint("sk").alias("n_days"),
+        F.kll_sketch_get_quantile_bigint("sk", F.lit(0.25)).alias("q25_cents"),
+        F.kll_sketch_get_quantile_bigint("sk", F.lit(0.50)).alias("q50_cents"),
+        F.kll_sketch_get_quantile_bigint("sk", F.lit(0.75)).alias("q75_cents"),
+        F.kll_sketch_get_quantile_bigint("sk", F.lit(0.90)).alias("q90_cents"),
+    )
+
+
+@query(
+    "sketch_theta_customer_overlap",
+    oracle="""
+    WITH urgent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ),
+    other AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM urgent) AS urgent_custs,
+           (SELECT CAST(count(*) AS BIGINT) FROM other) AS other_custs,
+           (SELECT CAST(count(*) AS BIGINT)
+              FROM (SELECT * FROM urgent UNION SELECT * FROM other)) AS union_custs,
+           (SELECT CAST(count(*) AS BIGINT)
+              FROM (SELECT * FROM urgent INTERSECT SELECT * FROM other)) AS overlap_custs,
+           (SELECT CAST(count(*) AS BIGINT)
+              FROM (SELECT * FROM urgent EXCEPT SELECT * FROM other)) AS urgent_only_custs
+    """,
+)
+def sketch_theta_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set algebra on sketches: theta sketches of the customer
+    sets behind urgent vs normal orders, then UNION / INTERSECTION /
+    DIFFERENCE computed on the sketches alone (``theta_union`` etc.) —
+    the one thing HLL cannot do (HLL unions but never intersects). At
+    100 TB this answers audience-overlap questions from per-segment
+    sketches without ever co-shuffling the raw keys. lgNomEntries=20
+    (1M nominal) keeps the sketches in exact mode at every test SF, so
+    every estimate equals the exact-distinct oracle."""
+    orders = load_table(spark, "orders", sf_dir)
+    grp = orders.withColumn(
+        "is_urgent",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int"),
+    )
+    sks = grp.groupBy("is_urgent").agg(
+        F.theta_sketch_agg("o_custkey", 20).alias("sk")
+    )
+    pair = (
+        sks.agg(
+            F.max(F.when(F.col("is_urgent") == 1, F.col("sk"))).alias("a"),
+            F.max(F.when(F.col("is_urgent") == 0, F.col("sk"))).alias("b"),
+        )
+    )
+    return pair.select(
+        F.round(F.theta_sketch_estimate("a")).cast("long").alias("urgent_custs"),
+        F.round(F.theta_sketch_estimate("b")).cast("long").alias("other_custs"),
+        # lgNomEntries on the union op too: theta_union defaults to
+        # lgK=12 and would DOWNSAMPLE the (exact) inputs to ~4k entries.
+        F.round(F.theta_sketch_estimate(F.theta_union("a", "b", 20)))
+        .cast("long")
+        .alias("union_custs"),
+        F.round(F.theta_sketch_estimate(F.theta_intersection("a", "b")))
+        .cast("long")
+        .alias("overlap_custs"),
+        F.round(F.theta_sketch_estimate(F.theta_difference("a", "b")))
+        .cast("long")
+        .alias("urgent_only_custs"),
+    )
