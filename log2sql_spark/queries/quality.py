@@ -154,3 +154,75 @@ def quality_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "quality_expectations_orders",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS rows_checked FROM orders),
+    rep AS (
+      SELECT 'orders_custkey_not_null' AS rule,
+             CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS violations,
+             (SELECT rows_checked FROM n) AS rows_checked
+      FROM orders
+      UNION ALL
+      SELECT 'orders_status_domain',
+             CAST(count(*) FILTER (WHERE o_orderstatus IS NULL
+                                      OR o_orderstatus NOT IN ('O','F')) AS BIGINT),
+             (SELECT rows_checked FROM n)
+      FROM orders
+      UNION ALL
+      SELECT 'orders_price_range',
+             CAST(count(*) FILTER (WHERE o_totalprice IS NULL
+                                      OR o_totalprice < 1000
+                                      OR o_totalprice > 400000) AS BIGINT),
+             (SELECT rows_checked FROM n)
+      FROM orders
+      UNION ALL
+      SELECT 'orders_priority_shape',
+             CAST(count(*) FILTER (WHERE o_orderpriority IS NULL
+                                      OR NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT),
+             (SELECT rows_checked FROM n)
+      FROM orders
+      UNION ALL
+      SELECT 'orders_orderkey_unique',
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+             (SELECT rows_checked FROM n)
+      FROM orders
+      UNION ALL
+      SELECT 'orders_custkey_fk_customer',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders o
+              LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                ON o.o_custkey = c.c_custkey
+              WHERE c.c_custkey IS NULL),
+             (SELECT rows_checked FROM n)
+    )
+    SELECT rule, violations, rows_checked,
+           CAST(violations = 0 AS INT) AS passed
+    FROM rep
+    ORDER BY rule
+    """,
+)
+def quality_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations over ``orders``: six rules (NOT NULL,
+    domain, range, regex shape, key uniqueness, FK to customer) compiled
+    by ``operators/expectations.py`` into one conditional-sum aggregate
+    for all four row-level rules + one keyed aggregate (unique) + one
+    broadcast anti-join (FK). The report is one row per rule whatever
+    the table size — the pre-flight gate a 100 TB load runs before
+    publishing a snapshot. The domain/range rules are deliberately
+    strict enough to FAIL on real data ('P' status, sub-$1000 orders),
+    so the violation counts are live numbers, not zeros."""
+    from log2sql_spark.operators import expectations as X
+
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    rules = [
+        X.not_null("orders_custkey_not_null", "o_custkey"),
+        X.in_set("orders_status_domain", "o_orderstatus", ["O", "F"]),
+        X.between("orders_price_range", "o_totalprice", 1000.0, 400000.0),
+        X.matches("orders_priority_shape", "o_orderpriority", "^[1-5]-"),
+        X.unique("orders_orderkey_unique", "o_orderkey"),
+        X.foreign_key("orders_custkey_fk_customer", "o_custkey", customer, "c_custkey"),
+    ]
+    return X.check_expectations(orders, rules)

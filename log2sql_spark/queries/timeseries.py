@@ -176,3 +176,82 @@ def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "ts_sessionize_events",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 12 HOUR
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT *,
+             CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           CAST(date_diff('microsecond', min(ts), max(ts)) // 1000000 AS BIGINT)
+             AS duration_secs,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def ts_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: per-user event streams split into
+    sessions wherever the inter-event gap exceeds 12 hours (lag +
+    running sum of break flags — the standard batch twin of a streaming
+    ``session_window``). One shuffle on user_id serves BOTH windows
+    (lag and the running session counter share partitioning+ordering);
+    the per-session rollup then partial-aggregates map-side. Scale: the
+    state per key is one window frame, never the whole user history in
+    memory, and users are independent — the plan is embarrassingly
+    parallel across the user hash space at any corpus size."""
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_session",
+        # timestampdiff in MICROSECOND: exact integer arithmetic on the
+        # NTZ timestamps, matching DuckDB's interval comparison to the
+        # microsecond (no truncation at the gap boundary).
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+                       "(PARTITION BY user_id ORDER BY ts, event_id), ts)")
+                > F.lit(12 * 3600 * 1_000_000)
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.expr(
+                "timestampdiff(MICROSECOND, min(ts), max(ts)) DIV 1000000"
+            ).cast("long").alias("duration_secs"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

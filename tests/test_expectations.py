@@ -1,0 +1,82 @@
+"""Unit tests for the declarative expectations operator.
+
+Edge cases the oracle query can't hit on clean TPC-H data: NULLs in
+every rule position, duplicate keys, FK orphans (including a NULL FK),
+and the all-rules-pass path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from log2sql_spark.operators import expectations as X
+
+
+def _report(df, rules):
+    return {
+        r.rule: (r.violations, r.rows_checked, r.passed)
+        for r in X.check_expectations(df, rules).collect()
+    }
+
+
+def test_row_level_rules_count_nulls_and_violations(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "O", 10.0, "1-URGENT"),
+            (2, None, -5.0, "9-BOGUS"),
+            (None, "X", None, None),
+        ],
+        "k bigint, status string, price double, prio string",
+    )
+    rep = _report(
+        df,
+        [
+            X.not_null("k_nn", "k"),
+            X.in_set("status_dom", "status", ["O", "F"]),
+            X.between("price_rng", "price", 0.0, 100.0),
+            X.matches("prio_re", "prio", "^[1-5]-"),
+            X.condition("price_pos", F.col("price") > 0),
+        ],
+    )
+    assert rep["k_nn"] == (1, 3, 0)
+    # NULL and 'X' both out of domain
+    assert rep["status_dom"] == (2, 3, 0)
+    # -5.0 below range; NULL counts as violation
+    assert rep["price_rng"] == (2, 3, 0)
+    assert rep["prio_re"] == (2, 3, 0)
+    assert rep["price_pos"] == (2, 3, 0)
+
+
+def test_unique_counts_excess_rows_only(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "d"), (3, "e")], "k bigint, v string"
+    )
+    rep = _report(df, [X.unique("k_uniq", "k")])
+    # three rows share k=1 -> two excess rows
+    assert rep["k_uniq"] == (2, 5, 0)
+    rep2 = _report(df, [X.unique("kv_uniq", "k", "v")])
+    assert rep2["kv_uniq"] == (0, 5, 1)
+
+
+def test_foreign_key_orphans_include_null_keys(spark):
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id bigint, fk bigint"
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "pk bigint")
+    rep = _report(fact, [X.foreign_key("fk_dim", "fk", dim, "pk")])
+    # 99 is an orphan; NULL never equi-joins -> also a violation
+    assert rep["fk_dim"] == (2, 4, 0)
+
+
+def test_all_pass_and_empty_table(spark):
+    df = spark.createDataFrame([(1, "O")], "k bigint, status string")
+    rep = _report(
+        df, [X.not_null("nn", "k"), X.in_set("dom", "status", ["O"]), X.unique("u", "k")]
+    )
+    assert rep == {"nn": (0, 1, 1), "dom": (0, 1, 1), "u": (0, 1, 1)}
+
+    empty = df.filter(F.lit(False))
+    rep0 = _report(empty, [X.not_null("nn", "k"), X.unique("u", "k")])
+    # zero rows -> zero violations, vacuously passing
+    assert rep0["nn"] == (0, 0, 1)
+    assert rep0["u"] == (0, 0, 1)
