@@ -1,0 +1,90 @@
+"""Z-order (Morton-curve) multi-dimensional clustering.
+
+Single-column range clustering (``compact_parquet(sort_by=[k])``,
+``SnapshotStore(cluster_by=k)``) makes file-level min/max stats
+selective on ONE key; a predicate on any other column still scans
+every file. Z-ordering interleaves the bits of several rank-normalized
+dimensions into one sort key, so files end up compact in EVERY
+clustered dimension at once — the same data-layout trick Delta's
+``OPTIMIZE ZORDER BY`` uses for multi-dimensional file skipping.
+
+Everything is JVM expressions: the per-dimension min/max comes from one
+aggregate (two scalar rows collected), normalization and the bit
+interleave are a single SQL ``aggregate`` lambda over a 16-step
+sequence, and the layout itself is ``repartitionByRange`` on the
+z-value + a within-partition sort. At 100 TB this is one extra shuffle
+during the (already shuffle-bound) compaction rewrite — read-side cost
+is zero and every query with a predicate on any z-dimension skips
+files via ordinary parquet row-group stats.
+
+Reference analog: none (the reference has no storage layer); this is
+table-maintenance extension surface alongside sources/compaction.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_Z_BITS = 16  # per-dimension resolution; D dims -> 16*D-bit z-values
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = _Z_BITS) -> Column:
+    """Morton z-value over ``cols``, each min/max-normalized to
+    ``bits`` bits. One aggregate computes the global bounds (the only
+    driver round-trip, 2×|cols| scalars); the interleave is a pure SQL
+    lambda, so the key evaluates inside whole-stage codegen."""
+    if not cols or len(cols) > 4:
+        raise ValueError("zorder_key takes 1-4 columns")
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"min_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"max_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    norms = []
+    for c in cols:
+        lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
+        if lo is None or hi is None or hi <= lo:
+            norms.append("0L")
+            continue
+        # clamp() then scale: NULLs sort first via coalesce to 0.
+        norms.append(
+            f"cast(coalesce((cast(`{c}` as double) - {lo!r}) / {hi - lo!r}, 0)"
+            f" * {top} as bigint)"
+        )
+    d = len(cols)
+    parts = " | ".join(
+        f"shiftleft(shiftright({n}, i) & 1L, i * {d} + {j})"
+        for j, n in enumerate(norms)
+    )
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc | ({parts}))"
+    )
+
+
+def zorder_parquet(
+    spark, path: str, cols: list[str], target_file_mb: int = 128, bits: int = _Z_BITS
+) -> int:
+    """Rewrite ``path`` z-ordered by ``cols`` (multi-dim twin of
+    ``compact_parquet(sort_by=...)``). Returns the new file count."""
+    import os
+    import shutil
+
+    from log2sql_spark.sources.compaction import dir_bytes
+
+    df = spark.read.parquet(path)
+    n_files = max(1, -(-dir_bytes(path) // (target_file_mb * 1024 * 1024)))
+    z = zorder_key(df, cols, bits=bits)
+    out = (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    tmp = path.rstrip("/") + ".zorder.tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(
+        [f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")]
+    )

@@ -1,0 +1,530 @@
+r"""Corpus-curation operators round 3: chunking, bloom decontamination,
+semantic dedup, hybrid retrieval fusion.
+
+Four pipeline stages a training-data build runs between raw documents
+and tokenized shards, each expressed as pure JVM DataFrame plans:
+
+- sliding-window chunking (the RAG/embedding prep step: one explode,
+  no shuffle at all — chunk boundaries are per-row arithmetic);
+- bloom-filter decontamination (the eval-set n-gram filter when the
+  eval set is too large to broadcast exactly: the bitmap is m bits
+  regardless of |eval|, and membership is bit arithmetic on a
+  broadcast array<long> literal — no join against the eval side);
+- SemDeDup-style semantic dedup (cluster embeddings, prune within
+  clusters only: globally linear in |corpus|, quadratic only inside a
+  cluster — the published recipe for embedding-level dedup at scale);
+- reciprocal-rank fusion of BM25 and dense cosine rankings (the
+  standard hybrid-retrieval reducer; two bounded top-k lists, one
+  outer join).
+
+Reference analog: none — the reference (305 LoC, `main.py`,
+`log2sql.py`) has no corpus operators; this is the mandated
+LLM-pipeline extension surface (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log2sql_spark.registry import query
+from log2sql_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Sliding-window chunking
+# --------------------------------------------------------------------------
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+@query(
+    "llm_chunk_sliding_window",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             1 + (greatest(0, len(toks) - {_CHUNK_SIZE}) + {_CHUNK_STRIDE - 1})
+                 // {_CHUNK_STRIDE} AS n_chunks
+      FROM t
+    ), e AS (
+      SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM c
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(toks[CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS INTEGER)
+                         : CAST(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE} AS INTEGER)])
+                AS BIGINT) AS n_tokens,
+           md5(array_to_string(
+               toks[CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS INTEGER)
+                    : CAST(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE} AS INTEGER)], ' '))
+             AS chunk_md5
+    FROM e
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def llm_chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks (size 32, stride 24) — the
+    embedding/RAG prep step. Per-document arithmetic only: split once,
+    posexplode a 0..n_chunks-1 sequence, slice the token array per
+    chunk. ZERO shuffles (the orderBy is presentation-only); at 100 TB
+    this is a map-only pass whose output partitioning inherits the
+    scan's. The tail chunk is clamped by ``slice`` exactly like the
+    oracle's clamped list slice; a short doc yields one chunk."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = (
+        F.lit(1)
+        + F.expr(
+            f"(greatest(0, size(split(trim(text), '\\\\s+')) - {_CHUNK_SIZE})"
+            f" + {_CHUNK_STRIDE - 1}) div {_CHUNK_STRIDE}"
+        )
+    ).cast("int")
+    out = (
+        docs.select("doc_id", toks.alias("toks"), n_chunks.alias("n_chunks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+                "chunk_idx", "_i"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.slice(
+                F.col("toks"),
+                F.col("chunk_idx") * _CHUNK_STRIDE + 1,
+                F.lit(_CHUNK_SIZE),
+            ).alias("chunk_toks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk_toks").cast("long").alias("n_tokens"),
+            F.md5(F.array_join("chunk_toks", " ")).alias("chunk_md5"),
+        )
+    )
+    return out.orderBy("doc_id", "chunk_idx")
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 18  # m: 262144 bits -> 4096-long bitmap (32 KiB)
+_BLOOM_SLICES = (1, 9, 17)  # k=3 md5-substring hash functions
+
+
+def _bloom_positions(gram: Column) -> list[Column]:
+    """k portable hash positions for a gram: 60-bit slices of md5(gram)
+    mod m. md5 is bit-identical across Spark and DuckDB, so the oracle
+    reproduces the exact bitmap semantics (false positives included)."""
+    h = F.md5(gram)
+    return [
+        F.pmod(
+            F.conv(F.substring(h, start, 15), 16, 10).cast("long"), F.lit(_BLOOM_BITS)
+        )
+        for start in _BLOOM_SLICES
+    ]
+
+
+def _bloom_oracle() -> str:
+    m = _BLOOM_BITS
+    pos_exprs = [
+        f"('0x' || substr(md5(gram), {s}, 15))::BIGINT % {m}" for s in _BLOOM_SLICES
+    ]
+    eval_bits = " UNION ".join(
+        f"SELECT {p} AS pos FROM eval_grams" for p in pos_exprs
+    )
+    all_set = " AND ".join(f"({p}) IN (SELECT pos FROM bits)" for p in pos_exprs)
+    return rf"""
+    WITH grams_of AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+               i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                    regexp_split_to_array(trim(text), '\s+')[i+2]))) AS gram
+      FROM documents
+    ), eval_grams AS (
+      SELECT DISTINCT gram FROM grams_of WHERE doc_id >= 450
+    ), bits AS ({eval_bits}),
+    train AS (SELECT doc_id, gram FROM grams_of WHERE doc_id < 300),
+    flagged AS (
+      SELECT doc_id, gram FROM train WHERE {all_set}
+    )
+    SELECT t.doc_id,
+           CAST(count(DISTINCT t.gram) AS BIGINT) AS n_grams,
+           CAST(count(DISTINCT f.gram) AS BIGINT) AS n_flagged,
+           count(DISTINCT f.gram) > 0 AS contaminated
+    FROM train t LEFT JOIN flagged f
+      ON t.doc_id = f.doc_id AND t.gram = f.gram
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """
+
+
+@query("llm_decontaminate_bloom", oracle=_bloom_oracle())
+def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter eval-set decontamination. The broadcast-exact-set
+    contamination check (llm_contamination_check) ships the whole eval
+    gram set to every executor; when the eval suite is itself large,
+    the bloom bitmap caps that at m bits (here 32 KiB for m=2^18,
+    k=3) at the cost of a deterministic false-positive rate — the
+    right trade for a REJECT filter, where a false positive only drops
+    a clean document.
+
+    Build: eval 3-gram positions (k portable md5-slice hashes), then
+    one distinct-aggregate whose output is bounded by m (NOT |eval|)
+    before a driver fold into 4096 longs — the only collect, ≤ m/64
+    words by construction. Probe: the bitmap rides into the train scan
+    as an array<long> literal; membership is element_at + (>> & 1) bit
+    arithmetic per gram — map-only, no join against the eval side, one
+    final groupBy(doc_id). The oracle reproduces the identical pooled-
+    bit semantics (any eval gram × any hash can set a probed bit), so
+    false positives hash-match too."""
+    from log2sql_spark.operators.dedup import word_ngrams
+
+    docs = load_table(spark, "documents", sf_dir)
+    grams_of = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), n=3)).alias("gram")
+    )
+    eval_pos = (
+        grams_of.filter(F.col("doc_id") >= 450)
+        .select(F.explode(F.array(*_bloom_positions(F.col("gram")))).alias("pos"))
+        .distinct()
+    )
+    words = [0] * (_BLOOM_BITS // 64)
+    for (pos,) in eval_pos.collect():  # bounded by m/64 words, see docstring
+        words[pos // 64] |= 1 << (pos % 64)
+    # Two's-complement fold into signed longs for the JVM literal.
+    bitmap = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
+
+    train = grams_of.filter(F.col("doc_id") < 300).withColumn("_bm", bitmap)
+    for i, pos in enumerate(_bloom_positions(F.col("gram"))):
+        train = train.withColumn(f"_pos{i}", pos)
+    hit = F.lit(True)
+    for i in range(len(_BLOOM_SLICES)):
+        # SQL shiftright accepts an expression shift; the PySpark
+        # wrapper only takes an int literal.
+        hit = hit & (
+            F.expr(
+                f"shiftright(element_at(_bm, cast(_pos{i} div 64 as int) + 1),"
+                f" cast(_pos{i} % 64 as int)) & 1"
+            )
+            == 1
+        )
+    return (
+        train.withColumn("bloom_hit", hit)
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("gram").alias("n_grams"),
+            F.count_distinct(F.when(F.col("bloom_hit"), F.col("gram"))).alias(
+                "n_flagged"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_flagged",
+            (F.col("n_flagged") > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic dedup
+# --------------------------------------------------------------------------
+
+_SEM_TAU = 0.99
+
+
+@query(
+    "llm_semdedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    * (1 + 0.01 * (((CAST(i AS INTEGER) - 1) % 3) - 1))) AS embedding
+      FROM embeddings WHERE vec_id < 50
+    ), cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centv
+      FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 300
+    ), assign_scored AS (
+      SELECT vec_id, embedding, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY (list_sum(list_transform(range(1, len(embedding) + 1),
+                          i -> CAST(embedding[i] AS DOUBLE) * CAST(centv[i] AS DOUBLE))))
+                        / (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+                         * sqrt(list_sum(list_transform(range(1, len(centv) + 1),
+                             i -> CAST(centv[i] AS DOUBLE) * CAST(centv[i] AS DOUBLE)))))
+                        DESC, centroid_id) AS rn
+      FROM corpus, cent
+    ), assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM assign_scored WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE (list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))
+            / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                 i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+            >= {_SEM_TAU}
+    )
+    SELECT a.vec_id, a.centroid_id,
+           d.vec_id IS NULL AS kept
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    ORDER BY a.vec_id
+    """,
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: assign every embedding to its
+    nearest (cosine) centroid, then prune ONLY within clusters — a
+    document is dropped when a lower-id clustermate sits within cosine
+    ≥ 0.99. Published recipe (SemDeDup, Abbas et al. 2023): clustering
+    makes the quadratic step local, so total cost is |corpus| × k for
+    assignment plus Σ|cluster|², never |corpus|².
+
+    Plan shape: centroids are a broadcast side (tiny by construction);
+    assignment is one broadcast join + per-row argmax (max_by over the
+    cluster candidates — one shuffle on vec_id); the prune self-join
+    shuffles on centroid_id only. Deterministic centroids (vec_id % 20)
+    stand in for the k-means trainer (operators/ann_index.py) so the
+    full pipeline — including which near-dup of a pair survives — is
+    reproduced in the SQL oracle and hash-checked."""
+    from log2sql_spark.operators.similarity import cosine
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    variants = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x.cast("double") * (1 + 0.01 * ((i % 3) - 1))
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(variants)
+    centroids = base.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centv")
+    )
+
+    scored = corpus.join(F.broadcast(centroids)).withColumn(
+        "cos_c", cosine(F.col("embedding"), F.col("centv"))
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.first("embedding").alias("embedding"),
+        F.max_by(
+            F.col("centroid_id"),
+            F.struct(F.col("cos_c"), -F.col("centroid_id")),
+        ).alias("centroid_id"),
+    )
+
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("centroid_id").alias("cid"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("centroid_id").alias("cid"),
+        F.col("embedding").alias("emb_b"),
+    )
+    dropped = (
+        a.join(b, (a.cid == b.cid) & (F.col("id_a") < F.col("id_b")))
+        .filter(cosine(F.col("emb_a"), F.col("emb_b")) >= _SEM_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and dense rankings
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOPN = 50
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             (SELECT avg(CAST(dl AS DOUBLE)) FROM doclen) AS avgdl
+      FROM documents
+    ),
+    qterms AS (SELECT unnest(['spark', 'hash', 'window', 'merge']) AS tok),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM toks JOIN qterms USING (tok) GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM toks JOIN qterms USING (tok) GROUP BY tok
+    ),
+    bm25 AS (
+      SELECT doc_id,
+             round(sum(
+               ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl / s.avgdl))
+             ), 6) AS score
+      FROM tf JOIN df USING (tok) JOIN doclen USING (doc_id) CROSS JOIN stats s
+      GROUP BY doc_id
+    ),
+    bm25_rank AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+      FROM bm25 QUALIFY r <= {_RRF_TOPN}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dense AS (
+      SELECT vec_id AS doc_id,
+             round((list_sum(list_transform(range(1, len(embedding) + 1),
+                     i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                   / (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))), 6)
+               AS score
+      FROM embeddings, q WHERE vec_id <> 0
+    ),
+    dense_rank_ AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+      FROM dense QUALIFY r <= {_RRF_TOPN}
+    ),
+    fused AS (
+      SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+             round(coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + b.r), 0)
+                 + coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + d.r), 0), 6) AS rrf,
+             b.r AS bm25_rank, d.r AS dense_rank
+      FROM bm25_rank b FULL OUTER JOIN dense_rank_ d ON b.doc_id = d.doc_id
+    )
+    SELECT doc_id, rrf, bm25_rank, dense_rank
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT 20
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
+    lexical top-50 and the dense-cosine top-50 (query = embedding 0;
+    vec_id doubles as doc_id in the synthetic corpus). RRF needs only
+    the two rank lists — both bounded at top-50, so the fusion join is
+    trivially broadcastable no matter the corpus size; scores round to
+    6dp before ranking so the order is cross-engine deterministic."""
+    from log2sql_spark.operators.dedup import tokens
+    from log2sql_spark.operators.similarity import cosine
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toksdf = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    qterms = spark.createDataFrame([(t,) for t in _QUERY_TERMS_RRF], "tok string")
+
+    doclen = toksdf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
+    )
+    stats = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).crossJoin(
+        doclen.agg(F.avg("dl").alias("avgdl"))
+    )
+    qtoks = toksdf.join(F.broadcast(qterms), "tok")
+    tf = qtoks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_ = qtoks.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("double").alias("df")
+    )
+    k1, b = 1.2, 0.75
+    bm25 = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        1
+                        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    )
+                    * F.col("tf")
+                    * (k1 + 1)
+                    / (
+                        F.col("tf")
+                        + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm25_rank = (
+        bm25.withColumn("r", F.row_number().over(w).cast("long"))
+        .filter(F.col("r") <= _RRF_TOPN)
+        .select("doc_id", F.col("r").alias("bm25_rank"))
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dense = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+    )
+    dense_rank = (
+        dense.withColumn("r", F.row_number().over(w).cast("long"))
+        .filter(F.col("r") <= _RRF_TOPN)
+        .select("doc_id", F.col("r").alias("dense_rank"))
+    )
+
+    fused = (
+        bm25_rank.join(dense_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("bm25_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("dense_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            "bm25_rank",
+            "dense_rank",
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(20)
+    )
+    return fused
+
+
+_QUERY_TERMS_RRF = ("spark", "hash", "window", "merge")

@@ -279,3 +279,49 @@ def mv_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = deletes.unionByName(updates).unionByName(inserts)
     delta = delta_aggregate(changes, ["status"], {"sum_cents": "cents"})
     return apply_delta(mv, delta, ["status"]).orderBy("status")
+
+
+@query(
+    "store_zorder_clustered_scan",
+    oracle="""
+    SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE user_id BETWEEN 100 AND 120
+      AND round(value * 100) BETWEEN 1000 AND 5000
+    ORDER BY user_id, event_id
+    """,
+)
+def store_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout round-trip: events rewritten Morton-clustered on
+    (user_id, cents) — operators/zorder.py — then scanned with a
+    predicate on BOTH dimensions. The oracle reads the raw table, so a
+    single lost/duplicated/reordered row in the rewrite breaks the
+    hash. The layout's point is the read side: after z-ordering, the
+    parquet min/max stats are selective in every clustered dimension
+    (quantified in tests/test_zorder.py: mean per-file second-dimension
+    span shrinks >2× vs single-key range sort), so this 2-D predicate
+    skips files a one-key sort could never skip. Money lands in integer
+    cents BEFORE the rewrite — the clustered copy stores the same
+    bigint both engines filter on."""
+    import os
+
+    from log2sql_spark.operators.zorder import zorder_parquet
+    from log2sql_spark.scratch import scratch_dir
+
+    events = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    path = os.path.join(scratch_dir("log2sql_zorder_"), "events_z")
+    events.write.mode("overwrite").parquet(path)
+    zorder_parquet(spark, path, ["user_id", "cents"], target_file_mb=1)
+
+    return (
+        spark.read.parquet(path)
+        .filter(
+            F.col("user_id").between(100, 120) & F.col("cents").between(1000, 5000)
+        )
+        .select("user_id", "event_id", "cents")
+        .orderBy("user_id", "event_id")
+    )

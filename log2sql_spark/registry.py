@@ -59,6 +59,7 @@ def _load_query_modules() -> None:
     # Imported for their registration side effects.
     from log2sql_spark.queries import (  # noqa: F401
         cdc,
+        curation,
         extra,
         extra2,
         extra3,

@@ -1,0 +1,107 @@
+"""Z-order layout: round-trip exactness + multi-dimensional skipping.
+
+The point of z-ordering is measurable in the parquet footers: after the
+rewrite, per-file min/max ranges must be narrow in EVERY clustered
+dimension, where a plain single-key sort leaves the second dimension's
+per-file range spanning the whole domain (no skipping possible).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _file_ranges(path: str, col: str) -> list[tuple]:
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet") or f.startswith("."):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                    hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+        if lo is not None:
+            ranges.append((lo, hi))
+    return ranges
+
+
+@pytest.fixture()
+def grid_dir(spark, tmp_path) -> str:
+    """10k rows over two independent 0..99 keys (x=id%100, y=id//100%100):
+    a full grid — the worst case for single-key sorting."""
+    path = str(tmp_path / "grid")
+    df = spark.range(10_000).select(
+        (F.col("id") % 100).alias("x"),
+        ((F.col("id") / 100).cast("long") % 100).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    df.repartition(1).write.parquet(path)
+    return path
+
+
+def test_zorder_roundtrip_exact(spark, grid_dir):
+    from log2sql_spark.operators.zorder import zorder_parquet
+
+    before = {(r.x, r.y, r.payload) for r in spark.read.parquet(grid_dir).collect()}
+    n = zorder_parquet(spark, grid_dir, ["x", "y"], target_file_mb=1)
+    after = {(r.x, r.y, r.payload) for r in spark.read.parquet(grid_dir).collect()}
+    assert after == before
+    assert n >= 1
+
+
+def test_zorder_clusters_both_dims(spark, tmp_path):
+    """With 16 files over a 100×100 independent grid: sort-by-x leaves
+    every file's y-range ≈ the full domain; z-order must shrink the
+    mean y-range by at least 2× while keeping x clustered too."""
+    from log2sql_spark.operators.zorder import zorder_key
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 100).alias("x"),
+        ((F.col("id") / 100).cast("long") % 100).alias("y"),
+    )
+
+    sorted_dir = str(tmp_path / "byx")
+    df.repartitionByRange(16, "x").write.parquet(sorted_dir)
+
+    z_dir = str(tmp_path / "byz")
+    z = zorder_key(df, ["x", "y"])
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(16, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.parquet(z_dir)
+    )
+
+    def mean_width(path, col):
+        rs = _file_ranges(path, col)
+        assert rs, f"no stats for {col} in {path}"
+        return sum(hi - lo for lo, hi in rs) / len(rs)
+
+    y_sorted = mean_width(sorted_dir, "y")
+    y_z = mean_width(z_dir, "y")
+    x_z = mean_width(z_dir, "x")
+    # sort-by-x cannot skip on y (full 0..99 span per file);
+    # z-order must be selective on BOTH dimensions.
+    assert y_sorted > 90
+    assert y_z < y_sorted / 2
+    assert x_z < 60
+
+
+def test_zorder_key_rejects_bad_arity(spark):
+    from log2sql_spark.operators.zorder import zorder_key
+
+    df = spark.range(10).select(F.col("id").alias("a"))
+    with pytest.raises(ValueError):
+        zorder_key(df, [])
+    with pytest.raises(ValueError):
+        zorder_key(df, ["a"] * 5)
