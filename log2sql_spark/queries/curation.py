@@ -528,3 +528,97 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QUERY_TERMS_RRF = ("spark", "hash", "window", "merge")
+
+
+# --------------------------------------------------------------------------
+# Temperature-based mixture resampling
+# --------------------------------------------------------------------------
+
+_MIX_T = 0.5  # temperature exponent: sqrt-flattening toward the median source
+
+
+@query(
+    "llm_mix_temperature_resample",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ), per_src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS toks
+      FROM tok GROUP BY source
+    ), tot AS (SELECT CAST(sum(toks) AS DOUBLE) AS all_toks,
+                      median(toks / (SELECT CAST(sum(toks) AS DOUBLE) FROM per_src))
+                        AS med_share
+               FROM per_src),
+    probs AS (
+      SELECT source, n_docs, toks,
+             least(1.0, sqrt(t.med_share / (toks / t.all_toks))) AS keep_prob
+      FROM per_src, tot t
+    ), kept AS (
+      SELECT k.source, count(*) AS n_kept
+      FROM tok k JOIN probs p ON k.source = p.source
+      WHERE ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT
+            / CAST(1152921504606846976 AS DOUBLE) < p.keep_prob
+      GROUP BY k.source
+    )
+    SELECT p.source, p.n_docs, p.toks,
+           round(p.keep_prob, 6) AS keep_prob,
+           CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+    FROM probs p LEFT JOIN kept USING (source)
+    ORDER BY p.source
+    """,
+)
+def llm_mix_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture resampling: over-represented
+    sources are hash-deterministically downsampled so token shares move
+    toward the median source — keep_prob = min(1, (median_share /
+    share)^T) with T=0.5, the standard sqrt-flattening. Every step is
+    cross-engine exact: shares are integer-token ratios, the median of
+    20 per-source shares is order-insensitive, and the accept decision
+    hashes doc_id through md5 into [0,1) — so which documents survive
+    is reproduced by the oracle, not just how many. One token-count
+    pass, one tiny per-source aggregate broadcast back — no shuffle of
+    document text at all."""
+    from log2sql_spark.operators.dedup import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    per_src = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("toks")
+    )
+    # median share needs all_toks first; two tiny broadcastable steps.
+    all_toks = per_src.agg(F.sum("toks").cast("double").alias("all_toks"))
+    shares = per_src.crossJoin(F.broadcast(all_toks)).withColumn(
+        "share", F.col("toks") / F.col("all_toks")
+    )
+    med = shares.agg(F.median("share").alias("med_share"))
+    probs = shares.crossJoin(F.broadcast(med)).withColumn(
+        "keep_prob",
+        F.least(F.lit(1.0), F.sqrt(F.col("med_share") / F.col("share"))),
+    )
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    ) / F.lit(float(1 << 60))
+    kept = (
+        tok.join(
+            F.broadcast(probs.select("source", "keep_prob")), "source"
+        )
+        .filter(u < F.col("keep_prob"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        probs.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "toks",
+            F.round("keep_prob", 6).alias("keep_prob"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )

@@ -255,3 +255,61 @@ def ts_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+@query(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT event_type, median(n) AS med_n FROM daily GROUP BY event_type
+    ), mad AS (
+      SELECT d.event_type, median(abs(d.n - m.med_n)) AS mad_n
+      FROM daily d JOIN med m USING (event_type)
+      GROUP BY d.event_type
+    )
+    SELECT d.event_type, d.day, d.n,
+           round(m.med_n, 6) AS med_n, round(a.mad_n, 6) AS mad_n
+    FROM daily d
+    JOIN med m ON d.event_type = m.event_type
+    JOIN mad a ON d.event_type = a.event_type
+    WHERE abs(d.n - m.med_n) > 3 * a.mad_n AND a.mad_n > 0
+    ORDER BY d.event_type, d.day
+    """,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust time-series anomaly detection: a day is anomalous for an
+    event type when its event count sits more than 3 median-absolute-
+    deviations from that type's median day. Median/MAD (not mean/σ) so
+    the detector isn't poisoned by the very outliers it hunts. Shape:
+    one map-side-combined daily rollup, then two aggregates over the
+    tiny (type × day) series joined back — the raw events are read
+    once. Counts are integers and both engines define median of an
+    even set as the midpoint, so the flag decisions are exact."""
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    med = daily.groupBy("event_type").agg(F.median("n").alias("med_n"))
+    withmed = daily.join(F.broadcast(med), "event_type")
+    mad = withmed.groupBy("event_type").agg(
+        F.median(F.abs(F.col("n") - F.col("med_n"))).alias("mad_n")
+    )
+    return (
+        withmed.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.abs(F.col("n") - F.col("med_n")) > 3 * F.col("mad_n"))
+            & (F.col("mad_n") > 0)
+        )
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round("med_n", 6).alias("med_n"),
+            F.round("mad_n", 6).alias("mad_n"),
+        )
+        .orderBy("event_type", "day")
+    )
