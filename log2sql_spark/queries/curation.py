@@ -330,6 +330,9 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("cos_c"), -F.col("centroid_id")),
         ).alias("centroid_id"),
     )
+    # Both sides of the prune self-join and the final keep-flag join
+    # read `assigned`; persist so assignment runs once.
+    assigned = assigned.persist()
 
     a = assigned.select(
         F.col("vec_id").alias("id_a"),
@@ -578,35 +581,45 @@ def llm_mix_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine exact: shares are integer-token ratios, the median of
     20 per-source shares is order-insensitive, and the accept decision
     hashes doc_id through md5 into [0,1) — so which documents survive
-    is reproduced by the oracle, not just how many. One token-count
-    pass, one tiny per-source aggregate broadcast back — no shuffle of
+    is reproduced by the oracle, not just how many. Two passes over the
+    cached token counts (one aggregate, one filtered count) and a
+    driver-side decision table re-broadcast as literals — no shuffle of
     document text at all."""
+    import math
+    import statistics
+
     from log2sql_spark.operators.dedup import tokens
 
     docs = load_table(spark, "documents", sf_dir)
     tok = docs.select(
         "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
     )
+    tok = tok.persist()
+    # The mixture decision table is |sources| rows by construction —
+    # ONE aggregate collects it, and the share/median/keep_prob math
+    # runs driver-side in IEEE doubles (bit-identical to the engines'),
+    # so the corpus is scanned exactly twice with zero mid-plan joins.
     per_src = tok.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("toks")
-    )
-    # median share needs all_toks first; two tiny broadcastable steps.
-    all_toks = per_src.agg(F.sum("toks").cast("double").alias("all_toks"))
-    shares = per_src.crossJoin(F.broadcast(all_toks)).withColumn(
-        "share", F.col("toks") / F.col("all_toks")
-    )
-    med = shares.agg(F.median("share").alias("med_share"))
-    probs = shares.crossJoin(F.broadcast(med)).withColumn(
-        "keep_prob",
-        F.least(F.lit(1.0), F.sqrt(F.col("med_share") / F.col("share"))),
+    ).collect()
+    all_toks = float(sum(r.toks for r in per_src))
+    shares = {r.source: r.toks / all_toks for r in per_src}
+    med_share = statistics.median(shares.values())
+    keep_prob = {
+        s: min(1.0, math.sqrt(med_share / sh)) for s, sh in shares.items()
+    }
+    probs = spark.createDataFrame(
+        [
+            (r.source, int(r.n_docs), int(r.toks), keep_prob[r.source])
+            for r in per_src
+        ],
+        "source string, n_docs long, toks long, keep_prob double",
     )
     u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
         "long"
     ) / F.lit(float(1 << 60))
     kept = (
-        tok.join(
-            F.broadcast(probs.select("source", "keep_prob")), "source"
-        )
+        tok.join(F.broadcast(probs.select("source", "keep_prob")), "source")
         .filter(u < F.col("keep_prob"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))

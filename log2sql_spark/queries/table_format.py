@@ -325,3 +325,49 @@ def store_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "cents")
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "store_bloom_pruned_lookup",
+    oracle="""
+    SELECT o_custkey AS cust, o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey < 5000 AND o_custkey IN (37, 101, 250)
+    ORDER BY cust, k
+    """,
+)
+def store_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-key point lookup through the store's bloom sidecar
+    index (store/bloom_index.py). The store is range-clustered on the
+    PRIMARY key (o_orderkey), so manifest min/max stats can't prune a
+    customer lookup — the per-file bloom bitmaps (1 KiB each) can:
+    only files whose filter claims the probed customers are read, then
+    the exact IN-filter applies on the superset (bloom false positives
+    cost I/O, never correctness; false negatives are impossible since
+    bitmaps are built from the files' actual values). The oracle reads
+    the raw table, so index staleness or a lost row breaks the hash.
+    Pruning power is asserted file-by-file in tests/test_bloom_index.py."""
+    from log2sql_spark.store import SnapshotStore
+    from log2sql_spark.store.bloom_index import build_bloom_index, read_bloom_pruned
+
+    store = SnapshotStore(scratch_dir("log2sql_bloomstore_"))
+    base = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") < 5000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("cust"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    store.commit(base, mode="overwrite", cluster_by="k", target_files=8)
+    build_bloom_index(spark, store, "cust")
+
+    probes = [37, 101, 250]
+    return (
+        read_bloom_pruned(spark, store, "cust", probes)
+        .filter(F.col("cust").isin(probes))
+        .select("cust", "k", "cents")
+        .orderBy("cust", "k")
+    )
