@@ -635,3 +635,142 @@ def llm_mix_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation disposition
+# --------------------------------------------------------------------------
+
+_E2E_MIN_TOKENS = 35
+
+
+@query(
+    "llm_curation_e2e",
+    oracle=rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 450
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 100
+    ), t AS (
+      SELECT doc_id, text,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id
+      FROM corpus
+    ), grams_of AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+               i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                    regexp_split_to_array(trim(text), '\s+')[i+2]))) AS gram
+      FROM corpus
+    ), eval_grams AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+               i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                    regexp_split_to_array(trim(text), '\s+')[i+2]))) AS gram
+      FROM documents WHERE doc_id >= 450
+    ), gstats AS (
+      SELECT g.doc_id,
+             count(*) AS n_grams,
+             count(e.gram) AS n_shared
+      FROM grams_of g LEFT JOIN eval_grams e ON g.gram = e.gram
+      GROUP BY g.doc_id
+    ), d AS (
+      SELECT t.doc_id, t.n_tokens, t.keeper_id,
+             coalesce(s.n_grams, 0) AS n_grams,
+             coalesce(s.n_shared, 0) AS n_shared,
+             ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || ':split-v1'), 1, 15))::BIGINT
+               % 100 AS bucket
+      FROM t LEFT JOIN gstats s ON t.doc_id = s.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CASE
+             WHEN n_tokens < {_E2E_MIN_TOKENS} THEN 'too_short'
+             WHEN keeper_id <> doc_id THEN 'duplicate'
+             WHEN n_shared * 20 >= n_grams THEN 'contaminated'
+             WHEN bucket < 90 THEN 'train'
+             WHEN bucket < 95 THEN 'val'
+             ELSE 'test'
+           END AS disposition
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def llm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation funnel as ONE query: quality gate (token
+    floor) → exact-dup keeper policy → eval-set decontamination (≥5%
+    shared distinct 3-grams) → deterministic 90/5/5 split, with the
+    FIRST failing stage as each document's disposition. Composes the
+    already-verified operators (exact_dedup, contamination_check's
+    integer threshold, split_assign) over a corpus with planted exact
+    copies; every per-doc verdict — including which twin of a dup pair
+    survives and which split a survivor lands in — is reproduced by
+    the oracle. Plan shape: the dup stage shuffles 16-byte digests,
+    the contamination probe broadcasts the eval gram set, the split is
+    per-row hash arithmetic; document text itself is never joined."""
+    from log2sql_spark.operators.dedup import word_ngrams
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 450).unionByName(
+        docs.filter(F.col("doc_id") < 100).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = corpus.select(
+        "doc_id",
+        "text",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("keeper_id"),
+    )
+
+    grams_of = corpus.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), n=3)).alias("gram")
+    )
+    eval_grams = (
+        docs.filter(F.col("doc_id") >= 450)
+        .select(F.explode(word_ngrams(F.col("text"), n=3)).alias("gram"))
+        .distinct()
+    )
+    gstats = (
+        grams_of.join(F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_shared"),
+        )
+    )
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split-v1"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    d = base.join(gstats, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "keeper_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        bucket.alias("bucket"),
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") < _E2E_MIN_TOKENS, "too_short")
+        .when(F.col("keeper_id") != F.col("doc_id"), "duplicate")
+        .when(F.col("n_shared") * 20 >= F.col("n_grams"), "contaminated")
+        .when(F.col("bucket") < 90, "train")
+        .when(F.col("bucket") < 95, "val")
+        .otherwise("test")
+        .alias("disposition"),
+    ).orderBy("doc_id")
