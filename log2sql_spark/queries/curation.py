@@ -774,3 +774,118 @@ def llm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("disposition"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization dedup
+# --------------------------------------------------------------------------
+
+_URL_SYNTH_SQL = """
+      SELECT doc_id,
+             'HTTP://Example' || CAST(doc_id % 20 AS VARCHAR) || '.COM'
+             || CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END
+             || '/Path/' || CAST(doc_id % 50 AS VARCHAR)
+             || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+             || '?utm_source=feed&b=' || CAST(doc_id % 5 AS VARCHAR)
+             || '&a=' || CAST(doc_id % 7 AS VARCHAR)
+             || CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END AS url
+      FROM documents
+"""
+
+
+@query(
+    "llm_dedup_url_canonical",
+    oracle=rf"""
+    WITH raw AS ({_URL_SYNTH_SQL}),
+    s AS (
+      SELECT doc_id, regexp_replace(url, '#.*$', '') AS base FROM raw
+    ), parts AS (
+      SELECT doc_id, base,
+             regexp_replace(lower(regexp_extract(base,
+               '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)), ':80$', '') AS origin,
+             regexp_replace(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?]*)', 1),
+               '/+$', '') AS path,
+             regexp_extract(base, '\?(.*)$', 1) AS qs
+      FROM s
+    ), canon AS (
+      SELECT doc_id,
+             origin || path ||
+             CASE WHEN array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                        p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') <> ''
+                  THEN '?' || array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                        p -> NOT starts_with(p, 'utm_') AND p <> '')), '&')
+                  ELSE '' END AS canonical_url
+      FROM parts
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id
+    FROM canon
+    GROUP BY canonical_url
+    HAVING count(*) >= 2
+    ORDER BY canonical_url
+    """,
+)
+def llm_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup by canonicalization — the crawl-curation step
+    that collapses scheme/host case, default :80 ports, trailing
+    slashes, fragments, tracking (utm_*) params, and query-param order
+    into one canonical form before content ever downloads. URLs are
+    synthesized deterministically from doc_id (the corpus has no URL
+    column) with all six variance axes planted; every canonicalization
+    rule is an anchored single-match regex or an array op, identical
+    in both engines, so group membership and the keeper choice are
+    hash-checked. Map-only until the final groupBy on the canonical
+    string — at crawl scale the shuffle carries (url, id), never
+    content."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    url = F.concat(
+        F.lit("HTTP://Example"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".COM"),
+        F.when(F.col("doc_id") % 3 == 0, ":80").otherwise(""),
+        F.lit("/Path/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, "/").otherwise(""),
+        F.lit("?utm_source=feed&b="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&a="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, "#sec").otherwise(""),
+    )
+    base = F.regexp_replace(url, r"#.*$", "")
+    origin = F.regexp_replace(
+        F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)),
+        r":80$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?]*)", 1),
+        r"/+$",
+        "",
+    )
+    qs = F.regexp_extract(base, r"\?(.*)$", 1)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(qs, "&"),
+                lambda p: (~p.startswith("utm_")) & (p != ""),
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        origin,
+        path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(""),
+    )
+    return (
+        docs.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .filter(F.col("n_variants") >= 2)
+        .orderBy("canonical_url")
+    )
