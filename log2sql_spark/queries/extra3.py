@@ -866,3 +866,65 @@ def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus, o_orderpriority
         """
     )
+
+
+@query(
+    "source_binaryfile_scan",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(0, 12)) AS img_id),
+    built AS (
+      SELECT img_id,
+             'P2' || chr(10) || '4 3' || chr(10) || '255' || chr(10) ||
+             array_to_string(list_transform(range(0, 12),
+               i -> CAST((img_id * 31 + i * 7) % 256 AS VARCHAR)), ' ') || chr(10)
+               AS content
+      FROM ids
+    )
+    SELECT CAST(img_id AS BIGINT) AS img_id,
+           CAST(length(content) AS BIGINT) AS n_bytes,
+           4 AS width, 3 AS height,
+           md5(content) AS content_md5
+    FROM built
+    ORDER BY img_id
+    """,
+)
+def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``binaryFile`` source — the ingest path for
+    opaque multimodal payloads (operators/multimodal.py consumes the
+    same (path, content) shape). Twelve ASCII PGM (P2) images are
+    generated deterministically, scanned back as (path, length,
+    content) rows, and the header dims are parsed from the decoded
+    bytes. ASCII-only payloads make the files reconstructible in SQL,
+    so the oracle rebuilds every byte and the md5 proves the source
+    delivered content exactly — length metadata, bytes, and filename
+    mapping all checked. At scale binaryFile parallelizes per file and
+    prunes on pathGlobFilter/modifiedAfter before any byte is read."""
+    out_dir = os.path.join(scratch_dir("log2sql_binsrc_"), "pgm")
+    os.makedirs(out_dir, exist_ok=True)
+    for img_id in range(12):
+        pixels = " ".join(str((img_id * 31 + i * 7) % 256) for i in range(12))
+        with open(os.path.join(out_dir, f"img_{img_id:02d}.pgm"), "w") as fh:
+            fh.write(f"P2\n4 3\n255\n{pixels}\n")
+
+    scan = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pgm")
+        .load(out_dir)
+    )
+    text = F.decode(F.col("content"), "UTF-8")
+    return (
+        scan.select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.pgm$", 1)
+            .cast("long")
+            .alias("img_id"),
+            F.col("length").alias("n_bytes"),
+            F.regexp_extract(text, r"^P2\n(\d+) (\d+)\n", 1)
+            .cast("int")
+            .alias("width"),
+            F.regexp_extract(text, r"^P2\n(\d+) (\d+)\n", 2)
+            .cast("int")
+            .alias("height"),
+            F.md5("content").alias("content_md5"),
+        )
+        .orderBy("img_id")
+    )

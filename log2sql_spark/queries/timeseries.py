@@ -313,3 +313,69 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "ts_ewma_smooth",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), series AS (
+      SELECT event_type,
+             list(CAST(cents AS DOUBLE) ORDER BY day) AS s,
+             list(day ORDER BY day) AS days
+      FROM daily GROUP BY event_type
+    ), e AS (
+      SELECT event_type, s, days, unnest(range(1, len(s) + 1)) AS i FROM series
+    )
+    SELECT event_type,
+           days[CAST(i AS INTEGER)] AS day,
+           CAST(s[CAST(i AS INTEGER)] AS BIGINT) AS cents,
+           round(list_reduce(s[1:CAST(i AS INTEGER)],
+                             (acc, x) -> acc * 0.7 + x * 0.3), 6) AS ewma
+    FROM e
+    ORDER BY event_type, day
+    """,
+)
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=0.3) of daily
+    revenue per event type — the smoothing pass dashboards and
+    anomaly baselines run. EWMA is an ORDER-SENSITIVE sequential fold,
+    which distributed engines must make deterministic explicitly: the
+    per-type series is sort_array-ed once (collect_list alone has no
+    order guarantee under shuffle), then each day's value is a left
+    fold over its prefix with identical IEEE arithmetic in both
+    engines — so even the running state hash-matches, not just the
+    final smoothed point. Per-type series are day-bounded, so the
+    quadratic prefix fold is a few thousand multiplies per group."""
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(_CENTS("value")).cast("long").alias("cents"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("rows")
+    )
+    s = F.transform("rows", lambda r: r.cents.cast("double"))
+    exploded = series.select(
+        "event_type",
+        s.alias("s"),
+        F.transform("rows", lambda r: r.day).alias("days"),
+        F.posexplode(F.sequence(F.lit(1), F.size("rows"))).alias("_p", "i"),
+    )
+    prefix = F.slice("s", 1, F.col("i"))
+    ewma = F.aggregate(
+        F.slice(prefix, 2, F.col("i") - 1),
+        F.element_at(prefix, 1),
+        lambda acc, x: acc * 0.7 + x * 0.3,
+    )
+    return (
+        exploded.select(
+            "event_type",
+            F.element_at("days", F.col("i")).alias("day"),
+            F.element_at("s", F.col("i")).cast("long").alias("cents"),
+            F.round(ewma, 6).alias("ewma"),
+        )
+        .orderBy("event_type", "day")
+    )
