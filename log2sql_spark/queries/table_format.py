@@ -371,3 +371,49 @@ def store_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cust", "k", "cents")
         .orderBy("cust", "k")
     )
+
+
+@query(
+    "store_zorder_box_read",
+    oracle="""
+    SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE user_id BETWEEN 40 AND 60
+      AND round(value * 100) BETWEEN 2000 AND 6000
+    ORDER BY user_id, event_id
+    """,
+)
+def store_zorder_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-order STORE layout end-to-end: events committed with
+    ``layout="zorder"`` on (user_id, cents) — per-file [min, max] stats
+    for BOTH dimensions land in the manifest — then read back through
+    ``read_pruned_box`` with a 2-D box and the exact filter applied on
+    the superset. The oracle reads the raw table, so any row the
+    box-prune wrongly skipped breaks the hash; per-dimension skipping
+    power (and the pruned MERGE on the leading dimension) is asserted
+    file-by-file in tests/test_zorder.py. This is what a hypertable-
+    style (tenant, metric) or (time, key) workload needs: one layout
+    serving selective reads on EITHER column."""
+    from log2sql_spark.store import SnapshotStore
+
+    store = SnapshotStore(scratch_dir("log2sql_zboxstore_"))
+    events = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    store.commit(
+        events,
+        mode="overwrite",
+        cluster_by=["user_id", "cents"],
+        layout="zorder",
+        target_files=8,
+    )
+    return (
+        store.read_pruned_box(spark, {"user_id": (40, 60), "cents": (2000, 6000)})
+        .filter(
+            F.col("user_id").between(40, 60) & F.col("cents").between(2000, 6000)
+        )
+        .select("user_id", "event_id", "cents")
+        .orderBy("user_id", "event_id")
+    )

@@ -97,6 +97,22 @@ class Snapshot:
             for e in self.entries
         )
 
+    @property
+    def zorder_cols(self) -> list[str]:
+        """The z-order dimensions (cluster_by holds them comma-joined)."""
+        if self.layout != "zorder" or not self.cluster_by:
+            return []
+        return self.cluster_by.split(",")
+
+    def has_dim_stats(self, col: str) -> bool:
+        """True when every entry carries [min, max] stats for ``col``
+        (the per-dimension skipping index of the zorder layout)."""
+        return bool(self.entries) and all(
+            (e.get("stats") or {}).get(col) is not None
+            and (e["stats"][col][0] is not None)
+            for e in self.entries
+        )
+
 
 class SnapshotStore:
     def __init__(self, path: str):
@@ -255,6 +271,48 @@ class SnapshotStore:
                 )
         return entries
 
+    def _write_data_zorder(
+        self, df: DataFrame, version: int, cols: list[str], target_files: int
+    ) -> list[dict]:
+        """Morton z-order layout: files range-partitioned on the
+        interleaved z-value (operators/zorder.py), with per-file
+        [min, max] stats recorded for EVERY dimension — the multi-
+        dimensional skipping index. A predicate on ANY clustered
+        column prunes files; a single-key range sort can only ever
+        skip on its one key."""
+        from log2sql_spark.operators.zorder import zorder_key
+
+        data_root = os.path.join(self.path, "data")
+        os.makedirs(data_root, exist_ok=True)
+        data_abs = tempfile.mkdtemp(prefix=f"v{version}-", dir=data_root)
+        z = zorder_key(df, cols)
+        (
+            df.withColumn("_z", z)
+            .repartitionByRange(target_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite")
+            .parquet(data_abs)
+        )
+        entries = []
+        for name in sorted(os.listdir(data_abs)):
+            if not name.endswith(".parquet") or name.startswith(("_", ".")):
+                continue
+            fpath = os.path.join(data_abs, name)
+            stats = {}
+            for c in cols:
+                lo, hi = self._footer_bounds(fpath, c)
+                stats[c] = [lo, hi]
+            entries.append(
+                {
+                    "path": os.path.relpath(fpath, self.path),
+                    "min": None,
+                    "max": None,
+                    "stats": stats,
+                }
+            )
+        return entries
+
     def commit(
         self,
         df: DataFrame,
@@ -275,13 +333,21 @@ class SnapshotStore:
         buckets — best for arbitrary string/uuid keys)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-        if layout not in ("range", "hash"):
-            raise ValueError(f"layout must be range|hash, got {layout!r}")
+        if layout not in ("range", "hash", "zorder"):
+            raise ValueError(f"layout must be range|hash|zorder, got {layout!r}")
+        if isinstance(cluster_by, (list, tuple)):
+            cluster_by = ",".join(cluster_by)
+        if layout == "zorder" and (cluster_by is None or "," not in cluster_by):
+            raise ValueError("zorder layout needs >=2 comma-separated cluster_by cols")
         parent = self.head_version()
         version = 1 if parent is None else parent + 1
         n_buckets = target_files if layout == "hash" else None
         if cluster_by is not None and layout == "hash":
             entries = self._write_data_hash(df, version, cluster_by, target_files)
+        elif cluster_by is not None and layout == "zorder":
+            entries = self._write_data_zorder(
+                df, version, cluster_by.split(","), target_files
+            )
         else:
             entries = self._write_data(df, version, cluster_by, target_files)
         if mode == "append" and parent is not None:
@@ -380,6 +446,46 @@ class SnapshotStore:
             df = df.drop("_bucket")
         return df
 
+    def read_pruned_box(
+        self,
+        spark: SparkSession,
+        preds: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Multi-dimensional data skipping on a zorder-clustered
+        snapshot: ``preds`` maps dimension -> (lo, hi) inclusive bounds
+        (either side None for open); only files whose per-dimension
+        [min, max] stats overlap EVERY given interval are read. This is
+        the read-side payoff of the z-order layout — a predicate on any
+        clustered dimension skips files, where the range layout can only
+        skip on its single key. Superset read: apply the exact filter on
+        the result."""
+        version = self.head_version() if version is None else version
+        snap = self.snapshot(version)
+        usable = {
+            c: b
+            for c, b in preds.items()
+            if c in snap.zorder_cols and snap.has_dim_stats(c)
+        }
+        if not usable or not snap.entries:
+            return self.read(spark, version)
+
+        def overlaps(e: dict) -> bool:
+            for c, (plo, phi) in usable.items():
+                lo, hi = e["stats"][c]
+                if phi is not None and lo > phi:
+                    return False
+                if plo is not None and hi < plo:
+                    return False
+            return True
+
+        keep = [e for e in snap.entries if overlaps(e)]
+        if not keep:
+            return self.read(spark, version).limit(0)
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, e["path"]) for e in keep]
+        )
+
     def _buckets_of(self, spark: SparkSession, snap: Snapshot, values: list) -> set:
         """Buckets the given key values hash into (one tiny Spark job —
         xxhash64 lives JVM-side; |values| is small by contract)."""
@@ -423,7 +529,16 @@ class SnapshotStore:
             return self._merge_hash(
                 spark, snap, changes, keys[0], version_cols, op_col, delete_op
             )
-        pruned = key_matches and snap.layout == "range" and snap.has_stats
+        # A zorder store prunes merges on its LEADING dimension (its
+        # entries carry per-dimension stats instead of flat min/max).
+        zorder_keyed = (
+            snap.layout == "zorder"
+            and len(keys) == 1
+            and snap.zorder_cols
+            and keys[0] == snap.zorder_cols[0]
+            and snap.has_dim_stats(keys[0])
+        )
+        pruned = (key_matches and snap.layout == "range" and snap.has_stats) or zorder_keyed
         if not pruned:
             merged = merge_into(
                 self.read(spark), changes, key_cols, version_cols, op_col, delete_op
@@ -437,6 +552,12 @@ class SnapshotStore:
             )
 
         key = keys[0]
+
+        def ebounds(e: dict) -> tuple:
+            if zorder_keyed:
+                return tuple(e["stats"][key])
+            return e["min"], e["max"]
+
         bounds = changes.agg(
             F.min(key).alias("lo"), F.max(key).alias("hi")
         ).head()
@@ -446,7 +567,9 @@ class SnapshotStore:
             touched, untouched = [], list(snap.entries)
         else:
             touched = [
-                e for e in snap.entries if not (e["max"] < lo or e["min"] > hi)
+                e
+                for e in snap.entries
+                if not (ebounds(e)[1] < lo or ebounds(e)[0] > hi)
             ]
             touched_paths = {e["path"] for e in touched}
             untouched = [
@@ -460,9 +583,14 @@ class SnapshotStore:
             base = self.read(spark, parent).limit(0)
         merged = merge_into(base, changes, keys, version_cols, op_col, delete_op)
         version = parent + 1
-        new_entries = self._write_data(
-            merged, version, snap.cluster_by, max(1, len(touched))
-        )
+        if zorder_keyed:
+            new_entries = self._write_data_zorder(
+                merged, version, snap.zorder_cols, max(1, len(touched))
+            )
+        else:
+            new_entries = self._write_data(
+                merged, version, snap.cluster_by, max(1, len(touched))
+            )
         self._publish(
             {
                 "version": version,
@@ -471,6 +599,8 @@ class SnapshotStore:
                 "entries": untouched + new_entries,
                 "cluster_by": snap.cluster_by,
                 "schema": merged.schema.json(),
+                "layout": snap.layout,
+                "n_buckets": snap.n_buckets,
             }
         )
         return version

@@ -105,3 +105,108 @@ def test_zorder_key_rejects_bad_arity(spark):
         zorder_key(df, [])
     with pytest.raises(ValueError):
         zorder_key(df, ["a"] * 5)
+
+
+# ---- zorder as a SnapshotStore layout ------------------------------------
+
+
+def _zstore(spark, tmp_path, n_files=16):
+    from log2sql_spark.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "zstore"))
+    df = spark.range(20_000).select(
+        (F.col("id") % 100).alias("x"),
+        ((F.col("id") / 100).cast("long") % 100).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    store.commit(
+        df, mode="overwrite", cluster_by=["x", "y"], layout="zorder",
+        target_files=n_files,
+    )
+    return store, df
+
+
+def test_zorder_store_roundtrip_and_box_prune(spark, tmp_path):
+    store, df = _zstore(spark, tmp_path)
+    assert store.read(spark).count() == 20_000
+
+    snap = store.snapshot(store.head_version())
+    assert snap.zorder_cols == ["x", "y"]
+    assert snap.has_dim_stats("x") and snap.has_dim_stats("y")
+    n_files = len(snap.entries)
+
+    # A 2-D box must skip most files AND return exactly the right rows.
+    got = (
+        store.read_pruned_box(spark, {"x": (10, 19), "y": (30, 39)})
+        .filter(F.col("x").between(10, 19) & F.col("y").between(30, 39))
+        .count()
+    )
+    want = df.filter(F.col("x").between(10, 19) & F.col("y").between(30, 39)).count()
+    assert got == want
+
+    def kept(preds):
+        s = store.snapshot(store.head_version())
+        n = 0
+        for e in s.entries:
+            ok = True
+            for c, (lo, hi) in preds.items():
+                elo, ehi = e["stats"][c]
+                if elo > hi or ehi < lo:
+                    ok = False
+            n += ok
+        return n
+
+    # Each single dimension prunes on its own — impossible for a
+    # single-key range sort on x (y-ranges would span the domain).
+    assert kept({"x": (10, 19)}) < n_files
+    assert kept({"y": (30, 39)}) < n_files
+    assert kept({"x": (10, 19), "y": (30, 39)}) <= min(
+        kept({"x": (10, 19)}), kept({"y": (30, 39)})
+    )
+
+
+def test_zorder_store_pruned_merge_on_leading_dim(spark, tmp_path):
+    from log2sql_spark.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "zmerge"))
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"),  # unique leading dim = the merge key
+        ((F.col("id") / 100).cast("long") % 100).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    store.commit(
+        df, mode="overwrite", cluster_by=["k", "y"], layout="zorder",
+        target_files=16,
+    )
+    v1 = store.head_version()
+    parent_paths = {e["path"] for e in store.snapshot(v1).entries}
+
+    changes = (
+        df.filter(F.col("k").between(500, 799))
+        .select("k", "y", (F.col("payload") + 1_000_000).alias("payload"))
+        .withColumn("op", F.lit("update"))
+        .withColumn("seq", F.lit(1))
+    )
+    v2 = store.merge(spark, changes, key_cols=["k"], version_cols="seq")
+    snap2 = store.snapshot(v2)
+    carried = {e["path"] for e in snap2.entries} & parent_paths
+    assert len(carried) > 0, "narrow merge rewrote every file"
+    assert snap2.layout == "zorder"
+    got = store.read(spark, v2)
+    assert got.count() == 20_000
+    assert (
+        got.filter(F.col("k").between(500, 799))
+        .filter(F.col("payload") < 1_000_000)
+        .count()
+        == 0
+    ), "merge missed an updated row"
+    assert store.read(spark, v1).count() == 20_000  # time travel intact
+
+
+def test_zorder_store_rejects_single_column(spark, tmp_path):
+    from log2sql_spark.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "zbad"))
+    df = spark.range(10).select(F.col("id").alias("x"))
+    with pytest.raises(ValueError):
+        store.commit(df, cluster_by="x", layout="zorder")
