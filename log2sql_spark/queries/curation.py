@@ -181,18 +181,21 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     before a driver fold into 4096 longs — the only collect, ≤ m/64
     words by construction. Probe: the bitmap rides into the train scan
     as an array<long> literal; membership is element_at + (>> & 1) bit
-    arithmetic per gram — map-only, no join against the eval side, one
-    final groupBy(doc_id). The oracle reproduces the identical pooled-
+    arithmetic inside a SQL lambda over the per-doc gram array —
+    map-only, no join against the eval side, not even a groupBy (the
+    gram array is already distinct). The oracle reproduces the pooled-
     bit semantics (any eval gram × any hash can set a probed bit), so
     false positives hash-match too."""
     from log2sql_spark.operators.dedup import word_ngrams
 
     docs = load_table(spark, "documents", sf_dir)
-    grams_of = docs.select(
-        "doc_id", F.explode(word_ngrams(F.col("text"), n=3)).alias("gram")
-    )
+    par = spark.sparkContext.defaultParallelism
+    eval_docs = docs.filter(F.col("doc_id") >= 450).select("doc_id", "text")
+    if eval_docs.rdd.getNumPartitions() < par:
+        eval_docs = eval_docs.repartition(par)
     eval_pos = (
-        grams_of.filter(F.col("doc_id") >= 450)
+        eval_docs
+        .select(F.explode(word_ngrams(F.col("text"), n=3)).alias("gram"))
         .select(F.explode(F.array(*_bloom_positions(F.col("gram")))).alias("pos"))
         .distinct()
     )
@@ -202,35 +205,46 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two's-complement fold into signed longs for the JVM literal.
     bitmap = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
 
-    train = grams_of.filter(F.col("doc_id") < 300).withColumn("_bm", bitmap)
-    for i, pos in enumerate(_bloom_positions(F.col("gram"))):
-        train = train.withColumn(f"_pos{i}", pos)
-    hit = F.lit(True)
-    for i in range(len(_BLOOM_SLICES)):
-        # SQL shiftright accepts an expression shift; the PySpark
-        # wrapper only takes an int literal.
-        hit = hit & (
-            F.expr(
-                f"shiftright(element_at(_bm, cast(_pos{i} div 64 as int) + 1),"
-                f" cast(_pos{i} % 64 as int)) & 1"
-            )
-            == 1
+    # Probe side is a single map-only projection: word_ngrams is
+    # already distinct per doc, so flagged counts are array ops over
+    # the gram array — no explode, no shuffle at all (the orderBy is
+    # presentation-only). The bit test lives in a SQL lambda because
+    # the PySpark shiftright/shiftleft wrappers only take int-literal
+    # shifts.
+    def _bit_sql(start: int) -> str:
+        p = (
+            f"pmod(cast(conv(substr(md5(g), {start}, 15), 16, 10) as bigint),"
+            f" {_BLOOM_BITS})"
         )
+        return (
+            f"(shiftright(element_at(_bm, cast({p} div 64 as int) + 1),"
+            f" cast({p} % 64 as int)) & 1) = 1"
+        )
+
+    cond = " AND ".join(_bit_sql(s) for s in _BLOOM_SLICES)
+    # The probe's parallelism is inherited from the input partitioning;
+    # a small compressed corpus file would run the md5-heavy lambda on
+    # 1-2 cores. Spread the narrow doc rows first (same fix as
+    # minhash_dedup_pairs) — the round-robin shuffle moves raw text
+    # once, the gram/hash work then uses every core.
+    train = docs.filter(F.col("doc_id") < 300).select("doc_id", "text")
+    if train.rdd.getNumPartitions() < par:
+        train = train.repartition(par)
     return (
-        train.withColumn("bloom_hit", hit)
-        .groupBy("doc_id")
-        .agg(
-            F.count_distinct("gram").alias("n_grams"),
-            F.count_distinct(F.when(F.col("bloom_hit"), F.col("gram"))).alias(
+        train
+        .select(
+            "doc_id",
+            word_ngrams(F.col("text"), n=3).alias("_grams"),
+        )
+        .withColumn("_bm", bitmap)
+        .select(
+            "doc_id",
+            F.size("_grams").cast("long").alias("n_grams"),
+            F.expr(f"cast(size(filter(_grams, g -> {cond})) as bigint)").alias(
                 "n_flagged"
             ),
         )
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_flagged",
-            (F.col("n_flagged") > 0).alias("contaminated"),
-        )
+        .withColumn("contaminated", F.col("n_flagged") > 0)
         .orderBy("doc_id")
     )
 
@@ -718,6 +732,12 @@ def llm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 10000).alias("doc_id"), "text"
         )
     )
+    # Spread the narrow doc rows before the gram-heavy stages (see
+    # minhash_dedup_pairs): a small compressed corpus file otherwise
+    # pins the explode/md5 work to 1-2 cores.
+    par = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     base = corpus.select(
         "doc_id",
@@ -729,8 +749,11 @@ def llm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams_of = corpus.select(
         "doc_id", F.explode(word_ngrams(F.col("text"), n=3)).alias("gram")
     )
+    eval_docs = docs.filter(F.col("doc_id") >= 450)
+    if eval_docs.rdd.getNumPartitions() < par:
+        eval_docs = eval_docs.repartition(par)
     eval_grams = (
-        docs.filter(F.col("doc_id") >= 450)
+        eval_docs
         .select(F.explode(word_ngrams(F.col("text"), n=3)).alias("gram"))
         .distinct()
     )

@@ -61,6 +61,7 @@ def _load_query_modules() -> None:
         cdc,
         curation,
         extra,
+        graph,
         extra2,
         extra3,
         llm,
