@@ -94,7 +94,17 @@ def contamination_check(
     The eval gram set is distinct-ed and ``broadcast()`` (eval suites
     are small by construction); the train side is one explode + hash
     probe + per-doc count — no shuffle touches train text beyond the
-    gram stream, and the probe prunes it to matches immediately."""
+    gram stream, and the probe prunes it to matches immediately.
+
+    Both inputs are spread across the full parallelism first when they
+    arrive under-partitioned (a small compressed corpus file otherwise
+    pins the gram explode to 1-2 cores — the sf1 sweep's finding on
+    every gram-heavy operator)."""
+    par = train.sparkSession.sparkContext.defaultParallelism
+    if train.rdd.getNumPartitions() < par:
+        train = train.repartition(par)
+    if eval_docs.rdd.getNumPartitions() < par:
+        eval_docs = eval_docs.repartition(par)
     grams = word_ngrams(F.col(text_col), n)
     eval_grams = (
         eval_docs.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))

@@ -454,12 +454,21 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
           UNION ALL
           SELECT m + INTERVAL '1' MONTH FROM months
           WHERE m < TIMESTAMP '1995-12-01 00:00:00'
+        ),
+        agg AS (
+          -- pre-aggregate BEFORE joining the spine: the join then moves
+          -- |months| rows, not |orders| (joining raw orders to a 12-row
+          -- spine shuffled the fact table into 12 skewed partitions)
+          SELECT date_trunc('MONTH', o_orderdate) AS m,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+          FROM orders_rcte_v
+          GROUP BY 1
         )
         SELECT date_format(m, 'yyyy-MM-dd') AS month_start,
-               CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-               coalesce(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)), 0L) AS cents
-        FROM months LEFT JOIN orders_rcte_v ON date_trunc('MONTH', o_orderdate) = m
-        GROUP BY m
+               coalesce(n_orders, 0L) AS n_orders,
+               coalesce(cents, 0L) AS cents
+        FROM months LEFT JOIN agg USING (m)
         ORDER BY month_start
         """
     )
