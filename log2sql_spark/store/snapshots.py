@@ -46,6 +46,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,6 +61,17 @@ class ConflictError(RuntimeError):
     """Another writer published a commit for the same parent version."""
 
 
+class ExpectationError(ValueError):
+    """A commit-time constraint failed; nothing was written."""
+
+    def __init__(self, failures: list[tuple[str, int]]):
+        self.failures = failures
+        super().__init__(
+            "constraints violated: "
+            + ", ".join(f"{name} ({n} rows)" for name, n in failures)
+        )
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -71,6 +83,7 @@ class Snapshot:
     meta: dict  # caller metadata (e.g. applied streaming batch_id)
     layout: str = "range"  # physical layout of clustered data: range | hash
     n_buckets: int | None = None  # fixed bucket count for hash layout
+    created_at: float | None = None  # publish wall-clock (epoch seconds)
 
     @property
     def dirs(self) -> list[str]:
@@ -146,6 +159,7 @@ class SnapshotStore:
             meta=m.get("meta", {}),
             layout=m.get("layout", "range"),
             n_buckets=m.get("n_buckets"),
+            created_at=m.get("created_at"),
         )
 
     # ---- commits ------------------------------------------------------
@@ -321,6 +335,7 @@ class SnapshotStore:
         target_files: int = 8,
         meta: dict | None = None,
         layout: str = "range",
+        expect: list | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version.
 
@@ -330,9 +345,25 @@ class SnapshotStore:
         clustered data enabling pruned merges: ``layout="range"``
         (range-partitioned files + per-file min/max stats — best for
         ordered numeric keys) or ``layout="hash"`` (fixed xxhash64
-        buckets — best for arbitrary string/uuid keys)."""
+        buckets — best for arbitrary string/uuid keys).
+
+        ``expect`` takes operators/expectations.py rules enforced as
+        commit-time constraints (Delta's CHECK/NOT NULL analog): any
+        rule with violations raises :class:`ExpectationError` BEFORE a
+        byte is written, so a failed commit leaves no new version and
+        no orphan data. The check is one extra pass over ``df`` —
+        persist the input if it is expensive to recompute."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if expect:
+            from log2sql_spark.operators.expectations import check_expectations
+
+            report = check_expectations(df, expect).collect()
+            failures = [
+                (r.rule, r.violations) for r in report if r.violations > 0
+            ]
+            if failures:
+                raise ExpectationError(failures)
         if layout not in ("range", "hash", "zorder"):
             raise ValueError(f"layout must be range|hash|zorder, got {layout!r}")
         if isinstance(cluster_by, (list, tuple)):
@@ -374,6 +405,7 @@ class SnapshotStore:
         return version
 
     def _publish(self, manifest: dict) -> None:
+        manifest.setdefault("created_at", time.time())
         final = os.path.join(self._manifest_dir, f"v{manifest['version']}.json")
         if os.path.exists(final):
             raise ConflictError(
@@ -384,7 +416,48 @@ class SnapshotStore:
             json.dump(manifest, f)
         os.replace(tmp, final)  # atomic on POSIX: the commit point
 
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY: one dict per retained version, oldest
+        first — version, parent, mode, layout, file count, publish
+        time, and caller metadata. Pure manifest reads."""
+        out = []
+        for v in self.versions():
+            snap = self.snapshot(v)
+            out.append(
+                {
+                    "version": snap.version,
+                    "parent": snap.parent,
+                    "mode": snap.mode,
+                    "layout": snap.layout,
+                    "n_files": len(snap.entries),
+                    "created_at": snap.created_at,
+                    "meta": snap.meta,
+                }
+            )
+        return out
+
+    def version_at(self, ts: float) -> int:
+        """Latest version published at or before epoch ``ts`` —
+        Delta's TIMESTAMP AS OF resolution. Raises if the store has no
+        version that old."""
+        best = None
+        for v in self.versions():
+            created = self.snapshot(v).created_at
+            if created is not None and created <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no snapshot at or before ts={ts}; earliest is "
+                f"{self.snapshot(self.versions()[0]).created_at}"
+            )
+        return best
+
     # ---- reads --------------------------------------------------------
+
+    def read_as_of(self, spark: SparkSession, ts: float) -> DataFrame:
+        """Timestamp time travel: read the snapshot that was current
+        at epoch ``ts``."""
+        return self.read(spark, self.version_at(ts))
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         version = self.head_version() if version is None else version

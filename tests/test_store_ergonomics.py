@@ -1,0 +1,82 @@
+"""Store ergonomics: commit-time constraints, timestamp time travel,
+DESCRIBE HISTORY."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _store(tmp_path, name):
+    from log2sql_spark.store import SnapshotStore
+
+    return SnapshotStore(str(tmp_path / name))
+
+
+def test_commit_constraints_reject_before_writing(spark, tmp_path):
+    from log2sql_spark.operators.expectations import between, not_null
+    from log2sql_spark.store.snapshots import ExpectationError
+
+    store = _store(tmp_path, "cstore")
+    good = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    v1 = store.commit(
+        good, expect=[not_null("k_set", "k"), between("v_range", "v", 0, 6)]
+    )
+    assert v1 == 1
+
+    bad = good.unionByName(
+        spark.range(3).select(
+            (F.col("id") + 1000).alias("k"), F.lit(99).alias("v")
+        )
+    )
+    with pytest.raises(ExpectationError) as ei:
+        store.commit(bad, expect=[between("v_range", "v", 0, 6)])
+    assert ("v_range", 3) in ei.value.failures
+    # Atomicity: the failed commit left no new version and no data.
+    assert store.head_version() == 1
+    assert store.read(spark).count() == 100
+
+
+def test_history_and_timestamp_time_travel(spark, tmp_path):
+    store = _store(tmp_path, "hstore")
+    df1 = spark.range(10).select(F.col("id").alias("k"))
+    df2 = spark.range(20).select(F.col("id").alias("k"))
+    store.commit(df1, meta={"who": "first"})
+    t_between = None
+    import time as _t
+
+    t_between = _t.time()
+    _t.sleep(0.05)
+    store.commit(df2, mode="overwrite", meta={"who": "second"})
+
+    hist = store.history()
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[0]["meta"] == {"who": "first"}
+    assert hist[1]["mode"] == "overwrite"
+    assert all(h["created_at"] is not None for h in hist)
+    assert hist[0]["created_at"] <= hist[1]["created_at"]
+
+    # AS OF between the two commits resolves to v1.
+    assert store.version_at(t_between) == 1
+    assert store.read_as_of(spark, t_between).count() == 10
+    assert store.read_as_of(spark, _t.time()).count() == 20
+    with pytest.raises(ValueError):
+        store.version_at(hist[0]["created_at"] - 10)
+
+
+def test_merge_manifests_carry_created_at(spark, tmp_path):
+    store = _store(tmp_path, "mstore")
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), F.col("id").alias("payload")
+    )
+    store.commit(base, mode="overwrite", cluster_by="k", target_files=4)
+    changes = (
+        base.filter(F.col("k") < 50)
+        .select("k", (F.col("payload") + 1).alias("payload"))
+        .withColumn("op", F.lit("update"))
+        .withColumn("seq", F.lit(1))
+    )
+    v2 = store.merge(spark, changes, key_cols="k", version_cols="seq")
+    assert store.snapshot(v2).created_at is not None
