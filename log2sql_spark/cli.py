@@ -95,7 +95,67 @@ def validate(args: argparse.Namespace) -> None:
                 raise ValueError("Incorrect datetime argument") from exc  # main.py:30-34
 
 
+def store_main(argv: list[str]) -> int:
+    """Table-maintenance subcommands over a snapshot store — the
+    DESCRIBE HISTORY / VACUUM / OPTIMIZE [ZORDER BY] surface a lakehouse
+    CLI exposes. ``history`` and ``vacuum`` are manifest-only (no Spark
+    startup); ``compact`` and ``zorder`` run a rewrite commit."""
+    import json as _json
+
+    p = argparse.ArgumentParser(prog="log2sql_spark store")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("history", "vacuum", "compact", "zorder"):
+        sp = sub.add_parser(name)
+        sp.add_argument("path", help="snapshot store directory")
+        if name == "vacuum":
+            sp.add_argument("--keep-last", type=int, default=1)
+            sp.add_argument("--include-orphans", action="store_true", default=False)
+        if name == "compact":
+            sp.add_argument("--target-files", type=int, default=8)
+        if name == "zorder":
+            sp.add_argument("--by", required=True,
+                            help="comma-separated cluster columns (>=2)")
+            sp.add_argument("--target-files", type=int, default=8)
+        if name in ("compact", "zorder"):
+            sp.add_argument("--cpus", default=None)
+    args = p.parse_args(argv)
+
+    from log2sql_spark.store import SnapshotStore
+
+    store = SnapshotStore(args.path)
+    if args.cmd == "history":
+        for h in store.history():
+            print(_json.dumps(h))
+        return 0
+    if args.cmd == "vacuum":
+        for d in store.vacuum(args.keep_last, include_orphans=args.include_orphans):
+            print(d)
+        return 0
+
+    from log2sql_spark.session import get_spark
+
+    spark = get_spark("log2sql_spark_store", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.cmd == "compact":
+        v = store.compact(spark, target_files=args.target_files)
+    else:
+        v = store.commit(
+            store.read(spark),
+            mode="overwrite",
+            cluster_by=args.by,
+            layout="zorder",
+            target_files=args.target_files,
+        )
+    print(f"v{v}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    import sys as _sys
+
+    argv = _sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "store":
+        return store_main(argv[1:])
     args = build_parser().parse_args(argv)
     validate(args)
 

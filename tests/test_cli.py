@@ -101,3 +101,58 @@ def test_cli_apply_store_validation(dump_and_catalog):
     )
     with _pytest.raises(ValueError):
         validate(args)
+
+
+def test_cli_store_history_and_zorder(spark, tmp_path, capsys):
+    """`store` subcommands: zorder rewrite commits a new version, and
+    history lists every version without starting Spark."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from log2sql_spark.cli import main
+    from log2sql_spark.store import SnapshotStore
+
+    path = str(tmp_path / "clistore")
+    store = SnapshotStore(path)
+    df = spark.range(1000).select(
+        (F.col("id") % 50).alias("a"),
+        ((F.col("id") / 50).cast("long")).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    store.commit(df, mode="overwrite")
+
+    assert main(["store", "zorder", path, "--by", "a,b", "--cpus", "4"]) == 0
+    out = capsys.readouterr().out.strip()
+    assert out == "v2"
+    assert store.snapshot(2).layout == "zorder"
+    assert store.read(spark).count() == 1000
+
+    assert main(["store", "history", path]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [h["version"] for h in lines] == [1, 2]
+    assert lines[1]["layout"] == "zorder"
+
+
+def test_cli_store_vacuum(spark, tmp_path, capsys):
+    import os
+
+    import pyspark.sql.functions as F
+
+    from log2sql_spark.cli import main
+    from log2sql_spark.store import SnapshotStore
+
+    path = str(tmp_path / "vacstore")
+    store = SnapshotStore(path)
+    df = spark.range(100).select(F.col("id").alias("k"))
+    store.commit(df, mode="overwrite")
+    store.commit(df.withColumn("k", F.col("k") + 1), mode="overwrite")
+    assert len(store.versions()) == 2
+
+    assert main(["store", "vacuum", path, "--keep-last", "1"]) == 0
+    deleted = capsys.readouterr().out.strip().splitlines()
+    assert len(deleted) >= 1
+    assert store.versions() == [2]
+    assert store.read(spark).count() == 100
+    for d in deleted:
+        assert not os.path.exists(d)
