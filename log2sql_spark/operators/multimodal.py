@@ -664,3 +664,42 @@ def fake_decode_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+AHASH_W, AHASH_H = 10, 6  # 60-bit hash: stays clear of the BIGINT sign
+                          # bit, so cross-engine arithmetic never wraps
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash per image: decode, nearest-neighbor
+    downscale to 10x6 gray, threshold each cell against the grid mean.
+    Integer-exact thresholding (``gray * 60 > sum``, no float mean), so
+    the 60-bit fingerprint is bit-reproducible anywhere. One Arrow
+    batch pass; the output is (asset_id, ahash) — 8 bytes per image no
+    matter the source resolution, the right shape to band-join for
+    near-dup candidates (operators/dedup.py::simhash_near_dup_pairs)."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                w, h, raster, _ = _parse_ppm(bytes(content))
+                grays = []
+                for dy in range(AHASH_H):
+                    sy = (dy * h) // AHASH_H
+                    for dx in range(AHASH_W):
+                        sx = (dx * w) // AHASH_W
+                        o = (sy * w + sx) * 3
+                        grays.append(
+                            (raster[o] + raster[o + 1] + raster[o + 2]) // 3
+                        )
+                total = sum(grays)
+                bits = 0
+                for k, g in enumerate(grays):
+                    if g * len(grays) > total:
+                        bits |= 1 << k
+                ids.append(int(aid))
+                hashes.append(bits)
+            yield pd.DataFrame({"id": ids, "simhash": hashes})
+
+    return media.mapInPandas(hash_batch, schema="id long, simhash long")

@@ -1576,3 +1576,72 @@ def llm_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_n")
     )
+
+
+@query(
+    "llm_multimodal_image_ahash",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS aid, doc_id AS base FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT doc_id + 10000 AS aid, doc_id AS base
+      FROM documents WHERE doc_id < 30
+    ), cells AS (
+      SELECT aid, base, 4 + base % 9 AS w, 3 + base % 5 AS h,
+             unnest(range(0, 60)) AS k
+      FROM ids
+    ), coords AS (
+      SELECT aid, base, k,
+             ((k % 10) * w) // 10 AS sx,
+             ((k // 10) * h) // 6 AS sy
+      FROM cells
+    ), grays AS (
+      SELECT aid, k,
+             ((1 + (sx * 3 + sy * 5 + base) % 127)
+            + (1 + (sx * 7 + sy * 11 + base) % 127)
+            + (1 + (sx * 13 + sy * 17 + base) % 127)) // 3 AS gray
+      FROM coords
+    ), sums AS (SELECT aid, sum(gray) AS total FROM grays GROUP BY aid),
+    hashes AS (
+      SELECT g.aid AS id,
+             CAST(sum(CASE WHEN gray * 60 > total
+                      THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+                      ELSE 0 END) AS BIGINT) AS h
+      FROM grays g JOIN sums s ON g.aid = s.aid
+      GROUP BY g.aid
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b ON a.id < b.id
+    WHERE bit_count(xor(a.h, b.h)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup detection: perceptual average-hash (60-bit, 10x6
+    integer-exact downscale — operators/multimodal.py::image_ahash)
+    over gradient images of varying resolutions plus planted exact
+    copies, candidate pairs via the same pigeonhole banding as text
+    SimHash (hamming <= 3 => one of 4 bands identical, an equi-join —
+    never an all-pairs cross). The oracle recomputes every fingerprint
+    from the pixel formula, so decode, downscale coordinates, integer
+    thresholding, and the final pair set all hash-match. This is the
+    image-modality twin of llm_dedup_simhash: dedup by content
+    perception, robust to re-encoding, with 8 bytes of state per
+    asset at corpus scale."""
+    from log2sql_spark.operators.dedup import simhash_near_dup_pairs
+    from log2sql_spark.operators.multimodal import image_ahash, synthesize_gradient_images
+
+    ids = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+    media = synthesize_gradient_images(ids)
+    copies = media.filter(F.col("asset_id") < 30).withColumn(
+        "asset_id", F.col("asset_id") + 10000
+    )
+    hashes = image_ahash(media.unionByName(copies))
+    return simhash_near_dup_pairs(hashes, bits=60, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
