@@ -1645,3 +1645,72 @@ def llm_multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(hashes, bits=60, max_hamming=3).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "llm_multimodal_audio_fingerprint",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS aid, doc_id AS base FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT doc_id + 10000 AS aid, doc_id AS base
+      FROM documents WHERE doc_id < 30
+    ), clips AS (
+      SELECT aid, base, 400 + base % 50 AS n,
+             list_transform(range(0, 400 + base % 50),
+               i -> ((base * 31 + i * 7) % 201) - 100) AS s
+      FROM ids
+    ), wins AS (
+      SELECT aid, n, s, unnest(range(0, 60)) AS k FROM clips
+    ), energies AS (
+      SELECT aid, n, k,
+             (k * n) // 60 AS lo, ((k + 1) * n) // 60 AS hi,
+             list_sum(list_transform(
+               range(CAST((k * n) // 60 + 1 AS INTEGER),
+                     CAST(((k + 1) * n) // 60 + 1 AS INTEGER)),
+               i -> CAST(s[CAST(i AS INTEGER)] AS BIGINT)
+                    * CAST(s[CAST(i AS INTEGER)] AS BIGINT))) AS e
+      FROM wins
+    ), totals AS (
+      SELECT aid, sum(coalesce(e, 0)) AS total FROM energies GROUP BY aid
+    ), hashes AS (
+      SELECT en.aid AS id,
+             CAST(sum(CASE WHEN coalesce(e, 0) * n > total * (hi - lo)
+                      THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+                      ELSE 0 END) AS BIGINT) AS h
+      FROM energies en JOIN totals t ON en.aid = t.aid
+      GROUP BY en.aid
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b ON a.id < b.id
+    WHERE bit_count(xor(a.h, b.h)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-dup detection, completing the modality triple (text
+    SimHash, image aHash, audio energy fingerprint): each PCM clip
+    hashes to 60 bits — windowed mean-square energy vs the clip's,
+    integer cross-multiplied so no float ever enters — and candidates
+    come from the same pigeonhole band equi-join. The oracle rebuilds
+    every waveform arithmetically and re-derives the fingerprints, so
+    the WAV walk, window boundaries, energy sums, and the pair set all
+    hash-match. Planted exact copies (re-labeled payloads) must land at
+    hamming 0."""
+    from log2sql_spark.operators.dedup import simhash_near_dup_pairs
+    from log2sql_spark.operators.multimodal import audio_fingerprint, synthesize_audio
+
+    ids = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+    media = synthesize_audio(ids)
+    copies = media.filter(F.col("asset_id") < 30).withColumn(
+        "asset_id", F.col("asset_id") + 10000
+    )
+    hashes = audio_fingerprint(media.unionByName(copies))
+    return simhash_near_dup_pairs(hashes, bits=60, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
