@@ -99,10 +99,19 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
-        .persist()
     )
     outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
-    ew = edges.join(outw, "src").persist()
+    # Materialize the weighted edge list ONCE before iterating — the
+    # lineage barrier every iterative Spark job needs (GraphX/checkpoint
+    # pattern): without it each iteration's plan re-derives the 4-table
+    # edge build, and failure recovery recomputes from the raw scans.
+    import os
+
+    from log2sql_spark.scratch import scratch_dir
+
+    ew_path = os.path.join(scratch_dir("log2sql_pagerank_"), "edges")
+    edges.join(outw, "src").write.mode("overwrite").parquet(ew_path)
+    ew = spark.read.parquet(ew_path)
     nodes = nation.select(F.col("n_nationkey").alias("node"), "n_name")
 
     ranks = nodes.select("node", F.lit(_R0).cast("long").alias("r"))
