@@ -416,6 +416,27 @@ class SnapshotStore:
             json.dump(manifest, f)
         os.replace(tmp, final)  # atomic on POSIX: the commit point
 
+    def file_count(self, version: int | None = None) -> int:
+        """Actual parquet part files a snapshot references (walking
+        directory entries — hash layouts list bucket DIRS in the
+        manifest, whose per-bucket small files grow with every merge).
+        The signal auto-compaction triggers on."""
+        version = self.head_version() if version is None else version
+        if version is None:
+            return 0
+        n = 0
+        for e in self.snapshot(version).entries:
+            p = os.path.join(self.path, e["path"])
+            if os.path.isdir(p):
+                for root, _dirs, files in os.walk(p):
+                    n += sum(
+                        f.endswith(".parquet") and not f.startswith(".")
+                        for f in files
+                    )
+            elif p.endswith(".parquet"):
+                n += 1
+        return n
+
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY: one dict per retained version, oldest
         first — version, parent, mode, layout, file count, publish

@@ -184,6 +184,7 @@ def apply_changes_to_snapshot_store(
     checkpoint_dir: str,
     key_col: str | None = "id",
     clustered: bool = True,
+    auto_compact_files: int | None = 64,
 ) -> StreamingQuery:
     """The production apply path end-to-end: ``foreachBatch → MERGE INTO``
     a transactional snapshot store (SURVEY.md §1.1's named target, with
@@ -209,6 +210,13 @@ def apply_changes_to_snapshot_store(
     pre-image stays time-travelable until ``vacuum`` — the audit trail a
     CDC consumer actually wants. Version ordering spans file rotations
     via (file, start_pos, event_seq), same as the parquet-state twin.
+
+    ``auto_compact_files``: every micro-batch merge adds small files
+    (hash layout: per touched bucket); once the snapshot's ACTUAL part
+    count exceeds the threshold, the batch finishes with a compaction
+    commit — Delta's optimizeWrite/auto-compact behavior, keeping scan
+    cost flat under continuous ingest instead of degrading with every
+    batch. Set None to disable.
     """
     from log2sql_spark.store import SnapshotStore
 
@@ -254,6 +262,8 @@ def apply_changes_to_snapshot_store(
             key_cols="key",
             version_cols=["file", "start_pos", "event_seq"],
         )
+        if auto_compact_files and store.file_count() > auto_compact_files:
+            store.compact(spark)
 
     lines = read_binlog_line_stream(spark, in_dir)
     return (

@@ -481,3 +481,34 @@ def test_apply_snapshot_store_multi_table(spark, tmp_path):
         "shop.orders:1": {"id": "1", "status": "'new'"},
         "shop.users:1": {"uid": "1", "name": "'anne'"},
     }
+
+
+def test_stream_apply_auto_compacts(spark, tmp_path):
+    """Continuous ingest with a tiny auto-compact threshold: after
+    several micro-batches the store must have been rewritten into few
+    files, with the data exactly intact."""
+    from log2sql_spark.store import SnapshotStore
+    from log2sql_spark.streaming.cdc_stream import apply_changes_to_snapshot_store
+
+    in_dir, store_dir, ckpt = tmp_path / "in", tmp_path / "acstore", tmp_path / "ckpt"
+    in_dir.mkdir()
+    cat = catalog_from_dict(spark, CATALOG)
+    for b in range(4):
+        _dump(in_dir / f"bin.{b:06d}.txt", [
+            {"op": "insert", "db": "shop", "table": "orders", "ts": TS,
+             "values": [(1, str(100 * b + i)), (2, "'new'")]}
+            for i in range(5)
+        ])
+        q = apply_changes_to_snapshot_store(
+            spark, str(in_dir), cat, str(store_dir), str(ckpt),
+            key_col="id", auto_compact_files=6,
+        )
+        q.awaitTermination(120)
+
+    store = SnapshotStore(str(store_dir))
+    assert store.read(spark).count() == 20
+    assert store.file_count() <= 10, (
+        f"auto-compact never fired: {store.file_count()} files"
+    )
+    # a compaction appears in history as an overwrite commit
+    assert any(h["mode"] == "overwrite" and h["version"] > 1 for h in store.history())
