@@ -810,6 +810,70 @@ class SnapshotStore:
             target_files=snap.n_buckets if snap.layout == "hash" and snap.n_buckets else target_files,
         )
 
+    def forget(
+        self,
+        spark: SparkSession,
+        keys: list,
+        key_col: str | None = None,
+    ) -> int:
+        """Right-to-be-forgotten erasure: delete ``keys`` via a normal
+        MERGE commit, then make the removal PHYSICAL — drop all prior
+        versions (``vacuum(keep_last=1)``) and sweep files inside
+        retained directories that no retained manifest references (a
+        pruned merge leaves the pre-delete version of a rewritten file
+        on disk next to carried siblings; logical deletion alone would
+        keep the bytes). Returns the delete-commit version.
+
+        Like ``vacuum(include_orphans=True)``, only safe with no commit
+        concurrently in flight. On Delta/Iceberg the same flow is
+        DELETE FROM + VACUUM at zero retention."""
+        head = self.head_version()
+        if head is None:
+            raise ValueError("forget on an empty store")
+        snap = self.snapshot(head)
+        key_col = key_col or (
+            snap.zorder_cols[0] if snap.layout == "zorder" else snap.cluster_by
+        )
+        if key_col is None:
+            raise ValueError("pass key_col: the store is not clustered")
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        changes = spark.createDataFrame(
+            [(k,) for k in keys],
+            StructType([schema[key_col]]),
+        )
+        for f in schema.fields:
+            if f.name != key_col:
+                changes = changes.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+        changes = changes.withColumn("op", F.lit("delete")).withColumn(
+            "_seq", F.lit(1).cast("long")
+        )
+        version = self.merge(
+            spark, changes, key_cols=key_col, version_cols="_seq"
+        )
+        self.vacuum(keep_last=1)
+        # File-level orphan sweep: delete unreferenced parquet files
+        # inside directories the retained snapshot keeps alive.
+        referenced = set()
+        for v in self.versions():
+            for e in self.snapshot(v).entries:
+                p = os.path.join(self.path, e["path"])
+                if os.path.isdir(p):
+                    for root, _dirs, files in os.walk(p):
+                        referenced.update(os.path.join(root, f) for f in files)
+                else:
+                    referenced.add(p)
+        data_root = os.path.join(self.path, "data")
+        for root, _dirs, files in os.walk(data_root):
+            for f in files:
+                fp = os.path.join(root, f)
+                if f.endswith(".parquet") and fp not in referenced:
+                    os.remove(fp)
+        return version
+
     def vacuum(self, keep_last: int = 1, include_orphans: bool = False) -> list[str]:
         """Drop manifests older than the last ``keep_last`` and delete
         data directories no retained snapshot references. Returns the

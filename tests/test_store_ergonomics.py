@@ -80,3 +80,54 @@ def test_merge_manifests_carry_created_at(spark, tmp_path):
     )
     v2 = store.merge(spark, changes, key_cols="k", version_cols="seq")
     assert store.snapshot(v2).created_at is not None
+
+
+def test_forget_physically_erases_keys(spark, tmp_path):
+    """GDPR erasure: after forget(), the forgotten payload bytes exist
+    in NO file under the store — not in old versions, not in orphaned
+    pre-delete copies of rewritten files."""
+    import os
+
+    # Uncompressed parquet so payload bytes are literal in the files —
+    # under snappy both presence and absence checks would be vacuous.
+    spark.conf.set("spark.sql.parquet.compression.codec", "uncompressed")
+    try:
+        store = _store(tmp_path, "gdprstore")
+        df = spark.range(200).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("SENTINEL-"), F.col("id").cast("string"), F.lit("-END"))
+            .alias("payload"),
+        )
+        store.commit(df, mode="overwrite", cluster_by="k", target_files=8)
+        # a second commit so pre-delete history exists
+        extra = spark.range(200, 210).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("SENTINEL-"), F.col("id").cast("string"), F.lit("-END"))
+            .alias("payload"),
+        )
+        upserts = extra.withColumn("op", F.lit("insert")).withColumn(
+            "seq", F.lit(1).cast("long")
+        )
+        store.merge(spark, upserts, key_cols="k", version_cols="seq")
+
+        doomed = [5, 42, 205]
+        v = store.forget(spark, doomed)
+        assert v == store.head_version()
+
+        remaining = {r.k for r in store.read(spark).select("k").collect()}
+        assert remaining == set(range(210)) - set(doomed)
+
+        blobs = []
+        for root, _dirs, files in os.walk(str(tmp_path / "gdprstore")):
+            for f in files:
+                if f.endswith(".parquet"):
+                    with open(os.path.join(root, f), "rb") as fh:
+                        blobs.append(fh.read())
+        allbytes = b"".join(blobs)
+        for k in doomed:
+            assert f"SENTINEL-{k}-END".encode() not in allbytes, f"key {k} bytes survive"
+        assert b"SENTINEL-7-END" in allbytes  # untouched keys still present
+        # history was purged down to the delete commit
+        assert store.versions() == [store.head_version()]
+    finally:
+        spark.conf.set("spark.sql.parquet.compression.codec", "snappy")
