@@ -464,6 +464,8 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     toksdf = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    # the exploded token stream feeds doclen, tf and df — persist it
+    toksdf = toksdf.persist()
     qterms = spark.createDataFrame([(t,) for t in _QUERY_TERMS_RRF], "tok string")
 
     doclen = toksdf.groupBy("doc_id").agg(

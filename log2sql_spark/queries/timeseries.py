@@ -293,6 +293,9 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # daily feeds three consumers (median, MAD, final flags): persist so
+    # the raw events scan+rollup runs once, not three times.
+    daily = daily.persist()
     med = daily.groupBy("event_type").agg(F.median("n").alias("med_n"))
     withmed = daily.join(F.broadcast(med), "event_type")
     mad = withmed.groupBy("event_type").agg(
