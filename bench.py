@@ -256,6 +256,8 @@ SF1_QUERIES = [
     "llm_decontaminate_bloom",
     "llm_curation_e2e",
     "store_bloom_pruned_lookup",
+    "graph_pagerank_trade",
+    "llm_multimodal_image_ahash",
 ]
 
 
@@ -426,8 +428,16 @@ def sf1_section(spark) -> dict:
         spark.read.parquet(os.path.join(sf1, f"{t}.parquet")).write.mode(
             "overwrite"
         ).format("noop").save()
+    # Each query runs twice: the first execution pays whole-stage-
+    # codegen JIT (2-8 s on the decimal-heavy TPC-H shapes, unrelated
+    # to the plan); the reported time is the steady-state second run,
+    # with the first-run total kept as a separate cold metric.
     times: dict[str, float] = {}
+    cold_total = 0.0
     for name in SF1_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf1).write.mode("overwrite").format("noop").save()
+        cold_total += time.time() - t0
         df = qs[name](spark, sf1)
         t0 = time.time()
         df.write.mode("overwrite").format("noop").save()
@@ -447,6 +457,7 @@ def sf1_section(spark) -> dict:
     out = {
         "queries": times,
         "total": round(sum(times.values()), 3),
+        "cold_total": round(cold_total, 3),
         "skew_join_aqe": skew_join_aqe(spark, sf1),
         "store_merge": store_merge_bench(spark, sf1),
         "dedup": {

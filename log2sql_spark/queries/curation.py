@@ -69,11 +69,15 @@ def llm_chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunks (size 32, stride 24) — the
     embedding/RAG prep step. Per-document arithmetic only: split once,
     posexplode a 0..n_chunks-1 sequence, slice the token array per
-    chunk. ZERO shuffles (the orderBy is presentation-only); at 100 TB
-    this is a map-only pass whose output partitioning inherits the
-    scan's. The tail chunk is clamped by ``slice`` exactly like the
-    oracle's clamped list slice; a short doc yields one chunk."""
-    docs = load_table(spark, "documents", sf_dir)
+    chunk. A map-only pass (the orderBy is presentation-only) whose
+    partitioning inherits the scan's — at 100 TB the many-file input
+    provides the parallelism and nothing shuffles; locally a single
+    small corpus file would pin the md5 work to 1-2 cores, so an
+    under-partitioned input is spread once first."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_chunks = (
         F.lit(1)
