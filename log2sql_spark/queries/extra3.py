@@ -937,3 +937,100 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("img_id")
     )
+
+
+@query(
+    "udtf_dynamic_schema",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k,
+           CAST(NULL AS BIGINT) AS missing
+    FROM events
+    WHERE event_id < 200
+    ORDER BY event_id
+    """,
+)
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 polymorphic UDTF: the ``analyze`` static method decides
+    the OUTPUT SCHEMA at plan time from a constant argument (one BIGINT
+    column per requested JSON field), the runtime ``eval`` fills it —
+    the API for table functions whose shape depends on their call site
+    (the engine-side analog of schema-on-read). An absent field yields
+    a typed NULL column, not an error; the oracle pins both the
+    extracted and the missing column."""
+    import json as _json
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class ExtractFields:
+        @staticmethod
+        def analyze(props: AnalyzeArgument, fields: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for name in str(fields.value).split(","):
+                schema = schema.add(name.strip(), LongType())
+            return AnalyzeResult(schema=schema)
+
+        def __init__(self, analyze_result=None):
+            self._names = None
+
+        def eval(self, props: str, fields: str):
+            names = [n.strip() for n in fields.split(",")]
+            try:
+                obj = _json.loads(props or "{}")
+            except ValueError:
+                obj = {}
+            yield tuple(
+                int(obj[n]) if isinstance(obj.get(n), (int, float)) else None
+                for n in names
+            )
+
+    spark.udtf.register("log2sql_extract_fields", ExtractFields)
+    load_table(spark, "events", sf_dir).filter(
+        F.col("event_id") < 200
+    ).createOrReplaceTempView("udtf_events_v")
+    return spark.sql(
+        """
+        SELECT event_id, s.k, s.missing
+        FROM udtf_events_v,
+             LATERAL log2sql_extract_fields(props, 'k,missing') s
+        ORDER BY event_id
+        """
+    )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey < 2000 AND o_orderstatus <> 'X'
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-marker binding): values bind as
+    TYPED PARAMETERS, not string-spliced text — the injection-safe API
+    a SQL front end should expose (the reference renders statements by
+    string formatting, log2sql.py:135-185; this is the engine-side
+    answer). The plan under the markers is ordinary Catalyst — the
+    literal folds in at analysis, so pushdown and pruning see the
+    bound value."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_param_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders_param_v
+        WHERE o_orderkey < :max_key AND o_orderstatus <> :excluded
+        GROUP BY o_orderstatus
+        ORDER BY status
+        """,
+        args={"max_key": 2000, "excluded": "X"},
+    )
