@@ -964,7 +964,7 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType, StructType
     from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
 
-    @udtf
+    @udtf(useArrow=True)
     class ExtractFields:
         @staticmethod
         def analyze(props: AnalyzeArgument, fields: AnalyzeArgument) -> AnalyzeResult:
