@@ -250,3 +250,51 @@ def test_simhash_capped_no_nested_loop(spark, qs):
     sigs = minhash_signatures(docs, num_hashes=16)
     plan = explain_str(lsh_candidate_pairs(sigs, bands=8, max_bucket_size=4))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+# ---- round-5 curation/indexing wave ---------------------------------------
+
+
+def test_chunking_plan_has_no_wide_shuffle(spark, qs):
+    """Chunking is map-only: at most the input-spread round-robin and
+    the presentation sort may exchange; no aggregate, no join."""
+    df = qs["llm_chunk_sliding_window"](spark, SF)
+    plan = explain_str(df)
+    assert shuffle_count(df) <= 2
+    assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_bloom_probe_never_joins_eval_side(spark, qs):
+    """The bloom bitmap rides as a literal: the probe plan must contain
+    NO join at all — that is the whole point vs the broadcast-set
+    contamination check."""
+    df = qs["llm_decontaminate_bloom"](spark, SF)
+    plan = explain_str(df)
+    assert "Join" not in plan, "bloom probe should not join the eval side"
+    assert shuffle_count(df) <= 2  # input spread + presentation sort
+
+
+def test_semdedup_broadcasts_centroids(spark, qs):
+    df = qs["llm_semdedup"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_pagerank_iterations_reuse_materialized_edges(spark, qs):
+    """After the lineage barrier, three iterations cost <= 6 statically
+    visible exchanges (per round: one broadcast of the 25-row rank
+    table, one integer aggregate) — NOT 3x the edge-build plan."""
+    df = qs["graph_pagerank_trade"](spark, SF)
+    assert shuffle_count(df) <= 6
+    assert broadcast_join_count(df) >= 3  # ranks broadcast every round
+
+
+def test_zorder_scan_keeps_predicates_pushed(spark, qs):
+    df = qs["store_zorder_clustered_scan"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "user_id" in pushed and "cents" in pushed
+
+
+def test_image_ahash_bands_equijoin_not_bnlj(spark, qs):
+    plan = explain_str(qs["llm_multimodal_image_ahash"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
