@@ -442,6 +442,7 @@ def sf1_section(spark) -> dict:
         t0 = time.time()
         df.write.mode("overwrite").format("noop").save()
         times[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()  # drop per-query persist() leaks
 
     from log2sql_spark.operators.dedup import minhash_dedup_pairs
     from log2sql_spark.sources.tables import load_table
@@ -535,6 +536,7 @@ def main() -> None:
             best = min(best, time.time() - t1)
         times[name] = round(best, 3)
         build_times[name] = round(best_build, 3)
+        spark.catalog.clearCache()  # drop per-query persist() leaks
 
     cdc_parse = cdc_parse_throughput(spark)
     cdc_stream = cdc_stream_throughput(spark)

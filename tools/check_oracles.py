@@ -76,6 +76,10 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {exc}")
             continue
+        finally:
+            # drop caches queries persist() but cannot unpersist —
+            # over 200 queries the leak becomes GC thrash
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
