@@ -868,6 +868,9 @@ def llm_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     string — at crawl scale the shuffle carries (url, id), never
     content."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)  # regex-heavy map stage: use all cores
     url = F.concat(
         F.lit("HTTP://Example"),
         (F.col("doc_id") % 20).cast("string"),
