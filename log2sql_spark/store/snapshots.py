@@ -799,8 +799,14 @@ class SnapshotStore:
         streaming-ingest table needs; appears as a normal overwrite
         commit, so it is time-travel-safe and atomic like any other."""
         snap = self.snapshot(self.head_version())
+        df = self.read(spark)
+        if snap.cluster_by is None:
+            # unclustered writes inherit input partitioning (right for
+            # normal commits); compaction's whole point is the file
+            # count, so coalesce explicitly here
+            df = df.repartition(target_files)
         return self.commit(
-            self.read(spark),
+            df,
             mode="overwrite",
             cluster_by=snap.cluster_by,
             layout=snap.layout,

@@ -156,3 +156,22 @@ def test_cli_store_vacuum(spark, tmp_path, capsys):
     assert store.read(spark).count() == 100
     for d in deleted:
         assert not os.path.exists(d)
+
+
+def test_cli_store_compact(spark, tmp_path, capsys):
+    import pyspark.sql.functions as F
+
+    from log2sql_spark.cli import main
+    from log2sql_spark.store import SnapshotStore
+
+    path = str(tmp_path / "compactstore")
+    store = SnapshotStore(path)
+    df = spark.range(500).select(F.col("id").alias("k"))
+    # many-file commit: compaction has something to merge
+    store.commit(df.repartition(12), mode="overwrite")
+    assert store.file_count() >= 10
+
+    assert main(["store", "compact", path, "--target-files", "2", "--cpus", "4"]) == 0
+    assert capsys.readouterr().out.strip() == "v2"
+    assert store.file_count() <= 4
+    assert store.read(spark).count() == 500
