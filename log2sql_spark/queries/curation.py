@@ -158,15 +158,23 @@ def _bloom_oracle() -> str:
     train AS (SELECT doc_id, gram FROM grams_of WHERE doc_id < 300),
     flagged AS (
       SELECT doc_id, gram FROM train WHERE {all_set}
+    ), stats AS (
+      SELECT t.doc_id,
+             CAST(count(DISTINCT t.gram) AS BIGINT) AS n_grams,
+             CAST(count(DISTINCT f.gram) AS BIGINT) AS n_flagged
+      FROM train t LEFT JOIN flagged f
+        ON t.doc_id = f.doc_id AND t.gram = f.gram
+      GROUP BY t.doc_id
     )
-    SELECT t.doc_id,
-           CAST(count(DISTINCT t.gram) AS BIGINT) AS n_grams,
-           CAST(count(DISTINCT f.gram) AS BIGINT) AS n_flagged,
-           count(DISTINCT f.gram) > 0 AS contaminated
-    FROM train t LEFT JOIN flagged f
-      ON t.doc_id = f.doc_id AND t.gram = f.gram
-    GROUP BY t.doc_id
-    ORDER BY t.doc_id
+    -- every train doc gets a verdict, including gram-less ones (< 3
+    -- tokens): the report contract is per-document, not per-gram
+    SELECT d.doc_id,
+           coalesce(s.n_grams, 0) AS n_grams,
+           coalesce(s.n_flagged, 0) AS n_flagged,
+           coalesce(s.n_flagged, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+    LEFT JOIN stats s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
     """
 
 

@@ -1,0 +1,81 @@
+"""Adversarial cross-engine parity for the curation wave: the oracle
+gate only ever sees the generator's text distribution; these tests run
+the same Spark-vs-DuckDB comparison over edge-case documents (empty,
+whitespace-only, unicode, single token, boundary token counts) where
+tokenizer/regex/slice semantics could legally diverge between engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from log2sql_spark.registry import all_oracles, all_queries
+
+EDGE_DOCS = [
+    (0, ""),  # empty
+    (1, "   "),  # whitespace only
+    (2, "one"),  # single token
+    (3, "\ttabs\tand\nnewlines  mixed\r\n here"),  # exotic whitespace
+    (4, " ".join(f"tok{i}" for i in range(32))),  # exactly one chunk
+    (5, " ".join(f"tok{i}" for i in range(33))),  # boundary: 2 chunks
+    (6, " ".join(f"tok{i}" for i in range(57))),  # stride boundary +1
+    (7, "héllo wörld ünïcode ¡tokens! 中文 分词 テスト トークン"),
+    (8, "a" * 500),  # one giant token
+    (9, "dup dup dup dup dup"),  # heavy repetition
+    (455, "eval set text with some unique grams inside it"),  # eval region
+    (456, "第二 эвал 文本 with mixed scripts"),  # unicode eval doc
+]
+
+
+@pytest.fixture(scope="module")
+def edge_sf_dir(spark, tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("edge_sf")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [i for i, _ in EDGE_DOCS],
+            "text": [t for _, t in EDGE_DOCS],
+            "lang": ["en"] * len(EDGE_DOCS),
+            "source": ["src0"] * len(EDGE_DOCS),
+            "n_chars": [len(t) for _, t in EDGE_DOCS],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def _compare(spark, edge_sf_dir, name):
+    sdf = all_queries()[name](spark, edge_sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{edge_sf_dir}/documents.parquet/*.parquet'"
+    )
+    ddf = con.execute(all_oracles()[name]).fetchdf()
+    assert list(sdf.columns) == list(ddf.columns), name
+    assert len(sdf) == len(ddf), f"{name}: {len(sdf)} vs {len(ddf)} rows"
+    s = sdf.sort_values(list(sdf.columns)).reset_index(drop=True)
+    d = ddf.sort_values(list(ddf.columns)).reset_index(drop=True)
+    for col in s.columns:
+        for i, (a, b) in enumerate(zip(s[col], d[col])):
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                assert a == pytest.approx(b, abs=1e-9), (name, col, i, a, b)
+            else:
+                assert str(a) == str(b), (name, col, i, a, b)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "llm_chunk_sliding_window",
+        "llm_decontaminate_bloom",
+        "llm_dedup_url_canonical",
+        "llm_mix_temperature_resample",
+    ],
+)
+def test_edge_doc_parity(spark, edge_sf_dir, name):
+    _compare(spark, edge_sf_dir, name)
