@@ -39,7 +39,11 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """NULL (not an ANSI DIVIDE_BY_ZERO crash) for a zero-norm input:
+    one all-zero embedding in 100 TB must not kill the job, and every
+    threshold/top-k comparison drops the NULL exactly like DuckDB's
+    0/0 = NaN fails the same comparison."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def brute_force_topk(
@@ -76,8 +80,10 @@ def brute_force_topk(
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos_sim",
-            _dot(F.col("q_vec"), F.col("c_vec"))
-            / (F.col("q_norm") * F.col("c_norm")),
+            F.try_divide(
+                _dot(F.col("q_vec"), F.col("c_vec")),
+                F.col("q_norm") * F.col("c_norm"),
+            ),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -233,8 +239,10 @@ def assign_to_centroids(
     v = v.withColumn("v_norm", _norm(F.col("vec")))
     scored = v.join(F.broadcast(c)).withColumn(
         "c_sim",
-        _dot(F.col("vec"), F.col("centroid_vec"))
-        / (F.col("v_norm") * F.col("c_norm")),
+        F.try_divide(
+            _dot(F.col("vec"), F.col("centroid_vec")),
+            F.col("v_norm") * F.col("c_norm"),
+        ),
     )
     # Argmax via max_by, NOT a per-id window: the |vectors| x |centroids|
     # cross product partial-aggregates map-side to ONE row per vector

@@ -79,3 +79,47 @@ def _compare(spark, edge_sf_dir, name):
 )
 def test_edge_doc_parity(spark, edge_sf_dir, name):
     _compare(spark, edge_sf_dir, name)
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir(spark, tmp_path_factory) -> str:
+    """Embeddings with adversarial vectors: all-zero (cosine is 0/0),
+    denormal-scale, and negative components."""
+    d = tmp_path_factory.mktemp("edge_emb")
+    rows = []
+    for i in range(40):
+        if i == 7:
+            v = [0.0] * 8
+        elif i == 9:
+            v = [1e-30] * 8
+        else:
+            v = [float(((i * 31 + j * 7) % 13) - 6) for j in range(8)]
+        rows.append((i, v, i % 3))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [r[1] for r in rows],
+            "label": [r[2] for r in rows],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        str(d / "embeddings.parquet")
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ["llm_semdedup", "llm_dedup_embedding_cosine"])
+def test_zero_vector_parity(spark, edge_emb_dir, name):
+    """A zero-norm embedding must neither crash (ANSI DIVIDE_BY_ZERO —
+    the pre-fix behavior of operators/similarity.py::cosine) nor
+    diverge from the oracle: Spark's try_divide NULL fails the same
+    threshold comparison DuckDB's 0/0 = NaN fails."""
+    sdf = all_queries()[name](spark, edge_emb_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{edge_emb_dir}/embeddings.parquet/*.parquet'"
+    )
+    ddf = con.execute(all_oracles()[name]).fetchdf()
+    assert len(sdf) == len(ddf)
+    key = list(sdf.columns)[0]
+    assert sorted(sdf[key]) == sorted(ddf[key])
