@@ -477,32 +477,35 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_variant_funcs",
     oracle="""
-    SELECT event_id,
-           CAST(props->>'$.k' AS BIGINT) AS k_val,
-           CAST(props->>'$.k' AS BIGINT) * 2 AS k_doubled,
-           CAST(props->>'$.k' AS BIGINT) % 10 = 0 AS k_round
-    FROM events
-    WHERE event_id < 300
+    WITH safe AS (
+      SELECT event_id,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN CAST(props->>'$.k' AS BIGINT) END AS k
+      FROM events WHERE event_id < 300
+    )
+    SELECT event_id, k AS k_val, k * 2 AS k_doubled, k % 10 = 0 AS k_round
+    FROM safe
     ORDER BY event_id
     """,
 )
 def json_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """VARIANT (Spark 4 semi-structured type): parse_json → variant_get
+    """VARIANT (Spark 4 semi-structured type): try_parse_json → variant_get
     typed extraction pinned against DuckDB's JSON operators (DuckDB's
     JSON cast preserves raw spacing while Spark's to_json minifies, so
     the serialized form itself is not cross-engine comparable). Variant is the schema-on-read
     path for ragged metadata columns at scale — extraction happens
     columnar-side, no Python."""
     ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 300)
+    # try_parse_json: malformed/NULL metadata yields a NULL variant
+    # instead of a FAILFAST job abort — one bad record in 100 TB of
+    # ragged metadata must not kill the scan (oracle twin: json_valid
+    # guard).
+    k = F.expr("variant_get(try_parse_json(props), '$.k', 'bigint')")
     return ev.select(
         "event_id",
-        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_val"),
-        (F.expr("variant_get(parse_json(props), '$.k', 'bigint')") * 2).alias(
-            "k_doubled"
-        ),
-        (F.expr("variant_get(parse_json(props), '$.k', 'bigint')") % 10 == 0).alias(
-            "k_round"
-        ),
+        k.alias("k_val"),
+        (k * 2).alias("k_doubled"),
+        (k % 10 == 0).alias("k_round"),
     ).orderBy("event_id")
 
 

@@ -123,3 +123,52 @@ def test_zero_vector_parity(spark, edge_emb_dir, name):
     assert len(sdf) == len(ddf)
     key = list(sdf.columns)[0]
     assert sorted(sdf[key]) == sorted(ddf[key])
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(spark, tmp_path_factory) -> str:
+    """Events with adversarial rows: NaN value, malformed JSON props,
+    NULL props/event_type/value."""
+    import datetime
+
+    d = tmp_path_factory.mktemp("edge_events")
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for i in range(50):
+        props = '{"k": %d}' % i
+        val: float | None = float(i)
+        et: str | None = "purchase" if i % 3 == 0 else "view"
+        if i == 5:
+            val = float("nan")
+        if i == 6:
+            props = "{not json"
+        if i == 7:
+            props = None
+        if i == 8:
+            et = None
+        if i == 9:
+            val = None
+        rows.append((i, base + datetime.timedelta(hours=i), i % 10, et, val, props))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name", ["json_variant_funcs", "ts_rollup_reaggregate", "ts_ewma_smooth"]
+)
+def test_edge_events_parity(spark, edge_events_dir, name):
+    """Malformed JSON must not FAILFAST the scan (the pre-fix behavior
+    of json_variant_funcs), and NaN/NULL values must flow through the
+    rollup arithmetic identically in both engines."""
+    sdf = all_queries()[name](spark, edge_events_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{edge_events_dir}/events.parquet/*.parquet'"
+    )
+    ddf = con.execute(all_oracles()[name]).fetchdf()
+    assert len(sdf) == len(ddf)
+    key = list(sdf.columns)[0]
+    assert sorted(sdf[key].astype(str)) == sorted(ddf[key].astype(str))
