@@ -30,15 +30,17 @@ def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_distinct = F.size(F.array_distinct(toks))
     punct = n_chars - F.length(F.regexp_replace(t, _PUNCT, ""))
     stop_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*EN_STOP)))
-    avg_tok_len = (n_chars - (n_tokens - 1)) / n_tokens  # chars net of separators
     return (
         docs.withColumn("n_chars_calc", n_chars.cast("long"))
         .withColumn("n_tokens", n_tokens.cast("long"))
         .withColumn("n_distinct_tokens", n_distinct.cast("long"))
-        .withColumn("type_token_ratio", n_distinct / n_tokens)
-        .withColumn("punct_ratio", punct / n_chars)
-        .withColumn("stopword_ratio", stop_hits / n_tokens)
-        .withColumn("avg_token_len", avg_tok_len)
+        # try_divide: an empty document (0 chars) yields NULL ratios
+        # instead of an ANSI DIVIDE_BY_ZERO job abort; DuckDB division
+        # by zero is NULL too, so the oracle agrees row-for-row.
+        .withColumn("type_token_ratio", F.try_divide(n_distinct, n_tokens))
+        .withColumn("punct_ratio", F.try_divide(punct, n_chars))
+        .withColumn("stopword_ratio", F.try_divide(stop_hits, n_tokens))
+        .withColumn("avg_token_len", F.try_divide(n_chars - (n_tokens - 1), n_tokens))
         .withColumn(
             "quality_score",
             F.least(

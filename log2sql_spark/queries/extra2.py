@@ -1058,7 +1058,11 @@ def date_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf_word_positions",
     oracle=r"""
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      -- list_filter: Python str.split() yields NO tokens for empty or
+      -- whitespace-only text, while regexp_split_to_array('') is ['']
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS w
       FROM documents WHERE doc_id < 100
     ), i AS (
       SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM t

@@ -172,3 +172,18 @@ def test_edge_events_parity(spark, edge_events_dir, name):
     assert len(sdf) == len(ddf)
     key = list(sdf.columns)[0]
     assert sorted(sdf[key].astype(str)) == sorted(ddf[key].astype(str))
+
+
+@pytest.mark.parametrize("name", ["llm_text_stats", "udtf_word_positions"])
+def test_edge_doc_parity_text_ops(spark, edge_sf_dir, name):
+    """Empty/whitespace-only documents: text stats must yield NULL
+    ratios (not an ANSI divide-by-zero abort), and the word-position
+    UDTF's Python split() contract — no tokens for empty text — must
+    match the oracle's filtered regexp split."""
+    sdf = all_queries()[name](spark, edge_sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{edge_sf_dir}/documents.parquet/*.parquet'"
+    )
+    ddf = con.execute(all_oracles()[name]).fetchdf()
+    assert len(sdf) == len(ddf)
