@@ -210,3 +210,42 @@ def test_zorder_store_rejects_single_column(spark, tmp_path):
     df = spark.range(10).select(F.col("id").alias("x"))
     with pytest.raises(ValueError):
         store.commit(df, cluster_by="x", layout="zorder")
+
+
+def test_zorder_key_is_injective_on_grid(spark):
+    """Distinct (x, y) cells must map to distinct z-values when the
+    domain fits the per-dimension bit budget — a collision would merge
+    unrelated cells and silently blunt the file-skipping stats."""
+    from log2sql_spark.operators.zorder import zorder_key
+
+    df = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    z = df.withColumn("_z", zorder_key(df, ["x", "y"]))
+    n_distinct = z.select("_z").distinct().count()
+    assert n_distinct == 64 * 64
+
+
+def test_zorder_key_locality_beats_concatenation(spark):
+    """The Morton curve's point: neighbors in EITHER dimension stay
+    close in z-order: for adjacent cells the mean |Δz| must be a small
+    fraction of the used z-range (a concatenated key would pay a full
+    x-stride on every y-step)."""
+    from log2sql_spark.operators.zorder import zorder_key
+
+    df = spark.range(32 * 32).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    rows = df.withColumn("_z", zorder_key(df, ["x", "y"])).collect()
+    zmap = {(r.x, r.y): r._z for r in rows}
+    z_deltas = []
+    for (x, y), z in zmap.items():
+        if (x + 1, y) in zmap:
+            z_deltas.append(abs(zmap[(x + 1, y)] - z))
+        if (x, y + 1) in zmap:
+            z_deltas.append(abs(zmap[(x, y + 1)] - z))
+    # mean z-gap for adjacent cells, normalized by the z-range actually
+    # used, must be tighter than a uniform scatter would give
+    zrange = max(zmap.values()) - min(zmap.values())
+    mean_gap = sum(z_deltas) / len(z_deltas)
+    assert mean_gap < zrange / 8, (mean_gap, zrange)
