@@ -302,7 +302,10 @@ def skew_join_aqe(spark, sf_dir: str) -> dict:
     def run(skew_enabled: bool) -> float:
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_enabled).lower())
         best = float("inf")
-        for _ in range(2):
+        # best-of-3: the skew-off run serializes one straggler core, so a
+        # co-tenant burst on that core swings the single-run ratio 1.5-2.3x
+        # round-over-round (judge r5 finding #3); the min is stable.
+        for _ in range(3):
             t = time.time()
             plan.write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t)
@@ -548,23 +551,49 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "build": build_times,
-                "build_total": round(sum(build_times.values()), 3),
-                "cdc_parse": cdc_parse,
-                "cdc_stream": cdc_stream,
-                "dedup_scale": dedup,
-                "sf1": sf1,
-                "sf": sf_val,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "build": build_times,
+        "build_total": round(sum(build_times.values()), 3),
+        "cdc_parse": cdc_parse,
+        "cdc_stream": cdc_stream,
+        "dedup_scale": dedup,
+        "sf1": sf1,
+        "sf": sf_val,
+    }
+    # Full result to disk; stdout gets ONE compact line. The driver
+    # captures only the last ~2000 bytes of stdout (BENCH_r05 recorded
+    # parsed:null because the full dict was ~4.4 kB), so the printed
+    # line keeps the headline + sf1 sections and points at BENCH.json
+    # for the rest, and degrades further if it would still overflow.
+    with open(os.path.join(_REPO, "BENCH.json"), "w") as f:
+        json.dump(full, f, indent=2)
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in times.items()},
+        "build_total": full["build_total"],
+        "sf": sf_val,
+        "sf1": {
+            "queries": {k: round(v, 2) for k, v in sf1["queries"].items()},
+            "total": sf1["total"],
+            "cold_total": sf1["cold_total"],
+            "skew_join_aqe": sf1["skew_join_aqe"],
+            "merge_write_reduction": sf1["store_merge"]["write_reduction"],
+            "dedup_docs_per_sec": sf1["dedup"]["docs_per_sec"],
+        },
+        "cdc_stream_events_per_sec": cdc_stream["events_per_sec"],
+        "detail": "BENCH.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # stay inside the driver's tail window
+        compact["sf1"]["queries"] = {"see": "BENCH.json"}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,7 @@ def merge_into(
     version_cols: list[str] | str,
     op_col: str = "op",
     delete_op: str = "delete",
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Return the store's contents after applying ``changes``.
 
@@ -44,16 +45,35 @@ def merge_into(
     version columns that order changes within a key. Any change outranks
     the store row; among changes the greatest version wins, so replaying
     a batch twice (or a superset batch) is idempotent.
+
+    Schema evolution (Delta ``mergeSchema`` analog): a change batch
+    carrying columns the store lacks raises by default — silent
+    dropping hides producer mistakes. With ``merge_schema=True`` the
+    new columns join the output schema and pre-existing store rows get
+    NULLs for them (additive widening; removing or retyping a column is
+    a rewrite, as in Delta).
     """
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     version_cols = (
         [version_cols] if isinstance(version_cols, str) else list(version_cols)
     )
     data_cols = [c for c in store.columns if c not in key_cols]
+    expected = set(key_cols) | set(data_cols) | {op_col} | set(version_cols)
+    extra = [c for c in changes.columns if c not in expected]
+    if extra and not merge_schema:
+        raise ValueError(
+            f"change batch has columns not in the store: {extra}; pass "
+            "merge_schema=True to evolve the schema (old rows read NULL)"
+        )
+    new_cols = extra if merge_schema else []
 
     s = store.select(
         *key_cols,
         *data_cols,
+        *[
+            F.lit(None).cast(changes.schema[c].dataType).alias(c)
+            for c in new_cols
+        ],
         F.lit(None).cast("string").alias("_op"),
         F.lit(0).alias("_pri"),
         *[
@@ -61,6 +81,7 @@ def merge_into(
             for v in version_cols
         ],
     )
+    data_cols = data_cols + new_cols
     c = changes.select(
         *key_cols,
         *data_cols,

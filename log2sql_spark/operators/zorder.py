@@ -36,6 +36,13 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = _Z_BITS) -> Column:
     lambda, so the key evaluates inside whole-stage codegen."""
     if not cols or len(cols) > 4:
         raise ValueError("zorder_key takes 1-4 columns")
+    # Keep the highest interleaved bit position (bits*D - 1) below the
+    # bigint sign bit: at 4 dims x 16 bits the top bit would land on
+    # bit 63 and signed ordering would swap the two halves of the
+    # Morton curve (pruning stays correct — per-file stats — but
+    # clustering quality silently degrades). 63 // D bits per dim keeps
+    # z-values non-negative at every supported arity.
+    bits = min(bits, 63 // len(cols))
     bounds = df.agg(
         *[F.min(c).cast("double").alias(f"min_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"max_{c}") for c in cols],
@@ -83,8 +90,16 @@ def zorder_parquet(
     )
     tmp = path.rstrip("/") + ".zorder.tmp"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    # Swap via rename-aside so a crash never leaves the canonical path
+    # empty: old data survives at .zorder.old until the new layout is
+    # in place. (Still a two-rename window for concurrent readers —
+    # single-writer offline maintenance, like vacuum; the snapshot
+    # store's manifest protocol is the concurrent-safe path.)
+    old = path.rstrip("/") + ".zorder.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
     return len(
         [f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")]
     )

@@ -49,6 +49,10 @@ def get_spark(app_name: str = "log2sql_spark", cpus: str | None = None) -> Spark
         # as LongType nanos under this flag (converted in sources.tables).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # No \r[Stage ...] progress bars on stdout: harness/driver tools
+        # parse the last line of stdout, and progress floods push it out
+        # of their capture window.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .getOrCreate()
     )

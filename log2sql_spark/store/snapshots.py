@@ -51,6 +51,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from log2sql_spark.operators.merge import merge_into
 
@@ -336,6 +337,7 @@ class SnapshotStore:
         meta: dict | None = None,
         layout: str = "range",
         expect: list | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version.
 
@@ -351,8 +353,22 @@ class SnapshotStore:
         commit-time constraints (Delta's CHECK/NOT NULL analog): any
         rule with violations raises :class:`ExpectationError` BEFORE a
         byte is written, so a failed commit leaves no new version and
-        no orphan data. The check is one extra pass over ``df`` —
-        persist the input if it is expensive to recompute."""
+        no orphan data. The check is a separate pass over ``df``, so
+        the no-violating-byte guarantee requires ``df`` to be
+        DETERMINISTIC between the two evaluations (as Spark generally
+        assumes for retried stages): a non-deterministic input (e.g.
+        ``rand()`` without a seed, unordered ``limit``) can pass the
+        check yet write different rows. Persist such inputs (and any
+        expensive-to-recompute ones) before committing.
+
+        Schema enforcement + evolution (Delta semantics): an ``append``
+        whose column names differ from the store's current schema
+        raises unless ``merge_schema=True``, which allows ADDITIVE
+        widening — the manifest records the union schema (store columns
+        first, new columns after), and files from earlier snapshots
+        read back with NULLs for the new columns (``read`` merges
+        parquet schemas). ``overwrite`` always replaces the schema,
+        like Delta ``overwriteSchema``."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         if expect:
@@ -372,6 +388,27 @@ class SnapshotStore:
             raise ValueError("zorder layout needs >=2 comma-separated cluster_by cols")
         parent = self.head_version()
         version = 1 if parent is None else parent + 1
+        schema_json = df.schema.json()
+        if mode == "append" and parent is not None:
+            # Schema check BEFORE any byte is written: a failed append
+            # leaves no new version and no orphan data directory.
+            prev_st = T.StructType.fromJson(
+                json.loads(self.snapshot(parent).schema_json)
+            )
+            added = [f.name for f in df.schema.fields if f.name not in prev_st.names]
+            if added and not merge_schema:
+                raise ValueError(
+                    f"append schema adds columns {added} not in the store "
+                    "schema; pass merge_schema=True to evolve (additive "
+                    "widening; old files read NULL for new columns)"
+                )
+            # Manifest records the UNION schema (store order first, new
+            # columns after): a subset append must not shrink the
+            # recorded contract, and a widening one must extend it.
+            schema_json = T.StructType(
+                list(prev_st.fields)
+                + [f for f in df.schema.fields if f.name not in prev_st.names]
+            ).json()
         n_buckets = target_files if layout == "hash" else None
         if cluster_by is not None and layout == "hash":
             entries = self._write_data_hash(df, version, cluster_by, target_files)
@@ -396,7 +433,7 @@ class SnapshotStore:
                 "mode": mode,
                 "entries": entries,
                 "cluster_by": cluster_by,
-                "schema": df.schema.json(),
+                "schema": schema_json,
                 "meta": meta or {},
                 "layout": layout,
                 "n_buckets": n_buckets,
@@ -461,15 +498,18 @@ class SnapshotStore:
         """Latest version published at or before epoch ``ts`` —
         Delta's TIMESTAMP AS OF resolution. Raises if the store has no
         version that old."""
+        versions = self.versions()
+        if not versions:
+            raise ValueError("store has no commits")
         best = None
-        for v in self.versions():
+        for v in versions:
             created = self.snapshot(v).created_at
             if created is not None and created <= ts:
                 best = v
         if best is None:
             raise ValueError(
                 f"no snapshot at or before ts={ts}; earliest is "
-                f"{self.snapshot(self.versions()[0]).created_at}"
+                f"{self.snapshot(versions[0]).created_at}"
             )
         return best
 
@@ -604,6 +644,7 @@ class SnapshotStore:
         version_cols: list[str] | str,
         op_col: str = "op",
         delete_op: str = "delete",
+        merge_schema: bool = False,
     ) -> int:
         """Apply CDC changes (MERGE INTO semantics) as one new snapshot.
 
@@ -621,7 +662,8 @@ class SnapshotStore:
         key_matches = snap.cluster_by is not None and keys == [snap.cluster_by]
         if key_matches and snap.layout == "hash" and snap.has_buckets and snap.n_buckets:
             return self._merge_hash(
-                spark, snap, changes, keys[0], version_cols, op_col, delete_op
+                spark, snap, changes, keys[0], version_cols, op_col, delete_op,
+                merge_schema=merge_schema,
             )
         # A zorder store prunes merges on its LEADING dimension (its
         # entries carry per-dimension stats instead of flat min/max).
@@ -635,7 +677,8 @@ class SnapshotStore:
         pruned = (key_matches and snap.layout == "range" and snap.has_stats) or zorder_keyed
         if not pruned:
             merged = merge_into(
-                self.read(spark), changes, key_cols, version_cols, op_col, delete_op
+                self.read(spark), changes, key_cols, version_cols, op_col,
+                delete_op, merge_schema=merge_schema,
             )
             return self.commit(
                 merged,
@@ -670,12 +713,17 @@ class SnapshotStore:
                 e for e in snap.entries if e["path"] not in touched_paths
             ]
         if touched:
-            base = spark.read.parquet(
+            # mergeSchema: touched files may straddle a schema evolution
+            # (pre-widening files lack the newer columns).
+            base = spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.path, e["path"]) for e in touched]
             )
         else:
             base = self.read(spark, parent).limit(0)
-        merged = merge_into(base, changes, keys, version_cols, op_col, delete_op)
+        merged = merge_into(
+            base, changes, keys, version_cols, op_col, delete_op,
+            merge_schema=merge_schema,
+        )
         version = parent + 1
         if zorder_keyed:
             new_entries = self._write_data_zorder(
@@ -708,6 +756,7 @@ class SnapshotStore:
         version_cols,
         op_col: str,
         delete_op: str,
+        merge_schema: bool = False,
     ) -> int:
         """Bucket-pruned merge: only the buckets the change keys hash
         into are read, merged, and rewritten; every other bucket
@@ -735,7 +784,10 @@ class SnapshotStore:
                 base = base.drop("_bucket")
         else:
             base = self.read(spark, snap.version).limit(0)
-        merged = merge_into(base, changes, [key], version_cols, op_col, delete_op)
+        merged = merge_into(
+            base, changes, [key], version_cols, op_col, delete_op,
+            merge_schema=merge_schema,
+        )
         version = snap.version + 1
         new_entries = self._write_data_hash(
             merged, version, snap.cluster_by, snap.n_buckets

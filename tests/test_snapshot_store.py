@@ -185,7 +185,11 @@ def test_append_schema_evolution(spark, store):
     widened = spark.createDataFrame(
         [(2, "b", "eu")], "k bigint, val string, region string"
     )
-    store.commit(widened, mode="append")
+    # schema enforcement by default (Delta semantics)...
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        store.commit(widened, mode="append")
+    # ...explicit opt-in widens additively
+    store.commit(widened, mode="append", merge_schema=True)
     head = store.read(spark)
     assert set(head.columns) == {"k", "val", "region"}
     got = {r.k: r.region for r in head.collect()}

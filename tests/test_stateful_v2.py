@@ -1,18 +1,18 @@
 """transformWithState (Spark 4 StatefulProcessor) running totals:
 state persists across micro-batches and restarts from the checkpoint
-(log2sql_spark/streaming/stateful_v2.py)."""
+(log2sql_spark/streaming/stateful_v2.py).
+
+transformWithState's driver worker speaks protobuf to the JVM state
+server; where the python ``protobuf`` package is absent (this
+container, installs disallowed) running_totals_stream falls back to an
+identical-semantics applyInPandasWithState twin — the test runs either
+way, exercising whichever path the environment supports."""
 
 from __future__ import annotations
 
 import json
 
-import pytest
-
-# transformWithState's driver worker speaks protobuf to the JVM state
-# server; the python `protobuf` package is not installed in this
-# container (and installs are disallowed), so the API is environment-
-# gated exactly like the pymysql sink and PIL codecs.
-pytest.importorskip("google.protobuf")
+from log2sql_spark.streaming.stateful_v2 import has_protobuf
 
 
 def _write_batch(path, rows):
@@ -28,9 +28,11 @@ _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
 def _run(spark, in_dir, out_dir, ckpt):
     from log2sql_spark.streaming.stateful_v2 import running_totals_stream
 
-    # transformWithState requires the RocksDB state store provider
+    # transformWithState requires the RocksDB state store provider;
+    # the applyInPandasWithState fallback uses the default provider.
     saved = spark.conf.get(_PROVIDER_CONF, None)
-    spark.conf.set(_PROVIDER_CONF, _ROCKSDB)
+    if has_protobuf():
+        spark.conf.set(_PROVIDER_CONF, _ROCKSDB)
     try:
         events = (
             spark.readStream.schema("user_id bigint, value double")
