@@ -156,14 +156,21 @@ def decode_bmp(content: bytes) -> tuple[int, int, bytes]:
 
     if content[:2] != b"BM":
         raise ValueError("not a BMP payload")
-    (pix_offset,) = struct.unpack_from("<I", content, 10)
-    dib_size, width, height = struct.unpack_from("<Iii", content, 14)
-    planes, bpp = struct.unpack_from("<HH", content, 26)
-    (compression,) = struct.unpack_from("<I", content, 30)
+    try:  # truncated headers must surface as ValueError, not struct.error
+        (pix_offset,) = struct.unpack_from("<I", content, 10)
+        dib_size, width, height = struct.unpack_from("<Iii", content, 14)
+        planes, bpp = struct.unpack_from("<HH", content, 26)
+        (compression,) = struct.unpack_from("<I", content, 30)
+    except struct.error as exc:
+        raise ValueError(f"BMP header truncated: {exc}") from exc
     if bpp != 24 or compression != 0:
         raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, comp={compression})")
     bottom_up = height > 0
     height = abs(height)
+    # a forged header must not allocate unbounded memory: the raster
+    # cannot be bigger than the payload that claims to contain it
+    if width < 0 or width * height * 3 > max(0, len(content) - pix_offset) + 4096:
+        raise ValueError(f"implausible BMP dimensions {width}x{height} for {len(content)} bytes")
     stride = (width * 3 + 3) & ~3
     out = bytearray(width * height * 3)
     for y in range(height):
@@ -215,9 +222,19 @@ def decode_wav(content: bytes) -> tuple[int, list[int]]:
     while pos + 8 <= len(content):
         cid, size = content[pos : pos + 4], struct.unpack_from("<I", content, pos + 4)[0]
         body = content[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # a silently short read would truncate the PCM stream and
+            # produce plausible-but-wrong features downstream
+            raise ValueError(
+                f"chunk {cid!r} truncated: header claims {size} bytes, "
+                f"payload has {len(body)}"
+            )
         if cid == b"fmt ":
-            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
-            bits = struct.unpack_from("<H", body, 14)[0]
+            try:
+                audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+                bits = struct.unpack_from("<H", body, 14)[0]
+            except struct.error as exc:
+                raise ValueError(f"fmt chunk truncated: {exc}") from exc
             if audio_fmt != 1:
                 raise ValueError(f"only PCM supported (fmt={audio_fmt})")
         elif cid == b"data":
@@ -227,6 +244,10 @@ def decode_wav(content: bytes) -> tuple[int, list[int]]:
         raise ValueError("missing fmt/data chunk")
     if bits != 16 or channels != 1:
         raise ValueError(f"only 16-bit mono supported (bits={bits}, ch={channels})")
+    if len(data) % 2:
+        raise ValueError(f"odd PCM16 data length {len(data)}")
+    if rate <= 0:
+        raise ValueError(f"invalid sample rate {rate}")
     samples = list(struct.unpack(f"<{len(data) // 2}h", data))
     return rate, samples
 
@@ -264,8 +285,13 @@ def decode_ppmv_frames(content: bytes) -> list[tuple[int, int, bytes]]:
     by repeatedly applying the real PPM decoder at the walked offset."""
     if not content.startswith(b"PPMV "):
         raise ValueError("not a PPMV payload")
-    nl = content.index(b"\n")
-    n_frames = int(content[5:nl])
+    try:
+        nl = content.index(b"\n")
+        n_frames = int(content[5:nl])
+    except Exception as exc:
+        raise ValueError(f"malformed PPMV header: {exc}") from exc
+    if n_frames < 0:
+        raise ValueError(f"negative frame count {n_frames}")
     pos, frames = nl + 1, []
     for _ in range(n_frames):
         w, h, raster, consumed = _parse_ppm(content[pos:])
@@ -449,33 +475,64 @@ def synthesize_audio(ids: DataFrame, id_col: str = "doc_id", rate: int = 8000) -
     return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def audio_features(media: DataFrame) -> DataFrame:
+AUDIO_SAFE_SCHEMA = T.StructType(
+    AUDIO_SCHEMA.fields + [T.StructField("decode_error", T.StringType())]
+)
+
+
+def audio_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """Real WAV decode inside Arrow-batched mapInPandas: every feature
     (incl. the sample-string md5) derives from the parsed PCM stream, so
-    chunk-walk or endianness bugs hash-mismatch the oracle."""
+    chunk-walk or endianness bugs hash-mismatch the oracle.
+
+    ``on_error='null'`` quarantines undecodable assets (truncated RIFF
+    chunks, non-PCM, zero samples) as rows with NULL features plus a
+    ``decode_error`` column instead of failing the task — the same
+    contract as :func:`decode_image_features`."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    schema = AUDIO_SCHEMA if on_error == "raise" else AUDIO_SAFE_SCHEMA
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
         import math
 
         for pdf in batches:
-            rows = {k.name: [] for k in AUDIO_SCHEMA.fields}
+            rows = {k.name: [] for k in schema.fields}
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
-                rate, samples = decode_wav(bytes(content))
-                n = len(samples)
+                try:
+                    rate, samples = decode_wav(bytes(content))
+                    n = len(samples)
+                    if n == 0:
+                        raise ValueError("empty PCM stream")
+                    feats = {
+                        "sample_rate": rate,
+                        "n_samples": n,
+                        "duration_ms": n * 1000 // rate,
+                        "mean_sample": float(sum(samples)) / n,
+                        "rms": math.sqrt(sum(s * s for s in samples) / n),
+                        "first_sample": samples[0],
+                        "samples_md5": hashlib.md5(
+                            ",".join(str(s) for s in samples).encode()
+                        ).hexdigest(),
+                    }
+                except Exception as exc:
+                    if on_error == "raise":
+                        raise
+                    rows["asset_id"].append(int(aid))
+                    for k in ("sample_rate", "n_samples", "duration_ms",
+                              "mean_sample", "rms", "first_sample", "samples_md5"):
+                        rows[k].append(None)
+                    rows["decode_error"].append(f"{type(exc).__name__}: {exc}")
+                    continue
                 rows["asset_id"].append(int(aid))
-                rows["sample_rate"].append(rate)
-                rows["n_samples"].append(n)
-                rows["duration_ms"].append(n * 1000 // rate)
-                rows["mean_sample"].append(float(sum(samples)) / n)
-                rows["rms"].append(math.sqrt(sum(s * s for s in samples) / n))
-                rows["first_sample"].append(samples[0])
-                rows["samples_md5"].append(
-                    hashlib.md5(",".join(str(s) for s in samples).encode()).hexdigest()
-                )
+                for k, v in feats.items():
+                    rows[k].append(v)
+                if on_error == "null":
+                    rows["decode_error"].append(None)
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(extract, schema=AUDIO_SCHEMA)
+    return media.mapInPandas(extract, schema=schema)
 
 
 RESIZED_SCHEMA = T.StructType(

@@ -453,6 +453,23 @@ class SnapshotStore:
             json.dump(manifest, f)
         os.replace(tmp, final)  # atomic on POSIX: the commit point
 
+    def fsck(self, version: int | None = None) -> list[str]:
+        """Manifest integrity check: the relative paths a snapshot's
+        manifest references that do NOT exist on disk (a vacuum bug,
+        manual deletion, or partial restore). Empty list = sound. A
+        read() of a damaged snapshot fails with Spark's path error;
+        ``fsck`` pinpoints the missing files first so an operator can
+        restore them or roll back to an intact version — the same job
+        as Delta's FSCK REPAIR TABLE diagnosis pass."""
+        version = self.head_version() if version is None else version
+        if version is None:
+            return []
+        return [
+            e["path"]
+            for e in self.snapshot(version).entries
+            if not os.path.exists(os.path.join(self.path, e["path"]))
+        ]
+
     def file_count(self, version: int | None = None) -> int:
         """Actual parquet part files a snapshot references (walking
         directory entries — hash layouts list bucket DIRS in the
