@@ -277,10 +277,10 @@ def ensure_sf1_dir() -> str:
 
 
 def skew_join_aqe(spark, sf_dir: str) -> dict:
-    """Measurable AQE skew mitigation: remap 30% of sf1 lineitem rows
-    (~1.8M) onto ONE hot orderkey, sort-merge join against orders, and
+    """Measurable AQE skew mitigation: remap 50% of sf1 lineitem rows
+    (~3M) onto ONE hot orderkey, sort-merge join against orders, and
     time the identical plan with AQE skew-join splitting off vs on.
-    The hot shuffle partition is ~14x the median; with splitting off it
+    The hot shuffle partition is ~30x the median; with splitting off it
     serializes one core while 31 idle — exactly the straggler a skewed
     key produces at 100 TB. Thresholds are lowered in proportion to the
     sf1 partition sizes (a cluster deploy would keep the 256 MB
@@ -291,7 +291,7 @@ def skew_join_aqe(spark, sf_dir: str) -> dict:
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     skewed = li.withColumn(
         "l_orderkey",
-        F.when(F.col("l_orderkey") % 10 < 3, F.lit(0)).otherwise(F.col("l_orderkey")),
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(0)).otherwise(F.col("l_orderkey")),
     )
     plan = (
         skewed.join(orders.hint("merge"), skewed.l_orderkey == orders.o_orderkey)

@@ -57,3 +57,31 @@ def filter_events(
     if stop_datetime is not None:
         df = df.filter(F.col("event_ts") < F.lit(stop_datetime).cast("timestamp"))
     return df
+
+
+def dedup_by_gtid(envelope: DataFrame) -> DataFrame:
+    """Exactly-once across re-delivered dumps: keep each GTID's events
+    from ONE delivery (the lexicographically first file that contains
+    the transaction), drop every other copy.
+
+    A replication retry or an overlapping ``mysqlbinlog`` re-dump
+    delivers the same transactions twice; replaying them twice double-
+    applies non-idempotent changes. GTIDs (``SET @@SESSION.GTID_NEXT``
+    preambles, parsed into the envelope's ``gtid`` column) identify a
+    transaction globally, so dedup is a per-GTID winner pick — one
+    shuffle on ``gtid``, state bounded by |transactions|, no pairwise
+    comparison. GTID-less events (anonymous transactions, dumps from
+    servers without GTIDs) pass through untouched: there is nothing
+    safe to dedup on, matching MySQL's own semantics where exactly-once
+    replication REQUIRES gtid_mode.
+
+    Upstream analog: the reference parses dumps independently and would
+    re-print duplicated transactions (no GTID handling anywhere in
+    ``log2sql.py``); this operator is what its online twin needs.
+    """
+    from pyspark.sql import Window as W
+
+    keeper = F.min("file").over(W.partitionBy("gtid"))
+    return envelope.withColumn("_keep_file", keeper).filter(
+        F.col("gtid").isNull() | (F.col("file") == F.col("_keep_file"))
+    ).drop("_keep_file")

@@ -830,3 +830,139 @@ def cdc_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", "as_of", "version_op", "version_cents")
         .orderBy("key")
     )
+
+
+_GTID_UUID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+
+
+@query(
+    "cdc_gtid_dedup_replay",
+    oracle=_ORACLE_BASE
+    + f"""
+    , stats AS (
+      SELECT CAST(sum(CASE WHEN rn % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      FROM src
+    ),
+    newsrc AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY rn) AS BIGINT) AS jn
+      FROM src WHERE rn % 5 = 0
+    )
+    SELECT 4 + 120 * (rn - 1) AS start_pos,
+           'INSERT INTO `shop`.`orders`({_COL_LIST}) VALUES (' || {_VALUES_EXPR} || ');' AS sql_text
+    FROM src
+    UNION ALL
+    SELECT 4 + 120 * (n_dup + jn - 1) AS start_pos,
+           'INSERT INTO `shop`.`orders`({_COL_LIST}) VALUES ('
+             || {_VALUES_EXPR.replace("o_orderkey", "(o_orderkey + 100000)", 1)} || ');' AS sql_text
+    FROM newsrc, stats
+    ORDER BY start_pos, sql_text
+    """,
+)
+def cdc_gtid_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once replay across RE-DELIVERED dumps: file A holds every
+    row as its own GTID'd transaction; file B re-delivers one third of
+    them (identical GTIDs — a replication retry) plus genuinely new
+    transactions. ``dedup_by_gtid`` keeps each transaction from one
+    delivery, so the replay stream contains file A's events exactly once
+    plus only file B's NEW transactions — the oracle reconstructs that
+    exact multiset (original positions + file-B positions for the new
+    rows), so one surviving duplicate or one lost new row breaks the
+    hash. The reference would re-print duplicated transactions verbatim
+    (no GTID handling in ``log2sql.py``); GTID parse is the public
+    mysqlbinlog ``SET @@SESSION.GTID_NEXT`` preamble."""
+    from log2sql_spark.cdc import envelope_to_sql
+    from log2sql_spark.operators.cdc_filters import dedup_by_gtid
+    from log2sql_spark.sources.binlog import read_binlog
+
+    rows = _orders_subset(spark, sf_dir)
+
+    def ins(r, key_shift=0, gtid_seq=0):
+        toks = _row_tokens(r)
+        if key_shift:
+            toks = [(1, str(r["o_orderkey"] + key_shift))] + toks[1:]
+        return {
+            "op": "insert",
+            "db": "shop",
+            "table": "orders",
+            "ts": r["o_orderdate"],
+            "values": toks,
+            "gtid": f"{_GTID_UUID}:{gtid_seq}",
+            "commit": True,
+        }
+
+    file_a = [ins(r, gtid_seq=i + 1) for i, r in enumerate(rows)]
+    dups = [ins(r, gtid_seq=i + 1) for i, r in enumerate(rows) if (i + 1) % 3 == 0]
+    news = [
+        ins(r, key_shift=100000, gtid_seq=len(rows) + j + 1)
+        for j, r in enumerate(r2 for i2, r2 in enumerate(rows) if (i2 + 1) % 5 == 0)
+    ]
+    d = scratch_dir("log2sql_gtid_")
+    path_a = os.path.join(d, "mysql-bin.000001.txt")
+    path_b = os.path.join(d, "mysql-bin.000002.txt")
+    with open(path_a, "w") as fh:
+        fh.write(render_binlog(file_a))
+    with open(path_b, "w") as fh:
+        fh.write(render_binlog(dups + news))
+
+    cat = catalog_from_dict(spark, _CATALOG_SPEC)
+    envelope = dedup_by_gtid(read_binlog(spark, [path_a, path_b]))
+    return (
+        envelope_to_sql(envelope, cat)
+        .select("start_pos", "sql_text")
+        .orderBy("start_pos", "sql_text")
+    )
+
+
+@query(
+    "cdc_txn_grouping",
+    oracle=_ORACLE_BASE
+    + f"""
+    , bounds AS (SELECT CAST(count(*) AS BIGINT) AS n FROM src)
+    SELECT CAST((rn - 1) // 5 AS BIGINT) AS txn_seq,
+           '{_GTID_UUID}:' || CAST((rn - 1) // 5 + 1 AS VARCHAR) AS gtid,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(4 + 120 * (min(rn) - 1) AS BIGINT) AS first_pos,
+           CAST(4 + 120 * max(rn) AS BIGINT) AS last_pos
+    FROM src
+    GROUP BY 1, 2
+    ORDER BY txn_seq
+    """,
+)
+def cdc_txn_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEGIN..COMMIT transaction grouping: the dump batches every 5 row
+    events into one GTID'd transaction (``SET GTID_NEXT`` + ``BEGIN``
+    preamble, ``COMMIT`` terminator — the real mysqlbinlog layout), and
+    the parser assigns each event its 0-based per-file ``txn_seq`` plus
+    the owning ``gtid``. Grouping by transaction yields the unit a
+    TRANSACTION-ATOMIC apply needs (all-or-nothing per txn — what the
+    downstream MERGE must treat as one batch to preserve source
+    atomicity); the oracle recomputes membership, GTIDs, and position
+    spans arithmetically from the row numbers."""
+    rows = _orders_subset(spark, sf_dir)
+    events = []
+    for i, r in enumerate(rows):
+        ev = {
+            "op": "insert",
+            "db": "shop",
+            "table": "orders",
+            "ts": r["o_orderdate"],
+            "values": _row_tokens(r),
+        }
+        if i % 5 == 0:  # first event of the transaction
+            ev["gtid"] = f"{_GTID_UUID}:{i // 5 + 1}"
+        if i % 5 == 4 or i == len(rows) - 1:
+            ev["commit"] = True
+        events.append(ev)
+    path = _write_dump(events)
+    from log2sql_spark.sources.binlog import read_binlog
+
+    return (
+        read_binlog(spark, path)
+        .groupBy("txn_seq", "gtid")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("start_pos").alias("first_pos"),
+            F.max("stop_pos").alias("last_pos"),
+        )
+        .orderBy("txn_seq")
+    )

@@ -64,8 +64,23 @@ ENVELOPE_SCHEMA = T.StructType(
         T.StructField("before", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField("after", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField("statement", T.StringType(), True),
+        # GTID of the owning transaction (SET @@SESSION.GTID_NEXT
+        # preamble; NULL for anonymous/GTID-less dumps) and the 0-based
+        # per-file transaction ordinal (BEGIN..COMMIT grouping; NULL for
+        # events outside any transaction). GTIDs make re-delivered dumps
+        # exactly-once dedupable (operators/cdc_filters.dedup_by_gtid);
+        # txn_seq makes the apply transaction-atomic.
+        T.StructField("gtid", T.StringType(), True),
+        T.StructField("txn_seq", T.LongType(), True),
     ]
 )
+
+# Chunk-local sentinels: a chunk that starts mid-file cannot know the
+# GTID/transaction state left open by earlier chunks, so its pre-first-
+# marker events carry these and the split assembly resolves them from
+# the carried chunk state (same mechanism as the DDL `use` carry).
+GTID_INHERIT = "\x00inherit"
+TXN_INHERIT = -1
 
 _AT_RE = re.compile(r"^# at (\d+)")
 _HDR_RE = re.compile(
@@ -82,6 +97,9 @@ _VALUE_RE = re.compile(r"^@(\d+)=(.*)$", re.DOTALL)
 # the first ' /*' inside a quoted value to the annotation's '*/'.
 _TYPE_COMMENT_RE = re.compile(r"\s/\*(?:(?!\*/)(?!/\*).)*\*/\s*$", re.DOTALL)
 _DDL_HEAD_RE = re.compile(r"^\s*(create|rename|alter|drop|truncate)\b", re.IGNORECASE)
+# GTID preamble: SET @@SESSION.GTID_NEXT= 'uuid:seq' /*!*/;  ('AUTOMATIC'
+# between transactions on servers without assigned GTIDs)
+_GTID_RE = re.compile(r"SET\s+@@SESSION\.GTID_NEXT\s*=\s*'([^']*)'", re.IGNORECASE)
 
 _OP_BY_VERB = {"insert into": "insert", "update": "update", "delete from": "delete"}
 
@@ -105,17 +123,33 @@ def parse_binlog_lines(lines: list[str], file: str = "") -> list[dict]:
     edge cases without a SparkSession.
     """
     events, _ = parse_binlog_lines_with_state(lines, file)
+    # file start = nothing to inherit: resolve chunk sentinels to NULL
+    for ev in events:
+        if ev["gtid"] == GTID_INHERIT:
+            ev["gtid"] = None
+        if ev["txn_seq"] == TXN_INHERIT:
+            ev["txn_seq"] = None
     return events
 
 
 def parse_binlog_lines_with_state(
     lines: list[str], file: str = ""
-) -> tuple[list[dict], str | None]:
-    """Like :func:`parse_binlog_lines` but also returns the last ``use``
-    database seen — the one piece of parser state that outlives an
-    event-group boundary, which the chunked reader must carry between
-    chunks (a chunk that starts mid-file has not seen earlier ``use``
-    statements, so its pre-``use`` DDL events need the carried value)."""
+) -> tuple[list[dict], dict]:
+    """Like :func:`parse_binlog_lines` but also returns the parser state
+    that outlives an event-group boundary, which the chunked reader must
+    carry between chunks (a chunk that starts mid-file has not seen
+    earlier ``use``/GTID/BEGIN statements):
+
+    * ``use`` — last ``use`` database seen (or None);
+    * ``gtid_end`` — GTID state at end of chunk: None when the chunk saw
+      no GTID activity (carry through), ``""`` when the last activity
+      closed the transaction (COMMIT), else the open GTID;
+    * ``txn_end`` — None (no BEGIN/COMMIT seen), ``"open"``, ``"closed"``;
+    * ``n_txns`` — BEGINs seen (prefix-sums into global txn ordinals).
+
+    Events emitted before the chunk's first GTID/txn marker carry the
+    :data:`GTID_INHERIT` / :data:`TXN_INHERIT` sentinels for the
+    assembly (or :func:`parse_binlog_lines`) to resolve."""
     events: list[dict] = []
     start_pos: int | None = None
     stop_pos: int | None = None
@@ -124,12 +158,25 @@ def parse_binlog_lines_with_state(
     image: str | None = None  # which map @N= lines fill: 'before' | 'after'
     ddl: list[str] | None = None
     use_db: str | None = None
+    gtid: str | None = None
+    gtid_known = False  # saw any GTID_NEXT/COMMIT: gtid is authoritative
+    txn_known = False  # saw any BEGIN/COMMIT: txn state is authoritative
+    txn_open = False
+    n_txns = 0
 
     def flush() -> None:
         nonlocal cur, image
         if cur is not None:
             events.append(cur)
         cur, image = None, None
+
+    def _gtid_of_event():
+        return gtid if gtid_known else GTID_INHERIT
+
+    def _txn_of_event():
+        if not txn_known:
+            return TXN_INHERIT
+        return n_txns - 1 if txn_open else None
 
     for raw in lines:
         line = raw.rstrip("\r\n")
@@ -153,6 +200,23 @@ def parse_binlog_lines_with_state(
                 if stripped.lower().startswith("use "):
                     use_db = stripped.split("/*")[0].strip().rstrip(";")
                     use_db = re.sub(r"^use\s+", "", use_db, flags=re.IGNORECASE).strip("`")
+                gm = _GTID_RE.search(stripped)
+                if gm:
+                    g = gm.group(1)
+                    gtid = None if g.upper() == "AUTOMATIC" else g
+                    gtid_known = True
+                    continue
+                if stripped == "BEGIN":
+                    flush()
+                    n_txns += 1
+                    txn_open, txn_known = True, True
+                    continue
+                if stripped.startswith("COMMIT"):
+                    flush()
+                    # GTID_NEXT scopes one transaction: COMMIT closes both
+                    txn_open, txn_known = False, True
+                    gtid, gtid_known = None, True
+                    continue
                 if _DDL_HEAD_RE.match(stripped):
                     flush()
                     ddl = [stripped]
@@ -172,6 +236,8 @@ def parse_binlog_lines_with_state(
                         "before": None,
                         "after": None,
                         "statement": stmt,
+                        "gtid": _gtid_of_event(),
+                        "txn_seq": _txn_of_event(),
                     }
                 )
                 ddl = None
@@ -193,6 +259,8 @@ def parse_binlog_lines_with_state(
                 "before": {} if op in ("update", "delete") else None,
                 "after": {} if op in ("update", "insert") else None,
                 "statement": None,
+                "gtid": _gtid_of_event(),
+                "txn_seq": _txn_of_event(),
             }
             # INSERT's SET fills `after`; UPDATE starts in WHERE (`before`);
             # DELETE's WHERE fills `before`.
@@ -219,7 +287,17 @@ def parse_binlog_lines_with_state(
         ev["file"] = file
         ev["event_seq"] = seq
         out.append(ev)
-    return out, use_db
+    if not gtid_known:
+        gtid_end = None
+    else:
+        gtid_end = gtid if gtid is not None else ""
+    state = {
+        "use": use_db,
+        "gtid_end": gtid_end,
+        "txn_end": None if not txn_known else ("open" if txn_open else "closed"),
+        "n_txns": n_txns,
+    }
+    return out, state
 
 
 def _parse_whole_files(batches) -> "Iterator[pd.DataFrame]":
@@ -335,10 +413,12 @@ def _parse_chunks(batches) -> "Iterator[pd.DataFrame]":
             local = file[7:] if file.startswith("file://") else file
             with open(local, "rb") as fh:
                 lines = list(_iter_chunk_lines(fh, int(start), int(end)))
-            events, last_use = parse_binlog_lines_with_state(lines, file=file)
+            events, state = parse_binlog_lines_with_state(lines, file=file)
             for ev in events:
                 ev["chunk_id"] = int(chunk_id)
             out.extend(events)
+            import json as _json
+
             out.append(
                 {
                     "file": file,
@@ -351,7 +431,10 @@ def _parse_chunks(batches) -> "Iterator[pd.DataFrame]":
                     "event_ts": None,
                     "before": None,
                     "after": None,
-                    "statement": last_use,
+                    # chunk-end parser state (use/gtid/txn carry) as JSON
+                    "statement": _json.dumps(state),
+                    "gtid": None,
+                    "txn_seq": None,
                     "chunk_id": int(chunk_id),
                 }
             )
@@ -417,11 +500,22 @@ def read_binlog_split(
             "file",
             "chunk_id",
             F.col("event_seq").alias("n_events"),
-            F.col("statement").alias("last_use"),
+            F.get_json_object("statement", "$.use").alias("last_use"),
+            F.get_json_object("statement", "$.gtid_end").alias("gtid_end"),
+            F.get_json_object("statement", "$.txn_end").alias("txn_end"),
+            F.get_json_object("statement", "$.n_txns").cast("long").alias("n_txns"),
         )
         .withColumn("seq_offset", F.coalesce(F.sum("n_events").over(prior), F.lit(0)))
         .withColumn("carry_use", F.last("last_use", ignorenulls=True).over(prior))
-        .select("file", "chunk_id", "seq_offset", "carry_use")
+        # GTID/txn state left open by earlier chunks: last chunk WITH
+        # activity wins ('' / 'closed' mean explicitly cleared)
+        .withColumn("carry_gtid", F.last("gtid_end", ignorenulls=True).over(prior))
+        .withColumn("carry_txn", F.last("txn_end", ignorenulls=True).over(prior))
+        .withColumn("txn_offset", F.coalesce(F.sum("n_txns").over(prior), F.lit(0)))
+        .select(
+            "file", "chunk_id", "seq_offset", "carry_use",
+            "carry_gtid", "carry_txn", "txn_offset",
+        )
     )
     return (
         parsed.filter(F.col("op") != _CHUNK_META_OP)
@@ -432,6 +526,27 @@ def read_binlog_split(
             F.when(
                 (F.col("op") == "ddl") & F.col("db").isNull(), F.col("carry_use")
             ).otherwise(F.col("db")),
+        )
+        .withColumn(
+            "gtid",
+            F.when(
+                F.col("gtid") == F.lit(GTID_INHERIT),
+                F.nullif(F.col("carry_gtid"), F.lit("")),
+            ).otherwise(F.col("gtid")),
+        )
+        .withColumn(
+            "txn_seq",
+            F.when(
+                F.col("txn_seq") == F.lit(TXN_INHERIT),
+                # inheriting events belong to the LAST txn opened by
+                # earlier chunks, iff that txn is still open
+                F.when(
+                    F.col("carry_txn") == F.lit("open"),
+                    F.col("txn_offset") - F.lit(1),
+                ),
+            )
+            .otherwise(F.col("txn_seq") + F.col("txn_offset"))
+            .cast("long"),
         )
         .select(*[f.name for f in ENVELOPE_SCHEMA.fields])
     )

@@ -44,10 +44,22 @@ def render_binlog(events: list[dict], server_id: int = 1, with_type_comments: bo
     ``ts`` (datetime), and images as ``[(ordinal, raw_token), …]``:
     ``values`` for insert/delete, ``before``+``after`` for update,
     ``statement`` for ddl. Positions are synthesized deterministically.
+
+    Transaction markers (optional): ``gtid`` on an event emits the
+    ``SET @@SESSION.GTID_NEXT= '<gtid>'`` preamble plus ``BEGIN`` before
+    it (a new transaction starts at this event); ``commit: True`` emits
+    ``COMMIT`` after it. The marker statements are emitted without their
+    own ``# at`` headers (a simplification over real dumps — the parser
+    keys on the statements, not their headers), so row-event positions
+    keep the same deterministic arithmetic either way.
     """
     out: list[str] = ["/*!50530 SET @@SESSION.PSEUDO_SLAVE_MODE=1*/;"]
     pos = 4
     for ev in events:
+        if ev.get("gtid"):
+            out.append(f"SET @@SESSION.GTID_NEXT= '{ev['gtid']}'/*!*/;")
+            out.append("BEGIN")
+            out.append("/*!*/;")
         ts: datetime = ev["ts"]
         hdr_ts = ts.strftime("%y%m%d %H:%M:%S")
         stop = pos + HEADER_POS_STEP
@@ -81,6 +93,8 @@ def render_binlog(events: list[dict], server_id: int = 1, with_type_comments: bo
                 out.extend(_value_lines(ev["before"], with_type_comments))
                 out.append("### SET")
                 out.extend(_value_lines(ev["after"], with_type_comments))
+        if ev.get("commit"):
+            out.append("COMMIT/*!*/;")
         pos = stop
     out.append("# End of log file")
     return "\n".join(out) + "\n"
