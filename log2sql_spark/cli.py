@@ -98,13 +98,14 @@ def validate(args: argparse.Namespace) -> None:
 def store_main(argv: list[str]) -> int:
     """Table-maintenance subcommands over a snapshot store — the
     DESCRIBE HISTORY / VACUUM / OPTIMIZE [ZORDER BY] surface a lakehouse
-    CLI exposes. ``history`` and ``vacuum`` are manifest-only (no Spark
-    startup); ``compact`` and ``zorder`` run a rewrite commit."""
+    CLI exposes. ``history``, ``vacuum``, ``restore``, and ``fsck`` are
+    manifest-only (no Spark startup); ``compact`` and ``zorder`` run a
+    rewrite commit."""
     import json as _json
 
     p = argparse.ArgumentParser(prog="log2sql_spark store")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("history", "vacuum", "compact", "zorder"):
+    for name in ("history", "vacuum", "compact", "zorder", "restore", "fsck"):
         sp = sub.add_parser(name)
         sp.add_argument("path", help="snapshot store directory")
         if name == "vacuum":
@@ -112,6 +113,8 @@ def store_main(argv: list[str]) -> int:
             sp.add_argument("--include-orphans", action="store_true", default=False)
         if name == "compact":
             sp.add_argument("--target-files", type=int, default=8)
+        if name == "restore":
+            sp.add_argument("--to-version", type=int, required=True)
         if name == "zorder":
             sp.add_argument("--by", required=True,
                             help="comma-separated cluster columns (>=2)")
@@ -131,6 +134,14 @@ def store_main(argv: list[str]) -> int:
         for d in store.vacuum(args.keep_last, include_orphans=args.include_orphans):
             print(d)
         return 0
+    if args.cmd == "restore":
+        print(f"v{store.restore(args.to_version)}")
+        return 0
+    if args.cmd == "fsck":
+        missing = store.fsck()
+        for m in missing:
+            print(m)
+        return 1 if missing else 0
 
     from log2sql_spark.session import get_spark
 

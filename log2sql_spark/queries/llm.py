@@ -1714,3 +1714,203 @@ def llm_multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFr
     return simhash_near_dup_pairs(hashes, bits=60, max_hamming=3).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "llm_pq_quantize_codes",
+    oracle=r"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id, m.m AS sub, qv[m.m * 16 + 1 : m.m * 16 + 16] AS sv
+      FROM q, (SELECT unnest(range(4)) AS m) m
+    ),
+    code AS (SELECT sub, vec_id AS code, sv AS cv FROM subs WHERE vec_id < 16),
+    d AS (
+      SELECT s.vec_id, s.sub, c.code,
+             CAST(list_sum(list_transform(range(1, 17),
+                   i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS BIGINT) AS dist
+      FROM subs s JOIN code c USING (sub)
+    ),
+    best AS (
+      SELECT vec_id, sub, code, dist,
+             row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+      FROM d
+    )
+    SELECT vec_id,
+           CAST(max(CASE WHEN sub = 0 THEN code END) AS BIGINT) AS c0,
+           CAST(max(CASE WHEN sub = 1 THEN code END) AS BIGINT) AS c1,
+           CAST(max(CASE WHEN sub = 2 THEN code END) AS BIGINT) AS c2,
+           CAST(max(CASE WHEN sub = 3 THEN code END) AS BIGINT) AS c3,
+           CAST(sum(dist) AS BIGINT) AS err
+    FROM best WHERE rn = 1
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def llm_pq_quantize_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the ANN compression path): 64-dim vectors
+    → 4 subspaces × 16-entry codebooks → 4 codes (2 bytes) per vector,
+    128x smaller than the raw floats — how an IVF-PQ index holds 1e11
+    vectors in cluster RAM. The codebook here is the first 16 vectors'
+    subvectors (the deterministic k-means seeding; a trained codebook
+    plugs into the same operator via train_kmeans_centroids). Distances
+    run in exact integer arithmetic over floor-quantized components and
+    ties break to the lowest code, so every assignment and the total
+    quantization error hash-match the oracle bit-for-bit. Scale shape
+    in operators/similarity.py::pq_codes: broadcast codebook, two
+    code-sized shuffles, linear in |V|."""
+    from log2sql_spark.operators.similarity import pq_codes
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * 64) as bigint))"
+        ).alias("qv"),
+    )
+    codebook = q.filter(F.col("id") < 16).select(
+        F.posexplode(
+            F.expr("transform(sequence(0, 3), mm -> slice(qv, mm * 16 + 1, 16))")
+        ).alias("sub", "cv"),
+        F.col("id").alias("code"),
+    )
+    return (
+        pq_codes(q, codebook, m=4)
+        .select(F.col("id").alias("vec_id"), "c0", "c1", "c2", "c3", "err")
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "llm_dedup_canonical_text",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 500
+      UNION ALL
+      SELECT doc_id + 30000 AS doc_id, '  ' || upper(text) || '  ' AS text
+      FROM documents WHERE doc_id < 80
+    ),
+    canon AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS canon_hash
+      FROM corpus
+    )
+    SELECT canon_hash,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM canon
+    GROUP BY canon_hash
+    HAVING count(*) > 1
+    ORDER BY keeper_id
+    """,
+)
+def llm_dedup_canonical_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form exact dedup: case folding + whitespace collapse +
+    trim BEFORE hashing, so copies that differ only in formatting (the
+    most common near-dup class in crawled corpora — recased titles,
+    re-wrapped whitespace) collapse into one group that byte-exact
+    hashing misses. The corpus plants uppercased/padded copies; the
+    oracle recomputes the same canonicalization, so a divergent regex
+    or case rule breaks the hash. Same shuffle shape as exact dedup:
+    16-byte digests only."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 500).unionByName(
+        docs.filter(F.col("doc_id") < 80).select(
+            (F.col("doc_id") + 30000).alias("doc_id"),
+            F.concat(F.lit("  "), F.upper("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    canon = corpus.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")).alias(
+            "canon_hash"
+        ),
+    )
+    return (
+        canon.groupBy("canon_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("keeper_id")
+    )
+
+
+@query(
+    "llm_dedup_paragraph_blocks",
+    oracle=_CORPUS_SQL
+    + r"""
+    , toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM corpus
+    ),
+    blocks AS (
+      SELECT doc_id,
+             array_to_string(t[m.m * 16 + 1 : m.m * 16 + 16], ' ') AS btext
+      FROM toks, (SELECT unnest(range(64)) AS m) m
+      WHERE m.m < len(t) // 16
+    ),
+    shared AS (
+      SELECT btext, count(DISTINCT doc_id) AS nd FROM blocks GROUP BY btext
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+           CAST(sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS dup_bps
+    FROM blocks b JOIN shared s USING (btext)
+    GROUP BY b.doc_id
+    HAVING sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) > 0
+    ORDER BY doc_id
+    """,
+)
+def llm_dedup_paragraph_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph/block-level dedup: each document splits into
+    NON-overlapping 16-token blocks (the paragraph analog for the
+    newline-free synthetic corpus) and a block shared by 2+ distinct
+    docs marks duplicated content — per doc the engine reports how much
+    of it is copied (basis points, integer-exact). This is the span
+    granularity real curation removes boilerplate and cross-doc quotes
+    at, between whole-doc dedup (llm_dedup_exact) and sliding-window
+    passage mining (llm_repeated_passages, overlapping windows). Scale
+    shape: block explode is map-side (~n_tokens/16 rows per doc), the
+    share count is one digest-keyed aggregate, and the per-doc rollup
+    joins block digests — never raw text — back to docs."""
+    docs = _corpus(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    ).filter(F.size("t") >= 16)  # sequence(0,-1) DESCENDS in Spark
+    blocks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, int(size(t) / 16) - 1), "
+                "m -> concat_ws(' ', slice(t, m * 16 + 1, 16)))"
+            )
+        ).alias("btext"),
+    )
+    shared = blocks.groupBy("btext").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        blocks.join(shared, "btext")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_dup_blocks"),
+        )
+        .filter(F.col("n_dup_blocks") > 0)
+        .select(
+            "doc_id",
+            "n_blocks",
+            "n_dup_blocks",
+            F.expr("n_dup_blocks * 10000 div n_blocks").alias("dup_bps"),
+        )
+        .orderBy("doc_id")
+    )

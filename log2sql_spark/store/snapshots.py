@@ -862,6 +862,39 @@ class SnapshotStore:
 
     # ---- maintenance --------------------------------------------------
 
+    def restore(self, version: int) -> int:
+        """Make an earlier snapshot current again (Delta ``RESTORE TABLE
+        ... TO VERSION AS OF`` semantics): publishes a NEW head commit
+        whose entries/schema/layout mirror ``version`` — data files are
+        referenced, never copied, so restore is a metadata-only O(1)
+        operation, it is itself time-travel-visible (the mistaken
+        versions stay readable), and the normal optimistic-concurrency
+        publish applies. Raises if ``version``'s files were already
+        vacuumed (fsck) — a restore must never resurrect a manifest
+        whose data is gone."""
+        snap = self.snapshot(version)  # KeyError/FileNotFound if absent
+        missing = self.fsck(version)
+        if missing:
+            raise ValueError(
+                f"cannot restore v{version}: {len(missing)} data file(s) "
+                f"vacuumed, e.g. {missing[0]}"
+            )
+        head = self.head_version()
+        self._publish(
+            {
+                "version": head + 1,
+                "parent": head,
+                "mode": "restore",
+                "entries": snap.entries,
+                "cluster_by": snap.cluster_by,
+                "schema": snap.schema_json,
+                "meta": {"restored_from": version},
+                "layout": snap.layout,
+                "n_buckets": snap.n_buckets,
+            }
+        )
+        return head + 1
+
     def compact(self, spark: SparkSession, target_files: int = 8) -> int:
         """Rewrite the head snapshot into ``target_files`` files (keeping
         the cluster layout if any) — the small-file compaction every

@@ -3,6 +3,8 @@ DESCRIBE HISTORY."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -131,3 +133,82 @@ def test_forget_physically_erases_keys(spark, tmp_path):
         assert store.versions() == [store.head_version()]
     finally:
         spark.conf.set("spark.sql.parquet.compression.codec", "snappy")
+
+
+def test_restore_is_metadata_only_and_time_travel_safe(spark, tmp_path):
+    from log2sql_spark.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "s"))
+    store.commit(
+        spark.createDataFrame([(k, f"v{k}") for k in range(10)], "k bigint, val string"),
+        mode="overwrite",
+    )
+    changes = spark.createDataFrame(
+        [(3, "OOPS", "update", 1)], "k bigint, val string, op string, seq int"
+    )
+    store.merge(spark, changes, key_cols="k", version_cols="seq")
+    assert {r.val for r in store.read(spark).filter("k = 3").collect()} == {"OOPS"}
+
+    v3 = store.restore(1)
+    assert v3 == 3 and store.head_version() == 3
+    # head now mirrors v1; the mistaken v2 stays time-travel-readable
+    assert {r.val for r in store.read(spark).filter("k = 3").collect()} == {"v3"}
+    assert {r.val for r in store.read(spark, 2).filter("k = 3").collect()} == {"OOPS"}
+    snap = store.snapshot(3)
+    assert snap.mode == "restore" and snap.meta["restored_from"] == 1
+    # metadata-only: restored entries reference v1's files verbatim
+    assert snap.entries == store.snapshot(1).entries
+
+
+def test_restore_refuses_vacuumed_version(spark, tmp_path):
+    import pytest as _pytest
+
+    from log2sql_spark.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "s"))
+    store.commit(
+        spark.createDataFrame([(1, "a")], "k bigint, val string"), mode="overwrite"
+    )
+    store.commit(
+        spark.createDataFrame([(2, "b")], "k bigint, val string"), mode="overwrite"
+    )
+    # simulate a vacuum bug / partial cleanup: v1's manifest survives
+    # but its data directory is gone (a full vacuum also drops the
+    # manifest, which surfaces as FileNotFoundError — equally loud)
+    import shutil
+
+    victim = os.path.join(str(tmp_path / "s"), store.snapshot(1).entries[0]["path"])
+    shutil.rmtree(victim, ignore_errors=True)
+    if os.path.isfile(victim):
+        os.remove(victim)
+    with _pytest.raises(ValueError, match="vacuumed"):
+        store.restore(1)
+
+
+def test_cli_restore_and_fsck(spark, tmp_path, capsys):
+    from log2sql_spark.cli import store_main
+    from log2sql_spark.store import SnapshotStore
+
+    path = str(tmp_path / "s")
+    store = SnapshotStore(path)
+    store.commit(
+        spark.createDataFrame([(1, "a")], "k bigint, val string"), mode="overwrite"
+    )
+    store.commit(
+        spark.createDataFrame([(2, "b")], "k bigint, val string"), mode="overwrite"
+    )
+    assert store_main(["restore", path, "--to-version", "1"]) == 0
+    assert capsys.readouterr().out.strip() == "v3"
+    assert {r.k for r in store.read(spark).collect()} == {1}
+    assert store_main(["fsck", path]) == 0
+    # damage a referenced file: fsck exits nonzero and names it
+    victim = store.snapshot(3).entries[0]["path"]
+    victim_file = os.path.join(path, victim)
+    if os.path.isdir(victim_file):
+        import shutil
+
+        shutil.rmtree(victim_file)
+    else:
+        os.remove(victim_file)
+    assert store_main(["fsck", path]) == 1
+    assert victim in capsys.readouterr().out
