@@ -1886,20 +1886,22 @@ def llm_dedup_paragraph_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
     ).filter(F.size("t") >= 16)  # sequence(0,-1) DESCENDS in Spark
+    # hash INSIDE the transform so 8-byte digests explode/shuffle,
+    # never the 16-token block text itself
     blocks = toks.select(
         "doc_id",
         F.explode(
             F.expr(
                 "transform(sequence(0, int(size(t) / 16) - 1), "
-                "m -> concat_ws(' ', slice(t, m * 16 + 1, 16)))"
+                "m -> xxhash64(concat_ws(' ', slice(t, m * 16 + 1, 16))))"
             )
-        ).alias("btext"),
+        ).alias("bhash"),
     )
-    shared = blocks.groupBy("btext").agg(
+    shared = blocks.groupBy("bhash").agg(
         F.countDistinct("doc_id").alias("nd")
     )
     return (
-        blocks.join(shared, "btext")
+        blocks.join(shared, "bhash")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_blocks"),
