@@ -156,3 +156,116 @@ def with_fingerprints(
         F.size(fps).cast("long").alias("n_fingerprints"),
         F.array_min(fps).alias("min_fp"),
     )
+
+
+# Gopher rules (Rae et al. 2021, "Scaling Language Models: ... Gopher",
+# Appendix A1.1): the word-level and line-level document-quality
+# heuristics most pretraining pipelines start from. Thresholds are the
+# published ones; the STOP list is Gopher's 8-word "must contain >=2"
+# set. All pure JVM array expressions — no shuffle, no Python.
+GOPHER_STOP = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _words(t: Column) -> Column:
+    return F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+
+
+def with_gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append Gopher quality-rule metrics + the pass/fail verdict.
+
+    Integer metrics only (counts, not ratios) so the verdict is exact
+    cross-engine: each threshold is evaluated by integer
+    cross-multiplication (e.g. mean word length in [3,10] becomes
+    ``3*n_words <= sum_word_chars <= 10*n_words``), never by comparing
+    floats. Word rules vary on any corpus; the line rules (bullet /
+    ellipsis ratios) need multi-line text and are exercised on crafted
+    fixtures in tests/test_llm_ops.py as well as here.
+    """
+    t = F.col(text_col)
+    words = _words(t)
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.length(l) > 0)
+    n_words = F.size(words).cast("long")
+    sum_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(words), F.array(*[F.lit(s) for s in GOPHER_STOP]))
+    ).cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.startswith("- ") | l.startswith("* "))
+    ).cast("long")
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("long")
+    passes = (
+        n_words.between(50, 100000)
+        & (sum_chars >= 3 * n_words)
+        & (sum_chars <= 10 * n_words)
+        # >=80% of words contain an alphabetic character
+        & (10 * n_alpha >= 8 * n_words)
+        & (n_stop >= 2)
+        # <=90% of lines start with a bullet, <=30% end with ellipsis
+        & (10 * n_bullet <= 9 * n_lines)
+        & (10 * n_ellipsis <= 3 * n_lines)
+    )
+    return docs.select(
+        "*",
+        n_words.alias("n_words"),
+        sum_chars.alias("sum_word_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stop_distinct"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ellipsis.alias("n_ellipsis_lines"),
+        passes.cast("int").alias("gopher_pass"),
+    )
+
+
+def with_c4_line_stats(
+    docs: DataFrame, text_col: str = "text", line_words: int = 12
+) -> DataFrame:
+    """C4-style line filtering (Raffel et al. 2020 §2.2) restated over
+    fixed-width word chunks.
+
+    C4 keeps lines that end in terminal punctuation, have >=5 words and
+    no blocklisted content ('{', 'lorem ipsum', 'javascript'), then
+    drops documents left with <3 lines. Real corpora carry newlines;
+    the synthetic corpus is one line per doc, so the operator first
+    re-lines the text into ``line_words``-word chunks — the chunking is
+    part of the contract (both engines chunk identically), the rules
+    are C4's. Per-line dedup (C4 §2.2 'three-sentence spans') is
+    approximated as exact duplicate-chunk counting within the doc.
+    Blocklist/punctuation rules are constant-false on the synthetic
+    corpus; crafted fixtures in tests/test_llm_ops.py vary them.
+    Everything is one JVM projection — no explode, no shuffle.
+    """
+    t = F.col(text_col)
+    words = _words(t)
+    n_chunks = F.ceil(F.size(words) / F.lit(line_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.array_join(
+            F.slice(words, i * line_words + 1, line_words), " "
+        ),
+    )
+    # guard: empty text -> sequence(0,0) above still yields one empty chunk
+    chunks = F.filter(chunks, lambda c: F.length(c) > 0)
+    is_short = lambda c: F.size(F.split(c, " ")) < 5  # noqa: E731
+    has_punct = lambda c: c.rlike(r'[.!?"]$')  # noqa: E731
+    flagged = lambda c: (  # noqa: E731
+        c.contains("{") | c.contains("lorem ipsum") | c.contains("javascript")
+    )
+    kept = F.filter(chunks, lambda c: ~is_short(c) & ~flagged(c))
+    n_lines = F.size(chunks).cast("long")
+    return docs.select(
+        "*",
+        n_lines.alias("n_lines"),
+        F.size(F.filter(chunks, is_short)).cast("long").alias("n_short_lines"),
+        F.size(F.filter(chunks, has_punct)).cast("long").alias("n_punct_lines"),
+        F.size(F.filter(chunks, flagged)).cast("long").alias("n_flagged_lines"),
+        (n_lines - F.size(F.array_distinct(chunks))).cast("long").alias("n_dup_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        (F.size(kept) >= 3).cast("int").alias("c4_keep_doc"),
+    )

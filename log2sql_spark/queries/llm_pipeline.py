@@ -714,3 +714,105 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_gopher_quality",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS words,
+             list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lines
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0) AS BIGINT) AS sum_word_chars,
+             CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+             CAST(len(list_intersect(list_distinct(words),
+                  ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_distinct,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS BIGINT) AS n_bullet_lines,
+             CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT) AS n_ellipsis_lines
+      FROM w
+    )
+    SELECT *,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND sum_word_chars >= 3 * n_words
+                AND sum_word_chars <= 10 * n_words
+                AND 10 * n_alpha_words >= 8 * n_words
+                AND n_stop_distinct >= 2
+                AND 10 * n_bullet_lines <= 9 * n_lines
+                AND 10 * n_ellipsis_lines <= 3 * n_lines AS INT) AS gopher_pass
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def llm_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 A1.1) as exact
+    integer metrics + verdict — operators/textops.py:with_gopher_rules.
+    Thresholds evaluated by integer cross-multiplication so the verdict
+    hashes identically cross-engine; one JVM projection, no shuffle, no
+    Python. At 100 TB this is the cheapest possible filter shape: a
+    map-only scan whose predicate reaches whole-stage codegen."""
+    from log2sql_spark.operators.textops import with_gopher_rules
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return (
+        with_gopher_rules(docs)
+        .drop("text")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_c4_line_filter",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS words
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 generate_series(0, greatest(CAST(ceil(len(words) / 12.0) AS INT) - 1, 0)),
+                 i -> array_to_string(list_slice(words, i * 12 + 1, i * 12 + 12), ' ')),
+               x -> len(x) > 0) AS chunks
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(len(chunks) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(chunks, c -> len(string_split(c, ' ')) < 5)) AS BIGINT) AS n_short_lines,
+           CAST(len(list_filter(chunks, c -> regexp_matches(c, '[.!?"]$'))) AS BIGINT) AS n_punct_lines,
+           CAST(len(list_filter(chunks, c -> contains(c, '{') OR contains(c, 'lorem ipsum')
+                                             OR contains(c, 'javascript'))) AS BIGINT) AS n_flagged_lines,
+           CAST(len(chunks) - len(list_distinct(chunks)) AS BIGINT) AS n_dup_lines,
+           CAST(len(list_filter(chunks, c -> len(string_split(c, ' ')) >= 5
+                AND NOT (contains(c, '{') OR contains(c, 'lorem ipsum')
+                         OR contains(c, 'javascript')))) AS BIGINT) AS n_kept_lines,
+           CAST(len(list_filter(chunks, c -> len(string_split(c, ' ')) >= 5
+                AND NOT (contains(c, '{') OR contains(c, 'lorem ipsum')
+                         OR contains(c, 'javascript')))) >= 3 AS INT) AS c4_keep_doc
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def llm_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line filtering (Raffel et al. 2020 §2.2) over deterministic
+    12-word chunks — operators/textops.py:with_c4_line_stats. The
+    chunking is part of the cross-engine contract; the rules (>=5
+    words, terminal punctuation, blocklist, within-doc duplicate
+    lines, drop docs left with <3 lines) are C4's. One JVM array
+    projection per doc — the filter never explodes lines into rows, so
+    at 100 TB it stays a map-only scan."""
+    from log2sql_spark.operators.textops import with_c4_line_stats
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return (
+        with_c4_line_stats(docs)
+        .drop("text")
+        .orderBy("doc_id")
+    )

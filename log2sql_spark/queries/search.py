@@ -251,3 +251,55 @@ def sort_global_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rn")
     )
+
+
+@query(
+    "search_phrase_adjacent",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS w
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+             CAST(coalesce(list_sum(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> CASE WHEN w[i] = 'table' AND w[i + 1] = 'part'
+                         THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_hits
+      FROM t
+      WHERE len(w) >= 2
+    )
+    SELECT doc_id, n_hits FROM hits WHERE n_hits > 0 ORDER BY doc_id
+    """,
+)
+def search_phrase_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("table part") via positional adjacency.
+
+    A naive positional-index implementation posexplodes tokens and
+    self-joins on (doc_id, pos+1) — a shuffle join whose left side is
+    the entire token stream. This one folds the adjacency count inside
+    the token ARRAY per document (transform + aggregate over positions)
+    so the scan stays map-only: zero shuffle, zero explode, and the
+    whole-document predicate reaches codegen. At 100 TB that is the
+    difference between a token-stream shuffle and a plain scan."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    w = F.filter(F.split("text", r"\s+"), lambda x: F.length(x) > 0)
+    n_hits = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.when(
+                (F.element_at(w, i + 1) == "table")
+                & (F.element_at(w, i + 2) == "part"),
+                1,
+            ).otherwise(0),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        docs.filter(F.size(w) >= 2)
+        .select("doc_id", n_hits.alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+        .orderBy("doc_id")
+    )

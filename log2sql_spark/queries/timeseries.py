@@ -382,3 +382,45 @@ def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "ts_ohlc_resample",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour,
+           event_type,
+           arg_min(CAST(round(value * 100) AS BIGINT), event_id) AS open_cents,
+           max(CAST(round(value * 100) AS BIGINT)) AS high_cents,
+           min(CAST(round(value * 100) AS BIGINT)) AS low_cents,
+           arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS close_cents,
+           CAST(count(*) AS BIGINT) AS volume,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+    """,
+)
+def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling — the financial-downsampling shape every
+    time-series engine ships (open/high/low/close per bucket). Open and
+    close are selected by min_by/max_by over the unique, monotonically
+    assigned event_id (the ingest sequence), never by a sort: the whole
+    query is ONE hash aggregate with map-side combine — at 100 TB it
+    shuffles |buckets|x|types| partial rows, not events. Money stays in
+    integer cents so open/close hash identically cross-engine."""
+    events = load_table(spark, "events", sf_dir)
+    cents = _CENTS("value")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.min_by(cents, "event_id").alias("open_cents"),
+            F.max(cents).alias("high_cents"),
+            F.min(cents).alias("low_cents"),
+            F.max_by(cents, "event_id").alias("close_cents"),
+            F.count(F.lit(1)).alias("volume"),
+            F.sum(cents).alias("sum_cents"),
+        )
+        .orderBy("hour", "event_type")
+    )

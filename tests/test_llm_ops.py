@@ -383,3 +383,63 @@ def test_decode_quarantine_covers_degenerate_rasters(spark):
     )
     (r,) = decode_image_features(media, on_error="null").collect()
     assert r["decode_error"] is not None and r["pixel_mean"] is None
+
+
+def test_gopher_rules_line_and_word_paths(spark):
+    """Exercise the Gopher rule branches the synthetic corpus cannot
+    vary: bullet/ellipsis line ratios, the stopword >=2 gate, and the
+    mean-word-length bounds (crafted multi-line fixtures)."""
+    from log2sql_spark.operators.textops import with_gopher_rules
+
+    good = " ".join(
+        ["the cat sat on the mat with a dog that we have loved"] * 5
+    )
+    bullets = "\n".join([f"- item {i}" for i in range(10)])
+    ellipsis = "\n".join([f"to be continued somewhere {i}..." for i in range(10)])
+    longwords = " ".join(["pneumonoultramicroscopic"] * 60)
+    rows = [(1, good), (2, bullets), (3, ellipsis), (4, longwords), (5, "")]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in with_gopher_rules(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1]["gopher_pass"] == 1
+    assert out[1]["n_stop_distinct"] >= 2
+    # every line is a bullet -> bullet ratio 1.0 > 0.9 -> fail
+    assert out[2]["n_bullet_lines"] == out[2]["n_lines"] == 10
+    assert out[2]["gopher_pass"] == 0
+    # every line ends with '...' -> ellipsis ratio 1.0 > 0.3 -> fail
+    assert out[3]["n_ellipsis_lines"] == 10 and out[3]["gopher_pass"] == 0
+    # mean word length 24 > 10 -> fail despite n_words in range
+    assert out[4]["sum_word_chars"] > 10 * out[4]["n_words"]
+    assert out[4]["gopher_pass"] == 0
+    assert out[5]["n_words"] == 0 and out[5]["gopher_pass"] == 0
+
+
+def test_c4_line_rules_punct_blocklist_dedup(spark):
+    """Exercise the C4 branches constant on the synthetic corpus:
+    terminal punctuation, blocklist hits, within-doc duplicate lines,
+    and the <3-kept-lines doc drop."""
+    from log2sql_spark.operators.textops import with_c4_line_stats
+
+    twelve = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    punct_doc = " ".join([twelve.replace("mu", "mu.")] * 3)
+    flagged_doc = " ".join([twelve.replace("mu", "javascript")] * 4)
+    dup_doc = " ".join([twelve] * 4)
+    short_doc = "one two three"
+    rows = [(1, punct_doc), (2, flagged_doc), (3, dup_doc), (4, short_doc)]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in with_c4_line_stats(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1]["n_punct_lines"] == 3 and out[1]["c4_keep_doc"] == 1
+    # every chunk contains 'javascript' -> all flagged, doc dropped
+    assert out[2]["n_flagged_lines"] == out[2]["n_lines"] == 4
+    assert out[2]["n_kept_lines"] == 0 and out[2]["c4_keep_doc"] == 0
+    # four identical chunks -> 3 duplicates
+    assert out[3]["n_dup_lines"] == 3
+    # one 3-word chunk: short, so kept_lines == 0 -> dropped
+    assert out[4]["n_short_lines"] == 1 and out[4]["c4_keep_doc"] == 0
