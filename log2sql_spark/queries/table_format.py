@@ -9,6 +9,8 @@ applied to MySQL, ``log2sql.py:161-185``).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -515,3 +517,100 @@ def store_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", "status", "cents", "channel")
         .orderBy("k")
     )
+
+
+@query(
+    "store_rename_column_read",
+    oracle="""
+    SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders WHERE o_orderkey < 1000
+    UNION ALL
+    SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+    ORDER BY k
+    """,
+)
+def store_rename_column_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column rename (Delta column-mapping analog,
+    store/snapshots.py:rename_column): commit orders<1000 as ``cents``,
+    rename to ``price_cents`` WITHOUT rewriting a byte, then append the
+    1000-2000 range under the new logical name. The read reconciles
+    both physical generations (coalesce over mergeSchema), so the
+    oracle's plain UNION on one column name proves the mapping is
+    lossless. At 100 TB a rename is O(1) manifest work instead of a
+    full-table rewrite — the property this query certifies."""
+    from log2sql_spark.store.snapshots import SnapshotStore
+
+    def build():
+        orders = load_table(spark, "orders", sf_dir)
+        cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+        path = os.path.join(scratch_dir("log2sql_rename_"), "store")
+        store = SnapshotStore(path)
+        store.commit(
+            orders.filter(F.col("o_orderkey") < 1000).select(
+                F.col("o_orderkey").alias("k"), cents.alias("cents")
+            ),
+            cluster_by="k",
+        )
+        store.rename_column("cents", "price_cents")
+        store.commit(
+            orders.filter(
+                (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)
+            ).select(F.col("o_orderkey").alias("k"), cents.alias("price_cents")),
+            mode="append",
+            cluster_by="k",
+        )
+        return store
+
+    store = _cached_build("rename_orders", sf_dir, build)
+    return store.read(spark).orderBy("k")
+
+
+@query(
+    "store_clone_shallow_read",
+    oracle="""
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey < 1000
+    UNION ALL
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 1500
+    ORDER BY k
+    """,
+)
+def store_clone_shallow_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone (store/snapshots.py:clone_to — Delta SHALLOW CLONE
+    analog): clone a committed orders store by manifest reference (zero
+    data copied), then append the 1000-1500 range to the CLONE only.
+    The read stitches borrowed absolute-path files with clone-owned
+    ones; the source store stays bit-identical (asserted in
+    tests/test_snapshot_store.py). Cloning a 100 TB table for a
+    dev/branch workflow is O(manifest), not O(data) — the property this
+    query certifies."""
+    from log2sql_spark.store.snapshots import SnapshotStore
+
+    def build():
+        orders = load_table(spark, "orders", sf_dir)
+        sel = lambda df: df.select(  # noqa: E731
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        root = scratch_dir("log2sql_clone_")
+        src = SnapshotStore(os.path.join(root, "src"))
+        src.commit(sel(orders.filter(F.col("o_orderkey") < 1000)), cluster_by="k")
+        clone = src.clone_to(os.path.join(root, "clone"))
+        clone.commit(
+            sel(
+                orders.filter(
+                    (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 1500)
+                )
+            ),
+            mode="append",
+            cluster_by="k",
+        )
+        return clone
+
+    clone = _cached_build("clone_orders", sf_dir, build)
+    return clone.read(spark).orderBy("k")

@@ -47,7 +47,7 @@ import json
 import os
 import tempfile
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -85,13 +85,21 @@ class Snapshot:
     layout: str = "range"  # physical layout of clustered data: range | hash
     n_buckets: int | None = None  # fixed bucket count for hash layout
     created_at: float | None = None  # publish wall-clock (epoch seconds)
+    # Column mapping (Delta 'name'-mode analog): {physical: logical}.
+    # Physical = the name inside data files written before the rename;
+    # logical = the current schema name. Applied at read time.
+    renames: dict = field(default_factory=dict)
 
     @property
     def dirs(self) -> list[str]:
-        """Top-level data directories referenced by this snapshot (an
-        entry is either a dir or a file inside one)."""
+        """Top-level data directories OWNED by this snapshot (an entry
+        is either a dir or a file inside one). Absolute entry paths are
+        BORROWED references (shallow clone) — never owned, so vacuum /
+        forget must never delete them; they are skipped here."""
         seen: list[str] = []
         for e in self.entries:
+            if os.path.isabs(e["path"]):
+                continue
             parts = e["path"].split(os.sep)
             top = os.path.join(parts[0], parts[1])
             if top not in seen:
@@ -161,6 +169,7 @@ class SnapshotStore:
             layout=m.get("layout", "range"),
             n_buckets=m.get("n_buckets"),
             created_at=m.get("created_at"),
+            renames=m.get("renames") or {},
         )
 
     # ---- commits ------------------------------------------------------
@@ -389,6 +398,21 @@ class SnapshotStore:
         parent = self.head_version()
         version = 1 if parent is None else parent + 1
         schema_json = df.schema.json()
+        # Appends inherit the column mapping (old files still carry
+        # physical names); an overwrite replaces all visible data with
+        # files written under the current logical schema, so the map
+        # resets — same lifecycle as the schema itself.
+        renames = {} if mode == "overwrite" or parent is None else dict(
+            self.snapshot(parent).renames
+        )
+        if renames:
+            clash = [f.name for f in df.schema.fields if f.name in renames]
+            if clash:
+                raise ValueError(
+                    f"append columns {clash} collide with physical names "
+                    "of renamed columns (reading would merge them); pick "
+                    "different names or compact() to materialize the rename"
+                )
         if mode == "append" and parent is not None:
             # Schema check BEFORE any byte is written: a failed append
             # leaves no new version and no orphan data directory.
@@ -437,6 +461,7 @@ class SnapshotStore:
                 "meta": meta or {},
                 "layout": layout,
                 "n_buckets": n_buckets,
+                "renames": renames,
             }
         )
         return version
@@ -559,6 +584,27 @@ class SnapshotStore:
             # hash layout: partition-dir inference may resurface the
             # internal bucket column when sibling dirs share a parent
             df = df.drop("_bucket")
+        return self._apply_renames(df, snap.renames)
+
+    @staticmethod
+    def _apply_renames(df: DataFrame, renames: dict) -> DataFrame:
+        """Apply the snapshot's column mapping to a raw file read.
+
+        Files written before a rename carry the PHYSICAL name, files
+        written after carry the LOGICAL one; ``mergeSchema`` surfaces
+        both as sibling columns with NULLs where absent, so within any
+        row at most one side is populated — coalescing them is exact.
+        ``rename_column`` composes chained renames into a single
+        physical→logical hop, so one pass suffices."""
+        for phys, logical in renames.items():
+            if phys not in df.columns:
+                continue  # e.g. fully compacted: physical name is gone
+            if logical in df.columns:
+                df = df.withColumn(
+                    logical, F.coalesce(F.col(logical), F.col(phys))
+                ).drop(phys)
+            else:
+                df = df.withColumnRenamed(phys, logical)
         return df
 
     def read_pruned(
@@ -595,7 +641,7 @@ class SnapshotStore:
         )
         if "_bucket" in df.columns:
             df = df.drop("_bucket")
-        return df
+        return self._apply_renames(df, snap.renames)
 
     def read_pruned_box(
         self,
@@ -633,9 +679,10 @@ class SnapshotStore:
         keep = [e for e in snap.entries if overlaps(e)]
         if not keep:
             return self.read(spark, version).limit(0)
-        return spark.read.option("mergeSchema", "true").parquet(
+        df = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, e["path"]) for e in keep]
         )
+        return self._apply_renames(df, snap.renames)
 
     def _buckets_of(self, spark: SparkSession, snap: Snapshot, values: list) -> set:
         """Buckets the given key values hash into (one tiny Spark job —
@@ -732,8 +779,11 @@ class SnapshotStore:
         if touched:
             # mergeSchema: touched files may straddle a schema evolution
             # (pre-widening files lack the newer columns).
-            base = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, e["path"]) for e in touched]
+            base = self._apply_renames(
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, e["path"]) for e in touched]
+                ),
+                snap.renames,
             )
         else:
             base = self.read(spark, parent).limit(0)
@@ -760,6 +810,8 @@ class SnapshotStore:
                 "schema": merged.schema.json(),
                 "layout": snap.layout,
                 "n_buckets": snap.n_buckets,
+                # carried (untouched) files still hold physical names
+                "renames": snap.renames,
             }
         )
         return version
@@ -799,6 +851,7 @@ class SnapshotStore:
             )
             if "_bucket" in base.columns:
                 base = base.drop("_bucket")
+            base = self._apply_renames(base, snap.renames)
         else:
             base = self.read(spark, snap.version).limit(0)
         merged = merge_into(
@@ -821,6 +874,7 @@ class SnapshotStore:
                 "schema": merged.schema.json(),
                 "layout": "hash",
                 "n_buckets": snap.n_buckets,
+                "renames": snap.renames,
             }
         )
         return version
@@ -848,8 +902,14 @@ class SnapshotStore:
         def _read(paths: list[str], version: int) -> DataFrame:
             if not paths:
                 return self.read(spark, version).limit(0)
-            return spark.read.parquet(
-                *[os.path.join(self.path, p) for p in paths]
+            # Both sides align on the TO-version's logical names:
+            # rename maps compose forward, so the newest map covers
+            # physical names from either snapshot's files.
+            return self._apply_renames(
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, p) for p in paths]
+                ),
+                b_snap.renames,
             )
 
         a = _read(only_a, from_version)
@@ -891,9 +951,126 @@ class SnapshotStore:
                 "meta": {"restored_from": version},
                 "layout": snap.layout,
                 "n_buckets": snap.n_buckets,
+                "renames": snap.renames,
             }
         )
         return head + 1
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column rename (Delta column mapping, 'name'
+        mode): publishes a new head whose schema carries ``new`` and
+        whose manifest records the physical→logical map — zero bytes of
+        data rewritten, O(1) regardless of table size. Old files keep
+        the physical name; ``read`` reconciles (see _apply_renames).
+        Post-rename appends/merges write the logical name directly, so
+        the store self-heals toward physical==logical as files churn;
+        ``compact()`` materializes the rename everywhere at once.
+        Chained renames compose into a single physical→logical hop.
+        The cluster key and per-file stats keys follow the rename, so
+        file pruning keeps working across it."""
+        head = self.head_version()
+        if head is None:
+            raise ValueError("rename_column on an empty store")
+        snap = self.snapshot(head)
+        schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        if old not in schema.names:
+            raise ValueError(f"no column {old!r}; have {schema.names}")
+        if new in schema.names:
+            raise ValueError(f"column {new!r} already exists")
+        # Compose: every physical generation whose logical face is
+        # `old` now points at `new` — including files written while the
+        # column was LITERALLY named `old` (post-rename appends write
+        # the then-current logical name, so each rename adds a physical
+        # generation). Identity mappings drop out (rename-back).
+        renames = {
+            p: (new if log == old else log) for p, log in snap.renames.items()
+        }
+        if old not in renames:
+            renames[old] = new
+        renames = {p: log for p, log in renames.items() if p != log}
+        if new in renames:
+            raise ValueError(
+                f"{new!r} is the physical name of another renamed "
+                "column; compact() first to materialize that rename"
+            )
+        new_fields = [
+            T.StructField(new, f.dataType, f.nullable, f.metadata)
+            if f.name == old
+            else f
+            for f in schema.fields
+        ]
+        cluster_by = snap.cluster_by
+        if cluster_by:
+            cluster_by = ",".join(
+                new if c == old else c for c in cluster_by.split(",")
+            )
+        entries = []
+        for e in snap.entries:
+            if e.get("stats") and old in e["stats"]:
+                stats = {new if c == old else c: v for c, v in e["stats"].items()}
+                e = {**e, "stats": stats}
+            entries.append(e)
+        self._publish(
+            {
+                "version": head + 1,
+                "parent": head,
+                "mode": "rename",
+                "entries": entries,
+                "cluster_by": cluster_by,
+                "schema": T.StructType(new_fields).json(),
+                "meta": {"renamed": [old, new]},
+                "layout": snap.layout,
+                "n_buckets": snap.n_buckets,
+                "renames": renames,
+            }
+        )
+        return head + 1
+
+    def clone_to(self, dest_path: str, version: int | None = None) -> "SnapshotStore":
+        """Shallow clone (Delta ``CREATE TABLE ... SHALLOW CLONE``): a
+        new store whose v1 manifest references this store's data files
+        by ABSOLUTE path — zero bytes copied, O(manifest) regardless of
+        table size. The clone then evolves independently: its commits
+        write clone-owned files; borrowed entries are recognized by
+        their absolute paths and are never owned, so ``vacuum`` /
+        ``forget`` on the clone can never delete source data (and,
+        symmetrically, cannot ERASE it — a clone needing physical
+        erasure of source rows must ``compact()`` first to deep-copy).
+        Vacuuming the SOURCE can invalidate a clone, exactly as in
+        Delta — coordinate retention or compact the clone."""
+        v = self.head_version() if version is None else version
+        if v is None:
+            raise ValueError("clone of an empty store")
+        missing = self.fsck(v)
+        if missing:
+            raise ValueError(
+                f"cannot clone v{v}: {len(missing)} data file(s) vacuumed, "
+                f"e.g. {missing[0]}"
+            )
+        dest = SnapshotStore(dest_path)
+        if dest.head_version() is not None:
+            raise ValueError(f"clone target {dest_path} is not empty")
+        snap = self.snapshot(v)
+        src_root = os.path.abspath(self.path)
+        entries = [
+            {**e, "path": os.path.join(src_root, e["path"])}
+            for e in snap.entries
+        ]
+        dest._publish(
+            {
+                "version": 1,
+                "parent": None,
+                "mode": "clone",
+                "entries": entries,
+                "cluster_by": snap.cluster_by,
+                "schema": snap.schema_json,
+                "meta": {"cloned_from": src_root, "source_version": v},
+                "layout": snap.layout,
+                "n_buckets": snap.n_buckets,
+                "renames": snap.renames,
+            }
+        )
+        return dest
 
     def compact(self, spark: SparkSession, target_files: int = 8) -> int:
         """Rewrite the head snapshot into ``target_files`` files (keeping

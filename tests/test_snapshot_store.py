@@ -252,3 +252,106 @@ def test_hash_layout_null_keys(spark, store):
     )
     # merge_into groups ALL null keys as one key: latest change wins
     assert vals == ["X"]
+
+
+def test_rename_column_metadata_only(spark, store, tmp_path):
+    """rename_column rewrites zero data files; reads reconcile physical
+    generations; pruning follows the renamed cluster key."""
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("cents")
+    )
+    store.commit(df, cluster_by="k")
+    files_before = sorted(
+        str(p) for p in (tmp_path / "snapstore" / "data").rglob("*.parquet")
+    )
+    v = store.rename_column("cents", "price_cents")
+    files_after = sorted(
+        str(p) for p in (tmp_path / "snapstore" / "data").rglob("*.parquet")
+    )
+    assert files_before == files_after  # metadata-only
+    assert store.read(spark).columns == ["k", "price_cents"]
+    # time travel shows the pre-rename schema
+    assert store.read(spark, v - 1).columns == ["k", "cents"]
+    # append under the logical name, then a chained rename across BOTH
+    # physical generations, then rename-back to the original physical
+    store.commit(
+        spark.range(20, 25).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("price_cents")
+        ),
+        mode="append",
+        cluster_by="k",
+    )
+    store.rename_column("price_cents", "pc2")
+    assert store.read(spark).columns == ["k", "pc2"]
+    assert store.read(spark).agg(F.sum("pc2")).head()[0] == sum(
+        i * 10 for i in range(25)
+    )
+    store.rename_column("pc2", "cents")
+    assert store.read(spark).columns == ["k", "cents"]
+    # pruned read across mixed generations
+    got = {
+        (r.k, r.cents)
+        for r in store.read_pruned(spark, [3, 22])
+        .filter(F.col("k").isin([3, 22]))
+        .collect()
+    }
+    assert got == {(3, 30), (22, 220)}
+    # appending the physical name of a renamed column is rejected
+    store.rename_column("cents", "money")
+    with pytest.raises(ValueError, match="collide with physical"):
+        store.commit(
+            spark.range(1).select(F.col("id").alias("k"), F.lit(1).alias("cents")),
+            mode="append",
+        )
+    # compact materializes the mapping
+    store.compact(spark)
+    head = store.snapshot(store.head_version())
+    assert head.renames == {}
+    assert store.read(spark).columns == ["k", "money"]
+
+
+def test_rename_column_validation(spark, store):
+    store.commit(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="no column"):
+        store.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        store.rename_column("val", "k")
+    with pytest.raises(ValueError, match="empty store"):
+        SnapshotStore(store.path + "_empty").rename_column("a", "b")
+
+
+def test_clone_shallow_zero_copy_and_isolation(spark, store, tmp_path):
+    """clone_to copies no data; clone commits/vacuum never touch the
+    source; source overwrites never change the clone."""
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("cents")
+    )
+    store.commit(df, cluster_by="k")
+    clone = store.clone_to(str(tmp_path / "clone"))
+    # zero copy: the clone has no data directory at all yet
+    assert not (tmp_path / "clone" / "data").exists()
+    assert clone.read(spark).count() == 10
+    # diverge: append to the clone, overwrite the source
+    clone.commit(
+        spark.range(10, 13).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("cents")
+        ),
+        mode="append",
+        cluster_by="k",
+    )
+    assert clone.read(spark).count() == 13
+    assert store.read(spark).count() == 10
+    # clone vacuum can only delete clone-owned dirs (borrowed entries
+    # are absolute → unowned); source bytes survive
+    clone.vacuum(keep_last=1)
+    assert store.read(spark).count() == 10
+    assert clone.read(spark).count() == 13
+    # source fsck clean, clone fsck clean
+    assert store.fsck() == [] and clone.fsck() == []
+    # cloning into a non-empty store is rejected
+    with pytest.raises(ValueError, match="not empty"):
+        store.clone_to(str(tmp_path / "clone"))
+    # renames travel with the clone
+    store.rename_column("cents", "money")
+    c2 = store.clone_to(str(tmp_path / "clone2"))
+    assert c2.read(spark).columns == ["k", "money"]
