@@ -92,3 +92,53 @@ def apply_delta(mv: DataFrame, delta: DataFrame, group_cols: list[str]) -> DataF
         ],
     )
     return out.filter(F.col("n") > 0)
+
+
+def join_delta(
+    a_old: DataFrame,
+    da: DataFrame,
+    b_old: DataFrame,
+    db: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """Signed delta of ``a JOIN b`` when BOTH sides change.
+
+    ``da``/``db`` are signed row deltas (column ``_sign``: +1 inserted,
+    -1 deleted; an update contributes -before and +after). The bilinear
+    delta rule over Z-relations (Griffin & Libkin, SIGMOD 1995; same
+    algebra DBSP/Materialize incrementalize with):
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    with sign PRODUCTS on the cross term — the term that makes a row
+    changed on both sides (e.g. an order re-priced while its customer
+    moved nation) count exactly once. Cost: two batch-vs-base joins
+    (each prunable/broadcastable by the batch's keys) plus one
+    batch-vs-batch join — never base-vs-base. Downstream, fold through
+    the usual signed aggregate and the MV is exactly the MV of the new
+    state."""
+    keys = [on] if isinstance(on, str) else list(on)
+    t1 = da.join(b_old, keys)
+    t2 = a_old.join(db, keys)
+    t3 = (
+        da.withColumnRenamed("_sign", "_sign_a")
+        .join(db.withColumnRenamed("_sign", "_sign_b"), keys)
+        .withColumn("_sign", F.col("_sign_a") * F.col("_sign_b"))
+        .drop("_sign_a", "_sign_b")
+    )
+    return t1.unionByName(t2).unionByName(t3)
+
+
+def signed_aggregate(
+    delta_rows: DataFrame, group_cols: list[str], sum_cols: dict[str, str]
+) -> DataFrame:
+    """Fold signed rows into per-group d_n / d_<name> deltas (the shape
+    ``apply_delta`` consumes), map-side combined."""
+    s = F.col("_sign")
+    return delta_rows.groupBy(*group_cols).agg(
+        F.sum(s).alias("d_n"),
+        *[
+            F.sum(s * F.col(src)).alias(f"d_{name}")
+            for name, src in sum_cols.items()
+        ],
+    )

@@ -614,3 +614,89 @@ def store_clone_shallow_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clone = _cached_build("clone_orders", sf_dir, build)
     return clone.read(spark).orderBy("k")
+
+
+@query(
+    "mv_incremental_join",
+    oracle="""
+    WITH o_new AS (
+      SELECT o_custkey AS c,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 13 = 2 THEN 500 ELSE 0 END AS cents
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_custkey AS c, CAST(4242 AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 13 = 1
+    ),
+    c_new AS (
+      SELECT c_custkey AS c,
+             CASE WHEN c_custkey % 37 = 3 THEN (c_nationkey + 7) % 25
+                  ELSE c_nationkey END AS c_nationkey
+      FROM customer
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM o_new JOIN c_new USING (c)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def mv_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view when BOTH
+    sides change (operators/ivm.py:join_delta — the bilinear Z-relation
+    delta rule, Griffin & Libkin 1995): orders are deleted / re-priced
+    / inserted while customers migrate nations, and the per-nation
+    count+sum MV is updated from Δorders⋈cust + orders⋈Δcust +
+    Δorders⋈Δcust — never recomputed from base. The oracle recomputes
+    the view FROM the post-change state, so the hash match proves the
+    delta algebra (including the cross term, which fires when a
+    re-priced order's customer also moved) is exact. At 100 TB the
+    apply cost is two batch-pruned joins + one batch×batch join —
+    proportional to the change batch, not the base table."""
+    from log2sql_spark.operators.ivm import (
+        apply_delta,
+        join_delta,
+        signed_aggregate,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    a_old = orders.select(
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderkey").alias("k"),
+        cents.alias("cents"),
+    )
+    b_old = cust.select(F.col("c_custkey").alias("c"), "c_nationkey")
+
+    sign = lambda df, s: df.withColumn("_sign", F.lit(s).cast("long"))  # noqa: E731
+    deleted = sign(a_old.filter(F.col("k") % 13 == 0), -1)
+    upd_before = sign(a_old.filter(F.col("k") % 13 == 2), -1)
+    upd_after = sign(
+        a_old.filter(F.col("k") % 13 == 2).withColumn(
+            "cents", F.col("cents") + 500
+        ),
+        1,
+    )
+    inserted = sign(
+        a_old.filter(F.col("k") % 13 == 1).select(
+            "c", (F.col("k") + 3000000).alias("k"), F.lit(4242).cast("bigint").alias("cents")
+        ),
+        1,
+    )
+    da = deleted.unionByName(upd_before).unionByName(upd_after).unionByName(inserted)
+
+    movers = b_old.filter(F.col("c") % 37 == 3)
+    db = sign(movers, -1).unionByName(
+        sign(movers.withColumn("c_nationkey", (F.col("c_nationkey") + 7) % 25), 1)
+    )
+
+    mv_old = (
+        a_old.join(b_old, "c")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+    )
+    delta_rows = join_delta(a_old, da, b_old, db, "c")
+    dagg = signed_aggregate(delta_rows, ["c_nationkey"], {"sum_cents": "cents"})
+    return apply_delta(mv_old, dagg, ["c_nationkey"]).orderBy("c_nationkey")

@@ -424,3 +424,88 @@ def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+
+@query(
+    "events_user_path_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    )
+    SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    ORDER BY src, dst
+    """,
+)
+def events_user_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov path analysis (product-analytics "user flows"): count
+    src→dst transitions between consecutive events per user. ONE
+    shuffle partitioned by user_id feeds the lead() window (event_id
+    breaks timestamp ties deterministically), then the transition count
+    map-side combines — at 100 TB the heavy shuffle is per-user
+    sequencing, and it is shared with every other per-user window in a
+    real pipeline. Complements events_funnel_steps (fixed pattern) and
+    events_sequence_pattern (regex): this is the unordered-exploration
+    shape."""
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    return (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("src", "dst")
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) % 10 AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, bucket, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, bucket ASC) AS rk
+      FROM c
+    )
+    SELECT event_type, bucket AS mode_bucket, n AS mode_count
+    FROM r WHERE rk = 1
+    ORDER BY event_type
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: Spark 4's built-in ``mode()`` (and DuckDB's)
+    picks an ARBITRARY value among tied modes, so the engines can
+    legally disagree — this restates mode as count + ranked pick with
+    an explicit smallest-value tie-break, making the answer a function
+    of the data. Two map-side-combined aggregates; the ranking window
+    runs over |groups|x|distinct values| rows, not events."""
+    events = load_table(spark, "events", sf_dir)
+    c = events.groupBy(
+        "event_type",
+        (F.round(F.col("value") * 100).cast("bigint") % 10).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("bucket"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("bucket").alias("mode_bucket"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("event_type")
+    )
