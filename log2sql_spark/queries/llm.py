@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from log2sql_spark.operators.dedup import (
@@ -1915,4 +1915,156 @@ def llm_dedup_paragraph_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_dup_blocks * 10000 div n_blocks").alias("dup_bps"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_ann_ivfpq_adc",
+    oracle=r"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    coarse AS (SELECT vec_id AS cell, qv AS cv FROM q WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(range(1, 65),
+                   i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))), c.cell) AS rn
+        FROM q v, coarse c
+      ) WHERE rn = 1
+    ),
+    subs AS (
+      SELECT vec_id, m.m AS sub, qv[m.m * 16 + 1 : m.m * 16 + 16] AS sv
+      FROM q, (SELECT unnest(range(4)) AS m) m
+    ),
+    cb AS (SELECT sub, vec_id AS code, sv AS cv FROM subs WHERE vec_id < 16),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+                 list_sum(list_transform(range(1, 17),
+                   i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), c.code) AS rn
+        FROM subs s JOIN cb c USING (sub)
+      ) WHERE rn = 1
+    ),
+    qsubs AS (SELECT vec_id AS qid, sub, sv FROM subs WHERE vec_id BETWEEN 100 AND 104),
+    qd AS (
+      SELECT qs.qid, qs.sub, c.code,
+             CAST(list_sum(list_transform(range(1, 17),
+               i -> (qs.sv[i] - c.cv[i]) * (qs.sv[i] - c.cv[i]))) AS BIGINT) AS d
+      FROM qsubs qs JOIN cb c USING (sub)
+    ),
+    qfull AS (SELECT vec_id AS qid, qv FROM q WHERE vec_id BETWEEN 100 AND 104),
+    probe AS (
+      SELECT qid, cell FROM (
+        SELECT f.qid, c.cell,
+               row_number() OVER (PARTITION BY f.qid ORDER BY
+                 list_sum(list_transform(range(1, 65),
+                   i -> (f.qv[i] - c.cv[i]) * (f.qv[i] - c.cv[i]))), c.cell) AS rn
+        FROM qfull f, coarse c
+      ) WHERE rn <= 2
+    ),
+    cands AS (SELECT p.qid, a.vec_id AS vid FROM probe p JOIN assign a USING (cell)),
+    scored AS (
+      SELECT cd.qid, cd.vid, CAST(sum(qd.d) AS BIGINT) AS adc
+      FROM cands cd
+      JOIN codes co ON co.vec_id = cd.vid
+      JOIN qd ON qd.qid = cd.qid AND qd.sub = co.sub AND qd.code = co.code
+      GROUP BY cd.qid, cd.vid
+    )
+    SELECT qid, vid, adc, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT qid, vid, adc,
+             row_number() OVER (PARTITION BY qid ORDER BY adc, vid) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    ORDER BY qid, rk
+    """,
+)
+def llm_ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ asymmetric-distance search (Jégou et al., TPAMI 2011) —
+    the full billion-scale ANN pipeline in one plan: coarse-quantize
+    every vector into an IVF cell (broadcast centroid argmin), PQ-encode
+    it to 4 codes (operators/similarity.py:pq_codes subspace argmin),
+    probe each query's 2 nearest cells, and score ONLY candidates in
+    probed cells via ADC — the query precomputes its |sub|x|codebook|
+    distance table (tiny, broadcast) and each candidate's distance is 4
+    table lookups summed, never a float multiply against raw vectors.
+    All arithmetic is exact integer L2 over floor-quantized components
+    with lowest-id tie-breaks, so the assignments, probes, and ranked
+    top-10 hash-match the oracle bit-for-bit. At 100 TB: codes are 2
+    bytes/vector (128x compression), candidates are manifest-pruned by
+    cell (llm_ann_indexed proves that read path), and the per-query
+    work is |probed cells| x lookups — independent of corpus size."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    l2_full = F.expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+    )
+    l2_sub = F.expr(
+        "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+    )
+    q = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * 64) as bigint))"
+        ).alias("qv"),
+    )
+    coarse = q.filter(F.col("id") < 8).select(
+        F.col("id").alias("cell"), F.col("qv").alias("cv")
+    )
+    assign = (
+        q.join(F.broadcast(coarse))
+        .select("id", "cell", l2_full.alias("d"))
+        .groupBy("id")
+        .agg(F.min(F.struct("d", "cell")).alias("b"))
+        .select("id", F.col("b.cell").alias("cell"))
+    )
+    subs = q.select(
+        "id",
+        F.posexplode(
+            F.expr("transform(sequence(0, 3), mm -> slice(qv, mm * 16 + 1, 16))")
+        ).alias("sub", "sv"),
+    )
+    cb = subs.filter(F.col("id") < 16).select(
+        "sub", F.col("id").alias("code"), F.col("sv").alias("cv")
+    )
+    codes = (
+        subs.join(F.broadcast(cb), "sub")
+        .select("id", "sub", "code", l2_sub.alias("d"))
+        .groupBy("id", "sub")
+        .agg(F.min(F.struct("d", "code")).alias("b"))
+        .select(F.col("id").alias("vid"), "sub", F.col("b.code").alias("code"))
+    )
+    is_q = F.col("id").between(100, 104)
+    qd = (
+        subs.filter(is_q)
+        .withColumnRenamed("id", "qid")
+        .join(F.broadcast(cb), "sub")
+        .select("qid", "sub", "code", l2_sub.alias("d"))
+    )
+    wprobe = Window.partitionBy("qid").orderBy("d", "cell")
+    probe = (
+        q.filter(is_q)
+        .withColumnRenamed("id", "qid")
+        .join(F.broadcast(coarse))
+        .select("qid", "cell", l2_full.alias("d"))
+        .withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= 2)
+        .select("qid", "cell")
+    )
+    cands = probe.join(assign, "cell").select("qid", F.col("id").alias("vid"))
+    scored = (
+        cands.join(codes, "vid")
+        .join(F.broadcast(qd), ["qid", "sub", "code"])
+        .groupBy("qid", "vid")
+        .agg(F.sum("d").alias("adc"))
+    )
+    wrk = Window.partitionBy("qid").orderBy("adc", "vid")
+    return (
+        scored.withColumn("rk", F.row_number().over(wrk).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+        .orderBy("qid", "rk")
     )
