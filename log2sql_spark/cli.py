@@ -98,14 +98,17 @@ def validate(args: argparse.Namespace) -> None:
 def store_main(argv: list[str]) -> int:
     """Table-maintenance subcommands over a snapshot store — the
     DESCRIBE HISTORY / VACUUM / OPTIMIZE [ZORDER BY] surface a lakehouse
-    CLI exposes. ``history``, ``vacuum``, ``restore``, and ``fsck`` are
-    manifest-only (no Spark startup); ``compact`` and ``zorder`` run a
-    rewrite commit."""
+    CLI exposes. ``history``, ``vacuum``, ``restore``, ``fsck``,
+    ``rename-column``, and ``clone`` are manifest-only (no Spark
+    startup); ``compact`` and ``zorder`` run a rewrite commit."""
     import json as _json
 
     p = argparse.ArgumentParser(prog="log2sql_spark store")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("history", "vacuum", "compact", "zorder", "restore", "fsck"):
+    for name in (
+        "history", "vacuum", "compact", "zorder", "restore", "fsck",
+        "rename-column", "clone",
+    ):
         sp = sub.add_parser(name)
         sp.add_argument("path", help="snapshot store directory")
         if name == "vacuum":
@@ -119,6 +122,13 @@ def store_main(argv: list[str]) -> int:
             sp.add_argument("--by", required=True,
                             help="comma-separated cluster columns (>=2)")
             sp.add_argument("--target-files", type=int, default=8)
+        if name == "rename-column":
+            sp.add_argument("--from", dest="rename_from", required=True)
+            sp.add_argument("--to", dest="rename_to", required=True)
+        if name == "clone":
+            sp.add_argument("--dest", required=True,
+                            help="target directory (must be a new/empty store)")
+            sp.add_argument("--at-version", type=int, default=None)
         if name in ("compact", "zorder"):
             sp.add_argument("--cpus", default=None)
     args = p.parse_args(argv)
@@ -142,6 +152,13 @@ def store_main(argv: list[str]) -> int:
         for m in missing:
             print(m)
         return 1 if missing else 0
+    if args.cmd == "rename-column":
+        print(f"v{store.rename_column(args.rename_from, args.rename_to)}")
+        return 0
+    if args.cmd == "clone":
+        store.clone_to(args.dest, version=args.at_version)
+        print(args.dest)
+        return 0
 
     from log2sql_spark.session import get_spark
 

@@ -700,3 +700,49 @@ def mv_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_rows = join_delta(a_old, da, b_old, db, "c")
     dagg = signed_aggregate(delta_rows, ["c_nationkey"], {"sum_cents": "cents"})
     return apply_delta(mv_old, dagg, ["c_nationkey"]).orderBy("c_nationkey")
+
+
+@query(
+    "store_generated_columns_read",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT k, cents, cents // 10000 AS price_band
+    FROM src
+    ORDER BY k
+    """,
+)
+def store_generated_columns_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns (Delta analog, store/snapshots.py:commit
+    ``generated=``): the store's manifest carries ``price_band = cents
+    div 10000``; the first commit ships rows WITHOUT the column (the
+    store computes it), the append ships rows WITH it (the store
+    VALIDATES it; a lying writer raises before a byte lands — see
+    tests/test_snapshot_store.py). The oracle derives the column
+    directly from the base expression, so the hash match proves
+    computation and validation produce the same bytes. At scale a
+    generated partition-like column stays trustworthy for pruning no
+    matter which writer appended."""
+    from log2sql_spark.store.snapshots import SnapshotStore
+
+    def build():
+        orders = load_table(spark, "orders", sf_dir)
+        cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+        base = orders.select(F.col("o_orderkey").alias("k"), cents.alias("cents"))
+        store = SnapshotStore(os.path.join(scratch_dir("log2sql_gen_"), "store"))
+        store.commit(
+            base.filter(F.col("k") < 1000),
+            cluster_by="k",
+            generated={"price_band": "cents div 10000"},
+        )
+        honest = base.filter((F.col("k") >= 1000) & (F.col("k") < 2000)).withColumn(
+            "price_band", F.expr("cents div 10000")
+        )
+        store.commit(honest, mode="append", cluster_by="k")
+        return store
+
+    store = _cached_build("generated_orders", sf_dir, build)
+    return store.read(spark).orderBy("k")

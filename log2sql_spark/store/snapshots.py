@@ -89,6 +89,9 @@ class Snapshot:
     # Physical = the name inside data files written before the rename;
     # logical = the current schema name. Applied at read time.
     renames: dict = field(default_factory=dict)
+    # Generated columns (Delta analog): {column: SQL expression}.
+    # Enforced/computed on every commit; appends inherit the spec.
+    generated: dict = field(default_factory=dict)
 
     @property
     def dirs(self) -> list[str]:
@@ -170,6 +173,7 @@ class SnapshotStore:
             n_buckets=m.get("n_buckets"),
             created_at=m.get("created_at"),
             renames=m.get("renames") or {},
+            generated=m.get("generated") or {},
         )
 
     # ---- commits ------------------------------------------------------
@@ -347,8 +351,20 @@ class SnapshotStore:
         layout: str = "range",
         expect: list | None = None,
         merge_schema: bool = False,
+        generated: dict[str, str] | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version.
+
+        ``generated`` maps column name -> SQL expression (Delta
+        generated-columns analog): a column ABSENT from ``df`` is
+        computed from the expression before writing; a column PRESENT
+        is VALIDATED against it (null-safe equality; any mismatch
+        raises before a byte is written — same determinism caveat as
+        ``expect``). Appends inherit the spec from the parent snapshot
+        (pass ``generated`` only on the first commit or an overwrite),
+        so every future writer keeps the derivation true — which is
+        what lets readers prune on a generated partition-like column
+        without trusting each writer.
 
         The manifest publish is the atomic commit point. ``overwrite``
         replaces the visible contents but deletes nothing — prior
@@ -380,6 +396,27 @@ class SnapshotStore:
         like Delta ``overwriteSchema``."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        parent = self.head_version()
+        if mode == "append" and parent is not None and generated is None:
+            generated = dict(self.snapshot(parent).generated)
+        generated = generated or {}
+        for col, expr in generated.items():
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr))
+            else:
+                # Validation is a separate pass, like `expect` — same
+                # determinism requirement on df.
+                bad = (
+                    df.filter(~F.col(col).eqNullSafe(F.expr(expr)))
+                    .limit(1)
+                    .count()
+                )
+                if bad:
+                    raise ValueError(
+                        f"generated column {col!r} does not satisfy its "
+                        f"expression {expr!r}; fix the writer or drop the "
+                        "column to let the store compute it"
+                    )
         if expect:
             from log2sql_spark.operators.expectations import check_expectations
 
@@ -395,7 +432,6 @@ class SnapshotStore:
             cluster_by = ",".join(cluster_by)
         if layout == "zorder" and (cluster_by is None or "," not in cluster_by):
             raise ValueError("zorder layout needs >=2 comma-separated cluster_by cols")
-        parent = self.head_version()
         version = 1 if parent is None else parent + 1
         schema_json = df.schema.json()
         # Appends inherit the column mapping (old files still carry
@@ -462,6 +498,7 @@ class SnapshotStore:
                 "layout": layout,
                 "n_buckets": n_buckets,
                 "renames": renames,
+                "generated": generated,
             }
         )
         return version
@@ -812,6 +849,7 @@ class SnapshotStore:
                 "n_buckets": snap.n_buckets,
                 # carried (untouched) files still hold physical names
                 "renames": snap.renames,
+                "generated": snap.generated,
             }
         )
         return version
@@ -875,6 +913,7 @@ class SnapshotStore:
                 "layout": "hash",
                 "n_buckets": snap.n_buckets,
                 "renames": snap.renames,
+                "generated": snap.generated,
             }
         )
         return version
@@ -952,6 +991,7 @@ class SnapshotStore:
                 "layout": snap.layout,
                 "n_buckets": snap.n_buckets,
                 "renames": snap.renames,
+                "generated": snap.generated,
             }
         )
         return head + 1
@@ -993,6 +1033,18 @@ class SnapshotStore:
                 f"{new!r} is the physical name of another renamed "
                 "column; compact() first to materialize that rename"
             )
+        import re as _re
+
+        generated = {}
+        for gcol, gexpr in snap.generated.items():
+            if _re.search(rf"\b{_re.escape(old)}\b", gexpr):
+                raise ValueError(
+                    f"column {old!r} is referenced by generated column "
+                    f"{gcol!r} ({gexpr!r}); renaming would break the "
+                    "derivation — drop or redefine the generated column "
+                    "first"
+                )
+            generated[new if gcol == old else gcol] = gexpr
         new_fields = [
             T.StructField(new, f.dataType, f.nullable, f.metadata)
             if f.name == old
@@ -1022,6 +1074,7 @@ class SnapshotStore:
                 "layout": snap.layout,
                 "n_buckets": snap.n_buckets,
                 "renames": renames,
+                "generated": generated,
             }
         )
         return head + 1
@@ -1068,6 +1121,7 @@ class SnapshotStore:
                 "layout": snap.layout,
                 "n_buckets": snap.n_buckets,
                 "renames": snap.renames,
+                "generated": snap.generated,
             }
         )
         return dest
@@ -1093,6 +1147,7 @@ class SnapshotStore:
             # compaction merges the per-bucket small files but never
             # changes the bucketing
             target_files=snap.n_buckets if snap.layout == "hash" and snap.n_buckets else target_files,
+            generated=snap.generated,  # the spec survives compaction
         )
 
     def forget(

@@ -175,3 +175,30 @@ def test_cli_store_compact(spark, tmp_path, capsys):
     assert capsys.readouterr().out.strip() == "v2"
     assert store.file_count() <= 4
     assert store.read(spark).count() == 500
+
+
+def test_cli_store_rename_and_clone(spark, tmp_path, capsys):
+    """`store rename-column` and `store clone` are manifest-only (no
+    Spark startup needed by the CLI path itself)."""
+    import pyspark.sql.functions as F
+
+    from log2sql_spark.cli import main
+    from log2sql_spark.store import SnapshotStore
+
+    path = str(tmp_path / "clistore")
+    store = SnapshotStore(path)
+    store.commit(
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("cents")
+        )
+    )
+    assert main(["store", "rename-column", path, "--from", "cents", "--to", "money"]) == 0
+    assert capsys.readouterr().out.strip() == "v2"
+    assert store.read(spark).columns == ["k", "money"]
+
+    dest = str(tmp_path / "clistore_clone")
+    assert main(["store", "clone", path, "--dest", dest]) == 0
+    assert capsys.readouterr().out.strip() == dest
+    clone = SnapshotStore(dest)
+    assert clone.read(spark).columns == ["k", "money"]
+    assert clone.read(spark).count() == 10

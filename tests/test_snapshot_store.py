@@ -355,3 +355,44 @@ def test_clone_shallow_zero_copy_and_isolation(spark, store, tmp_path):
     store.rename_column("cents", "money")
     c2 = store.clone_to(str(tmp_path / "clone2"))
     assert c2.read(spark).columns == ["k", "money"]
+
+
+def test_generated_columns_compute_validate_inherit(spark, store):
+    df = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("cents")
+    )
+    store.commit(df, generated={"band": "cents div 250"})
+    got = {(r.k, r.band) for r in store.read(spark).collect()}
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 1), (4, 1)}
+    # append WITHOUT the column: spec inherited, store computes it
+    store.commit(
+        spark.range(5, 7).select(
+            F.col("id").alias("k"), (F.col("id") * 100).alias("cents")
+        ),
+        mode="append",
+    )
+    assert store.read(spark).filter("k = 6").head().band == 2
+    # append WITH a lying value: rejected before any byte lands
+    head = store.head_version()
+    with pytest.raises(ValueError, match="generated column"):
+        store.commit(
+            spark.range(7, 8).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 100).alias("cents"),
+                F.lit(99).cast("bigint").alias("band"),
+            ),
+            mode="append",
+        )
+    assert store.head_version() == head
+    # compaction keeps the spec; rename of a referenced column refuses
+    store.compact(spark)
+    assert store.snapshot(store.head_version()).generated == {
+        "band": "cents div 250"
+    }
+    with pytest.raises(ValueError, match="referenced by generated"):
+        store.rename_column("cents", "money")
+    # renaming the generated column itself follows the spec
+    store.rename_column("band", "price_band")
+    assert store.snapshot(store.head_version()).generated == {
+        "price_band": "cents div 250"
+    }
