@@ -158,3 +158,89 @@ def asof_join_pandas(
         .cogroup(right.groupBy(by))
         .applyInPandas(merge, schema=out_schema)
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """``direction='nearest'`` as-of join (pandas merge_asof parity):
+    each left row takes the right row with the smallest ABSOLUTE time
+    distance; exact-distance ties go to the backward (earlier) row,
+    matching merge_asof. Still ONE shuffle on the key: both sides union
+    into a single (ts, side) sort, the backward candidate is carried
+    with ``last(ignoreNulls)`` over preceding rows and the forward one
+    with ``first(ignoreNulls)`` over following rows — two frame scans
+    of the same sorted partition, no second exchange, no per-row probe.
+    With ``tolerance_seconds``, a winner farther than the tolerance is
+    nulled out and the left row kept."""
+    import pyspark.sql.types as T
+
+    right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
+    r_struct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+        + [T.StructField("_match_ts", right.schema[on].dataType)]
+    )
+    lt = left.select(
+        F.col(by).alias("_key"),
+        F.col(on).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast(r_struct_type).alias("_r"),
+    )
+    rt = right.select(
+        F.col(by).alias("_key"),
+        F.col(on).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lt.schema["_l"].dataType).alias("_l"),
+        F.struct(
+            *[F.col(c).alias(c) for c in right_cols],
+            F.col(on).alias("_match_ts"),
+        ).alias("_r"),
+    )
+    # Right rows sort before left at the same ts, so a simultaneous
+    # right row lands in the BACKWARD carry at distance 0 (and wins any
+    # tie, per the backward tie rule).
+    wb = (
+        W.partitionBy("_key")
+        .orderBy("_ts", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("_key")
+        .orderBy("_ts", "_side")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = lt.unionByName(rt).select(
+        "_side",
+        "_ts",
+        "_l",
+        F.last("_r", ignorenulls=True).over(wb).alias("_b"),
+        F.first("_r", ignorenulls=True).over(wf).alias("_f"),
+    )
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    d_b = us(F.col("_ts")) - us(F.col("_b._match_ts"))
+    d_f = us(F.col("_f._match_ts")) - us(F.col("_ts"))
+    nearest = F.when(
+        F.col("_b").isNull(), F.col("_f")
+    ).when(
+        F.col("_f").isNull() | (d_b <= d_f), F.col("_b")
+    ).otherwise(F.col("_f"))
+    carried = carried.withColumn("_r", nearest)
+    if tolerance_seconds is not None:
+        within = (
+            F.abs(us(F.col("_r._match_ts")) - us(F.col("_ts")))
+            <= int(tolerance_seconds * 1_000_000)
+        )
+        carried = carried.withColumn(
+            "_r",
+            F.when(within, F.col("_r")).otherwise(F.lit(None).cast(r_struct_type)),
+        )
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_r.{c}").alias(c) for c in right_cols],
+    )

@@ -1229,3 +1229,75 @@ def json_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.json_array_length(F.lit("[1,2,3]")).cast("int").alias("arr_len"),
         F.from_json("props", "k BIGINT")["k"].alias("parsed_k"),
     ).orderBy("event_id")
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase' AND user_id < 40
+    ),
+    r AS (
+      SELECT user_id, ts, cents FROM (
+        SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        FROM events WHERE event_type = 'view'
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT l.event_id, l.user_id, l.ts, r.ts AS view_ts, r.cents AS view_cents,
+             abs(epoch_us(l.ts) - epoch_us(r.ts)) AS d,
+             CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END AS pref
+      FROM l LEFT JOIN r USING (user_id)
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY d, pref) AS rn
+      FROM cand
+    )
+    SELECT event_id, user_id, ts, view_ts, view_cents
+    FROM best WHERE rn = 1
+    ORDER BY event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest'
+    parity, completing the backward/forward/nearest triple): each
+    purchase takes the closest view by ABSOLUTE time distance, ties to
+    the earlier row. operators/asof.py:asof_join_nearest keeps it ONE
+    shuffle: both sides union into a single per-user (ts, side) sort
+    and the backward/forward candidates come from two frame scans
+    (last-preceding / first-following) of the SAME sorted partition —
+    the naive argmin the oracle runs is a |L|x|R| per-user cross join.
+    The right side is deduped to unique (user, ts) first, which is what
+    makes the winner well-defined in both engines."""
+    from pyspark.sql import Window as W
+
+    from log2sql_spark.operators.asof import asof_join_nearest
+
+    events = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    left = events.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 40)
+    ).select("event_id", "user_id", "ts")
+    right = (
+        events.filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", "ts", cents.alias("view_cents"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "ts").orderBy("event_id")
+            ),
+        )
+        .filter("rn = 1")
+        .withColumn("view_ts", F.col("ts"))
+        .select("user_id", "ts", "view_ts", "view_cents")
+    )
+    return (
+        asof_join_nearest(
+            left, right, on="ts", by="user_id",
+            right_cols=["view_ts", "view_cents"],
+        )
+        .select("event_id", "user_id", "ts", "view_ts", "view_cents")
+        .orderBy("event_id")
+    )

@@ -251,3 +251,38 @@ def test_funnel_agrees_with_sequence_regex(spark, sf_dir):
         if r.has_funnel
     }
     assert funnel == regexed and funnel
+
+
+def test_asof_nearest_ties_tolerance_and_missing(spark):
+    """direction='nearest': smallest absolute distance wins; exact ties
+    go BACKWARD (merge_asof rule); tolerance nulls far winners; a key
+    with no right rows keeps its left row with NULLs."""
+    from datetime import datetime
+
+    from log2sql_spark.operators.asof import asof_join_nearest
+
+    L = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10)), (1, datetime(2024, 1, 1, 12)),
+         (1, datetime(2024, 1, 1, 18)), (2, datetime(2024, 1, 1, 10))],
+        ["key", "ts"],
+    )
+    R = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 8), "early"),
+         (1, datetime(2024, 1, 1, 12), "noon"),
+         (1, datetime(2024, 1, 1, 16), "late")],
+        ["key", "ts", "v"],
+    )
+    got = {
+        (r["key"], r["ts"].hour): r["v"]
+        for r in asof_join_nearest(L, R, on="ts", by="key").collect()
+    }
+    # 10:00 is 2h from both 08:00 and 12:00 -> tie -> backward ("early")
+    assert got == {(1, 10): "early", (1, 12): "noon", (1, 18): "late", (2, 10): None}
+
+    tol = {
+        (r["key"], r["ts"].hour): r["v"]
+        for r in asof_join_nearest(
+            L, R, on="ts", by="key", tolerance_seconds=3600
+        ).collect()
+    }
+    assert tol == {(1, 10): None, (1, 12): "noon", (1, 18): None, (2, 10): None}
