@@ -746,3 +746,41 @@ def store_generated_columns_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = _cached_build("generated_orders", sf_dir, build)
     return store.read(spark).orderBy("k")
+
+
+@query(
+    "store_layout_evolution_read",
+    oracle="""
+    SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey < 3000
+    ORDER BY k
+    """,
+)
+def store_layout_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout evolution (Iceberg partition-evolution analog): v1 is
+    range-clustered on the key, the append arrives HASH-bucketed — a
+    layout change mid-table. The store detects the mix and disables
+    manifest pruning (sound: a pruned read over mixed layouts could
+    skip wrongly) while reads stay exact; a compact() re-establishes
+    one layout. The oracle reads the union relationally, so the hash
+    match proves no row is lost or duplicated across the layout seam."""
+    from log2sql_spark.store.snapshots import SnapshotStore
+
+    def build():
+        orders = load_table(spark, "orders", sf_dir)
+        cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+        base = orders.select(F.col("o_orderkey").alias("k"), cents.alias("cents"))
+        store = SnapshotStore(os.path.join(scratch_dir("log2sql_layout_"), "store"))
+        store.commit(base.filter(F.col("k") < 1500), cluster_by="k", layout="range")
+        store.commit(
+            base.filter((F.col("k") >= 1500) & (F.col("k") < 3000)),
+            mode="append",
+            cluster_by="k",
+            layout="hash",
+            target_files=4,
+        )
+        return store
+
+    store = _cached_build("layout_orders", sf_dir, build)
+    assert store.snapshot(store.head_version()).cluster_by is None
+    return store.read(spark).orderBy("k")

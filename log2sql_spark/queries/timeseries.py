@@ -509,3 +509,57 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT user_id,
+             max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    )
+    SELECT user_id, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY last_ts, user_id) AS BIGINT) AS r_q,
+           CAST(ntile(4) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_q,
+           CAST(ntile(4) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m_q
+    FROM rfm
+    ORDER BY user_id
+    """,
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles) — the classic marketing-analytics rollup. One hash
+    aggregate builds the per-user profile; each quartile is an ntile
+    over the |users| profile rows with a user_id tie-break so bucket
+    edges are deterministic cross-engine. The global sorts run over
+    per-user PROFILES, never events — at 100 TB that is |users| rows,
+    and a real deployment would swap ntile for approx quantile cuts to
+    avoid even that (llm_approx_percentile shows the sketch)."""
+    events = load_table(spark, "events", sf_dir)
+    rfm = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(_CENTS("value")).alias("monetary"),
+        )
+    )
+    q = lambda col: F.ntile(4).over(  # noqa: E731
+        Window.orderBy(F.col(col), F.col("user_id"))
+    ).cast("bigint")
+    return (
+        rfm.select(
+            "user_id",
+            "frequency",
+            "monetary",
+            q("last_ts").alias("r_q"),
+            q("frequency").alias("f_q"),
+            q("monetary").alias("m_q"),
+        )
+        .orderBy("user_id")
+    )
