@@ -401,6 +401,17 @@ def store_merge_bench(spark, sf_dir: str) -> dict:
         full.merge(spark, changes, key_cols="k", version_cols="seq")
         t_full = time.time() - t0
         bytes_full = du(os.path.join(full.path, "data")) - b0
+
+        # Metadata-only lifecycle ops on the same 1.5M-row store:
+        # rename_column and shallow clone must cost O(manifest), i.e.
+        # milliseconds regardless of table size — measured here against
+        # the full-rewrite merge above as the O(data) reference point.
+        t0 = time.time()
+        clustered.rename_column("cents", "price_cents")
+        t_rename = time.time() - t0
+        t0 = time.time()
+        clustered.clone_to(os.path.join(tmp, "clone"))
+        t_clone = time.time() - t0
         return {
             "rows": 1_500_000,
             "changed_keys": n_keys,
@@ -411,6 +422,8 @@ def store_merge_bench(spark, sf_dir: str) -> dict:
             "write_reduction": round(bytes_full / max(1, bytes_pruned), 1),
             "files_carried": len(carried),
             "files_total": len(parent.entries),
+            "rename_column_sec": round(t_rename, 4),
+            "shallow_clone_sec": round(t_clone, 4),
         }
     finally:
         changes.unpersist()
