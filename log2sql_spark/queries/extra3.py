@@ -1037,3 +1037,102 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"max_key": 2000, "excluded": "X"},
     )
+
+
+@query(
+    "array_higher_order_funcs",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey, string_split(p_name, ' ') AS toks
+      FROM part WHERE p_partkey <= 300
+    )
+    SELECT p_partkey,
+           len(list_filter(toks, x -> contains(x, 'a'))) > 0 AS any_a,
+           len(list_filter(toks, x -> NOT len(x) >= 3)) = 0 AS all_len3,
+           coalesce(array_to_string(list_filter(toks, x -> len(x) > 5), '|'), '')
+             AS long_toks,
+           CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) * 2
+                AS BIGINT) AS double_chars,
+           array_to_string(
+             list_transform(generate_series(1, len(toks)),
+                            i -> toks[i] || '~' || toks[len(toks) + 1 - i]),
+             ',') AS zipped
+    FROM t
+    ORDER BY p_partkey
+    """,
+)
+def array_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as first-class surface: exists,
+    forall, filter, transform+aggregate (with a finish lambda), and
+    zip_with — the lambda family that keeps array logic JVM-side
+    instead of exploding rows or dropping to Python. The token array is
+    materialized once (plain-attribute rule: lambdas over a re-evaluated
+    expression go quadratic — see operators/textops.py)."""
+    docs = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_partkey") <= 300)
+        .withColumn("toks", F.split(F.col("p_name"), " "))
+    )
+    toks = F.col("toks")
+    return docs.select(
+        "p_partkey",
+        F.exists(toks, lambda x: x.contains("a")).alias("any_a"),
+        F.forall(toks, lambda x: F.length(x) >= 3).alias("all_len3"),
+        F.array_join(
+            F.filter(toks, lambda x: F.length(x) > 5), "|"
+        ).alias("long_toks"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x),
+            lambda acc: acc * 2,
+        ).alias("double_chars"),
+        F.array_join(
+            F.zip_with(toks, F.reverse(toks), lambda a, b: F.concat(a, F.lit("~"), b)),
+            ",",
+        ).alias("zipped"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey AS k, nullif(o_orderstatus, 'O') AS grp
+      FROM orders WHERE o_orderkey < 5000
+    ),
+    dim AS (
+      SELECT grp, 'seg_' || coalesce(grp, 'open') AS label
+      FROM (SELECT DISTINCT nullif(o_orderstatus, 'O') AS grp
+            FROM orders WHERE o_orderkey < 5000)
+    )
+    SELECT d.label, CAST(count(*) AS BIGINT) AS n
+    FROM l JOIN dim d ON l.grp IS NOT DISTINCT FROM d.grp
+    GROUP BY d.label
+    ORDER BY d.label
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics a CDC
+    key join needs when the unique key is nullable (reference analog:
+    the NULL-aware WHERE predicate, log2sql.py:127-132, lifted into a
+    join). Spark plans eqNullSafe as an ordinary hash join key (NULLs
+    hash to one bucket) — still broadcastable, no BNLJ."""
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 5000)
+    l = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("grp"),
+    )
+    dim = (
+        l.select("grp")
+        .distinct()
+        .withColumn("label", F.concat(F.lit("seg_"), F.coalesce("grp", F.lit("open"))))
+        .withColumnRenamed("grp", "dgrp")
+    )
+    return (
+        l.join(F.broadcast(dim), l["grp"].eqNullSafe(dim["dgrp"]))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label")
+    )
