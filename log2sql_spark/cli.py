@@ -107,7 +107,7 @@ def store_main(argv: list[str]) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in (
         "history", "vacuum", "compact", "zorder", "restore", "fsck",
-        "rename-column", "clone",
+        "rename-column", "drop-column", "clone",
     ):
         sp = sub.add_parser(name)
         sp.add_argument("path", help="snapshot store directory")
@@ -125,6 +125,8 @@ def store_main(argv: list[str]) -> int:
         if name == "rename-column":
             sp.add_argument("--from", dest="rename_from", required=True)
             sp.add_argument("--to", dest="rename_to", required=True)
+        if name == "drop-column":
+            sp.add_argument("--column", required=True)
         if name == "clone":
             sp.add_argument("--dest", required=True,
                             help="target directory (must be a new/empty store)")
@@ -154,6 +156,9 @@ def store_main(argv: list[str]) -> int:
         return 1 if missing else 0
     if args.cmd == "rename-column":
         print(f"v{store.rename_column(args.rename_from, args.rename_to)}")
+        return 0
+    if args.cmd == "drop-column":
+        print(f"v{store.drop_column(args.column)}")
         return 0
     if args.cmd == "clone":
         store.clone_to(args.dest, version=args.at_version)

@@ -784,3 +784,51 @@ def store_layout_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _cached_build("layout_orders", sf_dir, build)
     assert store.snapshot(store.head_version()).cluster_by is None
     return store.read(spark).orderBy("k")
+
+
+@query(
+    "store_drop_column_read",
+    oracle="""
+    SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey < 1000
+    UNION ALL
+    SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+    ORDER BY k
+    """,
+)
+def store_drop_column_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only DROP COLUMN (store/snapshots.py:drop_column): v1
+    commits (k, cents, status), the status column is dropped without
+    rewriting a byte, and the append arrives already two-column. The
+    read excludes every physical generation of the dropped column
+    across both file eras; the oracle never sees status at all, so the
+    hash match proves the exclusion is exact and row-lossless. At
+    100 TB a DROP is O(1) manifest work; compact() later makes it
+    physical (tests/test_snapshot_store.py pins the reuse guard)."""
+    from log2sql_spark.store.snapshots import SnapshotStore
+
+    def build():
+        orders = load_table(spark, "orders", sf_dir)
+        cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+        store = SnapshotStore(os.path.join(scratch_dir("log2sql_drop_"), "store"))
+        store.commit(
+            orders.filter(F.col("o_orderkey") < 1000).select(
+                F.col("o_orderkey").alias("k"),
+                cents.alias("cents"),
+                F.col("o_orderstatus").alias("status"),
+            ),
+            cluster_by="k",
+        )
+        store.drop_column("status")
+        store.commit(
+            orders.filter(
+                (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)
+            ).select(F.col("o_orderkey").alias("k"), cents.alias("cents")),
+            mode="append",
+            cluster_by="k",
+        )
+        return store
+
+    store = _cached_build("drop_orders", sf_dir, build)
+    return store.read(spark).orderBy("k")

@@ -92,6 +92,9 @@ class Snapshot:
     # Generated columns (Delta analog): {column: SQL expression}.
     # Enforced/computed on every commit; appends inherit the spec.
     generated: dict = field(default_factory=dict)
+    # Dropped columns (physical names): excluded at read time; the
+    # bytes stay in the files until a compact() rewrites them out.
+    dropped: list = field(default_factory=list)
 
     @property
     def dirs(self) -> list[str]:
@@ -174,6 +177,7 @@ class SnapshotStore:
             created_at=m.get("created_at"),
             renames=m.get("renames") or {},
             generated=m.get("generated") or {},
+            dropped=m.get("dropped") or [],
         )
 
     # ---- commits ------------------------------------------------------
@@ -438,9 +442,11 @@ class SnapshotStore:
         # physical names); an overwrite replaces all visible data with
         # files written under the current logical schema, so the map
         # resets — same lifecycle as the schema itself.
-        renames = {} if mode == "overwrite" or parent is None else dict(
-            self.snapshot(parent).renames
-        )
+        if mode == "overwrite" or parent is None:
+            renames, dropped = {}, []
+        else:
+            prev_meta = self.snapshot(parent)
+            renames, dropped = dict(prev_meta.renames), list(prev_meta.dropped)
         if renames:
             clash = [f.name for f in df.schema.fields if f.name in renames]
             if clash:
@@ -448,6 +454,14 @@ class SnapshotStore:
                     f"append columns {clash} collide with physical names "
                     "of renamed columns (reading would merge them); pick "
                     "different names or compact() to materialize the rename"
+                )
+        if dropped:
+            clash = [f.name for f in df.schema.fields if f.name in dropped]
+            if clash:
+                raise ValueError(
+                    f"append columns {clash} reuse dropped column names "
+                    "still present in old files (reading would resurface "
+                    "stale values); compact() first to rewrite them out"
                 )
         if mode == "append" and parent is not None:
             # Schema check BEFORE any byte is written: a failed append
@@ -499,6 +513,7 @@ class SnapshotStore:
                 "n_buckets": n_buckets,
                 "renames": renames,
                 "generated": generated,
+                "dropped": dropped,
             }
         )
         return version
@@ -621,10 +636,12 @@ class SnapshotStore:
             # hash layout: partition-dir inference may resurface the
             # internal bucket column when sibling dirs share a parent
             df = df.drop("_bucket")
-        return self._apply_renames(df, snap.renames)
+        return self._apply_renames(df, snap.renames, snap.dropped)
 
     @staticmethod
-    def _apply_renames(df: DataFrame, renames: dict) -> DataFrame:
+    def _apply_renames(
+        df: DataFrame, renames: dict, dropped: list | tuple = ()
+    ) -> DataFrame:
         """Apply the snapshot's column mapping to a raw file read.
 
         Files written before a rename carry the PHYSICAL name, files
@@ -632,7 +649,10 @@ class SnapshotStore:
         both as sibling columns with NULLs where absent, so within any
         row at most one side is populated — coalescing them is exact.
         ``rename_column`` composes chained renames into a single
-        physical→logical hop, so one pass suffices."""
+        physical→logical hop, so one pass suffices. ``dropped``
+        physical columns are excluded last — their bytes stay in the
+        files until compaction, invisible to readers (Delta DROP COLUMN
+        semantics)."""
         for phys, logical in renames.items():
             if phys not in df.columns:
                 continue  # e.g. fully compacted: physical name is gone
@@ -642,6 +662,9 @@ class SnapshotStore:
                 ).drop(phys)
             else:
                 df = df.withColumnRenamed(phys, logical)
+        for phys in dropped:
+            if phys in df.columns:
+                df = df.drop(phys)
         return df
 
     def read_pruned(
@@ -678,7 +701,7 @@ class SnapshotStore:
         )
         if "_bucket" in df.columns:
             df = df.drop("_bucket")
-        return self._apply_renames(df, snap.renames)
+        return self._apply_renames(df, snap.renames, snap.dropped)
 
     def read_pruned_box(
         self,
@@ -719,7 +742,7 @@ class SnapshotStore:
         df = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, e["path"]) for e in keep]
         )
-        return self._apply_renames(df, snap.renames)
+        return self._apply_renames(df, snap.renames, snap.dropped)
 
     def _buckets_of(self, spark: SparkSession, snap: Snapshot, values: list) -> set:
         """Buckets the given key values hash into (one tiny Spark job —
@@ -821,6 +844,7 @@ class SnapshotStore:
                     *[os.path.join(self.path, e["path"]) for e in touched]
                 ),
                 snap.renames,
+                snap.dropped,
             )
         else:
             base = self.read(spark, parent).limit(0)
@@ -850,6 +874,7 @@ class SnapshotStore:
                 # carried (untouched) files still hold physical names
                 "renames": snap.renames,
                 "generated": snap.generated,
+                "dropped": snap.dropped,
             }
         )
         return version
@@ -889,7 +914,7 @@ class SnapshotStore:
             )
             if "_bucket" in base.columns:
                 base = base.drop("_bucket")
-            base = self._apply_renames(base, snap.renames)
+            base = self._apply_renames(base, snap.renames, snap.dropped)
         else:
             base = self.read(spark, snap.version).limit(0)
         merged = merge_into(
@@ -914,6 +939,7 @@ class SnapshotStore:
                 "n_buckets": snap.n_buckets,
                 "renames": snap.renames,
                 "generated": snap.generated,
+                "dropped": snap.dropped,
             }
         )
         return version
@@ -949,6 +975,7 @@ class SnapshotStore:
                     *[os.path.join(self.path, p) for p in paths]
                 ),
                 b_snap.renames,
+                b_snap.dropped,
             )
 
         a = _read(only_a, from_version)
@@ -992,6 +1019,7 @@ class SnapshotStore:
                 "n_buckets": snap.n_buckets,
                 "renames": snap.renames,
                 "generated": snap.generated,
+                "dropped": snap.dropped,
             }
         )
         return head + 1
@@ -1032,6 +1060,11 @@ class SnapshotStore:
             raise ValueError(
                 f"{new!r} is the physical name of another renamed "
                 "column; compact() first to materialize that rename"
+            )
+        if new in snap.dropped:
+            raise ValueError(
+                f"{new!r} was dropped and its values are still in old "
+                "files; compact() first to rewrite them out"
             )
         import re as _re
 
@@ -1075,6 +1108,64 @@ class SnapshotStore:
                 "n_buckets": snap.n_buckets,
                 "renames": renames,
                 "generated": generated,
+                "dropped": snap.dropped,
+            }
+        )
+        return head + 1
+
+    def drop_column(self, col: str) -> int:
+        """Metadata-only DROP COLUMN (Delta analog): publishes a new
+        head whose schema omits ``col``; the manifest records every
+        physical generation of the column and reads exclude them. Zero
+        bytes rewritten — the values stay in the files, invisible,
+        until ``compact()`` physically removes them (so like Delta,
+        DROP is logical until the next rewrite; run compact+vacuum for
+        erasure guarantees, or ``forget()`` for keyed erasure). The
+        cluster key and generated-referenced columns refuse to drop."""
+        head = self.head_version()
+        if head is None:
+            raise ValueError("drop_column on an empty store")
+        snap = self.snapshot(head)
+        schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        if col not in schema.names:
+            raise ValueError(f"no column {col!r}; have {schema.names}")
+        cluster_cols = (snap.cluster_by or "").split(",")
+        if col in cluster_cols:
+            raise ValueError(
+                f"{col!r} is the cluster key; re-cluster (commit with a "
+                "different cluster_by) before dropping it"
+            )
+        import re as _re
+
+        for gcol, gexpr in snap.generated.items():
+            if gcol != col and _re.search(rf"\b{_re.escape(col)}\b", gexpr):
+                raise ValueError(
+                    f"column {col!r} is referenced by generated column "
+                    f"{gcol!r} ({gexpr!r}); drop that first"
+                )
+        generated = {g: e for g, e in snap.generated.items() if g != col}
+        # every physical name that currently surfaces as `col`
+        phys = [p for p, log in snap.renames.items() if log == col] or []
+        if col not in snap.renames:  # files written under the literal name
+            phys.append(col)
+        renames = {p: log for p, log in snap.renames.items() if log != col}
+        dropped = list(snap.dropped) + [p for p in phys if p not in snap.dropped]
+        self._publish(
+            {
+                "version": head + 1,
+                "parent": head,
+                "mode": "drop",
+                "entries": snap.entries,
+                "cluster_by": snap.cluster_by,
+                "schema": T.StructType(
+                    [f for f in schema.fields if f.name != col]
+                ).json(),
+                "meta": {"dropped_column": col},
+                "layout": snap.layout,
+                "n_buckets": snap.n_buckets,
+                "renames": renames,
+                "generated": generated,
+                "dropped": dropped,
             }
         )
         return head + 1
@@ -1122,6 +1213,7 @@ class SnapshotStore:
                 "n_buckets": snap.n_buckets,
                 "renames": snap.renames,
                 "generated": snap.generated,
+                "dropped": snap.dropped,
             }
         )
         return dest

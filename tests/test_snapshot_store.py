@@ -396,3 +396,68 @@ def test_generated_columns_compute_validate_inherit(spark, store):
     assert store.snapshot(store.head_version()).generated == {
         "price_band": "cents div 250"
     }
+
+
+def test_drop_column_metadata_only(spark, store, tmp_path):
+    """drop_column rewrites nothing; reads exclude every physical
+    generation; name reuse is blocked until compaction rewrites the
+    old bytes out."""
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("cents"),
+        F.lit("x").alias("note"),
+    )
+    store.commit(df, cluster_by="k")
+    files_before = sorted(
+        str(p) for p in (tmp_path / "snapstore" / "data").rglob("*.parquet")
+    )
+    v = store.drop_column("note")
+    files_after = sorted(
+        str(p) for p in (tmp_path / "snapstore" / "data").rglob("*.parquet")
+    )
+    assert files_before == files_after
+    assert store.read(spark).columns == ["k", "cents"]
+    assert store.read(spark, v - 1).columns == ["k", "cents", "note"]  # time travel
+    # append without the column: fine; WITH the dropped name: blocked
+    store.commit(
+        spark.range(10, 12).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("cents")
+        ),
+        mode="append",
+        cluster_by="k",
+    )
+    assert store.read(spark).count() == 12
+    with pytest.raises(ValueError, match="reuse dropped"):
+        store.commit(
+            spark.range(12, 13).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10).alias("cents"),
+                F.lit("y").alias("note"),
+            ),
+            mode="append",
+            cluster_by="k",
+            merge_schema=True,
+        )
+    with pytest.raises(ValueError, match="was dropped"):
+        store.rename_column("cents", "note")
+    # a RENAMED column drops all its physical generations
+    store.rename_column("cents", "money")
+    store.drop_column("money")
+    assert store.read(spark).columns == ["k"]
+    # compact materializes: name becomes reusable
+    store.compact(spark)
+    assert store.snapshot(store.head_version()).dropped == []
+    store.commit(
+        spark.range(1).select(F.col("id").alias("k"), F.lit("z").alias("note")),
+        mode="append",
+        merge_schema=True,
+    )
+    assert "note" in store.read(spark).columns
+    # guards
+    with pytest.raises(ValueError, match="cluster key"):
+        s2 = SnapshotStore(str(tmp_path / "s2"))
+        s2.commit(
+            spark.range(3).select(F.col("id").alias("k"), F.lit(1).alias("v")),
+            cluster_by="k",
+        )
+        s2.drop_column("k")
