@@ -226,3 +226,54 @@ def quality_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.foreign_key("orders_custkey_fk_customer", "o_custkey", customer, "c_custkey"),
     ]
     return X.check_expectations(orders, rules)
+
+
+@query(
+    "quality_benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(count(*)) OVER () AS BIGINT) AS total
+      FROM d GROUP BY digit
+    )
+    SELECT digit, n,
+           n * 10000 // total AS share_bp,
+           CAST(floor(log10(1.0 + 1.0 / digit) * 10000) AS BIGINT) AS benford_bp
+    FROM c
+    ORDER BY digit
+    """,
+)
+def quality_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit — the fraud/corruption screen on monetary
+    columns: observed first-digit shares (basis points, integer
+    division) against the Benford expectation floor(log10(1+1/d)·1e4).
+    One map-side-combined aggregate over 9 groups + a 9-row window; the
+    scan is the only data-sized cost at any scale. (The synthetic
+    uniform-ish totals will NOT follow Benford — the point is the
+    measurement, and the expectation column is a constant table both
+    engines derive identically.)"""
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    c = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return (
+        c.withColumn("total", total)
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 10000 div total").alias("share_bp"),
+            F.floor(F.log10(1.0 + 1.0 / F.col("digit")) * 10000)
+            .cast("bigint")
+            .alias("benford_bp"),
+        )
+        .orderBy("digit")
+    )

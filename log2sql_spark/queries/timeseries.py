@@ -563,3 +563,82 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      GROUP BY 1
+    ),
+    trend AS (
+      SELECT hour, n,
+             CAST(sum(n) OVER w * 1000 AS BIGINT)
+               // CAST(count(*) OVER w AS BIGINT) AS trend_milli,
+             CAST(count(*) OVER w AS BIGINT) AS trend_n
+      FROM hourly
+      WINDOW w AS (ORDER BY hour ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    seasonal AS (
+      SELECT hour, n, trend_milli, trend_n,
+             CAST(sum(n * 1000 - trend_milli)
+                    OVER (PARTITION BY extract(hour FROM hour)) AS BIGINT)
+               AS seasonal_sum_milli,
+             CAST(count(*) OVER (PARTITION BY extract(hour FROM hour)) AS BIGINT)
+               AS seasonal_cnt
+      FROM trend
+    )
+    SELECT hour, n, trend_milli, trend_n, seasonal_sum_milli, seasonal_cnt,
+           (n * 1000 - trend_milli) * seasonal_cnt - seasonal_sum_milli
+             AS residual_scaled
+    FROM seasonal
+    ORDER BY hour
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly event
+    count: trend = centered 25-hour moving average, seasonal =
+    per-hour-of-day mean deviation from trend, residual = the rest.
+    All-integer arithmetic: the trend is an integer-division milli-mean
+    (float avg would diverge in the last ulp under different summation
+    orders), and the seasonal component stays as an exact (sum, count)
+    pair — the residual is emitted scaled by the seasonal count instead
+    of dividing a possibly-negative sum, whose truncation direction
+    differs across engines. Plan shape: one aggregate to hourly
+    (|hours| rows), one unpartitioned window over hours, one
+    hour-of-day window — all post-aggregate, so events are touched
+    exactly once at any scale."""
+    events = load_table(spark, "events", sf_dir)
+    hourly = events.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("hour").rowsBetween(-12, 12)
+    # integer division, not double: expr-level `div`
+    trend = hourly.withColumn("_sum", F.sum("n").over(w)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(w)
+    ).select(
+        "hour",
+        "n",
+        F.expr("(_sum * 1000) div _cnt").alias("trend_milli"),
+        F.col("_cnt").alias("trend_n"),
+    )
+    ws = Window.partitionBy(F.hour("hour"))
+    seasonal = trend.withColumn(
+        "seasonal_sum_milli",
+        F.sum(F.col("n") * 1000 - F.col("trend_milli")).over(ws),
+    ).withColumn("seasonal_cnt", F.count(F.lit(1)).over(ws))
+    return seasonal.select(
+        "hour",
+        "n",
+        "trend_milli",
+        "trend_n",
+        "seasonal_sum_milli",
+        "seasonal_cnt",
+        (
+            (F.col("n") * 1000 - F.col("trend_milli")) * F.col("seasonal_cnt")
+            - F.col("seasonal_sum_milli")
+        ).alias("residual_scaled"),
+    ).orderBy("hour")
