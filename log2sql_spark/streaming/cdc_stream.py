@@ -265,7 +265,13 @@ def apply_changes_to_snapshot_store(
         if auto_compact_files and store.file_count() > auto_compact_files:
             store.compact(spark)
 
-    lines = read_binlog_line_stream(spark, in_dir)
+    # observe(): per-micro-batch input line counts surface in the
+    # query's streaming progress (observedMetrics.cdc_audit) — the
+    # applied-vs-received audit an operator reconciles against the
+    # source, collected on the SAME scan, never by a second read.
+    lines = read_binlog_line_stream(spark, in_dir).observe(
+        "cdc_audit", F.count(F.lit(1)).alias("n_lines")
+    )
     return (
         lines.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
