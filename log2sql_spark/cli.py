@@ -172,12 +172,15 @@ def store_main(argv: list[str]) -> int:
     if args.cmd == "compact":
         v = store.compact(spark, target_files=args.target_files)
     else:
+        head = store.snapshot(store.head_version())
         v = store.commit(
-            store.read(spark),
+            store.read(spark, apply_policies=False),  # rewrite raw, owner path
             mode="overwrite",
             cluster_by=args.by,
             layout="zorder",
             target_files=args.target_files,
+            generated=head.generated,
+            policies=head.policies,
         )
     print(f"v{v}")
     return 0

@@ -832,3 +832,47 @@ def store_drop_column_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = _cached_build("drop_orders", sf_dir, build)
     return store.read(spark).orderBy("k")
+
+
+@query(
+    "store_masked_policy_read",
+    oracle="""
+    SELECT o_orderkey AS k,
+           (CAST(round(o_totalprice * 100) AS BIGINT) // 100) * 100 AS cents,
+           concat(substr(o_orderpriority, 1, 4), '***') AS priority
+    FROM orders
+    WHERE o_orderkey < 2000 AND o_orderkey % 7 <> 0
+    ORDER BY k
+    """,
+)
+def store_masked_policy_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-time governance (store/snapshots.py:set_mask /
+    set_row_filter — the Delta/Unity column-mask + row-filter analog):
+    the store holds RAW rows; the manifest carries a row filter
+    (k % 7 <> 0) and two masks (cents floored to whole dollars, priority
+    truncated), applied by every governed read — including pruned reads
+    — while merges/compaction work on raw data. The oracle applies the
+    same policy relationally to the raw table, so the hash match proves
+    the policy layer is exactly the declared transformation and nothing
+    else. Metadata-only: policy changes are O(1) commits, versioned
+    with the table, at any scale."""
+    from log2sql_spark.store.snapshots import SnapshotStore
+
+    def build():
+        orders = load_table(spark, "orders", sf_dir)
+        store = SnapshotStore(os.path.join(scratch_dir("log2sql_policy_"), "store"))
+        store.commit(
+            orders.filter(F.col("o_orderkey") < 2000).select(
+                F.col("o_orderkey").alias("k"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+                F.col("o_orderpriority").alias("priority"),
+            ),
+            cluster_by="k",
+        )
+        store.set_row_filter("k % 7 != 0")
+        store.set_mask("cents", "(cents div 100) * 100")
+        store.set_mask("priority", "concat(substr(priority, 1, 4), '***')")
+        return store
+
+    store = _cached_build("policy_orders", sf_dir, build)
+    return store.read(spark).orderBy("k")

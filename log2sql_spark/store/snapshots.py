@@ -95,6 +95,11 @@ class Snapshot:
     # Dropped columns (physical names): excluded at read time; the
     # bytes stay in the files until a compact() rewrites them out.
     dropped: list = field(default_factory=list)
+    # Read-time governance (Delta/lakehouse column-mask + row-filter
+    # analog): {"masks": {column: SQL expr}, "row_filter": SQL bool
+    # expr}. Enforced by read()/read_pruned*; maintenance paths
+    # (merge/compact/diff) operate on raw data like a table owner.
+    policies: dict = field(default_factory=dict)
 
     @property
     def dirs(self) -> list[str]:
@@ -142,6 +147,17 @@ class Snapshot:
         )
 
 
+def _inherited(snap: Snapshot) -> dict:
+    """Manifest keys every snapshot-derived commit carries forward
+    (merge / restore / rename / drop / policy / clone)."""
+    return {
+        "renames": snap.renames,
+        "generated": snap.generated,
+        "dropped": snap.dropped,
+        "policies": snap.policies,
+    }
+
+
 class SnapshotStore:
     def __init__(self, path: str):
         self.path = path
@@ -178,6 +194,7 @@ class SnapshotStore:
             renames=m.get("renames") or {},
             generated=m.get("generated") or {},
             dropped=m.get("dropped") or [],
+            policies=m.get("policies") or {},
         )
 
     # ---- commits ------------------------------------------------------
@@ -356,6 +373,7 @@ class SnapshotStore:
         expect: list | None = None,
         merge_schema: bool = False,
         generated: dict[str, str] | None = None,
+        policies: dict | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version.
 
@@ -444,9 +462,16 @@ class SnapshotStore:
         # resets — same lifecycle as the schema itself.
         if mode == "overwrite" or parent is None:
             renames, dropped = {}, []
+            # Unlike renames/dropped (file-name state a rewrite
+            # materializes away), policies are GOVERNANCE — an explicit
+            # pass-through (compact, CLI zorder) keeps them alive
+            # across an overwrite; a plain overwrite resets like Delta
+            # replacing the table.
+            policies = dict(policies or {})
         else:
             prev_meta = self.snapshot(parent)
             renames, dropped = dict(prev_meta.renames), list(prev_meta.dropped)
+            policies = dict(prev_meta.policies if policies is None else policies)
         if renames:
             clash = [f.name for f in df.schema.fields if f.name in renames]
             if clash:
@@ -514,6 +539,7 @@ class SnapshotStore:
                 "renames": renames,
                 "generated": generated,
                 "dropped": dropped,
+                "policies": policies,
             }
         )
         return version
@@ -614,7 +640,17 @@ class SnapshotStore:
         at epoch ``ts``."""
         return self.read(spark, self.version_at(ts))
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        apply_policies: bool = True,
+    ) -> DataFrame:
+        """Read a snapshot. ``apply_policies=False`` is the table-owner
+        path (maintenance: merge/compact read raw — a masked merge
+        would corrupt the stored values); governed readers get the
+        snapshot's row filter + column masks applied, versioned with
+        the snapshot itself (time travel reads THAT version's policy)."""
         version = self.head_version() if version is None else version
         if version is None:
             raise ValueError(f"store at {self.path} has no commits")
@@ -622,9 +658,10 @@ class SnapshotStore:
         if not snap.entries:
             from pyspark.sql.types import StructType
 
-            return spark.createDataFrame(
+            df = spark.createDataFrame(
                 [], StructType.fromJson(json.loads(snap.schema_json))
             )
+            return self._apply_policies(df, snap) if apply_policies else df
         paths = [os.path.join(self.path, e["path"]) for e in snap.entries]
         # mergeSchema: additive schema evolution — an append that widened
         # the schema reads back with NULLs for columns absent in older
@@ -636,7 +673,21 @@ class SnapshotStore:
             # hash layout: partition-dir inference may resurface the
             # internal bucket column when sibling dirs share a parent
             df = df.drop("_bucket")
-        return self._apply_renames(df, snap.renames, snap.dropped)
+        df = self._apply_renames(df, snap.renames, snap.dropped)
+        return self._apply_policies(df, snap) if apply_policies else df
+
+    @staticmethod
+    def _apply_policies(df: DataFrame, snap: Snapshot) -> DataFrame:
+        """Row filter first (decided on true values), then column masks
+        (the output the governed reader sees) — Delta's evaluation
+        order for row filters + column masks."""
+        row_filter = snap.policies.get("row_filter")
+        if row_filter:
+            df = df.filter(F.expr(row_filter))
+        for col, expr in (snap.policies.get("masks") or {}).items():
+            if col in df.columns:
+                df = df.withColumn(col, F.expr(expr))
+        return df
 
     @staticmethod
     def _apply_renames(
@@ -701,7 +752,9 @@ class SnapshotStore:
         )
         if "_bucket" in df.columns:
             df = df.drop("_bucket")
-        return self._apply_renames(df, snap.renames, snap.dropped)
+        return self._apply_policies(
+            self._apply_renames(df, snap.renames, snap.dropped), snap
+        )
 
     def read_pruned_box(
         self,
@@ -742,7 +795,9 @@ class SnapshotStore:
         df = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, e["path"]) for e in keep]
         )
-        return self._apply_renames(df, snap.renames, snap.dropped)
+        return self._apply_policies(
+            self._apply_renames(df, snap.renames, snap.dropped), snap
+        )
 
     def _buckets_of(self, spark: SparkSession, snap: Snapshot, values: list) -> set:
         """Buckets the given key values hash into (one tiny Spark job —
@@ -801,7 +856,7 @@ class SnapshotStore:
         pruned = (key_matches and snap.layout == "range" and snap.has_stats) or zorder_keyed
         if not pruned:
             merged = merge_into(
-                self.read(spark), changes, key_cols, version_cols, op_col,
+                self.read(spark, apply_policies=False), changes, key_cols, version_cols, op_col,
                 delete_op, merge_schema=merge_schema,
             )
             return self.commit(
@@ -847,7 +902,7 @@ class SnapshotStore:
                 snap.dropped,
             )
         else:
-            base = self.read(spark, parent).limit(0)
+            base = self.read(spark, parent, apply_policies=False).limit(0)
         merged = merge_into(
             base, changes, keys, version_cols, op_col, delete_op,
             merge_schema=merge_schema,
@@ -872,9 +927,7 @@ class SnapshotStore:
                 "layout": snap.layout,
                 "n_buckets": snap.n_buckets,
                 # carried (untouched) files still hold physical names
-                "renames": snap.renames,
-                "generated": snap.generated,
-                "dropped": snap.dropped,
+                **_inherited(snap),
             }
         )
         return version
@@ -916,7 +969,7 @@ class SnapshotStore:
                 base = base.drop("_bucket")
             base = self._apply_renames(base, snap.renames, snap.dropped)
         else:
-            base = self.read(spark, snap.version).limit(0)
+            base = self.read(spark, snap.version, apply_policies=False).limit(0)
         merged = merge_into(
             base, changes, [key], version_cols, op_col, delete_op,
             merge_schema=merge_schema,
@@ -937,9 +990,7 @@ class SnapshotStore:
                 "schema": merged.schema.json(),
                 "layout": "hash",
                 "n_buckets": snap.n_buckets,
-                "renames": snap.renames,
-                "generated": snap.generated,
-                "dropped": snap.dropped,
+                **_inherited(snap),
             }
         )
         return version
@@ -961,12 +1012,12 @@ class SnapshotStore:
         only_a = sorted(a_paths - b_paths)
         only_b = sorted(b_paths - a_paths)
         if not only_a and not only_b:
-            empty = self.read(spark, from_version).limit(0)
+            empty = self.read(spark, from_version, apply_policies=False).limit(0)
             return empty.withColumn("change_type", F.lit(""))
 
         def _read(paths: list[str], version: int) -> DataFrame:
             if not paths:
-                return self.read(spark, version).limit(0)
+                return self.read(spark, version, apply_policies=False).limit(0)
             # Both sides align on the TO-version's logical names:
             # rename maps compose forward, so the newest map covers
             # physical names from either snapshot's files.
@@ -1017,9 +1068,7 @@ class SnapshotStore:
                 "meta": {"restored_from": version},
                 "layout": snap.layout,
                 "n_buckets": snap.n_buckets,
-                "renames": snap.renames,
-                "generated": snap.generated,
-                "dropped": snap.dropped,
+                **_inherited(snap),
             }
         )
         return head + 1
@@ -1078,6 +1127,18 @@ class SnapshotStore:
                     "first"
                 )
             generated[new if gcol == old else gcol] = gexpr
+        pol_exprs = list(snap.policies.get("masks", {}).values()) + (
+            [snap.policies["row_filter"]] if "row_filter" in snap.policies else []
+        )
+        if any(_re.search(rf"\b{_re.escape(old)}\b", e) for e in pol_exprs):
+            raise ValueError(
+                f"column {old!r} is referenced by a read policy "
+                "(mask/row filter); drop or redefine the policy first"
+            )
+        if old in snap.policies.get("masks", {}):
+            masks = dict(snap.policies["masks"])
+            masks[new] = masks.pop(old)
+            snap.policies = {**snap.policies, "masks": masks}
         new_fields = [
             T.StructField(new, f.dataType, f.nullable, f.metadata)
             if f.name == old
@@ -1109,6 +1170,7 @@ class SnapshotStore:
                 "renames": renames,
                 "generated": generated,
                 "dropped": snap.dropped,
+                "policies": snap.policies,
             }
         )
         return head + 1
@@ -1144,6 +1206,21 @@ class SnapshotStore:
                     f"{gcol!r} ({gexpr!r}); drop that first"
                 )
         generated = {g: e for g, e in snap.generated.items() if g != col}
+        other_exprs = [
+            e for c, e in snap.policies.get("masks", {}).items() if c != col
+        ] + ([snap.policies["row_filter"]] if "row_filter" in snap.policies else [])
+        if any(_re.search(rf"\b{_re.escape(col)}\b", e) for e in other_exprs):
+            raise ValueError(
+                f"column {col!r} is referenced by a read policy "
+                "(mask/row filter); drop or redefine the policy first"
+            )
+        if col in snap.policies.get("masks", {}):
+            snap.policies = {
+                **snap.policies,
+                "masks": {
+                    c: e for c, e in snap.policies["masks"].items() if c != col
+                },
+            }
         # every physical name that currently surfaces as `col`
         phys = [p for p, log in snap.renames.items() if log == col] or []
         if col not in snap.renames:  # files written under the literal name
@@ -1166,9 +1243,82 @@ class SnapshotStore:
                 "renames": renames,
                 "generated": generated,
                 "dropped": dropped,
+                "policies": snap.policies,
             }
         )
         return head + 1
+
+    def _publish_policies(self, snap: Snapshot, policies: dict, meta: dict) -> int:
+        self._publish(
+            {
+                "version": snap.version + 1,
+                "parent": snap.version,
+                "mode": "policy",
+                "entries": snap.entries,
+                "cluster_by": snap.cluster_by,
+                "schema": snap.schema_json,
+                "meta": meta,
+                "layout": snap.layout,
+                "n_buckets": snap.n_buckets,
+                "renames": snap.renames,
+                "generated": snap.generated,
+                "dropped": snap.dropped,
+                "policies": policies,
+            }
+        )
+        return snap.version + 1
+
+    def set_mask(self, col: str, expr: str) -> int:
+        """Read-time column mask (Delta/Unity column-mask analog):
+        governed ``read()`` calls return ``expr`` in place of the raw
+        value — e.g. ``"concat(substr(email, 1, 2), '***')"`` or a
+        NULL-out. Metadata-only, versioned with the snapshot (time
+        travel shows each version under ITS policy), and enforced on
+        pruned reads too. Maintenance paths (merge/compact) keep the
+        raw values, like a table owner. The cluster key refuses a mask:
+        pruned lookups compare caller-supplied raw keys to file stats,
+        and a masked key would make that contract unreadable."""
+        head = self.head_version()
+        if head is None:
+            raise ValueError("set_mask on an empty store")
+        snap = self.snapshot(head)
+        schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        if col not in schema.names:
+            raise ValueError(f"no column {col!r}; have {schema.names}")
+        if col in (snap.cluster_by or "").split(","):
+            raise ValueError(f"{col!r} is the cluster key; masks would break pruned lookups")
+        policies = {**snap.policies, "masks": {**snap.policies.get("masks", {}), col: expr}}
+        return self._publish_policies(snap, policies, {"set_mask": [col, expr]})
+
+    def drop_mask(self, col: str) -> int:
+        head = self.head_version()
+        snap = self.snapshot(head)
+        masks = dict(snap.policies.get("masks", {}))
+        if col not in masks:
+            raise ValueError(f"no mask on {col!r}")
+        del masks[col]
+        policies = {**snap.policies, "masks": masks}
+        return self._publish_policies(snap, policies, {"drop_mask": col})
+
+    def set_row_filter(self, predicate: str) -> int:
+        """Read-time row filter (row-level security): governed reads
+        see only rows where ``predicate`` holds — evaluated on the RAW
+        values, before masks, Delta's order. Metadata-only and
+        versioned like masks."""
+        head = self.head_version()
+        if head is None:
+            raise ValueError("set_row_filter on an empty store")
+        snap = self.snapshot(head)
+        policies = {**snap.policies, "row_filter": predicate}
+        return self._publish_policies(snap, policies, {"set_row_filter": predicate})
+
+    def drop_row_filter(self) -> int:
+        head = self.head_version()
+        snap = self.snapshot(head)
+        if "row_filter" not in snap.policies:
+            raise ValueError("no row filter set")
+        policies = {k: v for k, v in snap.policies.items() if k != "row_filter"}
+        return self._publish_policies(snap, policies, {"drop_row_filter": True})
 
     def clone_to(self, dest_path: str, version: int | None = None) -> "SnapshotStore":
         """Shallow clone (Delta ``CREATE TABLE ... SHALLOW CLONE``): a
@@ -1211,9 +1361,7 @@ class SnapshotStore:
                 "meta": {"cloned_from": src_root, "source_version": v},
                 "layout": snap.layout,
                 "n_buckets": snap.n_buckets,
-                "renames": snap.renames,
-                "generated": snap.generated,
-                "dropped": snap.dropped,
+                **_inherited(snap),
             }
         )
         return dest
@@ -1224,7 +1372,7 @@ class SnapshotStore:
         streaming-ingest table needs; appears as a normal overwrite
         commit, so it is time-travel-safe and atomic like any other."""
         snap = self.snapshot(self.head_version())
-        df = self.read(spark)
+        df = self.read(spark, apply_policies=False)
         if snap.cluster_by is None:
             # unclustered writes inherit input partitioning (right for
             # normal commits); compaction's whole point is the file
@@ -1240,6 +1388,7 @@ class SnapshotStore:
             # changes the bucketing
             target_files=snap.n_buckets if snap.layout == "hash" and snap.n_buckets else target_files,
             generated=snap.generated,  # the spec survives compaction
+            policies=snap.policies,  # governance survives compaction
         )
 
     def forget(

@@ -461,3 +461,78 @@ def test_drop_column_metadata_only(spark, store, tmp_path):
             cluster_by="k",
         )
         s2.drop_column("k")
+
+
+def test_read_policies_mask_and_row_filter(spark, store):
+    """Column masks + row filters: governed reads see policy output,
+    maintenance reads raw; policies are snapshot-versioned, survive
+    compaction, and block renames/drops of referenced columns."""
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 111).alias("cents"),
+        F.concat(F.lit("user"), F.col("id")).alias("email"),
+    )
+    store.commit(df, cluster_by="k")
+    v_raw = store.head_version()
+    store.set_mask("email", "concat(substr(email, 1, 4), '***')")
+    store.set_row_filter("k % 2 = 0")
+    got = {r.k: (r.cents, r.email) for r in store.read(spark).collect()}
+    assert set(got) == {0, 2, 4, 6, 8}
+    assert got[4] == (444, "user***")
+    # raw owner path + time travel to the pre-policy snapshot
+    assert store.read(spark, apply_policies=False).count() == 10
+    assert store.read(spark, v_raw).count() == 10
+    assert store.read(spark, v_raw).filter("k = 3").head().email == "user3"
+    # pruned reads are governed too
+    pruned = store.read_pruned(spark, [3, 4]).filter(F.col("k").isin([3, 4]))
+    assert {(r.k, r.email) for r in pruned.collect()} == {(4, "user***")}
+    # a merge neither sees masked values nor destroys raw ones
+    ch = spark.createDataFrame(
+        [(4, 999, "user4", "upsert", 1)], "k long, cents long, email string, op string, _seq long"
+    )
+    store.merge(spark, ch, "k", "_seq")
+    assert store.read(spark, apply_policies=False).filter("k = 3").head().email == "user3"
+    assert store.read(spark).filter("k = 4").head().cents == 999
+    # governance survives compaction
+    store.compact(spark)
+    assert store.read(spark).count() == 5
+    assert store.snapshot(store.head_version()).policies["row_filter"] == "k % 2 = 0"
+    # policy-referenced columns refuse rename/drop (the cluster-key
+    # guard fires first for k; the mask guard for email)
+    with pytest.raises(ValueError, match="cluster key"):
+        store.drop_column("k")
+    with pytest.raises(ValueError, match="read policy"):
+        store.rename_column("k", "pk")
+    with pytest.raises(ValueError, match="read policy"):
+        store.rename_column("email", "contact")
+    # dropping the policy unblocks the rename, and a self-referencing
+    # mask set under the NEW name works
+    store.drop_mask("email")
+    store.rename_column("email", "contact")
+    store.set_mask("contact", "concat(substr(contact, 1, 4), '***')")
+    assert store.read(spark).filter("k = 4").head().contact == "user***"
+
+
+def test_rename_masked_column_blocked_when_expr_references_it(spark, store):
+    df = spark.range(3).select(F.col("id").alias("k"), F.lit("x").alias("email"))
+    store.commit(df)
+    store.set_mask("email", "concat(substr(email, 1, 1), '***')")
+    with pytest.raises(ValueError, match="read policy"):
+        store.rename_column("email", "contact")
+
+
+def test_policy_validation(spark, store):
+    store.commit(
+        spark.range(3).select(F.col("id").alias("k"), F.lit(1).alias("v")),
+        cluster_by="k",
+    )
+    with pytest.raises(ValueError, match="no column"):
+        store.set_mask("nope", "1")
+    with pytest.raises(ValueError, match="cluster key"):
+        store.set_mask("k", "0")
+    with pytest.raises(ValueError, match="no mask"):
+        store.drop_mask("v")
+    store.set_row_filter("v > 0")
+    store.drop_row_filter()
+    with pytest.raises(ValueError, match="no row filter"):
+        store.drop_row_filter()
