@@ -642,3 +642,67 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("seasonal_sum_milli")
         ).alias("residual_scaled"),
     ).orderBy("hour")
+
+
+@query(
+    "events_ab_conversion",
+    oracle="""
+    WITH assign AS (
+      SELECT DISTINCT user_id, user_id % 2 AS variant FROM events
+    ),
+    conv AS (
+      SELECT a.variant,
+             CAST(count(*) AS BIGINT) AS users,
+             CAST(count(*) FILTER (WHERE c.user_id IS NOT NULL) AS BIGINT)
+               AS converted,
+             CAST(coalesce(sum(c.cents), 0) AS BIGINT) AS revenue_cents
+      FROM assign a
+      LEFT JOIN (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+      ) c USING (user_id)
+      GROUP BY a.variant
+    )
+    SELECT variant, users, converted,
+           converted * 10000 // users AS conv_bp,
+           revenue_cents
+    FROM conv
+    ORDER BY variant
+    """,
+)
+def events_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic hash assignment (user_id
+    parity stands in for the murmur-bucket split a real platform uses —
+    `llm_split_assign` shows the salted-hash variant), per-variant
+    conversion in basis points and revenue. Two aggregates over
+    per-user rows + one broadcast-sized variant join; events are
+    scanned once per leg. Everything integer, so the readout hashes
+    exactly."""
+    events = load_table(spark, "events", sf_dir)
+    assign = events.select("user_id").distinct().withColumn(
+        "variant", F.col("user_id") % 2
+    )
+    conv = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(_CENTS("value")).alias("cents"))
+    )
+    j = assign.join(conv, "user_id", "left")
+    return (
+        j.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("users"),
+            F.count("cents").alias("converted"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("revenue_cents"),
+        )
+        .select(
+            "variant",
+            "users",
+            "converted",
+            F.expr("converted * 10000 div users").alias("conv_bp"),
+            "revenue_cents",
+        )
+        .orderBy("variant")
+    )
