@@ -191,6 +191,20 @@ class SnapshotReader(DataSourceReader):
             int(options["version"]) if options.get("version") is not None else None
         )
         self.key_values: set | None = None
+        # Governance: the connector's Python workers cannot evaluate
+        # the store's SQL mask/row-filter policies, so serving a
+        # policied store here would silently BYPASS them. Refuse unless
+        # the caller explicitly claims the owner path (raw=true), which
+        # mirrors SnapshotStore.read(apply_policies=False).
+        if self._store().head_version() is not None:
+            _, snap = self._snap()
+            if snap.policies and str(options.get("raw", "")).lower() != "true":
+                raise ValueError(
+                    "store has read policies (masks/row filter); the "
+                    "snapshot DataSource cannot enforce them — read through "
+                    "SnapshotStore.read(), or pass .option('raw', 'true') "
+                    "to take the table-owner path deliberately"
+                )
 
     def _store(self):
         from log2sql_spark.store import SnapshotStore
@@ -260,10 +274,26 @@ class SnapshotReader(DataSourceReader):
         fields = [
             f["name"] for f in json.loads(snap.schema_json)["fields"]
         ]
+        # Column mapping: a file written before a rename stores the
+        # PHYSICAL name — resolve each logical field through every
+        # physical generation (first hit wins; within one file only one
+        # generation exists), mirroring SnapshotStore._apply_renames.
+        candidates = {
+            f: [f] + [p for p, log in snap.renames.items() if log == f]
+            for f in fields
+        }
         out = []
         tbl = pq.read_table(partition.path)
         for rec in tbl.to_pylist():
-            out.append(tuple(rec.get(f) for f in fields))
+            out.append(
+                tuple(
+                    next(
+                        (rec[c] for c in candidates[f] if c in rec),
+                        None,
+                    )
+                    for f in fields
+                )
+            )
         return iter(out)
 
 

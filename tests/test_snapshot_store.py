@@ -536,3 +536,33 @@ def test_policy_validation(spark, store):
     store.drop_row_filter()
     with pytest.raises(ValueError, match="no row filter"):
         store.drop_row_filter()
+
+
+def test_snapshot_datasource_respects_rename_and_policies(spark, store, tmp_path):
+    """format('snapshot') resolves renamed columns across physical
+    generations and refuses a policied store unless the caller takes
+    the owner path explicitly."""
+    from pyspark.errors import AnalysisException
+
+    df = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("cents")
+    )
+    store.commit(df, cluster_by="k")
+    store.rename_column("cents", "money")
+    store.commit(
+        spark.range(5, 7).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("money")
+        ),
+        mode="append",
+        cluster_by="k",
+    )
+    got = spark.read.format("snapshot").load(store.path)
+    assert got.columns == ["k", "money"]
+    # both physical generations resolve (no silent NULLs for old files)
+    assert {r.money for r in got.collect()} == {0, 10, 20, 30, 40, 50, 60}
+
+    store.set_mask("money", "0")
+    with pytest.raises(Exception, match="read policies"):
+        spark.read.format("snapshot").load(store.path).collect()
+    raw = spark.read.format("snapshot").option("raw", "true").load(store.path)
+    assert {r.money for r in raw.collect()} == {0, 10, 20, 30, 40, 50, 60}
