@@ -94,14 +94,33 @@ class SnapshotCdfStreamReader(SimpleDataSourceStreamReader):
 
     def _version_rows(self, store, version: int, paths: set) -> list[tuple]:
         """Rows of the given version restricted to ``paths`` (relative),
-        as hashable field tuples."""
+        as hashable field tuples. Column-mapping aware: a file written
+        before a rename stores the PHYSICAL name, so each subscriber
+        field resolves through that version's physical generations
+        (first name present in the record wins — one generation per
+        file)."""
         import pyarrow.parquet as pq
 
+        # Resolve through the HEAD's composed map, not the emitted
+        # version's: the subscriber declared TODAY's logical names, and
+        # a version published before the rename knows nothing about it.
+        renames = store.snapshot(store.head_version()).renames
+        candidates = {
+            f: [f] + [p for p, log in renames.items() if log == f]
+            for f in self.fields
+        }
         out = []
         for rel in sorted(paths):
             tbl = pq.read_table(os.path.join(store.path, rel))
             for rec in tbl.to_pylist():
-                out.append(tuple(_freeze(rec.get(f)) for f in self.fields))
+                out.append(
+                    tuple(
+                        _freeze(
+                            next((rec[c] for c in candidates[f] if c in rec), None)
+                        )
+                        for f in self.fields
+                    )
+                )
         return out
 
     def _thaw(self, row: tuple):

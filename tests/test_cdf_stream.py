@@ -133,3 +133,44 @@ def test_snapshot_batch_datasource_with_pruning(spark, tmp_path):
     # time travel via option
     v1 = spark.read.format("snapshot").option("version", 1).load(str(store.path))
     assert v1.filter(F.col("k") == 10).head().v == 30
+
+
+def test_cdf_stream_resolves_renamed_generations(spark, tmp_path):
+    """A rename mid-history must not NULL the CDF rows of pre-rename
+    files: the reader resolves each subscriber field through that
+    version's physical generations."""
+    from pyspark.sql import functions as F
+
+    from log2sql_spark.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.commit(
+        spark.range(3).select(F.col("id").alias("k"), (F.col("id") * 10).alias("cents")),
+        cluster_by="k",
+    )
+    store.rename_column("cents", "money")
+    store.commit(
+        spark.range(3, 5).select(F.col("id").alias("k"), (F.col("id") * 10).alias("money")),
+        mode="append",
+        cluster_by="k",
+    )
+    out_dir, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        spark.readStream.format("snapshot_cdf")
+        .schema("k bigint, money bigint, _version bigint, _change_type string")
+        .load(str(store.path))
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.k, r.money, r._change_type)
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    # v1's adds come from PRE-rename files: money must carry the values
+    assert (0, 0, "added") in rows and (2, 20, "added") in rows
+    assert (4, 40, "added") in rows
+    assert not any(m is None for _, m, _ in rows)
