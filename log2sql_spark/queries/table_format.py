@@ -876,3 +876,44 @@ def store_masked_policy_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = _cached_build("policy_orders", sf_dir, build)
     return store.read(spark).orderBy("k")
+
+
+@query(
+    "store_datasource_write_read",
+    oracle="""
+    SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey < 1000
+    UNION ALL
+    SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 1500
+    ORDER BY k
+    """,
+)
+def store_datasource_write_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DSv2 round-trip against our own table format:
+    ``df.write.format('snapshot')`` (executor-side parquet into an
+    attempt-unique directory, manifest published atomically at commit
+    with optimistic-concurrency retries) overwrite + append, then read
+    back through ``spark.read.format('snapshot')``. The oracle reads
+    the union relationally — the hash match proves the writer's commit
+    protocol loses/duplicates nothing across the two jobs and the
+    reader's partition planning covers exactly the published entries."""
+    from log2sql_spark.sources.cdf_datasource import register
+
+    register(spark)
+
+    def build():
+        orders = load_table(spark, "orders", sf_dir)
+        sel = lambda lo, hi: orders.filter(  # noqa: E731
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        ).select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        path = os.path.join(scratch_dir("log2sql_dsw_"), "store")
+        sel(0, 1000).write.format("snapshot").mode("overwrite").save(path)
+        sel(1000, 1500).write.format("snapshot").mode("append").save(path)
+        return path
+
+    path = _cached_build("dsw_orders", sf_dir, build)
+    return spark.read.format("snapshot").load(path).orderBy("k")

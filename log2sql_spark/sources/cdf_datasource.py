@@ -181,10 +181,12 @@ class SnapshotCdfStreamReader(SimpleDataSourceStreamReader):
 
 from pyspark.sql.datasource import (  # noqa: E402
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -333,6 +335,156 @@ class SnapshotDataSource(DataSource):
 
     def reader(self, schema) -> SnapshotReader:
         return SnapshotReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "SnapshotWriter":
+        return SnapshotWriter(self.options, schema, overwrite)
+
+
+class _SnapshotFileCommit(WriterCommitMessage):
+    def __init__(self, rel_path: str, n_rows: int):
+        self.rel_path = rel_path
+        self.n_rows = n_rows
+
+
+class SnapshotWriter(DataSourceWriter):
+    """``df.write.format("snapshot").save()`` — the DSv2 write path
+    against our own table format, honoring its commit protocol: tasks
+    write parquet files into ONE attempt-unique directory under
+    ``data/`` (executor-side, dot-free names are fine — the directory
+    is unreferenced until publish), and ``commit()`` publishes the
+    manifest atomically with optimistic-concurrency retries on
+    ``ConflictError``. A lost job leaves an orphan directory the
+    store's ``vacuum(include_orphans=True)`` sweeps — identical crash
+    semantics to ``SnapshotStore.commit``. Appends enforce the store's
+    schema contract; stores with column mappings / generated columns /
+    policies refuse the raw writer (the API path computes and
+    validates those) unless overwriting, which resets them."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        import uuid
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("snapshot sink requires a path: .save('/store')")
+        self.schema_json = schema.json()
+        self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+        self.attempt_dir = os.path.join("data", f"w-{uuid.uuid4().hex[:12]}")
+        from log2sql_spark.store import SnapshotStore
+
+        store = SnapshotStore(self.path)
+        head = store.head_version()
+        if head is not None and not overwrite:
+            snap = store.snapshot(head)
+            if snap.renames or snap.generated or snap.dropped or snap.policies:
+                raise ValueError(
+                    "store has column mappings / generated columns / "
+                    "policies; append through SnapshotStore.commit (the "
+                    "writer cannot compute or validate them)"
+                )
+            prev = StructType.fromJson(json.loads(snap.schema_json))
+            added = [f for f in self.fields if f not in prev.names]
+            if added:
+                raise ValueError(
+                    f"append schema adds columns {added}; use "
+                    "SnapshotStore.commit(merge_schema=True) to evolve"
+                )
+
+    def write(self, iterator) -> _SnapshotFileCommit:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        abs_dir = os.path.join(self.path, self.attempt_dir)
+        os.makedirs(abs_dir, exist_ok=True)
+        rows = [[r[f] for f in self.fields] for r in iterator]
+        if not rows:
+            return _SnapshotFileCommit("", 0)
+        name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet"
+        cols = list(zip(*rows))
+        import pyspark.sql.types as T
+
+        def _pa_type(dt):
+            m = {
+                T.LongType: pa.int64(),
+                T.IntegerType: pa.int32(),
+                T.DoubleType: pa.float64(),
+                T.FloatType: pa.float32(),
+                T.StringType: pa.string(),
+                T.BooleanType: pa.bool_(),
+                T.DateType: pa.date32(),
+                T.TimestampType: pa.timestamp("us", tz="UTC"),
+            }
+            for k, v in m.items():
+                if isinstance(dt, k):
+                    return v
+            raise ValueError(f"snapshot writer: unsupported type {dt}")
+
+        st = StructType.fromJson(json.loads(self.schema_json))
+        tbl = pa.table(
+            {
+                f.name: pa.array(cols[i], type=_pa_type(f.dataType))
+                for i, f in enumerate(st.fields)
+            }
+        )
+        pq.write_table(tbl, os.path.join(abs_dir, name))
+        return _SnapshotFileCommit(os.path.join(self.attempt_dir, name), len(rows))
+
+    def commit(self, messages) -> None:
+        from log2sql_spark.store import ConflictError, SnapshotStore
+
+        store = SnapshotStore(self.path)
+        entries = [
+            {"path": m.rel_path, "min": None, "max": None}
+            for m in messages
+            if m is not None and m.rel_path
+        ]
+        for _ in range(5):  # optimistic concurrency: retry on a new head
+            parent = store.head_version()
+            version = 1 if parent is None else parent + 1
+            all_entries = entries
+            schema_json = self.schema_json
+            if parent is not None and not self.overwrite:
+                prev_snap = store.snapshot(parent)
+                all_entries = prev_snap.entries + entries
+                # subset append must not shrink the recorded schema
+                # (same union rule as SnapshotStore.commit)
+                prev_st = StructType.fromJson(json.loads(prev_snap.schema_json))
+                mine = StructType.fromJson(json.loads(self.schema_json))
+                schema_json = StructType(
+                    list(prev_st.fields)
+                    + [f for f in mine.fields if f.name not in prev_st.names]
+                ).json()
+            try:
+                store._publish(
+                    {
+                        "version": version,
+                        "parent": parent,
+                        "mode": "overwrite" if self.overwrite else "append",
+                        "entries": all_entries,
+                        "cluster_by": None,
+                        "schema": schema_json,
+                        "meta": {"writer": "datasource"},
+                        "layout": "range",
+                        "n_buckets": None,
+                        "renames": {},
+                        "generated": {},
+                        "dropped": [],
+                        "policies": {},
+                    }
+                )
+                return
+            except ConflictError:
+                continue
+        raise ConflictError("snapshot writer lost 5 publish races; retry the job")
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, self.attempt_dir), ignore_errors=True)
 
 
 def register(spark) -> None:

@@ -566,3 +566,42 @@ def test_snapshot_datasource_respects_rename_and_policies(spark, store, tmp_path
         spark.read.format("snapshot").load(store.path).collect()
     raw = spark.read.format("snapshot").option("raw", "true").load(store.path)
     assert {r.money for r in raw.collect()} == {0, 10, 20, 30, 40, 50, 60}
+
+
+def test_snapshot_datasource_writer_roundtrip(spark, store, tmp_path):
+    """df.write.format('snapshot'): DSv2 write path honoring the store's
+    commit protocol — overwrite, append with union schema, guards for
+    mapped/policied stores, and vacuum-sweepable orphans on abort."""
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("cents"),
+        (F.col("id") % 2 == 0).alias("flag"),
+    )
+    df.write.format("snapshot").mode("overwrite").save(store.path)
+    assert store.head_version() == 1
+    assert store.read(spark).count() == 100
+    assert store.snapshot(1).meta.get("writer") == "datasource"
+    # append composes and is readable through BOTH paths
+    spark.range(100, 120).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("cents"),
+        F.lit(True).alias("flag"),
+    ).write.format("snapshot").mode("append").save(store.path)
+    assert store.read(spark).count() == 120
+    assert spark.read.format("snapshot").load(store.path).count() == 120
+    # appends to a mapped/policied store refuse the raw writer
+    store.rename_column("cents", "money")
+    with pytest.raises(Exception, match="column mappings"):
+        spark.range(3).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("money"),
+            F.lit(True).alias("flag"),
+        ).write.format("snapshot").mode("append").save(store.path)
+    # overwrite resets the mapping and succeeds
+    spark.range(5).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("money"),
+        F.lit(False).alias("flag"),
+    ).write.format("snapshot").mode("overwrite").save(store.path)
+    assert store.read(spark).count() == 5
+    assert store.snapshot(store.head_version()).renames == {}
