@@ -1918,9 +1918,10 @@ def llm_dedup_paragraph_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_ann_ivfpq_adc",
-    oracle=r"""
+# Shared oracle CTE body of the IVF+PQ pipeline (quantize, coarse
+# assign, PQ codebook/codes, query distance tables, probes, ADC scores)
+# — reused by the ADC search and its recall evaluation.
+_IVFPQ_CTES = r"""
     WITH q AS (
       SELECT vec_id,
              list_transform(embedding,
@@ -1976,6 +1977,13 @@ def llm_dedup_paragraph_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN qd ON qd.qid = cd.qid AND qd.sub = co.sub AND qd.code = co.code
       GROUP BY cd.qid, cd.vid
     )
+"""
+
+
+@query(
+    "llm_ann_ivfpq_adc",
+    oracle=_IVFPQ_CTES
+    + """
     SELECT qid, vid, adc, CAST(rk AS BIGINT) AS rk FROM (
       SELECT qid, vid, adc,
              row_number() OVER (PARTITION BY qid ORDER BY adc, vid) AS rk
@@ -2067,4 +2075,86 @@ def llm_ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(wrk).cast("bigint"))
         .filter(F.col("rk") <= 10)
         .orderBy("qid", "rk")
+    )
+
+
+@query(
+    "llm_ann_ivfpq_recall",
+    oracle=_IVFPQ_CTES
+    + """,
+    adc10 AS (
+      SELECT qid, vid FROM (
+        SELECT qid, vid,
+               row_number() OVER (PARTITION BY qid ORDER BY adc, vid) AS rk
+        FROM scored
+      ) WHERE rk <= 10
+    ),
+    exact10 AS (
+      SELECT qid, vid FROM (
+        SELECT f.qid, v.vec_id AS vid,
+               row_number() OVER (PARTITION BY f.qid ORDER BY
+                 list_sum(list_transform(range(1, 65),
+                   i -> (f.qv[i] - v.qv[i]) * (f.qv[i] - v.qv[i]))), v.vec_id) AS rk
+        FROM qfull f, q v
+      ) WHERE rk <= 10
+    ),
+    hits AS (
+      SELECT e.qid, CAST(count(*) AS BIGINT) AS n_hit
+      FROM exact10 e JOIN adc10 a USING (qid, vid)
+      GROUP BY e.qid
+    )
+    SELECT qq.qid, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+           coalesce(n_hit, 0) * 1000 // 10 AS recall_milli
+    FROM (SELECT DISTINCT qid FROM exact10) qq LEFT JOIN hits USING (qid)
+    ORDER BY qid
+    """,
+)
+def llm_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured IVF+PQ quality: recall@10 of the ADC search (2-cell
+    probe, 4x16 PQ codebook) against the EXACT integer-L2 top-10 over
+    the same quantized vectors — the compression+probe error as an
+    oracle-checked number per query, completing the eval pair with
+    llm_ann_recall_eval (which measures the IVF probe alone). Both
+    rankings share one tie rule (distance, then id), so the
+    intersection count is bit-deterministic. The exact side is the
+    |Q|x|V| scan the index exists to avoid — fine as an eval harness,
+    never the serving path."""
+    from pyspark.sql import Window as W
+
+    # ADC side: the registered pipeline, already ranked top-10
+    adc = llm_ann_ivfpq_adc(spark, sf_dir).select("qid", "vid")
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * 64) as bigint))"
+        ).alias("qv"),
+    )
+    queries = q.filter(F.col("id").between(100, 104)).select(
+        F.col("id").alias("qid"), F.col("qv").alias("qqv")
+    )
+    l2 = F.expr(
+        "aggregate(zip_with(qqv, qv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+    )
+    wrk = W.partitionBy("qid").orderBy("d", "vid")
+    exact = (
+        queries.join(F.broadcast(q))
+        .select("qid", F.col("id").alias("vid"), l2.alias("d"))
+        .withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "vid")
+    )
+    hits = exact.join(adc, ["qid", "vid"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        exact.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.expr("coalesce(n_hit, 0) * 1000 div 10").alias("recall_milli"),
+        )
+        .orderBy("qid")
     )
