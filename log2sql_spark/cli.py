@@ -116,6 +116,9 @@ def store_main(argv: list[str]) -> int:
             sp.add_argument("--include-orphans", action="store_true", default=False)
         if name == "compact":
             sp.add_argument("--target-files", type=int, default=8)
+            sp.add_argument("--min-file-mb", type=float, default=None,
+                            help="partial OPTIMIZE: rewrite only files "
+                                 "smaller than this; others carry by reference")
         if name == "restore":
             sp.add_argument("--to-version", type=int, required=True)
         if name == "zorder":
@@ -170,6 +173,12 @@ def store_main(argv: list[str]) -> int:
     spark = get_spark("log2sql_spark_store", cpus=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
     if args.cmd == "compact":
+        if args.min_file_mb is not None:
+            v = store.compact_small(
+                spark, min_file_mb=args.min_file_mb, target_files=args.target_files
+            )
+            print("noop" if v is None else f"v{v}")
+            return 0
         v = store.compact(spark, target_files=args.target_files)
     else:
         head = store.snapshot(store.head_version())

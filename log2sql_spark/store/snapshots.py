@@ -1391,6 +1391,86 @@ class SnapshotStore:
             policies=snap.policies,  # governance survives compaction
         )
 
+    def compact_small(
+        self,
+        spark: SparkSession,
+        min_file_mb: float = 4.0,
+        target_files: int = 1,
+    ) -> int | None:
+        """Partial compaction (Delta OPTIMIZE semantics): rewrite ONLY
+        files smaller than ``min_file_mb`` into ``target_files`` new
+        files; every right-sized file carries into the new manifest by
+        reference — so compaction cost scales with the SMALL-file
+        backlog, not the table (``compact()`` is the full O(table)
+        rewrite). Range layout keeps pruning: rewritten files get fresh
+        min/max stats and range pruning never required disjoint files,
+        only per-file bounds. Hash layout falls back to the full
+        compact (files must stay bucket-pure). Returns the new version,
+        or None when nothing qualifies. Column-mapped stores materialize
+        renames only in the rewritten files — the read-side coalesce
+        handles the mix, same as after a pruned merge."""
+        head = self.head_version()
+        if head is None:
+            raise ValueError("compact_small on an empty store")
+        snap = self.snapshot(head)
+        if (snap.layout == "hash" and snap.has_buckets) or snap.layout == "zorder":
+            # hash files must stay bucket-pure; zorder files carry
+            # multi-dim stats a plain range write cannot reproduce —
+            # both fall back to the full rewrite
+            return self.compact(spark, target_files=max(target_files, 8))
+        threshold = int(min_file_mb * 1024 * 1024)
+
+        def size_of(e: dict) -> int:
+            p = os.path.join(self.path, e["path"])
+            if os.path.isdir(p):
+                return sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for root, _, files in os.walk(p)
+                    for f in files
+                )
+            return os.path.getsize(p)
+
+        small = [e for e in snap.entries if size_of(e) < threshold]
+        if len(small) <= target_files:
+            return None  # backlog already within shape
+        carried = [e for e in snap.entries if e not in small]
+        df = self._apply_renames(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, e["path"]) for e in small]
+            ),
+            snap.renames,
+            snap.dropped,
+        )
+        if "_bucket" in df.columns:
+            df = df.drop("_bucket")
+        version = head + 1
+        if snap.cluster_by and snap.layout == "range":
+            new_entries = self._write_data(
+                df, version, snap.cluster_by, target_files
+            )
+        else:
+            new_entries = self._write_data(
+                df.repartition(target_files), version, None, target_files
+            )
+        self._publish(
+            {
+                "version": version,
+                "parent": head,
+                "mode": "compact",
+                "entries": carried + new_entries,
+                "cluster_by": snap.cluster_by if snap.layout == "range" else None,
+                "schema": snap.schema_json,
+                "meta": {
+                    "compacted_files": len(small),
+                    "carried_files": len(carried),
+                },
+                "layout": snap.layout,
+                "n_buckets": snap.n_buckets,
+                **_inherited(snap),
+            }
+        )
+        return version
+
     def forget(
         self,
         spark: SparkSession,

@@ -605,3 +605,42 @@ def test_snapshot_datasource_writer_roundtrip(spark, store, tmp_path):
     ).write.format("snapshot").mode("overwrite").save(store.path)
     assert store.read(spark).count() == 5
     assert store.snapshot(store.head_version()).renames == {}
+
+
+def test_compact_small_partial_rewrite(spark, store, tmp_path):
+    """compact_small rewrites only the small-file backlog; right-sized
+    files carry by reference (OPTIMIZE semantics), pruning survives,
+    and a shaped store is a no-op."""
+    # sha2 payload: incompressible, so the two base files stay over the
+    # size threshold after snappy
+    big = spark.range(0, 200_000).select(
+        F.col("id").alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("val")
+    )
+    store.commit(big, cluster_by="k", target_files=2)
+    for i in range(4):  # streaming-style small appends
+        store.commit(
+            spark.range(200_000 + i * 10, 200_000 + i * 10 + 10).select(
+                F.col("id").alias("k"), F.lit("s").alias("val")
+            ),
+            mode="append",
+            cluster_by="k",
+            target_files=1,
+        )
+    before = store.snapshot(store.head_version()).entries
+    assert len(before) == 6
+    total_before = store.read(spark).count()
+    v = store.compact_small(spark, min_file_mb=1.0, target_files=1)
+    head = store.snapshot(v)
+    assert head.mode == "compact"
+    # the two big files carried by reference, 4 small ones merged to 1
+    before_paths = {e["path"] for e in before}
+    after_paths = {e["path"] for e in head.entries}
+    assert len(before_paths & after_paths) == 2
+    assert len(head.entries) == 3
+    assert store.read(spark).count() == total_before
+    # stats intact on every entry -> pruned reads still work
+    assert head.has_stats
+    got = store.read_pruned(spark, [200_005]).filter("k = 200005").count()
+    assert got == 1
+    # already shaped: second run is a no-op
+    assert store.compact_small(spark, min_file_mb=1.0, target_files=1) is None
