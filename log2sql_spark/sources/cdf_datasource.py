@@ -181,6 +181,7 @@ class SnapshotCdfStreamReader(SimpleDataSourceStreamReader):
 
 from pyspark.sql.datasource import (  # noqa: E402
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -339,6 +340,9 @@ class SnapshotDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "SnapshotWriter":
         return SnapshotWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "SnapshotStreamWriter":
+        return SnapshotStreamWriter(self.options, schema)
+
 
 class _SnapshotFileCommit(WriterCommitMessage):
     def __init__(self, rel_path: str, n_rows: int):
@@ -482,6 +486,68 @@ class SnapshotWriter(DataSourceWriter):
         raise ConflictError("snapshot writer lost 5 publish races; retry the job")
 
     def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, self.attempt_dir), ignore_errors=True)
+
+
+class SnapshotStreamWriter(SnapshotWriter, DataSourceStreamWriter):
+    """Streaming twin: ``writeStream.format("snapshot")`` — every
+    micro-batch appends one atomic snapshot, EXACTLY-ONCE downstream of
+    the checkpoint: the manifest records the committing batch id, and a
+    replayed batch (restart between sink-commit and checkpoint-advance)
+    sees its id already at or below the head's and skips the publish —
+    its rewritten attempt directory stays orphaned for vacuum, the
+    visible table gains nothing twice. Micro-batches run sequentially,
+    so the head's batch id is the high-watermark."""
+
+    def __init__(self, options, schema: StructType):
+        super().__init__(options, schema, overwrite=False)
+
+    def write(self, iterator):  # same task protocol as the batch writer
+        return SnapshotWriter.write(self, iterator)
+
+    def commit(self, messages, batchId: int) -> None:  # type: ignore[override]
+        from log2sql_spark.store import ConflictError, SnapshotStore
+
+        store = SnapshotStore(self.path)
+        head = store.head_version()
+        if head is not None:
+            applied = store.snapshot(head).meta.get("stream_batch_id")
+            if applied is not None and batchId <= applied:
+                self.abort(messages, batchId)  # replay: drop the re-write
+                return
+        entries = [
+            {"path": m.rel_path, "min": None, "max": None}
+            for m in messages
+            if m is not None and m.rel_path
+        ]
+        parent = head
+        version = 1 if parent is None else parent + 1
+        all_entries = entries
+        schema_json = self.schema_json
+        if parent is not None:
+            prev_snap = store.snapshot(parent)
+            all_entries = prev_snap.entries + entries
+        store._publish(
+            {
+                "version": version,
+                "parent": parent,
+                "mode": "append",
+                "entries": all_entries,
+                "cluster_by": None,
+                "schema": schema_json,
+                "meta": {"writer": "datasource", "stream_batch_id": batchId},
+                "layout": "range",
+                "n_buckets": None,
+                "renames": {},
+                "generated": {},
+                "dropped": [],
+                "policies": {},
+            }
+        )
+
+    def abort(self, messages, batchId: int) -> None:  # type: ignore[override]
         import shutil
 
         shutil.rmtree(os.path.join(self.path, self.attempt_dir), ignore_errors=True)

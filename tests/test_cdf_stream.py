@@ -174,3 +174,51 @@ def test_cdf_stream_resolves_renamed_generations(spark, tmp_path):
     assert (0, 0, "added") in rows and (2, 20, "added") in rows
     assert (4, 40, "added") in rows
     assert not any(m is None for _, m, _ in rows)
+
+
+def test_snapshot_stream_writer_exactly_once(spark, tmp_path):
+    """writeStream.format('snapshot'): each micro-batch commits one
+    snapshot; a restart with no new input re-commits nothing (the
+    manifest's stream_batch_id is the high-watermark)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from log2sql_spark.sources.cdf_datasource import register
+    from log2sql_spark.store import SnapshotStore
+
+    register(spark)
+    in_dir, store_dir, ckpt = tmp_path / "in", tmp_path / "store", tmp_path / "ckpt"
+    in_dir.mkdir()
+    with open(in_dir / "b0.json", "w") as f:
+        for i in range(20):
+            f.write(_json.dumps({"k": i, "v": i * 10}) + "\n")
+
+    def run():
+        q = (
+            spark.readStream.schema("k bigint, v bigint")
+            .json(str(in_dir))
+            .writeStream.format("snapshot")
+            .option("path", str(store_dir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    store = SnapshotStore(str(store_dir))
+    assert store.read(spark).count() == 20
+    v1 = store.head_version()
+    assert store.snapshot(v1).meta["stream_batch_id"] == 0
+    # restart without new data: no new version
+    run()
+    assert store.head_version() == v1
+    # new file -> exactly one more snapshot, composed with the first
+    with open(in_dir / "b1.json", "w") as f:
+        for i in range(20, 25):
+            f.write(_json.dumps({"k": i, "v": i * 10}) + "\n")
+    run()
+    assert store.head_version() == v1 + 1
+    assert store.read(spark).count() == 25
+    assert store.read(spark, v1).count() == 20  # time travel intact
