@@ -380,11 +380,15 @@ class SnapshotWriter(DataSourceWriter):
         head = store.head_version()
         if head is not None and not overwrite:
             snap = store.snapshot(head)
-            if snap.renames or snap.generated or snap.dropped or snap.policies:
+            if (
+                snap.renames or snap.generated or snap.dropped
+                or snap.policies or snap.constraints
+            ):
                 raise ValueError(
                     "store has column mappings / generated columns / "
-                    "policies; append through SnapshotStore.commit (the "
-                    "writer cannot compute or validate them)"
+                    "policies / constraints; append through "
+                    "SnapshotStore.commit (the writer cannot compute or "
+                    "validate them)"
                 )
             prev = StructType.fromJson(json.loads(snap.schema_json))
             added = [f for f in self.fields if f not in prev.names]

@@ -100,6 +100,10 @@ class Snapshot:
     # expr}. Enforced by read()/read_pruned*; maintenance paths
     # (merge/compact/diff) operate on raw data like a table owner.
     policies: dict = field(default_factory=dict)
+    # Persistent CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT
+    # analog): {name: SQL bool expr}. Every future commit/merge
+    # validates its written rows; violations abort before publish.
+    constraints: dict = field(default_factory=dict)
 
     @property
     def dirs(self) -> list[str]:
@@ -155,6 +159,7 @@ def _inherited(snap: Snapshot) -> dict:
         "generated": snap.generated,
         "dropped": snap.dropped,
         "policies": snap.policies,
+        "constraints": snap.constraints,
     }
 
 
@@ -195,6 +200,7 @@ class SnapshotStore:
             generated=m.get("generated") or {},
             dropped=m.get("dropped") or [],
             policies=m.get("policies") or {},
+            constraints=m.get("constraints") or {},
         )
 
     # ---- commits ------------------------------------------------------
@@ -374,6 +380,7 @@ class SnapshotStore:
         merge_schema: bool = False,
         generated: dict[str, str] | None = None,
         policies: dict | None = None,
+        constraints: dict | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version.
 
@@ -468,10 +475,15 @@ class SnapshotStore:
             # across an overwrite; a plain overwrite resets like Delta
             # replacing the table.
             policies = dict(policies or {})
+            constraints = dict(constraints or {})
         else:
             prev_meta = self.snapshot(parent)
             renames, dropped = dict(prev_meta.renames), list(prev_meta.dropped)
             policies = dict(prev_meta.policies if policies is None else policies)
+            constraints = dict(
+                prev_meta.constraints if constraints is None else constraints
+            )
+        self._check_constraints(df, constraints)
         if renames:
             clash = [f.name for f in df.schema.fields if f.name in renames]
             if clash:
@@ -540,9 +552,27 @@ class SnapshotStore:
                 "generated": generated,
                 "dropped": dropped,
                 "policies": policies,
+                "constraints": constraints,
             }
         )
         return version
+
+    @staticmethod
+    def _check_constraints(df: DataFrame, constraints: dict) -> None:
+        """Persistent CHECK enforcement: standard SQL semantics (NULL
+        predicate passes). One cheap existence probe over the rows
+        about to be written; the per-constraint violation counts are
+        computed only on the failure path."""
+        if not constraints:
+            return
+        neg = " OR ".join(f"NOT ({c})" for c in constraints.values())
+        if df.filter(F.expr(neg)).limit(1).count():
+            failures = [
+                (name, n)
+                for name, c in constraints.items()
+                if (n := df.filter(~F.expr(c)).count())
+            ]
+            raise ExpectationError(failures)
 
     def _publish(self, manifest: dict) -> None:
         manifest.setdefault("created_at", time.time())
@@ -907,6 +937,7 @@ class SnapshotStore:
             base, changes, keys, version_cols, op_col, delete_op,
             merge_schema=merge_schema,
         )
+        self._check_constraints(merged, snap.constraints)
         version = parent + 1
         if zorder_keyed:
             new_entries = self._write_data_zorder(
@@ -974,6 +1005,7 @@ class SnapshotStore:
             base, changes, [key], version_cols, op_col, delete_op,
             merge_schema=merge_schema,
         )
+        self._check_constraints(merged, snap.constraints)
         version = snap.version + 1
         new_entries = self._write_data_hash(
             merged, version, snap.cluster_by, snap.n_buckets
@@ -1139,6 +1171,14 @@ class SnapshotStore:
             masks = dict(snap.policies["masks"])
             masks[new] = masks.pop(old)
             snap.policies = {**snap.policies, "masks": masks}
+        if any(
+            _re.search(rf"\b{_re.escape(old)}\b", c)
+            for c in snap.constraints.values()
+        ):
+            raise ValueError(
+                f"column {old!r} is referenced by a CHECK constraint; "
+                "drop the constraint first"
+            )
         new_fields = [
             T.StructField(new, f.dataType, f.nullable, f.metadata)
             if f.name == old
@@ -1171,6 +1211,7 @@ class SnapshotStore:
                 "generated": generated,
                 "dropped": snap.dropped,
                 "policies": snap.policies,
+                "constraints": snap.constraints,
             }
         )
         return head + 1
@@ -1221,6 +1262,14 @@ class SnapshotStore:
                     c: e for c, e in snap.policies["masks"].items() if c != col
                 },
             }
+        if any(
+            _re.search(rf"\b{_re.escape(col)}\b", c)
+            for c in snap.constraints.values()
+        ):
+            raise ValueError(
+                f"column {col!r} is referenced by a CHECK constraint; "
+                "drop the constraint first"
+            )
         # every physical name that currently surfaces as `col`
         phys = [p for p, log in snap.renames.items() if log == col] or []
         if col not in snap.renames:  # files written under the literal name
@@ -1244,6 +1293,7 @@ class SnapshotStore:
                 "generated": generated,
                 "dropped": dropped,
                 "policies": snap.policies,
+                "constraints": snap.constraints,
             }
         )
         return head + 1
@@ -1264,6 +1314,7 @@ class SnapshotStore:
                 "generated": snap.generated,
                 "dropped": snap.dropped,
                 "policies": policies,
+                "constraints": snap.constraints,
             }
         )
         return snap.version + 1
@@ -1319,6 +1370,61 @@ class SnapshotStore:
             raise ValueError("no row filter set")
         policies = {k: v for k, v in snap.policies.items() if k != "row_filter"}
         return self._publish_policies(snap, policies, {"drop_row_filter": True})
+
+    def add_constraint(self, spark: SparkSession, name: str, predicate: str) -> int:
+        """Persistent CHECK constraint (Delta ``ALTER TABLE ADD
+        CONSTRAINT``): validated against the EXISTING rows first (like
+        Delta — you cannot declare a check the current data violates),
+        then recorded in the manifest so every future commit and merge
+        enforces it before a byte is published. Standard SQL CHECK
+        semantics: a NULL predicate passes."""
+        head = self.head_version()
+        if head is None:
+            raise ValueError("add_constraint on an empty store")
+        snap = self.snapshot(head)
+        if name in snap.constraints:
+            raise ValueError(f"constraint {name!r} already exists")
+        self._check_constraints(
+            self.read(spark, apply_policies=False), {name: predicate}
+        )
+        constraints = {**snap.constraints, name: predicate}
+        self._publish(
+            {
+                "version": head + 1,
+                "parent": head,
+                "mode": "constraint",
+                "entries": snap.entries,
+                "cluster_by": snap.cluster_by,
+                "schema": snap.schema_json,
+                "meta": {"add_constraint": [name, predicate]},
+                "layout": snap.layout,
+                "n_buckets": snap.n_buckets,
+                **{**_inherited(snap), "constraints": constraints},
+            }
+        )
+        return head + 1
+
+    def drop_constraint(self, name: str) -> int:
+        head = self.head_version()
+        snap = self.snapshot(head)
+        if name not in snap.constraints:
+            raise ValueError(f"no constraint {name!r}; have {list(snap.constraints)}")
+        constraints = {k: v for k, v in snap.constraints.items() if k != name}
+        self._publish(
+            {
+                "version": head + 1,
+                "parent": head,
+                "mode": "constraint",
+                "entries": snap.entries,
+                "cluster_by": snap.cluster_by,
+                "schema": snap.schema_json,
+                "meta": {"drop_constraint": name},
+                "layout": snap.layout,
+                "n_buckets": snap.n_buckets,
+                **{**_inherited(snap), "constraints": constraints},
+            }
+        )
+        return head + 1
 
     def clone_to(self, dest_path: str, version: int | None = None) -> "SnapshotStore":
         """Shallow clone (Delta ``CREATE TABLE ... SHALLOW CLONE``): a
@@ -1389,6 +1495,7 @@ class SnapshotStore:
             target_files=snap.n_buckets if snap.layout == "hash" and snap.n_buckets else target_files,
             generated=snap.generated,  # the spec survives compaction
             policies=snap.policies,  # governance survives compaction
+            constraints=snap.constraints,
         )
 
     def compact_small(

@@ -644,3 +644,59 @@ def test_compact_small_partial_rewrite(spark, store, tmp_path):
     assert got == 1
     # already shaped: second run is a no-op
     assert store.compact_small(spark, min_file_mb=1.0, target_files=1) is None
+
+
+def test_persistent_check_constraints(spark, store):
+    """add_constraint validates existing data, then every future
+    commit/merge enforces it; violations abort pre-publish; compaction
+    and policy commits carry the constraint forward."""
+    from log2sql_spark.store.snapshots import ExpectationError
+
+    store.commit(
+        spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 10).alias("cents")),
+        cluster_by="k",
+    )
+    # existing data violates -> refused, nothing published
+    with pytest.raises(ExpectationError):
+        store.add_constraint(spark, "big", "cents >= 50")
+    assert store.head_version() == 1
+    store.add_constraint(spark, "non_negative", "cents >= 0")
+    # good append passes; bad append aborts with no new version
+    store.commit(
+        spark.range(10, 12).select(F.col("id").alias("k"), (F.col("id") * 10).alias("cents")),
+        mode="append", cluster_by="k",
+    )
+    head = store.head_version()
+    with pytest.raises(ExpectationError, match="non_negative"):
+        store.commit(
+            spark.range(1).select(F.col("id").alias("k"), F.lit(-5).cast("bigint").alias("cents")),
+            mode="append", cluster_by="k",
+        )
+    assert store.head_version() == head
+    # merge enforcement on the pruned path
+    bad = spark.createDataFrame([(3, -1, "update", 1)], "k long, cents long, op string, _seq long")
+    with pytest.raises(ExpectationError):
+        store.merge(spark, bad, "k", "_seq")
+    good = spark.createDataFrame([(3, 999, "update", 1)], "k long, cents long, op string, _seq long")
+    store.merge(spark, good, "k", "_seq")
+    # NULL predicate passes (SQL CHECK semantics)
+    store.commit(
+        spark.range(100, 101).select(
+            F.col("id").alias("k"), F.lit(None).cast("bigint").alias("cents")
+        ),
+        mode="append", cluster_by="k",
+    )
+    # survives compaction; dropping it unblocks violations
+    store.compact(spark)
+    assert store.snapshot(store.head_version()).constraints == {"non_negative": "cents >= 0"}
+    store.drop_constraint("non_negative")
+    store.commit(
+        spark.range(1).select(F.col("id").alias("k"), F.lit(-5).cast("bigint").alias("cents")),
+        mode="append",
+    )
+    # rename of a constrained column is blocked while the check exists
+    store2 = SnapshotStore(store.path + "_2")
+    store2.commit(spark.range(3).select(F.col("id").alias("k"), (F.col("id")).alias("cents")))
+    store2.add_constraint(spark, "nn", "cents >= 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        store2.rename_column("cents", "money")
