@@ -108,6 +108,8 @@ def store_main(argv: list[str]) -> int:
     for name in (
         "history", "vacuum", "compact", "zorder", "restore", "fsck",
         "rename-column", "drop-column", "clone",
+        "set-mask", "drop-mask", "set-row-filter", "drop-row-filter",
+        "add-constraint", "drop-constraint",
     ):
         sp = sub.add_parser(name)
         sp.add_argument("path", help="snapshot store directory")
@@ -134,7 +136,17 @@ def store_main(argv: list[str]) -> int:
             sp.add_argument("--dest", required=True,
                             help="target directory (must be a new/empty store)")
             sp.add_argument("--at-version", type=int, default=None)
-        if name in ("compact", "zorder"):
+        if name in ("set-mask", "drop-mask"):
+            sp.add_argument("--column", required=True)
+        if name == "set-mask":
+            sp.add_argument("--expr", required=True)
+        if name == "set-row-filter":
+            sp.add_argument("--predicate", required=True)
+        if name in ("add-constraint", "drop-constraint"):
+            sp.add_argument("--name", dest="c_name", required=True)
+        if name == "add-constraint":
+            sp.add_argument("--predicate", required=True)
+        if name in ("compact", "zorder", "add-constraint"):
             sp.add_argument("--cpus", default=None)
     args = p.parse_args(argv)
 
@@ -167,11 +179,29 @@ def store_main(argv: list[str]) -> int:
         store.clone_to(args.dest, version=args.at_version)
         print(args.dest)
         return 0
+    if args.cmd == "set-mask":
+        print(f"v{store.set_mask(args.column, args.expr)}")
+        return 0
+    if args.cmd == "drop-mask":
+        print(f"v{store.drop_mask(args.column)}")
+        return 0
+    if args.cmd == "set-row-filter":
+        print(f"v{store.set_row_filter(args.predicate)}")
+        return 0
+    if args.cmd == "drop-row-filter":
+        print(f"v{store.drop_row_filter()}")
+        return 0
+    if args.cmd == "drop-constraint":
+        print(f"v{store.drop_constraint(args.c_name)}")
+        return 0
 
     from log2sql_spark.session import get_spark
 
     spark = get_spark("log2sql_spark_store", cpus=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    if args.cmd == "add-constraint":  # validates EXISTING rows first
+        print(f"v{store.add_constraint(spark, args.c_name, args.predicate)}")
+        return 0
     if args.cmd == "compact":
         if args.min_file_mb is not None:
             v = store.compact_small(

@@ -202,3 +202,31 @@ def test_cli_store_rename_and_clone(spark, tmp_path, capsys):
     clone = SnapshotStore(dest)
     assert clone.read(spark).columns == ["k", "money"]
     assert clone.read(spark).count() == 10
+
+
+def test_cli_store_governance_surface(spark, tmp_path, capsys):
+    """CLI parity for masks / row filters / constraints."""
+    import pyspark.sql.functions as F
+
+    from log2sql_spark.cli import main
+    from log2sql_spark.store import SnapshotStore
+
+    path = str(tmp_path / "govstore")
+    store = SnapshotStore(path)
+    store.commit(
+        spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 10).alias("cents"))
+    )
+    assert main(["store", "set-row-filter", path, "--predicate", "k % 2 = 0"]) == 0
+    assert main(["store", "set-mask", path, "--column", "cents", "--expr", "0"]) == 0
+    capsys.readouterr()
+    assert {(r.k, r.cents) for r in store.read(spark).collect()} == {
+        (k, 0) for k in (0, 2, 4, 6, 8)
+    }
+    assert main(["store", "add-constraint", path, "--name", "nn",
+                 "--predicate", "cents >= 0", "--cpus", "4"]) == 0
+    assert capsys.readouterr().out.strip() == "v4"
+    assert main(["store", "drop-constraint", path, "--name", "nn"]) == 0
+    assert main(["store", "drop-mask", path, "--column", "cents"]) == 0
+    assert main(["store", "drop-row-filter", path]) == 0
+    capsys.readouterr()
+    assert store.read(spark).count() == 10
