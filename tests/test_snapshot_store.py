@@ -700,3 +700,24 @@ def test_persistent_check_constraints(spark, store):
     store2.add_constraint(spark, "nn", "cents >= 0")
     with pytest.raises(ValueError, match="CHECK constraint"):
         store2.rename_column("cents", "money")
+
+
+def test_compact_small_on_clone_materializes_locally(spark, store, tmp_path):
+    """compact_small on a shallow clone rewrites qualifying BORROWED
+    files into clone-owned storage (incremental deep-copy) and never
+    touches the source bytes."""
+    store.commit(
+        spark.range(50).select(F.col("id").alias("k"), F.lit("v").alias("val")),
+        cluster_by="k",
+        target_files=4,
+    )
+    clone = store.clone_to(str(tmp_path / "clone"))
+    v = clone.compact_small(spark, min_file_mb=64.0, target_files=1)
+    assert v is not None
+    head = clone.snapshot(v)
+    # everything was small -> all entries now clone-local (relative)
+    assert all(not os.path.isabs(e["path"]) for e in head.entries)
+    assert clone.read(spark).count() == 50
+    # source untouched and still reads
+    assert store.read(spark).count() == 50
+    assert store.fsck() == []
