@@ -75,6 +75,11 @@ def _compare(spark, edge_sf_dir, name):
         "llm_decontaminate_bloom",
         "llm_dedup_url_canonical",
         "llm_mix_temperature_resample",
+        # round 6: Gopher/C4 rules and phrase adjacency over the same
+        # adversarial docs (empty/whitespace/unicode/giant-token)
+        "llm_gopher_quality",
+        "llm_c4_line_filter",
+        "search_phrase_adjacent",
     ],
 )
 def test_edge_doc_parity(spark, edge_sf_dir, name):
