@@ -162,7 +162,20 @@ def edge_events_dir(spark, tmp_path_factory) -> str:
 
 
 @pytest.mark.parametrize(
-    "name", ["json_variant_funcs", "ts_rollup_reaggregate", "ts_ewma_smooth"]
+    "name",
+    [
+        "json_variant_funcs",
+        "ts_rollup_reaggregate",
+        "ts_ewma_smooth",
+        # round 6 analytics: NaN/NULL value, NULL event_type rows must
+        # flow through OHLC/mode/path/RFM/AB/decompose identically
+        "ts_ohlc_resample",
+        "agg_mode_deterministic",
+        "events_user_path_transitions",
+        "events_rfm_segmentation",
+        "events_ab_conversion",
+        "ts_seasonal_decompose",
+    ],
 )
 def test_edge_events_parity(spark, edge_events_dir, name):
     """Malformed JSON must not FAILFAST the scan (the pre-fix behavior
