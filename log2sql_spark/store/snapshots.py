@@ -35,6 +35,20 @@ table format those engines provide and the apply path actually needs:
   cost scales with the CHANGE footprint, not the table. This is the
   same mechanism as Delta's data skipping + Iceberg's manifest stats.
 
+Beyond the core protocol, the store carries the lakehouse lifecycle a
+long-lived CDC target accumulates — each one metadata-only where Delta
+is: additive schema evolution (``merge_schema``), column RENAME and
+DROP via a physical→logical mapping reconciled at read time, generated
+columns (computed when absent, VALIDATED when present), persistent
+CHECK constraints enforced by every commit and merge, read-time
+governance (column masks + row filters, versioned with the snapshot;
+maintenance reads stay raw), shallow CLONE by absolute-path reference
+(borrowed files are never vacuum-owned), RESTORE, ``fsck``, full and
+PARTIAL compaction (``compact_small`` rewrites only the small-file
+backlog), and DSv2 batch/stream read and write connectors
+(sources/cdf_datasource.py) that honor the same protocol — including
+refusing to serve a policied store raw.
+
 Scale notes: manifest size is O(files touched per commit + carried
 entries) — file counts are controlled by ``target_files`` per commit
 and ``compact()``. Data is only ever read through
