@@ -86,3 +86,36 @@ def static_enrich_counts(events: DataFrame, dim: DataFrame) -> DataFrame:
             (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias("total_value"),
         )
     )
+
+
+def ohlc_bars(
+    events: DataFrame, width: str = "1 hour", watermark: str | None = None
+) -> DataFrame:
+    """OHLC bars per (window, event_type): open/close selected by
+    min_by/max_by over the unique ingest sequence (event_id), high/low
+    by extremes — all distributive aggregates, so the SAME plan runs
+    batch or incrementally under a watermark (streaming pytest in
+    tests/test_streaming.py; batch twin oracle: stream_ohlc_window).
+    Money stays integer cents."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.min_by(cents, F.col("event_id")).alias("open_cents"),
+            F.max(cents).alias("high_cents"),
+            F.min(cents).alias("low_cents"),
+            F.max_by(cents, F.col("event_id")).alias("close_cents"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "volume",
+        )
+    )

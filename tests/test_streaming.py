@@ -520,3 +520,54 @@ def test_stream_apply_auto_compacts(spark, tmp_path):
     )
     # a compaction appears in history as an overwrite commit
     assert any(h["mode"] == "overwrite" and h["version"] > 1 for h in store.history())
+
+
+def test_streaming_ohlc_bars(spark, tmp_path):
+    """The OHLC builder runs INCREMENTALLY: two micro-batches of ticks
+    produce the same bars as one batch pass over all rows (min_by /
+    max_by state merges across batches)."""
+    import json as _json
+
+    from log2sql_spark.streaming.windows import ohlc_bars
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    in_dir.mkdir()
+    rows1 = [
+        {"event_id": 1, "ts": "2024-03-01T10:05:00", "event_type": "trade", "value": 5.0},
+        {"event_id": 2, "ts": "2024-03-01T10:10:00", "event_type": "trade", "value": 9.0},
+    ]
+    rows2 = [
+        {"event_id": 3, "ts": "2024-03-01T10:20:00", "event_type": "trade", "value": 1.0},
+        {"event_id": 4, "ts": "2024-03-01T10:40:00", "event_type": "trade", "value": 7.0},
+    ]
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, event_type string, value double"
+            ).json(str(in_dir))
+        )
+        q = (
+            ohlc_bars(stream, width="1 hour", watermark="2 hours")
+            .writeStream.format("memory")
+            .queryName("ohlc_sink")
+            .outputMode("complete")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with open(in_dir / "b0.json", "w") as f:
+        for r in rows1:
+            f.write(_json.dumps(r) + "\n")
+    run()
+    with open(in_dir / "b1.json", "w") as f:
+        for r in rows2:
+            f.write(_json.dumps(r) + "\n")
+    run()
+    (bar,) = spark.sql("SELECT * FROM ohlc_sink").collect()
+    # open from event 1, close from event 4 — state merged across batches
+    assert (
+        bar.open_cents, bar.high_cents, bar.low_cents, bar.close_cents, bar.volume
+    ) == (500, 900, 100, 700, 4)
