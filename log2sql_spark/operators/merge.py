@@ -98,3 +98,60 @@ def merge_into(
         .filter((F.col("_op").isNull()) | (F.col("_op") != delete_op))
         .select(*key_cols, *data_cols)
     )
+
+
+def merge_full_sync(
+    store: DataFrame,
+    source: DataFrame,
+    key_cols: list[str] | str,
+    not_matched_by_source: str = "delete",
+    set_cols: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Delta's ``WHEN NOT MATCHED BY SOURCE`` merge: reconcile the store
+    against a FULL source snapshot (not a change feed).
+
+    Source rows win per key (matched → update-all, unmatched → insert);
+    store keys ABSENT from the source get the ``not_matched_by_source``
+    action: ``"delete"`` drops them, ``"keep"`` leaves them untouched,
+    ``"update"`` applies ``set_cols`` (e.g. ``{"is_active":
+    F.lit(False)}``) — the soft-delete/deactivation pattern a periodic
+    snapshot sync needs (reference analog: replaying a full dump over an
+    existing table, ``log2sql.py:161-185``, where vanished rows must be
+    reconciled, which the reference cannot express).
+
+    Scale shape: identical to :func:`merge_into` — ONE shuffle on the
+    key columns and one window; no store-vs-source join, no collect.
+    The source snapshot streams through the same union, so a 100 TB
+    store syncs at the cost of a co-partitioned window, and on a real
+    Delta deployment the call site is the three-clause ``MERGE INTO``.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not_matched_by_source not in ("delete", "keep", "update"):
+        raise ValueError(f"unknown action: {not_matched_by_source!r}")
+    if not_matched_by_source == "update" and not set_cols:
+        raise ValueError("action 'update' needs set_cols")
+    data_cols = [c for c in store.columns if c not in key_cols]
+    missing = [c for c in key_cols + data_cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"source snapshot lacks store columns: {missing}")
+
+    s = store.select(*key_cols, *data_cols, F.lit(0).alias("_pri"))
+    src = source.select(*key_cols, *data_cols, F.lit(1).alias("_pri"))
+    w = W.partitionBy(*key_cols).orderBy(F.desc("_pri"))
+    picked = (
+        s.unionByName(src)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    store_only = F.col("_pri") == 0
+    if not_matched_by_source == "delete":
+        picked = picked.filter(~store_only)
+    elif not_matched_by_source == "update":
+        assert set_cols is not None
+        for name, expr in set_cols.items():
+            if name not in data_cols:
+                raise ValueError(f"set_cols target {name!r} not in store")
+            picked = picked.withColumn(
+                name, F.when(store_only, expr).otherwise(F.col(name))
+            )
+    return picked.select(*key_cols, *data_cols)

@@ -290,3 +290,92 @@ def with_c4_line_stats(
         F.size(kept).cast("long").alias("n_kept_lines"),
         (F.size(kept) >= 3).cast("int").alias("c4_keep_doc"),
     ).drop("_w", "_chunks")
+
+
+def nb_source_scores(
+    docs: DataFrame,
+    label_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_mod: int = 5,
+) -> DataFrame:
+    """Multinomial Naive Bayes text classifier — the model-based quality/
+    source filter stage of a pretraining pipeline (the fastText-style
+    classifier of C4/CCNet, restated as pure counting so training is ONE
+    distributed aggregate and bit-reproducible).
+
+    Train on docs where ``id % test_mod != 0``; score the held-out rest.
+    Add-1 smoothing over the training vocabulary; unseen tokens score
+    ``1/(T_l+V)``. Scores are rounded to 6 dp BEFORE the argmax (ties
+    then break on label asc) so the predicted label is deterministic
+    cross-engine despite float log sums.
+
+    Scale shape: training is a (label, tok) count aggregate (map-side
+    combined, |vocab|x|labels| output, never documents); scoring
+    explodes held-out tokens once, broadcast-crosses the |labels|-row
+    stats dim, joins counts on (tok, label), and aggregates per
+    (doc, label). No driver loops, no collect — both "train" and
+    "predict" are plain Spark plans, so the classifier scales with the
+    corpus like any other aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    train = base.filter(F.col("id") % test_mod != 0)
+    test = base.filter(F.col("id") % test_mod == 0)
+
+    ttok = train.select("label", F.explode("toks").alias("tok"))
+    counts = ttok.groupBy("label", "tok").agg(F.count("*").alias("c"))
+    # Per-label stats + global scalars: a |labels|-row dim, broadcast.
+    ltot = ttok.groupBy("label").agg(F.count("*").alias("t"))
+    prior = train.groupBy("label").agg(F.count("*").alias("d"))
+    scalars = ttok.agg(F.count_distinct("tok").alias("v")).crossJoin(
+        train.agg(F.count("*").alias("n_train"))
+    )
+    labels = (
+        ltot.join(prior, "label")
+        .crossJoin(scalars)
+        .select(F.col("label").alias("cand"), "t", "d", "v", "n_train")
+    )
+
+    stok = test.select(
+        "id", F.col("label").alias("actual"), F.explode("toks").alias("tok")
+    )
+    cand = stok.crossJoin(F.broadcast(labels))
+    joined = cand.join(
+        counts.select(F.col("label").alias("cand"), "tok", "c"),
+        ["cand", "tok"],
+        "left",
+    )
+    scored = joined.groupBy("id", "actual", "cand", "t", "d", "v", "n_train").agg(
+        F.sum(
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                / (F.col("t") + F.col("v"))
+            )
+        ).alias("tok_ll")
+    )
+    w = W.partitionBy("id").orderBy(F.desc("score"), F.asc("cand"))
+    return (
+        scored.withColumn(
+            "score",
+            F.round(
+                F.col("tok_ll")
+                + F.log(F.col("d") / F.col("n_train").cast("double")),
+                6,
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "id",
+            F.col("actual").alias("actual_source"),
+            F.col("cand").alias("pred_source"),
+            "score",
+            (F.col("cand") == F.col("actual")).alias("is_correct"),
+        )
+    )

@@ -966,3 +966,63 @@ def cdc_txn_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("txn_seq")
     )
+
+
+@query(
+    "cdc_merge_full_sync",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS key, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT key, status,
+           CASE WHEN key % 2 = 0 THEN cents + 5 ELSE cents END AS cents,
+           TRUE AS is_active
+    FROM src WHERE key % 4 <> 1
+    UNION ALL
+    SELECT key, status, cents, FALSE AS is_active
+    FROM src WHERE key % 4 = 1
+    UNION ALL
+    SELECT key + 200000 AS key, 'N' AS status, cents, TRUE AS is_active
+    FROM src WHERE key % 4 = 2
+    ORDER BY key
+    """,
+)
+def cdc_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's three-clause MERGE (WHEN NOT MATCHED BY SOURCE): the
+    store reconciled against a FULL periodic snapshot — source rows
+    update/insert, keys that vanished from the snapshot are soft-
+    deactivated (``is_active=false``) instead of silently surviving.
+    The reconciliation a full-dump re-sync needs and a change-feed
+    MERGE cannot express (reference analog: replaying a complete dump
+    over an existing table, log2sql.py:161-185). One shuffle + one
+    window, same shape as cdc_merge_upsert."""
+    from log2sql_spark.operators.merge import merge_full_sync
+    from log2sql_spark.sources.tables import load_table
+
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") <= _KEY_MAX)
+    store = orders.select(
+        F.col("o_orderkey").cast("long").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(True).alias("is_active"),
+    )
+    snap_upd = store.filter(F.col("key") % 4 != 1).withColumn(
+        "cents",
+        F.when(F.col("key") % 2 == 0, F.col("cents") + 5).otherwise(F.col("cents")),
+    )
+    snap_new = store.filter(F.col("key") % 4 == 2).select(
+        (F.col("key") + 200000).alias("key"),
+        F.lit("N").alias("status"),
+        "cents",
+        F.lit(True).alias("is_active"),
+    )
+    source = snap_upd.unionByName(snap_new)
+    return merge_full_sync(
+        store,
+        source,
+        "key",
+        not_matched_by_source="update",
+        set_cols={"is_active": F.lit(False)},
+    ).orderBy("key")

@@ -822,3 +822,64 @@ def llm_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("text")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_nb_source_classifier",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id AS id, source AS label,
+             regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    train AS (SELECT * FROM base WHERE id % 5 <> 0),
+    test  AS (SELECT * FROM base WHERE id % 5 = 0),
+    ttok AS (SELECT label, unnest(w) AS tok FROM train),
+    counts AS (SELECT label, tok, count(*) AS c FROM ttok GROUP BY 1, 2),
+    ltot AS (SELECT label, count(*) AS t FROM ttok GROUP BY 1),
+    prior AS (SELECT label, count(*) AS d FROM train GROUP BY 1),
+    v AS (SELECT count(DISTINCT tok) AS v FROM ttok),
+    dd AS (SELECT count(*) AS n_train FROM train),
+    stok AS (SELECT id, label AS actual, unnest(w) AS tok FROM test),
+    scored AS (
+      SELECT s.id, s.actual, l.label AS cand,
+             sum(ln((coalesce(c.c, 0) + 1.0)
+                    / (l.t + (SELECT v FROM v)))) AS tok_ll
+      FROM stok s
+      CROSS JOIN ltot l
+      LEFT JOIN counts c ON c.tok = s.tok AND c.label = l.label
+      GROUP BY 1, 2, 3
+    ),
+    final AS (
+      SELECT sc.id, sc.actual, sc.cand,
+             round(sc.tok_ll
+                   + ln(p.d / (SELECT CAST(n_train AS DOUBLE) FROM dd)),
+                   6) AS score
+      FROM scored sc JOIN prior p ON p.label = sc.cand
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY id ORDER BY score DESC, cand ASC) AS rn
+      FROM final
+    )
+    SELECT id, actual AS actual_source, cand AS pred_source, score,
+           cand = actual AS is_correct
+    FROM ranked WHERE rn = 1 ORDER BY id
+    """,
+)
+def llm_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based curation filter: a multinomial Naive Bayes classifier
+    trained ON the corpus (80% hash-deterministic train split) and
+    applied to the held-out 20% — the fastText-classifier stage of
+    C4/CCNet-style pipelines restated as pure counting, so "training"
+    is one distributed aggregate and scoring is one join + aggregate.
+    Scores round to 6 dp before the argmax (ties break on label) so the
+    prediction is deterministic cross-engine. Reference analog: none —
+    mandated LLM-pipeline extension surface (SURVEY.md §2.2)."""
+    from log2sql_spark.operators.textops import nb_source_scores
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    return nb_source_scores(docs).orderBy("id")

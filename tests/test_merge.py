@@ -70,3 +70,87 @@ def test_merge_single_shuffle_plan(spark):
     # one hash exchange on the key, and eager top-1 pruning before it
     assert executed.count("Exchange hashpartitioning") == 1
     assert "WindowGroupLimit" in qe.optimizedPlan().toString()
+
+
+def _sync(spark, store_rows, source_rows, action, set_cols=None):
+    from pyspark.sql import functions as F
+
+    from log2sql_spark.operators.merge import merge_full_sync
+
+    store = spark.createDataFrame(store_rows, "key long, val string, active boolean")
+    source = spark.createDataFrame(source_rows, "key long, val string, active boolean")
+    out = merge_full_sync(
+        store, source, "key", not_matched_by_source=action, set_cols=set_cols
+    )
+    return {r["key"]: (r["val"], r["active"]) for r in out.collect()}
+
+
+def test_full_sync_delete_drops_vanished_keys(spark):
+    got = _sync(
+        spark,
+        [(1, "a", True), (2, "b", True), (3, "c", True)],
+        [(1, "a2", True), (4, "d", True)],  # 2 and 3 vanished
+        "delete",
+    )
+    assert got == {1: ("a2", True), 4: ("d", True)}
+
+
+def test_full_sync_keep_leaves_vanished_keys(spark):
+    got = _sync(
+        spark,
+        [(1, "a", True), (2, "b", True)],
+        [(1, "a2", True)],
+        "keep",
+    )
+    assert got == {1: ("a2", True), 2: ("b", True)}
+
+
+def test_full_sync_update_flags_vanished_keys(spark):
+    from pyspark.sql import functions as F
+
+    got = _sync(
+        spark,
+        [(1, "a", True), (2, "b", True)],
+        [(1, "a2", True)],
+        "update",
+        {"active": F.lit(False)},
+    )
+    assert got == {1: ("a2", True), 2: ("b", False)}
+
+
+def test_full_sync_rejects_bad_action_and_missing_cols(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from log2sql_spark.operators.merge import merge_full_sync
+
+    store = spark.createDataFrame([(1, "a")], "key long, val string")
+    source = spark.createDataFrame([(1,)], "key long")
+    with pytest.raises(ValueError, match="unknown action"):
+        merge_full_sync(store, store, "key", not_matched_by_source="upsert")
+    with pytest.raises(ValueError, match="needs set_cols"):
+        merge_full_sync(store, store, "key", not_matched_by_source="update")
+    with pytest.raises(ValueError, match="lacks store columns"):
+        merge_full_sync(store, source, "key")
+    with pytest.raises(ValueError, match="not in store"):
+        merge_full_sync(
+            store,
+            store,
+            "key",
+            not_matched_by_source="update",
+            set_cols={"nope": F.lit(1)},
+        )
+
+
+def test_full_sync_single_shuffle_plan(spark):
+    """Same scale contract as merge_into: one exchange on the key."""
+    from pyspark.sql import functions as F
+
+    from log2sql_spark.operators.merge import merge_full_sync
+
+    store = spark.createDataFrame([(1, "a", True)], "key long, val string, active boolean")
+    source = spark.createDataFrame([(1, "b", True)], "key long, val string, active boolean")
+    out = merge_full_sync(store, source, "key")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoop" not in plan
