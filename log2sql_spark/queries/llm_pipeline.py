@@ -883,3 +883,95 @@ def llm_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)
     return nb_source_scores(docs).orderBy("id")
+
+
+@query(
+    "llm_weighted_sample_topk",
+    oracle=r"""
+    WITH b AS (
+      SELECT doc_id AS id, source, greatest(n_chars, 1) AS w,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws-v1'), 1, 15))::BIGINT AS h
+      FROM documents
+    )
+    SELECT id, source, CAST(w AS BIGINT) AS w,
+           round(ln((h + 1) / 1152921504606846976.0) / w, 12) AS sample_key
+    FROM b ORDER BY sample_key DESC, id LIMIT 200
+    """,
+)
+def llm_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each doc gets key ln(u)/w with u a deterministic
+    hash-uniform and w its length; the global top-k by key IS a weighted
+    sample without replacement — restated as a plain top-k, so it runs
+    as TakeOrdered (per-partition heaps + driver merge of k rows), never
+    a global sort. The mixture-sampling primitive for data curation
+    ("sample 10M docs proportional to length/quality") with run-, engine-
+    and partitioning-stable output; keys quantized to 12 dp with an id
+    tie-break so the SELECTION is deterministic cross-engine.
+    Reference analog: none — LLM-pipeline extension (SURVEY.md §2.2)."""
+    from log2sql_spark.operators.dedup import md5_long
+
+    docs = load_table(spark, "documents", sf_dir)
+    h = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":ws-v1")))
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    key = F.round(
+        F.log((h + 1) / F.lit(1152921504606846976.0)) / w, 12
+    )
+    return (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            "source",
+            w.cast("long").alias("w"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), "id")
+        .limit(200)
+    )
+
+
+@query(
+    "llm_token_entropy",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT id, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS token_entropy
+    FROM tf GROUP BY id ORDER BY id
+    """,
+)
+def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon token entropy — the diversity/quality signal
+    that separates natural prose from keyword-stuffed or template spam
+    (low-entropy docs are near-constant token streams). Restated shuffle-
+    efficiently as H = ln(n) - (Σ c·ln c)/n over per-(doc, token) counts:
+    two map-side-combined aggregates, no per-doc quadratic list scans.
+    Rounded to 6 dp for cross-engine determinism. Reference analog:
+    none — LLM-pipeline extension (SURVEY.md §2.2)."""
+    from log2sql_spark.operators.dedup import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    tf = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(tokens(F.col("text"))).alias("tok"),
+        )
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        tf.groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.round(
+                F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+                6,
+            ).alias("token_entropy"),
+        )
+        .orderBy("id")
+    )

@@ -917,3 +917,55 @@ def store_datasource_write_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _cached_build("dsw_orders", sf_dir, build)
     return spark.read.format("snapshot").load(path).orderBy("k")
+
+
+@query(
+    "store_replace_where_read",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 1000
+    )
+    SELECT k, status, cents FROM base WHERE k < 200 OR k > 399
+    UNION ALL
+    SELECT k, 'R' AS status, cents + 7 AS cents FROM base
+    WHERE k BETWEEN 200 AND 399 AND k % 2 = 0
+    ORDER BY k
+    """,
+)
+def store_replace_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``replaceWhere`` on the snapshot store: a key band [200,
+    399] is atomically replaced by a recomputed batch (every even key,
+    refreshed values — the odd keys in the band VANISH, proving this is
+    replace-the-region, not upsert). ``key_bounds`` prunes the rewrite
+    to the files overlapping the band; the rest of the table carries by
+    reference, so a backfill costs the footprint of the region, not the
+    table. The oracle rebuilds the post-replace state relationally.
+    Reference analog: re-running a dump for one key range over an
+    applied table (log2sql.py:161-185), which the reference can only do
+    by replaying everything."""
+    from log2sql_spark.store import SnapshotStore
+
+    def build():
+        s = SnapshotStore(scratch_dir("log2sql_replstore_"))
+        base = (
+            load_table(spark, "orders", sf_dir)
+            .filter(F.col("o_orderkey") < 1000)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("status"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            )
+        )
+        s.commit(base, mode="overwrite", cluster_by="k", target_files=8)
+        repl = base.filter(
+            (F.col("k") % 2 == 0) & F.col("k").between(200, 399)
+        ).select("k", F.lit("R").alias("status"), (F.col("cents") + 7).alias("cents"))
+        s.replace_where(
+            spark, repl, "k BETWEEN 200 AND 399", key_bounds=(200, 399)
+        )
+        return s
+
+    store = _cached_build("replace_orders", sf_dir, build)
+    return store.read(spark).select("k", "status", "cents").orderBy("k")

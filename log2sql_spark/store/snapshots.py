@@ -903,12 +903,20 @@ class SnapshotStore:
                 self.read(spark, apply_policies=False), changes, key_cols, version_cols, op_col,
                 delete_op, merge_schema=merge_schema,
             )
+            # The full-rewrite fallback is still a MERGE, not a table
+            # replacement: generated-column specs, governance policies,
+            # and CHECK constraints must survive (and be enforced — the
+            # commit validates against the dicts passed here) exactly as
+            # they do on the pruned/hash paths via _inherited.
             return self.commit(
                 merged,
                 mode="overwrite",
                 cluster_by=snap.cluster_by,
                 layout=snap.layout,
                 target_files=snap.n_buckets or 8,
+                generated=snap.generated,
+                policies=snap.policies,
+                constraints=snap.constraints,
             )
 
         key = keys[0]
@@ -1035,6 +1043,107 @@ class SnapshotStore:
                 "cluster_by": snap.cluster_by,
                 "schema": merged.schema.json(),
                 "layout": "hash",
+                "n_buckets": snap.n_buckets,
+                **_inherited(snap),
+            }
+        )
+        return version
+
+    def replace_where(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        predicate: str,
+        key_bounds: tuple | None = None,
+    ) -> int:
+        """Delta ``replaceWhere``: atomically replace exactly the rows
+        matching ``predicate`` with ``df`` — the selective-overwrite a
+        partition refresh / backfill needs (rebuild one day, one
+        source, one key band) without touching the rest of the table.
+
+        Contract (same as Delta): every row of ``df`` must satisfy
+        ``predicate``; a violating row raises before a byte is written.
+        The result is one new snapshot holding ``(old rows WHERE NOT
+        predicate) ∪ df`` — constraints are enforced on the rewritten
+        footprint, and generated/governance/rename state carries like a
+        merge (this is data management, not a table replacement).
+
+        Scale shape: on a range-clustered store, pass ``key_bounds=(lo,
+        hi)`` — any interval the predicate provably lies within on the
+        cluster key — and only files whose [min, max] overlap it are
+        read and rewritten (with ``NOT predicate``, so an over-wide
+        bound costs a rewrite, never correctness); every other file
+        carries into the new manifest by reference. A file wholly
+        inside an exact bound filters to zero rows and vanishes without
+        special-casing. Without bounds (or on hash/zorder layouts,
+        whose file placement a row-level filter cannot preserve
+        per-file) the rewrite is full, like unclustered merge.
+        """
+        parent = self.head_version()
+        if parent is None:
+            raise ValueError("replace_where requires an existing snapshot")
+        snap = self.snapshot(parent)
+        logical = [f.name for f in self.read(spark, parent, apply_policies=False).schema.fields]
+        if [f.name for f in df.schema.fields] != logical:
+            raise ValueError(
+                f"replacement schema {df.columns} != store schema {logical}"
+            )
+        bad = df.filter(f"NOT ({predicate})").limit(1).count()
+        if bad:
+            raise ValueError(
+                f"replacement rows do not all satisfy {predicate!r} — "
+                "replaceWhere refuses to write rows outside the target"
+            )
+        pruned = (
+            snap.layout == "range"
+            and snap.has_stats
+            and snap.cluster_by is not None
+            and key_bounds is not None
+        )
+        if not pruned:
+            base = self.read(spark, parent, apply_policies=False)
+            out = base.filter(f"NOT ({predicate})").unionByName(df)
+            return self.commit(
+                out,
+                mode="overwrite",
+                cluster_by=snap.cluster_by,
+                layout=snap.layout,
+                target_files=snap.n_buckets or 8,
+                generated=snap.generated,
+                policies=snap.policies,
+                constraints=snap.constraints,
+            )
+        lo, hi = key_bounds
+        touched = [
+            e for e in snap.entries if not (e["max"] < lo or e["min"] > hi)
+        ]
+        touched_paths = {e["path"] for e in touched}
+        untouched = [e for e in snap.entries if e["path"] not in touched_paths]
+        if touched:
+            base = self._apply_renames(
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, e["path"]) for e in touched]
+                ),
+                snap.renames,
+                snap.dropped,
+            ).filter(f"NOT ({predicate})")
+            out = base.select(*logical).unionByName(df.select(*logical))
+        else:
+            out = df.select(*logical)
+        self._check_constraints(out, snap.constraints)
+        version = parent + 1
+        new_entries = self._write_data(
+            out, version, snap.cluster_by, max(1, len(touched))
+        )
+        self._publish(
+            {
+                "version": version,
+                "parent": parent,
+                "mode": "replace_where",
+                "entries": untouched + new_entries,
+                "cluster_by": snap.cluster_by,
+                "schema": out.schema.json(),
+                "layout": snap.layout,
                 "n_buckets": snap.n_buckets,
                 **_inherited(snap),
             }

@@ -721,3 +721,79 @@ def test_compact_small_on_clone_materializes_locally(spark, store, tmp_path):
     # source untouched and still reads
     assert store.read(spark).count() == 50
     assert store.fsck() == []
+
+
+def test_unclustered_merge_keeps_governance_and_constraints(spark, store):
+    """Regression: the full-rewrite merge fallback used a plain
+    overwrite commit, which silently RESET constraints, masks/row
+    filters, and generated-column specs (the pruned/hash paths carried
+    them via _inherited)."""
+    store.commit(_df(spark, [(1, "a"), (2, "b")]))  # unclustered
+    store.add_constraint(spark, "val_nn", "val IS NOT NULL")
+    store.set_mask("val", "'***'")
+    changes = spark.createDataFrame(
+        [(1, "a2", "update", 1)], "k bigint, val string, op string, seq int"
+    )
+    v = store.merge(spark, changes, key_cols="k", version_cols="seq")
+    snap = store.snapshot(v)
+    assert snap.constraints == {"val_nn": "val IS NOT NULL"}
+    assert snap.policies.get("masks") == {"val": "'***'"}
+    # and the carried constraint is ENFORCED on the next merge
+    bad = spark.createDataFrame(
+        [(2, None, "update", 2)], "k bigint, val string, op string, seq int"
+    )
+    with pytest.raises(Exception, match="val_nn"):
+        store.merge(spark, bad, key_cols="k", version_cols="seq")
+
+
+def test_replace_where_full_rewrite(spark, store):
+    store.commit(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    repl = _df(spark, [(2, "B2"), (2, "B3")])  # duplicate keys fine: row-level op
+    v = store.replace_where(spark, repl, "k = 2")
+    got = sorted((r.k, r.val) for r in store.read(spark, v).collect())
+    assert got == [(1, "a"), (2, "B2"), (2, "B3"), (3, "c")]
+
+
+def test_replace_where_rejects_out_of_scope_rows(spark, store):
+    store.commit(_df(spark, [(1, "a")]))
+    head = store.head_version()
+    with pytest.raises(ValueError, match="do not all satisfy"):
+        store.replace_where(spark, _df(spark, [(5, "x")]), "k = 2")
+    assert store.head_version() == head  # nothing published
+
+
+def test_replace_where_rejects_schema_drift(spark, store):
+    store.commit(_df(spark, [(1, "a")]))
+    other = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(ValueError, match="store schema"):
+        store.replace_where(spark, other, "k = 1")
+
+
+def test_replace_where_pruned_carries_files(spark, store):
+    df = spark.range(1, 101).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+    store.commit(df, cluster_by="k", target_files=8)
+    v1 = store.head_version()
+    before = {e["path"] for e in store.snapshot(v1).entries}
+    repl = spark.range(10, 16).select(
+        F.col("id").alias("k"), F.lit("NEW").alias("val")
+    )
+    v2 = store.replace_where(
+        spark, repl, "k BETWEEN 10 AND 15", key_bounds=(10, 15)
+    )
+    after = store.snapshot(v2).entries
+    carried = [e for e in after if e["path"] in before]
+    assert carried, "no files carried by reference through replace_where"
+    got = {r.k: r.val for r in store.read(spark, v2).collect()}
+    assert got[10] == "NEW" and got[15] == "NEW" and len(got) == 100
+    assert got[9] == "v9" and got[16] == "v16"
+
+
+def test_replace_where_enforces_constraints(spark, store):
+    store.commit(_df(spark, [(1, "a"), (2, "b")]))
+    store.add_constraint(spark, "val_nn", "val IS NOT NULL")
+    with pytest.raises(Exception, match="val_nn"):
+        store.replace_where(spark, _df(spark, [(2, None)]), "k = 2")
+    v = store.replace_where(spark, _df(spark, [(2, "ok")]), "k = 2")
+    assert store.snapshot(v).constraints == {"val_nn": "val IS NOT NULL"}
