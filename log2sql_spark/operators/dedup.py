@@ -494,3 +494,58 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def cdc_chunk_hashes(
+    docs: DataFrame,
+    mod: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (rolling-hash Rabin-style boundaries at
+    token granularity): a chunk boundary falls after token i wherever
+    the 4-gram hash ending at i ≡ 0 (mod ``mod``), so boundaries are a
+    function of CONTENT, not position — an insertion early in a
+    document shifts every fixed-window fingerprint but leaves all
+    later CDC chunks identical. Mean chunk length ≈ ``mod`` tokens.
+
+    Returns (id, chunk_idx, chunk_hash) — one row per chunk. The whole
+    boundary/segmentation computation is per-row JVM array arithmetic
+    (no explode until the final chunk list, no shuffle at all), so it
+    scales with corpus bytes like any map-only projection.
+    """
+    toks = tokens(F.col(text_col))
+    d = docs.select(
+        F.col(id_col).alias("id"), toks.alias("w"), F.size(toks).alias("n")
+    )
+    # 0-based gram-end positions i in [3, n-2]; slice() is 1-based. The
+    # final token is never a boundary — a cut after it would emit a
+    # spurious empty trailing chunk.
+    d = d.withColumn(
+        "idx",
+        F.when(F.col("n") >= 5, F.sequence(F.lit(3), F.col("n") - 2)).otherwise(
+            F.array().cast("array<int>")
+        ),
+    )
+    d = d.withColumn(
+        "bpos",
+        F.filter(
+            F.col("idx"),
+            lambda i: (md5_long(F.array_join(F.slice(F.col("w"), i - 2, 4), " ")) % mod)
+            == 0,
+        ),
+    )
+    d = d.withColumn(
+        "starts",
+        F.concat(F.array(F.lit(0)), F.transform(F.col("bpos"), lambda p: p + 1)),
+    ).withColumn("ends", F.concat(F.col("bpos"), F.array(F.col("n") - 1)))
+    chunks = F.transform(
+        F.col("starts"),
+        lambda s, k: F.array_join(
+            F.slice(F.col("w"), s + 1, F.element_at(F.col("ends"), k + 1) - s + 1),
+            " ",
+        ),
+    )
+    return d.select(
+        "id", F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    ).select("id", "chunk_idx", F.md5(F.col("chunk_text")).alias("chunk_hash"))

@@ -929,3 +929,67 @@ def llm_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_variants") >= 2)
         .orderBy("canonical_url")
     )
+
+
+@query(
+    "llm_dedup_cdc_chunks",
+    oracle=r"""
+    WITH b AS (
+      SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS w,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT id, w, n,
+             [p for p in range(4, n)
+                if ('0x' || substr(md5(array_to_string(w[p-3:p], ' ')), 1, 15))::BIGINT % 16 = 0] AS bpos
+      FROM b
+    ),
+    d AS (
+      SELECT id, w, n,
+             list_prepend(1, [p + 1 for p in bpos]) AS starts,
+             list_append(bpos, n) AS ends
+      FROM c
+    ),
+    chunks AS (
+      SELECT id,
+             unnest([md5(array_to_string(w[starts[k]:ends[k]], ' '))
+                     for k in range(1, len(starts) + 1)]) AS chunk_hash
+      FROM d
+    )
+    SELECT chunk_hash,
+           CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ
+    FROM chunks
+    GROUP BY chunk_hash
+    HAVING count(DISTINCT id) >= 2
+    ORDER BY chunk_hash
+    """,
+)
+def llm_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup: rolling-hash boundaries segment
+    every document into variable chunks whose edges follow CONTENT, so
+    a passage duplicated with a leading insertion still produces
+    identical chunks (fixed 12-token windows — llm_repeated_passages —
+    shift; CDC chunks don't). Reports every chunk shared by >=2 docs.
+    Boundary detection is per-row JVM array arithmetic (map-only, no
+    shuffle); the only wide step is the final chunk-hash aggregate —
+    16-byte digests, never text. The oracle recomputes boundaries,
+    segmentation, and hashes bit-for-bit in DuckDB list comprehensions.
+    Reference analog: none — LLM-pipeline extension (SURVEY.md §2.2)."""
+    from log2sql_spark.operators.dedup import cdc_chunk_hashes
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    return (
+        cdc_chunk_hashes(docs, mod=16)
+        .groupBy("chunk_hash")
+        .agg(
+            F.count_distinct("id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("chunk_hash")
+    )

@@ -443,3 +443,41 @@ def test_c4_line_rules_punct_blocklist_dedup(spark):
     assert out[3]["n_dup_lines"] == 3
     # one 3-word chunk: short, so kept_lines == 0 -> dropped
     assert out[4]["n_short_lines"] == 1 and out[4]["c4_keep_doc"] == 0
+
+
+def test_cdc_chunks_shift_robust(spark):
+    """The point of content-defined chunking: a leading insertion must
+    NOT shift later chunk boundaries — the tail chunks of the edited
+    doc hash identically to the original's."""
+    from log2sql_spark.operators.dedup import cdc_chunk_hashes
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "inserted prefix words " + base)],
+        "doc_id long, text string",
+    )
+    out = cdc_chunk_hashes(docs, mod=16).collect()
+    h1 = {r.chunk_hash for r in out if r.id == 1}
+    h2 = {r.chunk_hash for r in out if r.id == 2}
+    shared = h1 & h2
+    # every chunk after the first boundary re-synchronizes
+    assert len(shared) >= max(1, len(h1) - 2)
+    assert len(h1) >= 5  # the doc actually got segmented
+
+
+def test_cdc_chunks_concat_reconstructs(spark):
+    """Chunk segmentation is a partition of the token stream: no token
+    lost, none duplicated, no empty trailing chunk."""
+    from pyspark.sql import functions as F
+
+    from log2sql_spark.operators.dedup import cdc_chunk_hashes, tokens
+
+    text = " ".join(f"w{i % 37}" for i in range(300))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    # recompute with the text kept to compare reconstruction
+    toks = docs.select(F.size(tokens(F.col("text"))).alias("n")).head().n
+    rows = cdc_chunk_hashes(docs, mod=8).collect()
+    assert all(r.chunk_hash for r in rows)
+    # md5('') must never appear: empty chunks are a segmentation bug
+    assert "d41d8cd98f00b204e9800998ecf8427e" not in {r.chunk_hash for r in rows}
+    assert toks == 300
