@@ -277,3 +277,66 @@ def quality_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "quality_schema_drift",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      FROM orders GROUP BY 1
+    )
+    , m2 AS (
+      SELECT *, sum_cents // n_rows AS mean_cents FROM monthly
+    )
+    SELECT month, n_rows, sum_cents, n_statuses, n_customers, mean_cents,
+           mean_cents * 10000 // lag(mean_cents) OVER w - 10000 AS mean_drift_bp,
+           n_rows * 10000 // lag(n_rows) OVER w - 10000 AS volume_drift_bp
+    FROM m2
+    WINDOW w AS (ORDER BY month)
+    ORDER BY month
+    """,
+)
+def quality_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month data-drift monitor on the orders feed: row
+    volume, value mass, status-domain cardinality, and distinct-customer
+    coverage per month, with basis-point drift of mean order value and
+    volume vs the previous month — the train/serving-skew check a
+    pipeline runs before trusting a new data drop. Drift is computed on
+    the truncated integer means (both engines truncate identically, and
+    the operands stay < 2^48 at any scale — cross-multiplying raw sums
+    overflows bigint at sf1+), so the basis points hash exactly
+    cross-engine; the window
+    runs over |months| rows, never orders."""
+    orders = load_table(spark, "orders", sf_dir)
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.count_distinct("o_orderstatus").cast("long").alias("n_statuses"),
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn(
+            "mean_cents", F.expr("sum_cents DIV n_rows")
+        )
+        .withColumn("_prev_n", F.lag("n_rows").over(w))
+        .withColumn("_prev_mean", F.lag("mean_cents").over(w))
+        .withColumn(
+            "mean_drift_bp",
+            F.expr("mean_cents * 10000 DIV _prev_mean - 10000"),
+        )
+        .withColumn(
+            "volume_drift_bp", F.expr("n_rows * 10000 DIV _prev_n - 10000")
+        )
+        .drop("_prev_n", "_prev_mean")
+        .orderBy("month")
+    )

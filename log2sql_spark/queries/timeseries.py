@@ -706,3 +706,64 @@ def events_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+@query(
+    "ts_forecast_snaive_eval",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_days_eval,
+           round(avg(abs(a.n - f.n) / a.n), 6) AS mape,
+           round(sqrt(avg((a.n - f.n) * (a.n - f.n) * 1.0)), 6) AS rmse
+    FROM daily a
+    JOIN daily f
+      ON f.event_type = a.event_type AND f.day = a.day - INTERVAL 7 DAY
+    GROUP BY a.event_type
+    ORDER BY a.event_type
+    """,
+)
+def ts_forecast_snaive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each day's event
+    count with the count from 7 days earlier and score MAPE/RMSE per
+    type — the baseline every real forecaster must beat, and the
+    backtest shape (as-of self-join on the series) used to evaluate
+    them. The raw events are read once into a (type x day) rollup; the
+    7-day-lag join and both error aggregates run on that tiny series.
+    Counts are positive integers so MAPE has no zero-division edge;
+    sqrt is IEEE-correctly-rounded so 6 dp rounding agrees
+    cross-engine."""
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, f = daily.alias("a"), daily.alias("f")
+    joined = a.join(
+        f,
+        (F.col("f.event_type") == F.col("a.event_type"))
+        & (F.col("f.day") == F.col("a.day") - F.expr("INTERVAL 7 DAYS")),
+    )
+    return (
+        joined.groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days_eval"),
+            F.round(
+                F.avg(F.abs(F.col("a.n") - F.col("f.n")) / F.col("a.n")), 6
+            ).alias("mape"),
+            F.round(
+                F.sqrt(
+                    F.avg(
+                        (F.col("a.n") - F.col("f.n"))
+                        * (F.col("a.n") - F.col("f.n"))
+                        * F.lit(1.0)
+                    )
+                ),
+                6,
+            ).alias("rmse"),
+        )
+        .orderBy("event_type")
+    )
