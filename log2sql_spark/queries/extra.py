@@ -342,3 +342,71 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, ts, user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts,
+             max(json_extract_string(props, '$.k')::BIGINT) AS campaign
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), att AS (
+      SELECT p.event_id, p.cents, arg_max(c.campaign, c.ts) AS campaign
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+       AND c.ts >= p.ts - INTERVAL 7 DAY
+      GROUP BY p.event_id, p.cents
+    )
+    SELECT coalesce(campaign, -1) AS campaign,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS attributed_cents
+    FROM att GROUP BY 1 ORDER BY campaign
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase credits the
+    user's most recent click within a 7-day lookback (no click in the
+    window → campaign -1, the organic bucket), then revenue rolls up
+    per campaign. The attribution step IS the as-of-with-tolerance
+    join (operators/asof.py — one shuffle on user_id, union+window, no
+    range cross-join); clicks are deduped to one row per (user, ts)
+    so the credited row is deterministic in both engines. Money stays
+    integer cents end-to-end."""
+    events = load_table(spark, "events", sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "ts",
+            F.get_json_object("props", "$.k").cast("long").alias("campaign"),
+        )
+        .groupBy("user_id", "ts")
+        .agg(F.max("campaign").alias("campaign"))
+    )
+    att = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        right_cols=["campaign"],
+        tolerance_seconds=7 * 86400,
+    )
+    return (
+        att.groupBy(F.coalesce(F.col("campaign"), F.lit(-1)).alias("campaign"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("attributed_cents"),
+        )
+        .orderBy("campaign")
+    )
