@@ -329,16 +329,18 @@ def nb_source_scores(
     test = base.filter(F.col("id") % test_mod == 0)
 
     ttok = train.select("label", F.explode("toks").alias("tok"))
+    # ONE pass over the exploded training tokens; every other statistic
+    # (per-label totals, vocab size) derives from this |vocab|x|labels|
+    # table, so the explode+aggregate runs once, not four times.
     counts = ttok.groupBy("label", "tok").agg(F.count("*").alias("c"))
-    # Per-label stats + global scalars: a |labels|-row dim, broadcast.
-    ltot = ttok.groupBy("label").agg(F.count("*").alias("t"))
+    ltot = counts.groupBy("label").agg(F.sum("c").alias("t"))
+    vocab = counts.agg(F.count_distinct("tok").alias("v"))
     prior = train.groupBy("label").agg(F.count("*").alias("d"))
-    scalars = ttok.agg(F.count_distinct("tok").alias("v")).crossJoin(
-        train.agg(F.count("*").alias("n_train"))
-    )
+    n_tr = prior.agg(F.sum("d").alias("n_train"))
     labels = (
         ltot.join(prior, "label")
-        .crossJoin(scalars)
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_tr))
         .select(F.col("label").alias("cand"), "t", "d", "v", "n_train")
     )
 
