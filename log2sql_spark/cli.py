@@ -97,19 +97,20 @@ def validate(args: argparse.Namespace) -> None:
 
 def store_main(argv: list[str]) -> int:
     """Table-maintenance subcommands over a snapshot store — the
-    DESCRIBE HISTORY / VACUUM / OPTIMIZE [ZORDER BY] surface a lakehouse
-    CLI exposes. ``history``, ``vacuum``, ``restore``, ``fsck``,
-    ``rename-column``, and ``clone`` are manifest-only (no Spark
-    startup); ``compact`` and ``zorder`` run a rewrite commit."""
+    DESCRIBE HISTORY/DETAIL / VACUUM / OPTIMIZE [ZORDER BY] /
+    replaceWhere surface a lakehouse CLI exposes. ``history``,
+    ``detail``, ``vacuum``, ``restore``, ``fsck``, ``rename-column``,
+    and ``clone`` are manifest-only (no Spark startup); ``compact``,
+    ``zorder``, and ``replace-where`` run a rewrite commit."""
     import json as _json
 
     p = argparse.ArgumentParser(prog="log2sql_spark store")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in (
         "history", "vacuum", "compact", "zorder", "restore", "fsck",
-        "rename-column", "drop-column", "clone",
+        "rename-column", "drop-column", "clone", "detail",
         "set-mask", "drop-mask", "set-row-filter", "drop-row-filter",
-        "add-constraint", "drop-constraint",
+        "add-constraint", "drop-constraint", "replace-where",
     ):
         sp = sub.add_parser(name)
         sp.add_argument("path", help="snapshot store directory")
@@ -146,7 +147,16 @@ def store_main(argv: list[str]) -> int:
             sp.add_argument("--name", dest="c_name", required=True)
         if name == "add-constraint":
             sp.add_argument("--predicate", required=True)
-        if name in ("compact", "zorder", "add-constraint"):
+        if name == "detail":
+            sp.add_argument("--at-version", type=int, default=None)
+        if name == "replace-where":
+            sp.add_argument("--predicate", required=True)
+            sp.add_argument("--source", required=True,
+                            help="parquet path holding the replacement rows")
+            sp.add_argument("--key-bounds", default=None,
+                            help="lo,hi on the cluster key: prune the "
+                                 "rewrite to overlapping files")
+        if name in ("compact", "zorder", "add-constraint", "replace-where"):
             sp.add_argument("--cpus", default=None)
     args = p.parse_args(argv)
 
@@ -194,6 +204,9 @@ def store_main(argv: list[str]) -> int:
     if args.cmd == "drop-constraint":
         print(f"v{store.drop_constraint(args.c_name)}")
         return 0
+    if args.cmd == "detail":
+        print(_json.dumps(store.detail(args.at_version)))
+        return 0
 
     from log2sql_spark.session import get_spark
 
@@ -201,6 +214,14 @@ def store_main(argv: list[str]) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     if args.cmd == "add-constraint":  # validates EXISTING rows first
         print(f"v{store.add_constraint(spark, args.c_name, args.predicate)}")
+        return 0
+    if args.cmd == "replace-where":
+        bounds = None
+        if args.key_bounds:
+            lo, hi = args.key_bounds.split(",", 1)
+            bounds = (int(lo), int(hi))
+        df = spark.read.parquet(args.source)
+        print(f"v{store.replace_where(spark, df, args.predicate, key_bounds=bounds)}")
         return 0
     if args.cmd == "compact":
         if args.min_file_mb is not None:
@@ -220,6 +241,7 @@ def store_main(argv: list[str]) -> int:
             target_files=args.target_files,
             generated=head.generated,
             policies=head.policies,
+            constraints=head.constraints,
         )
     print(f"v{v}")
     return 0

@@ -600,6 +600,46 @@ class SnapshotStore:
             json.dump(manifest, f)
         os.replace(tmp, final)  # atomic on POSIX: the commit point
 
+    def detail(self, version: int | None = None) -> dict:
+        """DESCRIBE DETAIL: one manifest-only summary dict for a
+        snapshot (head by default) — version, layout/clustering, file
+        count and total bytes, column count, and which governance /
+        lineage features are active. No Spark session, no data read."""
+        if version is None:
+            version = self.head_version()
+            if version is None:
+                raise ValueError("store has no commits")
+        snap = self.snapshot(version)
+        size = 0
+        for e in snap.entries:
+            # absolute path = shallow-clone borrow, sized where it lives
+            fp = e["path"] if os.path.isabs(e["path"]) else os.path.join(
+                self.path, e["path"]
+            )
+            if os.path.exists(fp):
+                size += os.path.getsize(fp)
+        import json as _json
+
+        schema = _json.loads(snap.schema_json) if snap.schema_json else {}
+        n_cols = len(schema.get("fields", []))
+        return {
+            "version": version,
+            "head_version": self.head_version(),
+            "layout": snap.layout,
+            "cluster_by": snap.cluster_by,
+            "n_buckets": snap.n_buckets,
+            "num_files": len(snap.entries),
+            "size_bytes": size,
+            "num_columns": n_cols,
+            "mode": snap.mode,
+            "renamed_columns": len(snap.renames),
+            "dropped_columns": len(snap.dropped),
+            "generated_columns": sorted(snap.generated),
+            "constraints": sorted(snap.constraints),
+            "masked_columns": sorted((snap.policies.get("masks") or {})),
+            "has_row_filter": bool(snap.policies.get("row_filter")),
+        }
+
     def fsck(self, version: int | None = None) -> list[str]:
         """Manifest integrity check: the relative paths a snapshot's
         manifest references that do NOT exist on disk (a vacuum bug,

@@ -230,3 +230,66 @@ def test_cli_store_governance_surface(spark, tmp_path, capsys):
     assert main(["store", "drop-row-filter", path]) == 0
     capsys.readouterr()
     assert store.read(spark).count() == 10
+
+
+def test_cli_store_detail_and_replace_where(spark, tmp_path, capsys):
+    """`store detail` (manifest-only DESCRIBE DETAIL) and
+    `store replace-where` (selective overwrite from a parquet source
+    with key-bound file pruning)."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from log2sql_spark.cli import main
+    from log2sql_spark.store import SnapshotStore
+
+    path = str(tmp_path / "detstore")
+    store = SnapshotStore(path)
+    df = spark.range(1, 101).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+    )
+    store.commit(df, mode="overwrite", cluster_by="k", target_files=4)
+    store.add_constraint(spark, "val_pos", "val > 0")
+
+    assert main(["store", "detail", path]) == 0
+    d = json.loads(capsys.readouterr().out.strip())
+    assert d["version"] == 2 and d["layout"] == "range"
+    assert d["cluster_by"] == "k" and d["num_files"] == 4
+    assert d["constraints"] == ["val_pos"] and d["size_bytes"] > 0
+    assert d["num_columns"] == 2 and not d["has_row_filter"]
+
+    src = str(tmp_path / "repl.parquet")
+    spark.range(10, 21).select(
+        F.col("id").alias("k"), F.lit(7).alias("val")
+    ).write.parquet(src)
+    assert main([
+        "store", "replace-where", path,
+        "--predicate", "k BETWEEN 10 AND 20",
+        "--source", src, "--key-bounds", "10,20", "--cpus", "4",
+    ]) == 0
+    assert capsys.readouterr().out.strip() == "v3"
+    got = {r.k: r.val for r in store.read(spark).collect()}
+    assert got[10] == 7 and got[20] == 7 and got[9] == 18 and len(got) == 100
+
+
+def test_cli_zorder_keeps_constraints(spark, tmp_path, capsys):
+    """Regression: the CLI zorder rewrite passed policies through but
+    silently RESET constraints (same class as the unclustered-merge
+    governance drop)."""
+    import pyspark.sql.functions as F
+
+    from log2sql_spark.cli import main
+    from log2sql_spark.store import SnapshotStore
+
+    path = str(tmp_path / "zconstore")
+    store = SnapshotStore(path)
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("a"), F.col("id").alias("b"),
+        (F.col("id") + 1).alias("val"),
+    )
+    store.commit(df, mode="overwrite")
+    store.add_constraint(spark, "val_pos", "val > 0")
+    assert main(["store", "zorder", path, "--by", "a,b", "--cpus", "4"]) == 0
+    capsys.readouterr()
+    head = store.snapshot(store.head_version())
+    assert head.constraints == {"val_pos": "val > 0"}

@@ -481,3 +481,59 @@ def test_cdc_chunks_concat_reconstructs(spark):
     # md5('') must never appear: empty chunks are a segmentation bug
     assert "d41d8cd98f00b204e9800998ecf8427e" not in {r.chunk_hash for r in rows}
     assert toks == 300
+
+
+def _py_cdc_chunks(text: str, mod: int) -> list[str]:
+    """Pure-Python reference for cdc_chunk_hashes' segmentation."""
+    import hashlib
+
+    toks = text.strip().split()
+    if text.strip() == "":
+        toks = [""]
+    n = len(toks)
+    bpos = []
+    for i in range(3, n - 1):  # 0-based gram end; last token never cuts
+        gram = " ".join(toks[i - 3 : i + 1])
+        h = int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+        if h % mod == 0:
+            bpos.append(i)
+    starts = [0] + [p + 1 for p in bpos]
+    ends = bpos + [n - 1]
+    return [" ".join(toks[s : e + 1]) for s, e in zip(starts, ends)]
+
+
+def test_cdc_chunks_property_vs_python_reference(spark):
+    """Randomized parity: Spark's JVM array segmentation must equal the
+    pure-Python reference on arbitrary token streams (hypothesis drives
+    token choice so boundary density varies)."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from log2sql_spark.operators.dedup import cdc_chunk_hashes
+
+    tok = st.sampled_from(["a", "bb", "ccc", "dog", "e9", "zz", "q"])
+    docs_strategy = st.lists(
+        st.lists(tok, min_size=0, max_size=60).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(texts=docs_strategy)
+    def check(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r in cdc_chunk_hashes(df, mod=4).collect():
+            got.setdefault(r.id, []).append((r.chunk_idx, r.chunk_hash))
+        for i, t in rows:
+            expect = [
+                hashlib.md5(c.encode()).hexdigest()
+                for c in _py_cdc_chunks(t, 4)
+            ]
+            have = [h for _, h in sorted(got.get(i, []))]
+            assert have == expect, (i, t)
+
+    check()
