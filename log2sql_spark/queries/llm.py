@@ -2158,3 +2158,71 @@ def llm_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@query(
+    "llm_lsh_recall_eval",
+    oracle=_CORPUS_SQL
+    + _GRAMS_SQL
+    + _minhash16_sql()
+    + """
+    , cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bandrows a JOIN bandrows b USING (band, slice)
+      WHERE a.id < b.id
+    ), sizes AS (
+      SELECT id, count(*) AS n FROM grams GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM grams a JOIN grams b USING (gram)
+      WHERE a.id < b.id
+      GROUP BY a.id, b.id
+    ), exact AS (
+      SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+      WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.5
+    ), hit AS (
+      SELECT e.id_a FROM exact e
+      JOIN cands c ON e.id_a = c.id_a AND e.id_b = c.id_b
+    )
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM cands) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+           (SELECT count(*) FROM hit) * 10000
+             // greatest((SELECT count(*) FROM exact), 1) AS recall_bp
+    """,
+)
+def llm_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall@τ as an oracle-checked number — the dedup twin of
+    llm_ann_recall_eval: how many TRUE near-dup pairs (exact 3-gram
+    Jaccard ≥ 0.5, no df cap) does the 8-band × 2-row MinHash candidate
+    join actually surface? With these parameters the S-curve gives
+    P(candidate | j=0.5) = 1-(1-j²)⁸ ≈ 0.90, so the recorded basis
+    points quantify the approximation loss a production dedup accepts —
+    measured, not assumed. The oracle re-derives signatures, banding,
+    candidates, AND the exact pair set independently in SQL."""
+    from log2sql_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    sigs = minhash_signatures(corpus, num_hashes=16)
+    cands = lsh_candidate_pairs(sigs, bands=8)
+    exact = ngram_jaccard_pairs(corpus, threshold=0.5, max_gram_df=None).select(
+        "id_a", "id_b"
+    )
+    hits = exact.join(cands, ["id_a", "id_b"])
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    nc = cands.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        ne.crossJoin(nc)
+        .crossJoin(nh)
+        .withColumn(
+            "recall_bp",
+            F.expr("n_hit * 10000 DIV greatest(n_exact, 1)"),
+        )
+    )
