@@ -780,6 +780,9 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (char 8-grams, window 4): the rolling-hash
     document fingerprint; identical md5-derived hashes both engines."""
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
+    # 300 heavy rows (char-gram explode per doc): one task per row beats
+    # one task per file-split.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return with_fingerprints(docs).orderBy("id")
 
 
@@ -1767,6 +1770,9 @@ def llm_pq_quantize_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log2sql_spark.operators.similarity import pq_codes
 
     emb = load_table(spark, "embeddings", sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < par:
+        emb = emb.repartition(par)  # single-file input: use all cores
     q = emb.select(
         F.col("vec_id").alias("id"),
         F.expr(

@@ -141,6 +141,9 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically on both engines). Counts + redacted-text md5 verify the
     full JVM regex pipeline."""
     docs = load_table(spark, "documents", sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)  # regex-heavy scan: use all cores
     did = F.col("doc_id")
     augmented = docs.withColumn(
         "text",
@@ -239,6 +242,9 @@ def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus even though only doc_id<200 rows are returned — the filter
     prunes the output scan, not the df aggregate."""
     docs = load_table(spark, "documents", sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)  # gram explode over the full corpus
     return (
         boilerplate_gram_flags(docs, min_df=20, n=2)
         .filter(F.col("id") < 200)
