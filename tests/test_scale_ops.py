@@ -286,3 +286,37 @@ def test_asof_nearest_ties_tolerance_and_missing(spark):
         ).collect()
     }
     assert tol == {(1, 10): None, (1, 12): "noon", (1, 18): None, (2, 10): None}
+
+
+def test_pathological_giant_document_stays_linear(spark):
+    """One 200k-token document through the gram/chunk/quality operators:
+    per-document array work must be linear (a quadratic lambda — e.g.
+    re-evaluating split() per element — turns a single crawl outlier
+    into a straggler task at 100 TB). Budget: the whole batch in well
+    under a minute on local[32]; the round-6 Gopher/C4 O(n²) regression
+    took minutes for far smaller docs."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from log2sql_spark.operators.dedup import cdc_chunk_hashes, word_ngrams
+    from log2sql_spark.operators.textops import with_c4_line_stats, with_gopher_rules
+
+    giant = " ".join(f"w{i % 997}" for i in range(200_000))
+    docs = spark.createDataFrame(
+        [(1, giant), (2, "small doc here")], "doc_id long, text string"
+    )
+    t0 = time.time()
+    n_grams = docs.select(
+        F.size(word_ngrams(F.col("text"), 3)).alias("n")
+    ).collect()
+    n_chunks = cdc_chunk_hashes(docs, mod=16).count()
+    gopher = with_gopher_rules(docs).select("doc_id", "n_words").collect()
+    c4 = with_c4_line_stats(docs).select("doc_id", "n_kept_lines").collect()
+    dt = time.time() - t0
+    # the giant doc's token stream is periodic (period 997), so its
+    # DISTINCT trigram count is exactly 997; the small doc has 1
+    assert sorted(r.n for r in n_grams) == [1, 997]
+    assert n_chunks > 1_000  # the giant actually segmented
+    assert len(gopher) == 2 and len(c4) == 2
+    assert dt < 60, f"pathological doc took {dt:.1f}s — quadratic per-doc work?"
