@@ -80,6 +80,13 @@ def _compare(spark, edge_sf_dir, name):
         "llm_gopher_quality",
         "llm_c4_line_filter",
         "search_phrase_adjacent",
+        # round 6 wave 6: NB classifier (single-label corpus, ''-token
+        # vocab), token entropy (empty doc => H=0 over ['']), weighted
+        # sampling (n_chars=0 clamps), CDC chunking (sub-4-token docs)
+        "llm_nb_source_classifier",
+        "llm_token_entropy",
+        "llm_weighted_sample_topk",
+        "llm_dedup_cdc_chunks",
     ],
 )
 def test_edge_doc_parity(spark, edge_sf_dir, name):
@@ -175,6 +182,12 @@ def edge_events_dir(spark, tmp_path_factory) -> str:
         "events_rfm_segmentation",
         "events_ab_conversion",
         "ts_seasonal_decompose",
+        # round 6 wave 6: attribution with ZERO click events (every
+        # purchase lands in the organic bucket via the all-NULL as-of
+        # path) and a series too short for any 7-day-lag pair (both
+        # engines must agree on the empty/degenerate result)
+        "events_attribution_last_touch",
+        "ts_forecast_snaive_eval",
     ],
 )
 def test_edge_events_parity(spark, edge_events_dir, name):
