@@ -767,3 +767,134 @@ def ts_forecast_snaive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_downsample_lttb",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS xa,  -- floor: match unix_timestamp's truncation
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events WHERE event_type = 'view' AND value IS NOT NULL
+    ), bounds AS (
+      SELECT min(xa) AS xmin, max(xa) AS xmax FROM pts
+    ), px AS (
+      SELECT event_id, xa - (SELECT xmin FROM bounds) AS x, y,
+             least(59, (xa - (SELECT xmin FROM bounds)) * 60
+                   // ((SELECT xmax - xmin + 1 FROM bounds))) AS b
+      FROM pts
+    ), stats AS (
+      SELECT b, count(*) AS cnt,
+             CAST(sum(x) AS DOUBLE) / count(*) AS mx,
+             CAST(sum(y) AS DOUBLE) / count(*) AS my
+      FROM px GROUP BY b
+    ), scored AS (
+      SELECT p.b, p.event_id, p.x, p.y,
+             round(abs( (sp.mx - p.x) * (sn.my - p.y)
+                      - (sn.mx - p.x) * (sp.my - p.y) ), 6) AS area2
+      FROM px p
+      JOIN stats sp ON sp.b = p.b - 1
+      JOIN stats sn ON sn.b = p.b + 1
+    ), picked AS (
+      SELECT b, event_id, x, y,
+             row_number() OVER (PARTITION BY b
+                                ORDER BY area2 DESC, x ASC, event_id ASC) AS rn
+      FROM scored
+    ), ends AS (
+      SELECT b, event_id, x, y,
+             row_number() OVER (PARTITION BY b
+                                ORDER BY CASE WHEN b = 0 THEN x ELSE -x END ASC,
+                                         event_id ASC) AS rn
+      FROM px WHERE b IN (0, 59)
+    )
+    SELECT CAST(b AS BIGINT) AS bucket, CAST(event_id AS BIGINT) AS event_id,
+           CAST(x AS BIGINT) AS x, y
+    FROM picked WHERE rn = 1 AND b NOT IN (0, 59)
+    UNION ALL
+    SELECT CAST(b AS BIGINT), CAST(event_id AS BIGINT), CAST(x AS BIGINT), y
+    FROM ends WHERE rn = 1
+    ORDER BY bucket, x
+    """,
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling (Largest-Triangle-Three-Buckets, Steinarsson
+    2013) in its PARALLEL bucket-mean-anchor variant: classic LTTB
+    chains each pick to the previous selection (inherently sequential);
+    anchoring every triangle to the NEIGHBOR BUCKETS' mean points
+    instead makes every bucket independent — one stats aggregate, two
+    broadcastable self-joins on bucket±1, one per-bucket argmax — while
+    keeping the visual property (keep the point sweeping the largest
+    triangle against its neighborhood). First/last buckets pin the
+    series endpoints, LTTB's convention. All inputs are exact integers
+    and the area is pure IEEE *,-,abs (no libm), so the doubles are
+    bit-identical cross-engine; ties (collinear runs, area 0) break on
+    (x, event_id). The 60-point sketch of a 100 TB series costs one
+    shuffle on a 60-row stats dim."""
+    events = load_table(spark, "events", sf_dir)
+    pts = events.filter(
+        (F.col("event_type") == "view") & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        F.unix_timestamp("ts").alias("xa"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    bounds = pts.agg(F.min("xa").alias("xmin"), F.max("xa").alias("xmax"))
+    px = pts.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        (F.col("xa") - F.col("xmin")).alias("x"),
+        "y",
+        F.least(
+            F.lit(59),
+            F.expr("(xa - xmin) * 60 DIV (xmax - xmin + 1)"),
+        ).alias("b"),
+    )
+    stats = px.groupBy("b").agg(
+        F.count("*").alias("cnt"),
+        (F.sum("x").cast("double") / F.count("*")).alias("mx"),
+        (F.sum("y").cast("double") / F.count("*")).alias("my"),
+    )
+    sp = stats.select((F.col("b") + 1).alias("b"), F.col("mx").alias("pmx"), F.col("my").alias("pmy"))
+    sn = stats.select((F.col("b") - 1).alias("b"), F.col("mx").alias("nmx"), F.col("my").alias("nmy"))
+    scored = (
+        px.join(F.broadcast(sp), "b")
+        .join(F.broadcast(sn), "b")
+        .withColumn(
+            "area2",
+            F.round(
+                F.abs(
+                    (F.col("pmx") - F.col("x")) * (F.col("nmy") - F.col("y"))
+                    - (F.col("nmx") - F.col("x")) * (F.col("pmy") - F.col("y"))
+                ),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wpick = W.partitionBy("b").orderBy(F.desc("area2"), F.asc("x"), F.asc("event_id"))
+    interior = (
+        scored.withColumn("rn", F.row_number().over(wpick))
+        .filter((F.col("rn") == 1) & (~F.col("b").isin(0, 59)))
+        .select("b", "event_id", "x", "y")
+    )
+    wend = W.partitionBy("b").orderBy(
+        F.when(F.col("b") == 0, F.col("x")).otherwise(-F.col("x")).asc(),
+        F.asc("event_id"),
+    )
+    ends = (
+        px.filter(F.col("b").isin(0, 59))
+        .withColumn("rn", F.row_number().over(wend))
+        .filter(F.col("rn") == 1)
+        .select("b", "event_id", "x", "y")
+    )
+    return (
+        interior.unionByName(ends)
+        .select(
+            F.col("b").cast("long").alias("bucket"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("x").cast("long").alias("x"),
+            "y",
+        )
+        .orderBy("bucket", "x")
+    )
