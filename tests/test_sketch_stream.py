@@ -1,0 +1,65 @@
+"""Streaming count-min fold: constant-size frequency state across
+micro-batches, exactly-once under replay, estimates match exact counts
+on collision-free cardinalities (same contract as the batch sketch
+queries' oracles)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from log2sql_spark.streaming.sketch_stream import (
+    fold_batch_sketch,
+    probe_sketch,
+    stream_countmin_fold,
+)
+
+SCHEMA = T.StructType([T.StructField("event_type", T.StringType())])
+
+
+def _write(spark, d, rows):
+    import os
+    import time
+
+    spark.createDataFrame([(r,) for r in rows], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).json(str(d))
+    now = time.time()
+    for p in d.iterdir():
+        os.utime(p, (now, now))
+
+
+def test_stream_fold_matches_exact_counts(spark, tmp_path):
+    src = tmp_path / "src"
+    store = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = ["view"] * 40 + ["click"] * 7
+    batch2 = ["view"] * 13 + ["purchase"] * 5
+
+    _write(spark, src, batch1)
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = stream_countmin_fold(stream, store, "event_type", ckpt)
+    q.awaitTermination(120)
+
+    _write(spark, src, batch2)
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = stream_countmin_fold(stream, store, "event_type", ckpt)
+    q.awaitTermination(120)
+
+    got = probe_sketch(spark, store, ["view", "click", "purchase", "absent"])
+    assert got == {"view": 53, "click": 7, "purchase": 5, "absent": 0}
+
+
+def test_fold_skips_replayed_batch(spark, tmp_path):
+    store = str(tmp_path / "cms2")
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], SCHEMA)
+    assert fold_batch_sketch(spark, df, 0, store, "event_type") is True
+    # replay of batch 0 (restart before checkpoint commit): no double count
+    assert fold_batch_sketch(spark, df, 0, store, "event_type") is False
+    assert probe_sketch(spark, store, ["a", "b"]) == {"a": 2, "b": 1}
+    assert fold_batch_sketch(spark, df, 1, store, "event_type") is True
+    assert probe_sketch(spark, store, ["a", "b"]) == {"a": 4, "b": 2}
+    with open(f"{store}/state.json") as f:
+        assert json.load(f)["last_batch_id"] == 1
