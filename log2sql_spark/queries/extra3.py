@@ -1136,3 +1136,42 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label")
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    WHERE o_orderkey < 5000
+    GROUP BY o_orderstatus
+    HAVING count(*) > 10
+    ORDER BY status
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (|>): the same relational pipeline a
+    nested SELECT expresses, written as sequential |> stages — the
+    readability surface SQL:2023-era engines converge on. Catalyst
+    lowers the pipeline to the identical logical plan (filter pushdown
+    and partial aggregation unchanged), so this is a front-end feature
+    with zero plan cost; the oracle is the classic formulation of the
+    same query."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_pipe_v")
+    return spark.sql(
+        """
+        FROM orders_pipe_v
+        |> WHERE o_orderkey < 5000
+        |> EXTEND CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(sum(cents) AS BIGINT) AS cents,
+                     CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+           GROUP BY o_orderstatus AS status
+        |> WHERE n_orders > 10
+        |> ORDER BY status
+        |> SELECT status, n_orders, cents, n_customers
+        """
+    )

@@ -898,3 +898,75 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "x")
     )
+
+
+@query(
+    "ts_downsample_m4",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS xa,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events WHERE event_type = 'view' AND value IS NOT NULL
+    ), bounds AS (
+      SELECT min(xa) AS xmin, max(xa) AS xmax FROM pts
+    ), px AS (
+      SELECT event_id, xa - (SELECT xmin FROM bounds) AS x, y,
+             least(59, (xa - (SELECT xmin FROM bounds)) * 60
+                   // ((SELECT xmax - xmin + 1 FROM bounds))) AS b
+      FROM pts
+    )
+    SELECT CAST(b AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(x) AS BIGINT) AS x_first,
+           CAST(max(x) AS BIGINT) AS x_last,
+           min_by(y, x ORDER BY x ASC, event_id ASC) AS y_first,
+           max_by(y, x ORDER BY x ASC, event_id ASC) AS y_last,
+           CAST(min(y) AS BIGINT) AS y_min,
+           CAST(max(y) AS BIGINT) AS y_max
+    FROM px GROUP BY b ORDER BY bucket
+    """,
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 aggregation (Jugel et al., VLDB 2014): per pixel-column bucket
+    keep min/max/first/last — the downsampling that renders a line
+    chart EXACTLY at a given pixel width, and the cheap companion to
+    LTTB (one hash aggregate, no windows, no joins: min/max/min_by/
+    max_by all partial-aggregate map-side, so a 100 TB series reduces
+    to 60 rows in one pass). first/last tie-break on event_id via the
+    ordered min_by so duplicate-timestamp points pick identically in
+    both engines."""
+    events = load_table(spark, "events", sf_dir)
+    pts = events.filter(
+        (F.col("event_type") == "view") & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        F.unix_timestamp("ts").alias("xa"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    bounds = pts.agg(F.min("xa").alias("xmin"), F.max("xa").alias("xmax"))
+    px = pts.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        (F.col("xa") - F.col("xmin")).alias("x"),
+        "y",
+        F.least(
+            F.lit(59), F.expr("(xa - xmin) * 60 DIV (xmax - xmin + 1)")
+        ).alias("b"),
+    )
+    return (
+        px.groupBy("b")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("x").cast("long").alias("x_first"),
+            F.max("x").cast("long").alias("x_last"),
+            F.min_by("y", F.struct("x", "event_id")).alias("y_first"),
+            F.max_by("y", F.struct("x", "event_id")).alias("y_last"),
+            F.min("y").cast("long").alias("y_min"),
+            F.max("y").cast("long").alias("y_max"),
+        )
+        .select(
+            F.col("b").cast("long").alias("bucket"),
+            "n", "x_first", "x_last", "y_first", "y_last", "y_min", "y_max",
+        )
+        .orderBy("bucket")
+    )
