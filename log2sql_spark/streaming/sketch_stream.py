@@ -112,3 +112,61 @@ def probe_sketch(spark: SparkSession, store_dir: str, keys: list) -> dict:
         data = f.read()
     sk = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(data)
     return {k: sk.estimateCount(k) for k in keys}
+
+
+def fold_batch_hll(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    col: str,
+    lg_k: int = 20,
+) -> bool:
+    """Streaming distinct count: merge one micro-batch's DataSketches
+    HLL into the store (same exactly-once contract as the count-min
+    fold). State is the lgK-sized sketch (~KBs) no matter how many
+    distinct keys the stream has carried — and HLL union is lossless
+    over sketches of the same lgK, so the folded estimate equals the
+    one-shot batch estimate (pytest-asserted)."""
+    os.makedirs(store_dir, exist_ok=True)
+    sk_path = os.path.join(store_dir, "hll.bin")
+    st_path = os.path.join(store_dir, "hll_state.json")
+    last_id = -1
+    if os.path.exists(st_path):
+        with open(st_path) as f:
+            last_id = json.load(f)["last_batch_id"]
+    if batch_id <= last_id:
+        return False
+    row = batch_df.agg(
+        F.hll_sketch_agg(col, F.lit(lg_k)).alias("sk")
+    ).head()
+    cur = bytes(row.sk) if row.sk is not None else None
+    if cur is not None and os.path.exists(sk_path):
+        with open(sk_path, "rb") as f:
+            prev = f.read()
+        merged_row = batch_df.sparkSession.range(1).select(
+            F.expr(
+                f"hll_union(X'{prev.hex()}', X'{cur.hex()}')"
+            ).alias("m")
+        )
+        cur = bytes(merged_row.head().m)
+    if cur is not None:
+        tmp = sk_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(cur)
+        os.replace(tmp, sk_path)
+    tmp_st = st_path + ".tmp"
+    with open(tmp_st, "w") as f:
+        json.dump({"last_batch_id": batch_id}, f)
+    os.replace(tmp_st, st_path)
+    return True
+
+
+def probe_hll(spark: SparkSession, store_dir: str) -> int:
+    """Driver-side distinct-count estimate from the persisted sketch."""
+    sk_path = os.path.join(store_dir, "hll.bin")
+    with open(sk_path, "rb") as f:
+        data = f.read()
+    return spark.range(1).select(
+        F.expr(f"hll_sketch_estimate(X'{data.hex()}')").alias("n")
+    ).head().n

@@ -63,3 +63,20 @@ def test_fold_skips_replayed_batch(spark, tmp_path):
     assert probe_sketch(spark, store, ["a", "b"]) == {"a": 4, "b": 2}
     with open(f"{store}/state.json") as f:
         assert json.load(f)["last_batch_id"] == 1
+
+
+def test_hll_fold_matches_one_shot_estimate(spark, tmp_path):
+    """The folded per-batch HLL union must equal the one-shot sketch of
+    the full stream (HLL union over same-lgK sketches is lossless), and
+    at these cardinalities the estimate is exact."""
+    from log2sql_spark.streaming.sketch_stream import fold_batch_hll, probe_hll
+
+    store = str(tmp_path / "hll")
+    b1 = spark.createDataFrame([(f"u{i}",) for i in range(500)], SCHEMA)
+    b2 = spark.createDataFrame(
+        [(f"u{i}",) for i in range(300, 800)], SCHEMA  # 200 overlap
+    )
+    assert fold_batch_hll(spark, b1, 0, store, "event_type") is True
+    assert fold_batch_hll(spark, b1, 0, store, "event_type") is False  # replay
+    assert fold_batch_hll(spark, b2, 1, store, "event_type") is True
+    assert probe_hll(spark, store) == 800
