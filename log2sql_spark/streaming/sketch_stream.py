@@ -170,3 +170,74 @@ def probe_hll(spark: SparkSession, store_dir: str) -> int:
     return spark.range(1).select(
         F.expr(f"hll_sketch_estimate(X'{data.hex()}')").alias("n")
     ).head().n
+
+
+def fold_batch_kll(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    col: str,
+    k: int = 8192,
+) -> bool:
+    """Streaming quantiles: merge one micro-batch's KLL rank sketch
+    into the store (same exactly-once contract as the other folds) —
+    the third leg of the streaming-sketch trio: count-min for
+    frequencies, HLL for distincts, KLL for quantiles. State is the
+    k-bounded sketch; below k items it holds everything, so quantiles
+    stay exact at test scale while degrading gracefully to the KLL
+    error bound on a real stream."""
+    os.makedirs(store_dir, exist_ok=True)
+    sk_path = os.path.join(store_dir, "kll.bin")
+    st_path = os.path.join(store_dir, "kll_state.json")
+    last_id = -1
+    if os.path.exists(st_path):
+        with open(st_path) as f:
+            last_id = json.load(f)["last_batch_id"]
+    if batch_id <= last_id:
+        return False
+    row = batch_df.agg(
+        F.kll_sketch_agg_bigint(col, k).alias("sk")
+    ).head()
+    cur = bytes(row.sk) if row.sk is not None else None
+    if cur is not None and os.path.exists(sk_path):
+        with open(sk_path, "rb") as f:
+            prev = f.read()
+        merged = (
+            batch_df.sparkSession.range(1)
+            .select(
+                F.explode(
+                    F.array(
+                        F.expr(f"X'{prev.hex()}'"), F.expr(f"X'{cur.hex()}'")
+                    )
+                ).alias("sk")
+            )
+            .agg(F.kll_merge_agg_bigint("sk", k).alias("m"))
+            .head()
+        )
+        cur = bytes(merged.m)
+    if cur is not None:
+        tmp = sk_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(cur)
+        os.replace(tmp, sk_path)
+    tmp_st = st_path + ".tmp"
+    with open(tmp_st, "w") as f:
+        json.dump({"last_batch_id": batch_id}, f)
+    os.replace(tmp_st, st_path)
+    return True
+
+
+def probe_kll(spark: SparkSession, store_dir: str, quantiles: list[float]) -> dict:
+    """Driver-side quantile probe of the persisted rank sketch."""
+    sk_path = os.path.join(store_dir, "kll.bin")
+    with open(sk_path, "rb") as f:
+        data = f.read()
+    exprs = [
+        F.expr(f"kll_sketch_get_quantile_bigint(X'{data.hex()}', {q})").alias(
+            f"q{int(q * 100)}"
+        )
+        for q in quantiles
+    ]
+    row = spark.range(1).select(*exprs).head()
+    return {f"q{int(q * 100)}": row[f"q{int(q * 100)}"] for q in quantiles}

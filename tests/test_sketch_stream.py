@@ -80,3 +80,21 @@ def test_hll_fold_matches_one_shot_estimate(spark, tmp_path):
     assert fold_batch_hll(spark, b1, 0, store, "event_type") is False  # replay
     assert fold_batch_hll(spark, b2, 1, store, "event_type") is True
     assert probe_hll(spark, store) == 800
+
+
+def test_kll_fold_quantiles_exact_below_k(spark, tmp_path):
+    """Folded per-batch KLL == one-shot sketch of the whole stream at
+    sub-k cardinality: quantiles exact, replay skipped."""
+    from pyspark.sql import types as T2
+
+    from log2sql_spark.streaming.sketch_stream import fold_batch_kll, probe_kll
+
+    store = str(tmp_path / "kll")
+    schema = T2.StructType([T2.StructField("v", T2.LongType())])
+    b1 = spark.createDataFrame([(i,) for i in range(1, 501)], schema)
+    b2 = spark.createDataFrame([(i,) for i in range(501, 1001)], schema)
+    assert fold_batch_kll(spark, b1, 0, store, "v") is True
+    assert fold_batch_kll(spark, b1, 0, store, "v") is False  # replay
+    assert fold_batch_kll(spark, b2, 1, store, "v") is True
+    got = probe_kll(spark, store, [0.25, 0.5, 0.9])
+    assert got == {"q25": 250, "q50": 500, "q90": 900}
