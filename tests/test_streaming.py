@@ -571,3 +571,77 @@ def test_streaming_ohlc_bars(spark, tmp_path):
     assert (
         bar.open_cents, bar.high_cents, bar.low_cents, bar.close_cents, bar.volume
     ) == (500, 900, 100, 700, 4)
+
+
+def test_timed_out_sessions_flush_and_evict(spark, tmp_path):
+    """EventTimeTimeout sessionization: sessions emit only after the
+    watermark passes last-activity+gap, state is evicted on flush, and
+    the custom payload (purchase flag) rides out with the session."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from log2sql_spark.streaming.stateful import timed_out_sessions
+
+    src = tmp_path / "sess_src"
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    t0 = datetime(2024, 6, 1, 9, 0)
+
+    def write(rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "user_id", "event_type"])
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode("append").json(str(src))
+        now = time.time()
+        for p in src.iterdir():
+            os.utime(p, (now, now))
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            timed_out_sessions(stream, gap_minutes=30, watermark="5 minutes")
+            .writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write([
+        (t0, 1, "view"),
+        (t0 + timedelta(minutes=5), 1, "purchase"),
+        (t0 + timedelta(minutes=2), 2, "view"),
+    ])
+    run_once()  # watermark hasn't passed gap: nothing flushed yet
+
+    write([(t0 + timedelta(hours=6), 99, "view")])  # advance watermark
+    run_once()  # users 1 and 2 time out and flush
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("has_purchase", T.BooleanType()),
+        ]
+    )
+    rows = {
+        r.user_id: r
+        for r in spark.read.schema(out_schema).json(out).filter("user_id < 90").collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1].n_events == 2 and rows[1].has_purchase is True
+    assert rows[2].n_events == 1 and rows[2].has_purchase is False
+    assert rows[1].session_end.minute == 5
