@@ -645,3 +645,82 @@ def test_timed_out_sessions_flush_and_evict(spark, tmp_path):
     assert rows[1].n_events == 2 and rows[1].has_purchase is True
     assert rows[2].n_events == 1 and rows[2].has_purchase is False
     assert rows[1].session_end.minute == 5
+
+
+def test_stateful_ops_on_rocksdb_state_store(spark, tmp_path):
+    """The at-scale state backend: the same stateful session operator
+    must run (and keep exactly-once flush semantics) under the RocksDB
+    state store provider — heap state dies at 100 TB key spaces; this
+    proves the operators aren't accidentally coupled to the default
+    HDFS-backed heap provider."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from log2sql_spark.streaming.stateful import timed_out_sessions
+
+    src = tmp_path / "rdb_src"
+    out = str(tmp_path / "rdb_out")
+    ckpt = str(tmp_path / "rdb_ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    t0 = datetime(2024, 6, 1, 9, 0)
+
+    def write(rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "user_id", "event_type"])
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode("append").json(str(src))
+        now = time.time()
+        for p in src.iterdir():
+            os.utime(p, (now, now))
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            timed_out_sessions(stream, gap_minutes=30, watermark="5 minutes")
+            .writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        write([(t0, 1, "view"), (t0 + timedelta(minutes=3), 1, "purchase")])
+        run_once()
+        write([(t0 + timedelta(hours=6), 99, "view")])
+        run_once()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("has_purchase", T.BooleanType()),
+        ]
+    )
+    rows = spark.read.schema(out_schema).json(out).filter("user_id = 1").collect()
+    assert len(rows) == 1 and rows[0].n_events == 2 and rows[0].has_purchase
