@@ -247,12 +247,61 @@ def store_main(argv: list[str]) -> int:
     return 0
 
 
+def query_main(argv: list[str]) -> int:
+    """Run any registered analytics query by name — the ad-hoc front
+    end over the same registry the driver contract exposes::
+
+        log2sql_spark query --list
+        log2sql_spark query q1_pricing_summary --sf /root/testdata/sf0.1
+        log2sql_spark query join_asof --explain
+    """
+    import sys as _sys
+
+    p = argparse.ArgumentParser(prog="log2sql_spark query")
+    p.add_argument("name", nargs="?", help="registered query name")
+    p.add_argument("--sf", default="/root/testdata/sf0.01", help="table directory")
+    p.add_argument("--limit", type=int, default=20, help="max rows to print")
+    p.add_argument("--explain", action="store_true", default=False,
+                   help="print the formatted physical plan instead of rows")
+    p.add_argument("--list", action="store_true", default=False)
+    p.add_argument("--cpus", default=None)
+    args = p.parse_args(argv)
+
+    from log2sql_spark import registry
+
+    qs = registry.all_queries()
+    if args.list or not args.name:
+        for name in sorted(qs):
+            print(name)
+        return 0
+    if args.name not in qs:
+        import difflib
+
+        near = difflib.get_close_matches(args.name, qs, n=3)
+        hint = f" (did you mean: {', '.join(near)}?)" if near else ""
+        print(f"unknown query {args.name!r}{hint}", file=_sys.stderr)
+        return 2
+
+    from log2sql_spark.session import get_spark
+
+    spark = get_spark("log2sql_spark_query", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = qs[args.name](spark, args.sf)
+    if args.explain:
+        df.explain("formatted")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     import sys as _sys
 
     argv = _sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "store":
         return store_main(argv[1:])
+    if argv and argv[0] == "query":
+        return query_main(argv[1:])
     args = build_parser().parse_args(argv)
     validate(args)
 

@@ -293,3 +293,21 @@ def test_cli_zorder_keeps_constraints(spark, tmp_path, capsys):
     capsys.readouterr()
     head = store.snapshot(store.head_version())
     assert head.constraints == {"val_pos": "val > 0"}
+
+
+def test_cli_query_list_and_run(spark, capsys):
+    """`query` subcommand: --list prints the registry; running a name
+    prints rows; an unknown name suggests near-matches and exits 2."""
+    from log2sql_spark.cli import main
+
+    assert main(["query", "--list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "q1_pricing_summary" in names and len(names) >= 250
+
+    assert main(["query", "topk_global", "--cpus", "4"]) == 0
+    out = capsys.readouterr().out
+    assert "+" in out  # a rendered table
+
+    assert main(["query", "q1_pricing_sumary", "--cpus", "4"]) == 2
+    err = capsys.readouterr().err
+    assert "did you mean" in err and "q1_pricing_summary" in err
