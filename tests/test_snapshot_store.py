@@ -797,3 +797,27 @@ def test_replace_where_enforces_constraints(spark, store):
         store.replace_where(spark, _df(spark, [(2, None)]), "k = 2")
     v = store.replace_where(spark, _df(spark, [(2, "ok")]), "k = 2")
     assert store.snapshot(v).constraints == {"val_nn": "val IS NOT NULL"}
+
+
+def test_replace_where_on_renamed_store(spark, store):
+    """replace_where over a store with a metadata-only column rename:
+    touched files hold the OLD physical name (reconciled at read), the
+    replacement batch arrives under the NEW logical name, untouched
+    files carry — and the post-replace read is consistent across the
+    mixed generations."""
+    df = spark.range(1, 101).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+    store.commit(df, cluster_by="k", target_files=8)
+    store.rename_column("val", "label")
+    repl = spark.range(40, 46).select(
+        F.col("id").alias("k"), F.lit("NEW").alias("label")
+    )
+    v = store.replace_where(
+        spark, repl, "k BETWEEN 40 AND 45", key_bounds=(40, 45)
+    )
+    snap = store.snapshot(v)
+    assert snap.renames  # the mapping survived the partial rewrite
+    got = {r.k: r.label for r in store.read(spark, v).collect()}
+    assert got[40] == "NEW" and got[45] == "NEW"
+    assert got[39] == "v39" and got[46] == "v46" and len(got) == 100
