@@ -970,3 +970,99 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), series AS (
+      SELECT event_type,
+             list(n ORDER BY day) AS ns,
+             list(day ORDER BY day) AS days,
+             CAST(len(list(n)) AS BIGINT) AS d,
+             CAST(sum(n) AS BIGINT) AS total
+      FROM daily GROUP BY event_type
+    ), shifted AS (
+      SELECT event_type, days, d, total,
+             -- x'_i = n_i*D - mu' - k'  (mu' = mean*D = total, k' = 5% slack)
+             list_transform(ns, n -> n * d - total - total * 5 // 100) AS xs
+      FROM series
+    ), e AS (
+      SELECT event_type, days, d, total, xs,
+             unnest(range(1, len(xs) + 1)) AS i
+      FROM shifted
+    )
+    SELECT event_type,
+           days[CAST(i AS INTEGER)] AS day,
+           CAST((xs[CAST(i AS INTEGER)] + total + total * 5 // 100) // d
+                AS BIGINT) AS n,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                         xs[1:CAST(i AS INTEGER)]),
+                            (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x))
+                AS BIGINT) AS cusum_scaled,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                    xs[1:CAST(i AS INTEGER)]),
+                       (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x))
+             > 2 * total AS alarm
+    FROM e
+    ORDER BY event_type, day
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily event rates: the running
+    statistic s_i = max(0, s_{i-1} + x_i - mean - slack) accumulates
+    only sustained upward drift (one noisy spike decays; a level shift
+    ramps) and alarms past a threshold — the classic sequential
+    detector (Page 1954), complementing the point-wise MAD detector
+    (ts_anomaly_mad) which cannot see gradual shifts. Everything is
+    INTEGER-exact: values are scaled by the series length D so the mean
+    needs no division (mu' = sum), the 5% slack and 2x-mean threshold
+    are integer arithmetic, and the order-sensitive fold follows the
+    ts_ewma_smooth discipline (sorted per-type series, prefix fold,
+    day-bounded quadratic). Even the running CUSUM state hash-matches
+    cross-engine."""
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "n"))).alias("rows"),
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum("n").cast("long").alias("total"),
+    )
+    xs = F.transform(
+        "rows",
+        lambda r: r.n * F.col("d") - F.col("total")
+        - F.expr("total * 5 DIV 100"),
+    )
+    exploded = series.select(
+        "event_type",
+        F.transform("rows", lambda r: r.day).alias("days"),
+        "d",
+        "total",
+        xs.alias("xs"),
+        F.explode(F.sequence(F.lit(1), F.size(xs))).alias("i"),
+    )
+    run = F.aggregate(
+        F.slice("xs", 1, F.col("i")),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.greatest(F.lit(0).cast("long"), acc + x),
+    )
+    return (
+        exploded.select(
+            "event_type",
+            F.element_at("days", F.col("i")).alias("day"),
+            F.expr(
+                "(element_at(xs, i) + total + total * 5 DIV 100) DIV d"
+            )
+            .cast("long")
+            .alias("n"),
+            run.cast("long").alias("cusum_scaled"),
+            (run > 2 * F.col("total")).alias("alarm"),
+        )
+        .orderBy("event_type", "day")
+    )
