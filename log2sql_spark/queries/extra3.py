@@ -1175,3 +1175,92 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT status, n_orders, cents, n_customers
         """
     )
+
+
+@query(
+    "market_basket_pairs",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), n_orders AS (
+      SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM op
+    ), item AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS c FROM op GROUP BY p
+    ), pair AS (
+      SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS c
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+    )
+    SELECT pa, pb, pair.c AS n_both,
+           ia.c AS n_a, ib.c AS n_b,
+           pair.c * 10000 // (SELECT n FROM n_orders) AS support_bp,
+           pair.c * 10000 // ia.c AS confidence_a_to_b_bp,
+           pair.c * (SELECT n FROM n_orders) * 1000 // (ia.c * ib.c) AS lift_milli
+    FROM pair
+    JOIN item ia ON ia.p = pa
+    JOIN item ib ON ib.p = pb
+    WHERE pair.c >= 3
+    ORDER BY n_both DESC, pa, pb
+    LIMIT 100
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules at the pair level: for parts
+    bought together, exact support / confidence / lift in integer
+    basis points and milli-units (truncating cross-multiplication, so
+    every rule metric hashes cross-engine). The candidate join is
+    per-order and baskets are small (~7 lines), so pair generation is
+    C(basket,2) per order — linear in orders with a small constant,
+    never |parts|²; counts partial-aggregate map-side and the top-100
+    runs as TakeOrdered with a full tie-break. The a-priori first
+    level of recommendation/affinity mining, a family the registry
+    lacked."""
+    li = load_table(spark, "lineitem", sf_dir)
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    # op feeds three consumers (order count, item counts, baskets);
+    # persist so the distinct shuffle runs once.
+    op = op.persist()
+    n_orders = op.agg(F.count_distinct("o").cast("long").alias("n"))
+    item = op.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # Pair generation per BASKET, not a self-join: one shuffle builds
+    # the sorted parts array per order, then C(basket,2) pairs fall out
+    # of per-row array combinatorics (flatten of suffix slices) — the
+    # self-join formulation shuffles the (order, part) rows twice and
+    # sort-merges them; this shape halves the sf1 wall time.
+    baskets = op.groupBy("o").agg(F.sort_array(F.collect_list("p")).alias("ps"))
+    pairs_arr = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size("ps") - i - 1),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    pair = (
+        baskets.select(F.explode(pairs_arr).alias("pr"))
+        .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    ia = item.select(F.col("p").alias("pa"), F.col("c").alias("n_a"))
+    ib = item.select(F.col("p").alias("pb"), F.col("c").alias("n_b"))
+    return (
+        pair.join(ia, "pa")
+        .join(ib, "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr("n_both * 10000 DIV n").alias("support_bp"),
+            F.expr("n_both * 10000 DIV n_a").alias("confidence_a_to_b_bp"),
+            F.expr("n_both * n * 1000 DIV (n_a * n_b)").alias("lift_milli"),
+        )
+        .orderBy(F.desc("n_both"), "pa", "pb")
+        .limit(100)
+    )
