@@ -1066,3 +1066,63 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "ts_rolling_wau_hll",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+    ), dau AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1
+    ), wau AS (
+      SELECT d.day,
+             CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau
+      FROM days d
+      JOIN events e
+        ON date_trunc('day', e.ts) BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT dau.day AS day, dau.dau, wau.wau,
+           dau.dau * 10000 // wau.wau AS stickiness_bp
+    FROM dau JOIN wau ON dau.day = wau.day
+    ORDER BY dau.day
+    """,
+)
+def ts_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / rolling 7-day WAU / stickiness — the engagement triple.
+    The rolling DISTINCT is the scale trap: exact sliding distincts
+    re-scan every event per window. Here each day aggregates ONCE into
+    a DataSketches HLL (lgK=20), and the 7-day window UNIONS the
+    per-day sketches (``hll_union_agg`` over a ROWS window on the
+    |days|-row rollup) — re-aggregation cost is |days| x sketch size,
+    the events are read once, and the same partials would roll into
+    MAU/QAU for free. At these cardinalities lgK=20 holds every user
+    as a coupon, so the estimate is EXACT and the oracle checks it
+    against true windowed distincts (the same exactness contract as
+    sketch_hll_distinct_users). Stickiness is truncating integer basis
+    points."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count_distinct("user_id").cast("long").alias("dau"),
+        F.hll_sketch_agg("user_id", F.lit(20)).alias("sk"),
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    # days are contiguous in this dataset, so ROWS -6..0 == the 7-day
+    # RANGE; a gappy calendar would use a RANGE frame on unix_date.
+    return (
+        daily.withColumn(
+            "wau", F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+        )
+        .select(
+            "day",
+            "dau",
+            F.col("wau").cast("long").alias("wau"),
+            F.expr("dau * 10000 DIV wau").alias("stickiness_bp"),
+        )
+        .orderBy("day")
+    )
