@@ -136,3 +136,97 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), F.col("r").alias("rank_micro"))
         .orderBy(F.desc("rank_micro"), F.asc("nation"))
     )
+
+
+@query(
+    "graph_bfs_trade_distances",
+    oracle="""
+    WITH raw AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+      FROM raw
+    ), edges AS (
+      SELECT src, dst FROM ranked WHERE rn <= 3
+    ), walk AS (
+      WITH RECURSIVE walk(node, d) AS (
+        SELECT CAST(0 AS BIGINT), 0
+        UNION
+        SELECT CAST(e.dst AS BIGINT), w.d + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.d < 6
+      )
+      SELECT * FROM walk
+    )
+    SELECT n.n_name AS nation, CAST(min(w.d) AS INTEGER) AS hops
+    FROM walk w JOIN nation n ON n.n_nationkey = w.node
+    GROUP BY n.n_name
+    ORDER BY hops, nation
+    """,
+)
+def graph_bfs_trade_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from nation 0 over the SPARSIFIED trade graph
+    (each nation keeps its top-3 trade destinations, deterministic
+    (weight desc, dst) tie-break — the dense graph is diameter 1 and
+    says nothing). Reachability/centrality complement to the PageRank
+    query: the frontier loop is K broadcast joins of a ≤25-row distance
+    table against the 75-row edge list, so iteration cost is driven by
+    the one-time edge derivation (the same 4-table join PageRank
+    materializes); the oracle walks the identical graph with a
+    recursive CTE and takes min hop count per nation. Unreached
+    nations are absent from both sides."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+
+    from pyspark.sql import Window as W
+
+    raw = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    wr = W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    edges = (
+        raw.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst")
+    )
+    # tiny graph: collect-free iteration, but persist the edge list so
+    # the 4-table build runs once, not once per hop
+    edges = edges.persist()
+    dist = spark.createDataFrame([(0, 0)], "node bigint, d int")
+    for k in range(1, 7):
+        frontier = (
+            edges.join(F.broadcast(dist), edges.src == dist.node)
+            .select(F.col("dst").cast("bigint").alias("node"), F.lit(k).alias("d"))
+        )
+        dist = dist.unionByName(frontier).groupBy("node").agg(
+            F.min("d").cast("int").alias("d")
+        )
+        # truncate lineage each hop: the distance table is <=25 rows but
+        # its un-checkpointed plan doubles per iteration (re-analysis
+        # cost, not data cost — 24s of pure planning at 6 hops without
+        # this); eager localCheckpoint keeps the loop linear.
+        dist = dist.localCheckpoint(eager=True)
+    return (
+        dist.join(
+            nation.select(F.col("n_nationkey").cast("bigint").alias("node"), "n_name"),
+            "node",
+        )
+        .select(F.col("n_name").alias("nation"), F.col("d").cast("int").alias("hops"))
+        .orderBy("hops", "nation")
+    )
