@@ -410,3 +410,76 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("campaign")
     )
+
+
+@query(
+    "events_attribution_linear",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, ts, user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts,
+             max(json_extract_string(props, '$.k')::BIGINT) AS campaign
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), touch AS (
+      SELECT p.event_id, p.cents, c.campaign,
+             count(*) OVER (PARTITION BY p.event_id) AS k
+      FROM p JOIN c
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+       AND c.ts >= p.ts - INTERVAL 7 DAY
+    )
+    SELECT campaign,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(1000000 // k) AS BIGINT) AS credit_ppm,
+           CAST(sum(cents // k) AS BIGINT) AS credited_cents
+    FROM touch GROUP BY campaign ORDER BY campaign
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution — the companion to last-touch:
+    every click in the 7-day lookback shares a purchase's credit
+    equally (1/k, truncating integer ppm and cents so the split hashes
+    cross-engine; the dropped remainder is the standard fixed-point
+    trade). The lookback is a plain equi-join on user_id with a time
+    band — per-user event lists are bounded, so no range-join blowup —
+    plus one per-purchase count window. Purchases with no touch have
+    no row here by definition (the organic bucket lives in the
+    last-touch query)."""
+    events = load_table(spark, "events", sf_dir)
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("ts").alias("pts"),
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("cts"),
+            F.get_json_object("props", "$.k").cast("long").alias("campaign"),
+        )
+        .groupBy("user_id", "cts")
+        .agg(F.max("campaign").alias("campaign"))
+    )
+    from pyspark.sql import Window as W
+
+    touch = (
+        p.join(c, "user_id")
+        .filter(
+            (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .withColumn("k", F.count(F.lit(1)).over(W.partitionBy("event_id")))
+    )
+    return (
+        touch.groupBy("campaign")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum(F.expr("1000000 DIV k")).cast("long").alias("credit_ppm"),
+            F.sum(F.expr("cents DIV k")).cast("long").alias("credited_cents"),
+        )
+        .orderBy("campaign")
+    )
