@@ -340,3 +340,131 @@ def quality_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_prev_n", "_prev_mean")
         .orderBy("month")
     )
+
+
+@query(
+    "quality_pareto_abc",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS cust,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM per_cust
+    ), ranked AS (
+      SELECT cust, cents,
+             row_number() OVER (ORDER BY cents DESC, cust) AS rnk,
+             sum(cents) OVER (ORDER BY cents DESC, cust
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents
+      FROM per_cust
+    )
+    SELECT CASE WHEN rnk * 100 <= (SELECT n_cust FROM tot) * 20 THEN 'A'
+                WHEN rnk * 100 <= (SELECT n_cust FROM tot) * 50 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(max(cum_cents) * 10000 // (SELECT total_cents FROM tot)
+                AS BIGINT) AS cum_share_bp
+    FROM ranked
+    GROUP BY 1 ORDER BY abc_class
+    """,
+)
+def quality_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC concentration analysis: customers ranked by revenue,
+    classed A (top 20%), B (next 30%), C (rest), with each class's
+    cumulative revenue share in basis points — the 80/20 readout every
+    revenue dashboard carries. The global sort touches |customers|
+    (never orders); class cuts and shares are truncating integer
+    cross-multiplication with a (cents desc, cust) total order, so the
+    classing is deterministic cross-engine."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("long")
+        .alias("cents")
+    )
+    tot = per_cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    w = W.orderBy(F.desc("cents"), F.asc("cust"))
+    ranked = per_cust.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "cum_cents", F.sum("cents").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("rnk") * 100 <= F.col("n_cust") * 20, "A")
+            .when(F.col("rnk") * 100 <= F.col("n_cust") * 50, "B")
+            .otherwise("C"),
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.expr("max(cum_cents) * 10000 DIV any_value(total_cents)")
+            .cast("long")
+            .alias("cum_share_bp"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@query(
+    "quality_key_skew_gini",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, k) AS i FROM per_key
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(i * x) AS BIGINT) AS six,
+             CAST(max(x) AS BIGINT) AS max_x
+      FROM ranked
+    )
+    SELECT n AS n_keys, sx AS n_rows, max_x AS max_per_key,
+           max_x * 10000 // (sx // n) AS max_over_mean_bp,
+           (2 * six * 10000 // (n * sx)) - ((n + 1) * 10000 // n) AS gini_bp
+    FROM s
+    """,
+)
+def quality_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report: the Gini coefficient of the per-key row
+    distribution (0 = uniform, →10000 bp = one hot key) plus the
+    max/mean ratio — the number that predicts whether a shuffle on
+    this key needs salting or AQE skew handling BEFORE the job runs.
+    Gini via the rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over the
+    (x, k)-sorted keys, all truncating integer cross-multiplication;
+    the global sort touches |keys|, never rows."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, "orders", sf_dir)
+    per_key = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    ranked = per_key.withColumn(
+        "i", F.row_number().over(W.orderBy(F.asc("x"), F.asc("k")))
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("six"),
+        F.max("x").cast("long").alias("max_x"),
+    )
+    return s.select(
+        F.col("n").alias("n_keys"),
+        F.col("sx").alias("n_rows"),
+        F.col("max_x").alias("max_per_key"),
+        F.expr("max_x * 10000 DIV (sx DIV n)").alias("max_over_mean_bp"),
+        F.expr("(2 * six * 10000 DIV (n * sx)) - ((n + 1) * 10000 DIV n)").alias(
+            "gini_bp"
+        ),
+    )
