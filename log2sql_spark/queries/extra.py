@@ -483,3 +483,119 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("campaign")
     )
+
+
+@query(
+    "events_longest_streak",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), isl AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS island
+      FROM active
+    ), streaks AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS len,
+             min(day) AS streak_start
+      FROM isl GROUP BY user_id, island
+    ), best AS (
+      SELECT user_id, len, streak_start,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, streak_start) AS rn
+      FROM streaks
+    )
+    SELECT user_id, len AS longest_streak_days,
+           CAST(streak_start AS TIMESTAMP) AS streak_start
+    FROM best WHERE rn = 1 AND len >= 3
+    ORDER BY longest_streak_days DESC, user_id
+    LIMIT 100
+    """,
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days (the engagement-streak metric), via the classic day−row_number
+    island key — consecutive days share a constant difference, so one
+    window + one aggregate finds every streak without self-joins or
+    recursion. Both windows partition by user, so the whole query is
+    one shuffle on user_id; top-100 is TakeOrdered with a full
+    tie-break (len desc, start, user)."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, "events", sf_dir)
+    active = events.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    isl = active.withColumn(
+        "island",
+        F.date_sub(
+            "day",
+            F.row_number().over(W.partitionBy("user_id").orderBy("day")),
+        ),
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("day").alias("streak_start"),
+    )
+    best = streaks.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy(
+                F.desc("len"), F.asc("streak_start")
+            )
+        ),
+    )
+    return (
+        best.filter((F.col("rn") == 1) & (F.col("len") >= 3))
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak_days"),
+            F.col("streak_start").cast("timestamp").alias("streak_start"),
+        )
+        .orderBy(F.desc("longest_streak_days"), "user_id")
+        .limit(100)
+    )
+
+
+@query(
+    "ts_dow_chisquare",
+    oracle="""
+    WITH dow AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS dw,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1
+    ), tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM dow)
+    SELECT dw, o,
+           (SELECT n FROM tot) // 7 AS expected,
+           (o - (SELECT n FROM tot) // 7)
+             * (o - (SELECT n FROM tot) // 7) * 1000
+             // ((SELECT n FROM tot) // 7) AS chi2_term_milli
+    FROM dow ORDER BY dw
+    """,
+)
+def ts_dow_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality screen: per-weekday event counts vs the
+    uniform expectation with each chi-square term in truncating integer
+    milli-units — the goodness-of-fit companion to the Benford screen
+    (quality_benford_first_digit). One 7-row aggregate; the scaled
+    integer terms hash cross-engine (sum them and compare to the
+    chi-square critical value off-line). DuckDB dayofweek is 0=Sunday
+    ..6; Spark's dayofweek is 1..7 — shifted to match."""
+    events = load_table(spark, "events", sf_dir)
+    dow = events.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dw")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    tot = dow.agg(F.sum("o").cast("long").alias("n"))
+    return (
+        dow.crossJoin(F.broadcast(tot))
+        .select(
+            "dw",
+            "o",
+            F.expr("n DIV 7").alias("expected"),
+            F.expr("(o - n DIV 7) * (o - n DIV 7) * 1000 DIV (n DIV 7)").alias(
+                "chi2_term_milli"
+            ),
+        )
+        .orderBy("dw")
+    )
