@@ -1301,3 +1301,98 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "view_ts", "view_cents")
         .orderBy("event_id")
     )
+
+
+@query(
+    "er_customer_survivorship",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(c_custkey AS BIGINT) AS id, lower(c_name) AS name,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer WHERE c_custkey < 2000
+    ), dirty AS (
+      SELECT id + 100000 AS id,
+             name[:len(name)-1] || 'x' AS name,
+             bal_cents + 5 AS bal_cents
+      FROM base WHERE id % 7 = 0
+    ), recs AS (
+      SELECT * FROM base UNION ALL SELECT * FROM dirty
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM recs a JOIN recs b
+        ON substr(a.name, 10, 8) = substr(b.name, 10, 8)
+       AND a.id < b.id
+      WHERE levenshtein(a.name, b.name) <= 2
+        AND abs(a.bal_cents - b.bal_cents) <= 10
+    ), labeled AS (
+      SELECT r.id, coalesce(min(p.id_a), r.id) AS cluster_id
+      FROM recs r LEFT JOIN pairs p ON p.id_b = r.id
+      GROUP BY r.id
+    )
+    SELECT l.cluster_id AS entity_id,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(max(r.bal_cents) AS BIGINT) AS bal_cents,
+           min(r.name) AS name
+    FROM labeled l JOIN recs r ON r.id = l.id
+    GROUP BY l.cluster_id
+    HAVING count(*) > 1
+    ORDER BY entity_id
+    """,
+)
+def er_customer_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: a dirty import (typo in the name,
+    drifted balance, new surrogate key) lands next to the master
+    records; blocking on a 12-char name prefix bounds the candidate
+    join, Levenshtein <= 2 confirms matches, records label to the
+    cluster minimum (one hop suffices: dirty copies pair with exactly
+    one master here), and SURVIVORSHIP picks per entity the max
+    balance and lexicographic-min name — the block→match→cluster→merge
+    pipeline every MDM/dedupe system runs, with each rule integer- or
+    string-exact so the merged golden records hash cross-engine.
+    Scale: the only join is within blocks, never |records|² — the
+    first blocked formulation used the shared 12-char name prefix and
+    degenerated into ONE giant block (5M Levenshtein evals, 17 s at
+    sf0.01); block-key choice IS the scale knob of ER."""
+    customer = load_table(spark, "customer", sf_dir)
+    base = customer.filter(F.col("c_custkey") < 2000).select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.lower("c_name").alias("name"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    dirty = base.filter(F.col("id") % 7 == 0).select(
+        (F.col("id") + 100000).alias("id"),
+        F.concat(
+            F.expr("substring(name, 1, length(name) - 1)"), F.lit("x")
+        ).alias("name"),
+        (F.col("bal_cents") + 5).alias("bal_cents"),
+    )
+    recs = base.unionByName(dirty)
+    a, b = recs.alias("a"), recs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.expr("substring(a.name, 10, 8)") == F.expr("substring(b.name, 10, 8)"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(
+            F.expr("levenshtein(a.name, b.name) <= 2")
+            & (F.abs(F.col("a.bal_cents") - F.col("b.bal_cents")) <= 10)
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    labeled = (
+        recs.join(pairs, recs.id == pairs.id_b, "left")
+        .groupBy(recs.id)
+        .agg(F.coalesce(F.min("id_a"), F.first("id")).alias("cluster_id"))
+    )
+    return (
+        labeled.join(recs, "id")
+        .groupBy(F.col("cluster_id").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.max("bal_cents").cast("long").alias("bal_cents"),
+            F.min("name").alias("name"),
+        )
+        .filter(F.col("n_records") > 1)
+        .orderBy("entity_id")
+    )
