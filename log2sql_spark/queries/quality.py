@@ -468,3 +468,77 @@ def quality_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini_bp"
         ),
     )
+
+
+@query(
+    "quality_ks_drift",
+    oracle="""
+    WITH labeled AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END AS g
+      FROM orders
+    ), n AS (
+      SELECT CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM labeled
+    ), per_v AS (
+      SELECT v,
+             CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM labeled GROUP BY v
+    ), cdf AS (
+      SELECT v,
+             sum(c0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f0,
+             sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1
+      FROM per_v
+    )
+    SELECT (SELECT n0 FROM n) AS n_before,
+           (SELECT n1 FROM n) AS n_after,
+           CAST(max(abs(f0 * (SELECT n1 FROM n) - f1 * (SELECT n0 FROM n)))
+                * 10000
+                // ((SELECT n0 FROM n) * (SELECT n1 FROM n)) AS BIGINT)
+             AS ks_bp
+    FROM cdf
+    """,
+)
+def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov drift statistic between the order-value
+    distributions before/after 1998 — the CONTINUOUS-distribution
+    drift test beside the categorical chi-square screen: KS = max
+    |CDF_a − CDF_b| over the merged support, computed exactly as
+    integer cross-multiplication (|F0·n1 − F1·n0| over n0·n1, reported
+    in basis points — no float CDFs to diverge). One aggregate per
+    distinct value, one value-ordered window over the |distinct values|
+    rollup (never the raw rows), one max."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, "orders", sf_dir)
+    labeled = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("g"),
+    )
+    n = labeled.agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+    )
+    per_v = labeled.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("c0"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cdf = per_v.select(
+        F.sum("c0").over(w).alias("f0"), F.sum("c1").over(w).alias("f1")
+    )
+    return (
+        cdf.crossJoin(F.broadcast(n))
+        .agg(
+            F.first("n0").alias("n_before"),
+            F.first("n1").alias("n_after"),
+            F.expr(
+                "CAST(max(abs(f0 * n1 - f1 * n0)) * 10000"
+                " DIV (first(n0) * first(n1)) AS BIGINT)"
+            ).alias("ks_bp"),
+        )
+    )
