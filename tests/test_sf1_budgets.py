@@ -43,3 +43,20 @@ def test_sf1_budget_gate():
         + proc.stdout[-4000:]
         + proc.stderr[-2000:]
     )
+
+
+def test_budgets_registry_in_sync():
+    """Every registered query has an sf1 budget and every budget points
+    at a live query — catches the drift where a new query ships without
+    a perf gate (or a renamed query leaves a stale budget that silently
+    stops guarding anything)."""
+    import json
+
+    from log2sql_spark.registry import all_queries
+
+    budgets = set(json.loads(_BUDGETS.read_text()))
+    queries = set(all_queries())
+    missing = sorted(queries - budgets)
+    stale = sorted(budgets - queries)
+    assert not missing, f"queries without an sf1 budget: {missing}"
+    assert not stale, f"budgets for unregistered queries: {stale}"
