@@ -1126,3 +1126,64 @@ def ts_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "ts_trend_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN b.n > a.n THEN 1
+                         WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s,
+           CAST(sum(CASE WHEN b.n > a.n THEN 1
+                         WHEN b.n < a.n THEN -1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS tau_bp
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.day < b.day
+    GROUP BY a.event_type
+    ORDER BY a.event_type
+    """,
+)
+def ts_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per event type: S = Σ sign(x_j − x_i)
+    over all day pairs i<j, with Kendall's tau (S over pair count) in
+    truncating basis points — the NON-PARAMETRIC monotone-trend screen
+    (no distribution assumed, robust to outliers) completing the
+    statistical family: chi-square (categorical), KS (distribution
+    shift), CUSUM (level change), MAD (point outliers), Benford
+    (digits), and now monotone trend. The pairwise join runs on the
+    (type × day) rollup — tens of rows per type — so the O(days²)
+    pair count is a few thousand integer signs, never touching raw
+    events twice."""
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = daily.alias("a"), daily.alias("b")
+    sign = (
+        F.when(F.col("b.n") > F.col("a.n"), 1)
+        .when(F.col("b.n") < F.col("a.n"), -1)
+        .otherwise(0)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(sign).cast("long").alias("s"),
+            F.expr(
+                "CAST(sum(CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1"
+                " ELSE 0 END) * 10000 DIV count(*) AS BIGINT)"
+            ).alias("tau_bp"),
+        )
+        .orderBy("event_type")
+    )
