@@ -981,3 +981,67 @@ def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id, {_W} AS w FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_distinct({_G3})) AS g FROM w
+    ), first_seen AS (
+      SELECT g, CAST(min(doc_id) AS BIGINT) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT CAST(gr.doc_id AS BIGINT) AS id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           sum(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END) * 10000
+             // count(*) AS novelty_bp
+    FROM grams gr JOIN first_seen fs ON fs.g = gr.g
+    WHERE gr.doc_id % 20 = 0
+    GROUP BY gr.doc_id
+    ORDER BY id
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty curve: per document (sampled every 20th id), how
+    many of its distinct 3-grams appear for the FIRST time in ingestion
+    order — the dataset-diversity signal a corpus build tracks to see
+    when new data stops adding new content (novelty decaying toward
+    zero means the crawl is saturating). First-occurrence is one gram
+    aggregate (min doc id, map-side combined); the join back is on the
+    gram — no per-prefix rescans, so the curve costs two shuffles
+    regardless of corpus size. Novelty in truncating basis points."""
+    from log2sql_spark.operators.dedup import word_ngrams
+
+    docs = load_table(spark, "documents", sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    grams = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(word_ngrams(F.col("text"), 3)).alias("g"),
+    )
+    first_seen = grams.groupBy("g").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    return (
+        grams.filter(F.col("doc_id") % 20 == 0)
+        .join(first_seen, "g")
+        .groupBy(F.col("doc_id").alias("id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+            F.expr(
+                "sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+                " * 10000 DIV count(*)"
+            ).alias("novelty_bp"),
+        )
+        .orderBy("id")
+    )
