@@ -60,18 +60,21 @@ def fold_batch_sketch(
     row = batch_df.agg(
         F.count_min_sketch(col, F.lit(eps), F.lit(confidence), F.lit(seed)).alias("sk")
     ).head()
-    jvm = spark._jvm
-    CMS = jvm.org.apache.spark.util.sketch.CountMinSketch
-    merged = CMS.readFrom(bytes(row.sk))
-    if prev is not None:
-        merged.mergeInPlace(CMS.readFrom(prev))
-    out = jvm.java.io.ByteArrayOutputStream()
-    merged.writeTo(out)
     sk_path, st_path = _paths(store_dir)
-    tmp = sk_path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(bytes(out.toByteArray()))
-    os.replace(tmp, sk_path)  # atomic swap, then publish the watermark
+    # An EMPTY micro-batch aggregates to NULL: record the watermark
+    # (the batch is consumed) but leave the sketch untouched.
+    if row.sk is not None:
+        jvm = spark._jvm
+        CMS = jvm.org.apache.spark.util.sketch.CountMinSketch
+        merged = CMS.readFrom(bytes(row.sk))
+        if prev is not None:
+            merged.mergeInPlace(CMS.readFrom(prev))
+        out = jvm.java.io.ByteArrayOutputStream()
+        merged.writeTo(out)
+        tmp = sk_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(bytes(out.toByteArray()))
+        os.replace(tmp, sk_path)  # atomic swap, then publish the watermark
     tmp_st = st_path + ".tmp"
     with open(tmp_st, "w") as f:
         json.dump({"last_batch_id": batch_id}, f)

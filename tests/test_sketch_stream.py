@@ -98,3 +98,41 @@ def test_kll_fold_quantiles_exact_below_k(spark, tmp_path):
     assert fold_batch_kll(spark, b2, 1, store, "v") is True
     got = probe_kll(spark, store, [0.25, 0.5, 0.9])
     assert got == {"q25": 250, "q50": 500, "q90": 900}
+
+
+def test_folds_survive_empty_batch(spark, tmp_path):
+    """An empty micro-batch must advance the watermark without touching
+    (or corrupting) the persisted sketches — the CMS/HLL/KLL aggregates
+    all return NULL over zero rows, which crashed the first fold
+    implementation."""
+    from pyspark.sql import types as T2
+
+    from log2sql_spark.streaming.sketch_stream import (
+        fold_batch_hll,
+        fold_batch_kll,
+        fold_batch_sketch,
+        probe_hll,
+        probe_kll,
+        probe_sketch,
+    )
+
+    store_c = str(tmp_path / "ec")
+    store_h = str(tmp_path / "eh")
+    store_k = str(tmp_path / "ek")
+    full = spark.createDataFrame([("a",), ("a",), ("b",)], SCHEMA)
+    empty = spark.createDataFrame([], SCHEMA)
+    lschema = T2.StructType([T2.StructField("v", T2.LongType())])
+    lfull = spark.createDataFrame([(i,) for i in range(1, 11)], lschema)
+    lempty = spark.createDataFrame([], lschema)
+
+    assert fold_batch_sketch(spark, full, 0, store_c, "event_type") is True
+    assert fold_batch_sketch(spark, empty, 1, store_c, "event_type") is True
+    assert probe_sketch(spark, store_c, ["a", "b"]) == {"a": 2, "b": 1}
+
+    assert fold_batch_hll(spark, full, 0, store_h, "event_type") is True
+    assert fold_batch_hll(spark, empty, 1, store_h, "event_type") is True
+    assert probe_hll(spark, store_h) == 2
+
+    assert fold_batch_kll(spark, lfull, 0, store_k, "v") is True
+    assert fold_batch_kll(spark, lempty, 1, store_k, "v") is True
+    assert probe_kll(spark, store_k, [0.5]) == {"q50": 5}
