@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 import time
 from dataclasses import dataclass, field
@@ -395,6 +396,7 @@ class SnapshotStore:
         generated: dict[str, str] | None = None,
         policies: dict | None = None,
         constraints: dict | None = None,
+        audit: bool = False,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version.
 
@@ -427,7 +429,13 @@ class SnapshotStore:
         assumes for retried stages): a non-deterministic input (e.g.
         ``rand()`` without a seed, unordered ``limit``) can pass the
         check yet write different rows. Persist such inputs (and any
-        expensive-to-recompute ones) before committing.
+        expensive-to-recompute ones) before committing — or pass
+        ``audit=True`` (Write-Audit-Publish): expectations and CHECK
+        constraints are then enforced on a read-back of the WRITTEN
+        files instead, which a non-deterministic input cannot slip
+        past; a failed audit removes the attempt directory and
+        publishes nothing, at the cost of one extra read of the new
+        data.
 
         Schema enforcement + evolution (Delta semantics): an ``append``
         whose column names differ from the store's current schema
@@ -460,7 +468,7 @@ class SnapshotStore:
                         f"expression {expr!r}; fix the writer or drop the "
                         "column to let the store compute it"
                     )
-        if expect:
+        if expect and not audit:
             from log2sql_spark.operators.expectations import check_expectations
 
             report = check_expectations(df, expect).collect()
@@ -497,7 +505,8 @@ class SnapshotStore:
             constraints = dict(
                 prev_meta.constraints if constraints is None else constraints
             )
-        self._check_constraints(df, constraints)
+        if not audit:
+            self._check_constraints(df, constraints)
         if renames:
             clash = [f.name for f in df.schema.fields if f.name in renames]
             if clash:
@@ -543,6 +552,16 @@ class SnapshotStore:
             )
         else:
             entries = self._write_data(df, version, cluster_by, target_files)
+        if audit:
+            # Write-Audit-Publish (Iceberg WAP): validate the BYTES the
+            # write produced, not the input plan — which closes the
+            # determinism caveat of the pre-write checks (a
+            # non-deterministic df can pass a pre-check yet write
+            # violating rows; it cannot pass an audit of the written
+            # files). Failure removes the attempt directory and raises
+            # with no version published — the reader-visible store is
+            # untouched.
+            self._audit_written(df.sparkSession, entries, expect, constraints)
         if mode == "append" and parent is not None:
             prev = self.snapshot(parent)
             entries = prev.entries + entries
@@ -570,6 +589,46 @@ class SnapshotStore:
             }
         )
         return version
+
+    def _audit_written(
+        self,
+        spark: SparkSession,
+        entries: list[dict],
+        expect: list | None,
+        constraints: dict,
+    ) -> None:
+        """Post-write audit for ``commit(audit=True)``: read back the
+        just-written files and enforce expectations + CHECK constraints
+        against them; clean up and raise on failure (nothing published).
+        """
+        if not entries:
+            return
+        try:
+            audit_df = spark.read.parquet(
+                *[os.path.join(self.path, e["path"]) for e in entries]
+            )
+            failures: list[tuple[str, int]] = []
+            if expect:
+                from log2sql_spark.operators.expectations import (
+                    check_expectations,
+                )
+
+                report = check_expectations(audit_df, expect).collect()
+                failures = [
+                    (r.rule, r.violations) for r in report if r.violations > 0
+                ]
+            if failures:
+                raise ExpectationError(failures)
+            self._check_constraints(audit_df, constraints)
+        except Exception:
+            # attempt dir = first two path components (data/vN-XXXX)
+            tops = set()
+            for e in entries:
+                parts = e["path"].split(os.sep)
+                tops.add(os.path.join(self.path, parts[0], parts[1]))
+            for t in tops:
+                shutil.rmtree(t, ignore_errors=True)
+            raise
 
     @staticmethod
     def _check_constraints(df: DataFrame, constraints: dict) -> None:

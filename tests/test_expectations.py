@@ -80,3 +80,53 @@ def test_all_pass_and_empty_table(spark):
     # zero rows -> zero violations, vacuously passing
     assert rep0["nn"] == (0, 0, 1)
     assert rep0["u"] == (0, 0, 1)
+
+
+def test_commit_audit_write_audit_publish(spark, tmp_path):
+    """commit(audit=True) = Iceberg WAP: the checks run against the
+    WRITTEN FILES, not the input plan — a non-deterministic input that
+    would slip past the pre-write check cannot slip past the audit.
+    Failure publishes nothing and removes the attempt directory."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from log2sql_spark.operators.expectations import condition
+    from log2sql_spark.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "wapstore"))
+    good = spark.range(10).select(F.col("id").alias("k"), (F.col("id") + 1).alias("v"))
+    v = store.commit(good, expect=[condition("v > 0", F.expr("v > 0"))], audit=True)
+    assert v == 1 and store.read(spark).count() == 10
+
+    bad = spark.range(5).select(F.col("id").alias("k"), (F.col("id") - 3).alias("v"))
+    with pytest.raises(Exception, match="v > 0"):
+        store.commit(
+            bad, mode="append", expect=[condition("v > 0", F.expr("v > 0"))], audit=True
+        )
+    assert store.head_version() == 1  # nothing published
+    assert store.read(spark).count() == 10
+    assert store.fsck() == []  # and no orphaned attempt dir poisons fsck
+    # the failed attempt directory was cleaned up
+    data_root = os.path.join(store.path, "data")
+    assert len(os.listdir(data_root)) == 1
+
+
+def test_commit_audit_enforces_constraints_post_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    from log2sql_spark.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "wapc"))
+    store.commit(
+        spark.range(3).select(F.col("id").alias("k"), (F.col("id") + 1).alias("v"))
+    )
+    store.add_constraint(spark, "v_pos", "v > 0")
+    bad = spark.range(2).select(F.col("id").alias("k"), F.lit(-1).alias("v"))
+    with pytest.raises(Exception, match="v_pos"):
+        store.commit(bad, mode="append", audit=True)
+    assert store.head_version() == 2
+    assert store.read(spark).count() == 3
