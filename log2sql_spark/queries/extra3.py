@@ -1264,3 +1264,47 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_both"), "pa", "pb")
         .limit(100)
     )
+
+
+@query(
+    "sql_scalar_udf",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                    + CAST(round(o_totalprice * 100) AS BIGINT) * 850 // 10000)
+                AS BIGINT) AS taxed_cents
+    FROM orders
+    WHERE o_orderkey < 5000
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+)
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scalar UDFs (CREATE TEMPORARY FUNCTION ... RETURN
+    expr): business logic named ONCE in SQL and reused across queries —
+    and because the body is a SQL expression, Catalyst INLINES it
+    (no Python, no serialization boundary, full codegen/pushdown —
+    the plan is identical to writing the expression by hand, which is
+    exactly what the oracle does). Here: integer-cents conversion and
+    an 8.5% integer-bp tax composed through two functions."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cents(x DOUBLE) RETURNS BIGINT "
+        "RETURN CAST(round(x * 100) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION taxed(c BIGINT, bp BIGINT) "
+        "RETURNS BIGINT RETURN c + c * bp DIV 10000"
+    )
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_udf_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(taxed(cents(o_totalprice), 850)) AS BIGINT) AS taxed_cents
+        FROM orders_udf_v
+        WHERE o_orderkey < 5000
+        GROUP BY o_orderstatus
+        ORDER BY status
+        """
+    )
