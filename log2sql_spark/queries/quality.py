@@ -542,3 +542,50 @@ def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_bp"),
         )
     )
+
+
+@query(
+    "quality_k_anonymity",
+    oracle="""
+    WITH grp AS (
+      SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nation,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2
+    ), stats AS (
+      SELECT CAST(min(n) AS BIGINT) AS k_anonymity,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS groups_under_5,
+             CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS rows_at_risk
+      FROM grp
+    )
+    SELECT * FROM stats
+    """,
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (market
+    segment, nation): the dataset's k is the SMALLEST equivalence
+    class — any release is only as anonymous as its rarest
+    combination — plus how many classes and rows fall under k=5 (the
+    re-identifiable tail a privacy review must suppress or generalize
+    before sharing). The privacy-measurement companion to the PII
+    scrubber (llm_pii_redact removes direct identifiers; quasi-
+    identifier combinations re-identify AROUND redaction, which is
+    what k-anonymity quantifies). One aggregate over the quasi-ID
+    rollup — row count never matters."""
+    customer = load_table(spark, "customer", sf_dir)
+    grp = customer.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return grp.agg(
+        F.min("n").cast("long").alias("k_anonymity"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("n") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_under_5"),
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+    )
