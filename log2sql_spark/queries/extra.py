@@ -599,3 +599,69 @@ def ts_dow_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dw")
     )
+
+
+@query(
+    "events_bot_burstiness",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), gaps AS (
+      SELECT user_id,
+             CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_s
+      FROM ordered WHERE prev_ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(median(gap_s), 1) AS median_gap_s,
+           CAST(sum(CASE WHEN gap_s < 14400 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS burst_bp
+    FROM gaps
+    GROUP BY user_id
+    HAVING count(*) >= 20
+       AND sum(CASE WHEN gap_s < 14400 THEN 1 ELSE 0 END) * 10000
+           // count(*) >= 3000
+    ORDER BY burst_bp DESC, user_id
+    LIMIT 50
+    """,
+)
+def events_bot_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral bot screen: users whose inter-event gaps are
+    implausibly bursty — fraction of short gaps (under 4 h, ~5x
+    faster than this corpus's median cadence) in basis points
+    plus the median gap — the rate-anomaly heuristic fraud/abuse
+    pipelines run before any model. One lag window and one aggregate,
+    both partitioned by user_id (a single shuffle); the burst fraction
+    is truncating integer arithmetic and the top-50 carries a
+    (burst_bp desc, user) total order. Both engines define median of
+    an even set as the midpoint, so the .5 medians hash after a 1 dp
+    round."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+            ).cast("long").alias("gap_s"),
+        )
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.median("gap_s"), 1).alias("median_gap_s"),
+        F.expr(
+            "CAST(sum(CASE WHEN gap_s < 14400 THEN 1 ELSE 0 END) * 10000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("burst_bp"),
+    )
+    return (
+        agg.filter((F.col("n_gaps") >= 20) & (F.col("burst_bp") >= 3000))
+        .orderBy(F.desc("burst_bp"), "user_id")
+        .limit(50)
+    )
