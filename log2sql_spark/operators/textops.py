@@ -292,6 +292,61 @@ def with_c4_line_stats(
     ).drop("_w", "_chunks")
 
 
+def with_code_prose_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append code-vs-prose detection features + the verdict — the
+    curation signal a pretraining mix uses to route documents to a
+    code pipeline (different dedup granularity, no stopword gates) or
+    drop stray markup from a prose corpus.
+
+    Features are punctuation-structural, not lexical: code-symbol
+    density (``;{}()=`` per character, in truncating basis points) and
+    the indented-line fraction. The verdict is evaluated by integer
+    cross-multiplication (``200*n_symbols >= 3*n_chars`` is the exact
+    integer form of ``symbol_bp >= 150``; ``10*n_indent >= 3*n_lines``
+    of a 30% indent fraction) so it hashes identically cross-engine —
+    the same discipline as with_gopher_rules. One JVM projection per
+    document: at 100 TB this is a map-only codegen scan, no shuffle,
+    no Python.
+    """
+    t = F.col(text_col)
+    # Stage the line array as a real column: each line metric below
+    # must reference a plain attribute, not re-split the document
+    # (the with_c4_line_stats O(n²) lesson).
+    docs = docs.withColumn(
+        "_cl", F.filter(F.split(t, r"\n"), lambda l: F.length(l) > 0)
+    )
+    lines = F.col("_cl")
+    n_chars = F.length(t).cast("long")
+    n_symbols = F.regexp_count(t, F.lit(r"[;{}()=]")).cast("long")
+    n_lines = F.size(lines).cast("long")
+    # an indented line must carry content: a run of spaces alone (e.g.
+    # a whitespace-only document) is not evidence of code structure
+    n_indent = F.size(
+        F.filter(lines, lambda l: l.startswith("  ") & (F.length(F.trim(l)) > 0))
+    ).cast("long")
+    # greatest(..., 1): an empty document satisfies 0 >= 0 for both
+    # cross-multiplied rules — it must classify as prose, not code
+    is_code = (200 * n_symbols >= F.greatest(3 * n_chars, F.lit(1))) | (
+        10 * n_indent >= F.greatest(3 * n_lines, F.lit(1))
+    )
+    return (
+        docs.select(
+            "*",
+            n_chars.alias("n_chars"),
+            n_symbols.alias("n_symbols"),
+            n_lines.alias("n_lines"),
+            n_indent.alias("n_indent_lines"),
+            is_code.cast("int").alias("is_code"),
+        )
+        # integer DIV on the staged counts — exact, never a truncated
+        # double that could round across an integer boundary
+        .withColumn(
+            "symbol_bp", F.expr("n_symbols * 10000 DIV greatest(n_chars, 1)")
+        )
+        .drop("_cl")
+    )
+
+
 def nb_source_scores(
     docs: DataFrame,
     label_col: str = "source",

@@ -1045,3 +1045,78 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+@query(
+    "llm_code_detect",
+    oracle=r"""
+    WITH fx AS (
+      SELECT doc_id AS id,
+             CASE WHEN doc_id % 7 = 0
+                    THEN replace(text, ' ', '();' || chr(10) || '  ')
+                  WHEN doc_id % 7 = 3
+                    THEN replace(text, 'value', 'value();')
+                  ELSE text END AS t
+      FROM documents
+    ),
+    f AS (
+      SELECT id,
+             CAST(length(t) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(t, '[;{}()=]')) AS BIGINT) AS n_symbols,
+             list_filter(string_split(t, chr(10)), l -> len(l) > 0) AS lines
+      FROM fx
+    )
+    SELECT id, n_chars, n_symbols,
+           n_symbols * 10000 // greatest(n_chars, 1) AS symbol_bp,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lines, l -> l LIKE '  %' AND len(trim(l)) > 0))
+                  AS BIGINT) AS n_indent_lines,
+           CAST(200 * n_symbols >= greatest(3 * n_chars, 1)
+                OR 10 * len(list_filter(lines, l -> l LIKE '  %' AND len(trim(l)) > 0))
+                   >= greatest(3 * len(lines), 1) AS INT) AS is_code
+    FROM f ORDER BY id
+    """,
+)
+def llm_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection — operators/textops.py:
+    with_code_prose_stats. The routing signal a pretraining mix needs
+    before dedup/filter rules diverge by modality: code dedups at
+    function granularity and must keep its braces; prose gets stopword
+    and terminal-punctuation gates that would shred code.
+
+    The synthetic corpus contains no code, so the query deterministically
+    renders doc_id%7==0 as heavy code (every space becomes '();\\n  ' —
+    symbols + indented lines) and doc_id%7==3 as light code (each
+    'value' token gains a call suffix) — both engines apply the same
+    rewrite, so the detector sees three real populations: heavy code
+    (both rules fire), borderline (the 150 bp symbol-density rule
+    splits the class 31/71 at sf0.01), and pure prose. Verdicts are
+    integer cross-multiplications — no float compares. Map-only scan;
+    reference analog: none (LLM-pipeline extension, SURVEY.md §2.2)."""
+    from log2sql_spark.operators.textops import with_code_prose_stats
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)  # single corpus file: use all cores
+    fx = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.expr(r"replace(text, ' ', '();\n  ')"),
+        )
+        .when(
+            F.col("doc_id") % 7 == 3,
+            F.expr("replace(text, 'value', 'value();')"),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    return (
+        with_code_prose_stats(fx, text_col="t")
+        .select(
+            "id", "n_chars", "n_symbols", "symbol_bp",
+            "n_lines", "n_indent_lines", "is_code",
+        )
+        .orderBy("id")
+    )

@@ -87,6 +87,9 @@ def _compare(spark, edge_sf_dir, name):
         "llm_token_entropy",
         "llm_weighted_sample_topk",
         "llm_dedup_cdc_chunks",
+        # round 6 wave 8: code detector (empty doc 0>=0 guard,
+        # whitespace-only indent guard, \r\n line splits)
+        "llm_code_detect",
     ],
 )
 def test_edge_doc_parity(spark, edge_sf_dir, name):

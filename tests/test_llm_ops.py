@@ -537,3 +537,42 @@ def test_cdc_chunks_property_vs_python_reference(spark):
             assert have == expect, (i, t)
 
     check()
+
+
+def test_code_prose_detection_real_snippets(spark):
+    """The code-vs-prose detector on REAL code and prose — the corpus
+    query exercises it on deterministic rewrites, this locks the
+    verdict on the genuine article: a Python function (indent rule), a
+    C-style one-liner (symbol-density rule), natural prose, and an
+    empty doc."""
+    from log2sql_spark.operators.textops import with_code_prose_stats
+
+    python_fn = (
+        "def total(items):\n"
+        "  result = 0\n"
+        "  for item in items:\n"
+        "    result = result + item.price\n"
+        "  return result\n"
+    )
+    c_line = "for (int i = 0; i < n; i++) { sum += a[i]; } return sum;"
+    prose = (
+        "the cat sat on the mat and watched the dog sleep quietly "
+        "while rain fell outside the window all afternoon long"
+    )
+    rows = [(1, python_fn), (2, c_line), (3, prose), (4, "")]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in with_code_prose_stats(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    # python: 4 of 5 lines indented -> indent rule fires
+    assert out[1]["n_indent_lines"] == 4 and out[1]["n_lines"] == 5
+    assert out[1]["is_code"] == 1
+    # C one-liner: dense in ;{}()= -> symbol rule fires, no indent
+    assert out[2]["n_indent_lines"] == 0
+    assert out[2]["symbol_bp"] >= 150 and out[2]["is_code"] == 1
+    # prose: no symbols, no indent
+    assert out[3]["n_symbols"] == 0 and out[3]["is_code"] == 0
+    # empty doc: zero everything, prose by default (greatest guard)
+    assert out[4]["n_chars"] == 0 and out[4]["is_code"] == 0
