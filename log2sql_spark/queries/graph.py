@@ -230,3 +230,110 @@ def graph_bfs_trade_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), F.col("d").cast("int").alias("hops"))
         .orderBy("hops", "nation")
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH raw AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+      FROM raw WHERE src <> dst
+    ), und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM ranked WHERE rn <= 3
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.v
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS triangles
+    FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ) t
+    JOIN nation n ON n.n_nationkey = t.node
+    GROUP BY n.n_name
+    ORDER BY triangles DESC, nation
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the sparsified trade graph — the
+    clustering/community complement to the PageRank (influence) and
+    BFS (reachability) queries. Same top-3-destinations sparsification
+    and (weight desc, dst) tie-break as graph_bfs_trade_distances; the
+    dense graph is a near-clique whose triangle counts say nothing.
+
+    Shape is the textbook distributed triangle enumeration: edges are
+    canonicalized to u < v, so each triangle a < b < c is generated
+    exactly once by the wedge join (a,b)x(b,c) and confirmed by one
+    semi-join against (a,c) — no factor-6 overcount to divide away,
+    and the orientation halves the wedge fan-out. At a billion edges
+    the same plan holds with the orientation done by (degree, id)
+    instead of raw id — the standard high-degree-vertex mitigation —
+    and the wedge join shuffling on the mid vertex; here the ≤75-row
+    edge list broadcasts, so triangle counting costs one map-side
+    stage on top of the shared 4-table edge derivation.
+
+    Reference analog: none (LLM/graph extension, SURVEY.md §2.2).
+    """
+    from pyspark.sql import Window as W
+
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+
+    raw = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    wr = W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    und = (
+        raw.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .persist()  # one 4-table build feeds three self-join arms
+    )
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = e1.join(F.broadcast(e2), "b")
+    tri = wedges.join(
+        F.broadcast(und),
+        (wedges.a == und.u) & (wedges.c == und.v),
+        "left_semi",
+    )
+    members = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        members.join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("node"), "n_name")),
+            "node",
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+        .orderBy(F.desc("triangles"), F.asc("nation"))
+    )

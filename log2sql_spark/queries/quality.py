@@ -679,3 +679,115 @@ def quality_reconciliation_tieout(spark: SparkSession, sf_dir: str) -> DataFrame
             "total_abs_drift_cents",
         )
     )
+
+
+@query(
+    "quality_referential_orphans",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0
+    ),
+    e1 AS (
+      SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans,
+             CAST(count(DISTINCT CASE WHEN o.o_orderkey IS NULL
+                                      THEN l.l_orderkey END)
+                  AS BIGINT) AS n_orphan_keys
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    e2 AS (
+      SELECT 'orders.o_custkey->customer(partial)',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(count(DISTINCT CASE WHEN d.c_custkey IS NULL
+                                      THEN o.o_custkey END)
+                  AS BIGINT)
+      FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey
+    ),
+    e3 AS (
+      SELECT 'lineitem.l_suppkey->supplier',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(count(DISTINCT CASE WHEN s.s_suppkey IS NULL
+                                      THEN l.l_suppkey END)
+                  AS BIGINT)
+      FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    e4 AS (
+      SELECT 'customer.c_nationkey->nation',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(count(DISTINCT CASE WHEN n.n_nationkey IS NULL
+                                      THEN c.c_nationkey END)
+                  AS BIGINT)
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT * FROM e1 UNION ALL SELECT * FROM e2
+    UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+    ORDER BY fk_edge
+    """,
+)
+def quality_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for four FK edges in
+    one report — the control a warehouse load runs before publishing
+    (and a CDC apply runs after, to prove the replayed child rows all
+    land under replayed parents). One edge audits against a
+    deliberately PARTIAL dimension (customers with c_custkey % 97
+    dropped — the simulated mid-load dim) so the control demonstrably
+    fires: orphan counts there are nonzero and deterministic, the
+    intact edges prove the zero case.
+
+    Each edge is ONE left join + aggregate — total rows, orphan rows,
+    and distinct orphan keys come out of the same pass (no anti-join
+    second scan). The joins shuffle on the FK at scale with the small
+    dims broadcast; the four audits are independent branches unioned
+    at the 4-row report level, so they run as parallel stages, not a
+    sequential driver loop.
+
+    Reference analog: the unique-key fallback (log2sql.py:29-46)
+    trusts the catalog; this is the downstream audit of that trust.
+    """
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+
+    def audit(fact, fk, dim, pk, label, small_dim=False):
+        # broadcast is an explicit per-edge decision: nation/supplier
+        # stay dim-sized at any SF, but orders/customer grow with the
+        # facts — those edges must shuffle on the FK (AQE picks
+        # broadcast anyway when the runtime size allows).
+        d = dim.select(F.col(pk).alias("_pk"))
+        if small_dim:
+            d = F.broadcast(d)
+        j = fact.select(F.col(fk).alias("_fk")).join(
+            d, F.col("_fk") == F.col("_pk"), "left"
+        )
+        orphan = F.col("_pk").isNull()
+        return j.agg(
+            F.lit(label).alias("fk_edge"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(orphan.cast("int")).cast("long").alias("n_orphans"),
+            F.countDistinct(F.when(orphan, F.col("_fk")))
+            .cast("long")
+            .alias("n_orphan_keys"),
+        )
+
+    partial_dim = customer.filter(F.col("c_custkey") % 97 != 0)
+    report = (
+        audit(lineitem, "l_orderkey", orders, "o_orderkey",
+              "lineitem.l_orderkey->orders")
+        .unionByName(audit(orders, "o_custkey", partial_dim, "c_custkey",
+                           "orders.o_custkey->customer(partial)"))
+        .unionByName(audit(lineitem, "l_suppkey", supplier, "s_suppkey",
+                           "lineitem.l_suppkey->supplier", small_dim=True))
+        .unionByName(audit(customer, "c_nationkey", nation, "n_nationkey",
+                           "customer.c_nationkey->nation", small_dim=True))
+    )
+    return report.orderBy("fk_edge")
