@@ -1308,3 +1308,94 @@ def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY status
         """
     )
+
+
+@query(
+    "join_spatial_grid_radius",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey AS ck,
+             (c_custkey * 7919) % 10000 AS x,
+             (c_custkey * 104729) % 10000 AS y
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey AS sk,
+             (s_suppkey * 7919) % 10000 AS x,
+             (s_suppkey * 104729) % 10000 AS y
+      FROM supplier
+    )
+    SELECT c.ck AS custkey,
+           CAST(count(*) AS BIGINT) AS n_nearby,
+           CAST(min((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y))
+                AS BIGINT) AS min_dist2
+    FROM c JOIN s
+      ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 250000
+    GROUP BY c.ck
+    ORDER BY custkey
+    """,
+)
+def join_spatial_grid_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join via grid bucketing — the geohash/S2-cell
+    pattern that turns an all-pairs distance predicate into an
+    equi-join. Points get deterministic integer coordinates on a
+    10000x10000 plane (hash-derived from their keys); each supplier is
+    replicated into its 3x3 neighborhood of radius-sized (500) grid
+    cells, customers land in exactly one cell, and the cell equi-join
+    plus an exact integer distance filter finds every pair within the
+    radius — cell size = radius guarantees the neighborhood covers all
+    candidates, and the single-cell side means no pair is produced
+    twice, so no dedup pass.
+
+    The ORACLE is the naive theta-join (fine at sf0.01); the engine
+    side is the plan that survives scale: a hash shuffle on cell id
+    with constant 9x replication of the smaller side, per-cell
+    candidate counts bounded by point density — at a billion points
+    per side the naive plan is 10^18 pairs while this one touches only
+    neighbor-cell candidates. Skewed cells (hot spots) fall to AQE
+    skew-join like any other equi-join, which no theta-join gets.
+
+    Reference analog: none (extension join family, SURVEY.md §2.2).
+    """
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+
+    c = customer.select(
+        F.col("c_custkey").alias("ck"),
+        (F.col("c_custkey") * 7919 % 10000).alias("cx"),
+        (F.col("c_custkey") * 104729 % 10000).alias("cy"),
+    ).withColumns(
+        {
+            "gx": F.expr("cx DIV 500"),
+            "gy": F.expr("cy DIV 500"),
+        }
+    )
+    s = supplier.select(
+        F.col("s_suppkey").alias("sk"),
+        (F.col("s_suppkey") * 7919 % 10000).alias("sx"),
+        (F.col("s_suppkey") * 104729 % 10000).alias("sy"),
+    ).withColumn(
+        "off",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx ->"
+                " transform(sequence(-1, 1), dy -> struct(dx, dy))))"
+            )
+        ),
+    ).select(
+        "sk", "sx", "sy",
+        F.expr("sx DIV 500 + off.dx").alias("gx"),
+        F.expr("sy DIV 500 + off.dy").alias("gy"),
+    )
+    d2 = (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx")) + (
+        F.col("cy") - F.col("sy")
+    ) * (F.col("cy") - F.col("sy"))
+    return (
+        c.join(s, ["gx", "gy"])
+        .filter(d2 <= 250000)
+        .groupBy(F.col("ck").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nearby"),
+            F.min(d2).cast("long").alias("min_dist2"),
+        )
+        .orderBy("custkey")
+    )

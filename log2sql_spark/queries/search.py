@@ -306,3 +306,57 @@ def search_phrase_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_hits") > 0)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "search_regex_trigram",
+    oracle=r"""
+    WITH cand AS (
+      SELECT doc_id AS id, text
+      FROM documents
+      WHERE contains(text, 'slow') AND contains(text, 'table')
+    )
+    SELECT id,
+           CAST(len(regexp_extract_all(text, 'slow (\w+) table')) AS BIGINT)
+             AS n_matches
+    FROM cand
+    WHERE len(regexp_extract_all(text, 'slow (\w+) table')) > 0
+    ORDER BY id
+    """,
+)
+def search_regex_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal-prefiltered regex search — the trigram-index pattern
+    every production regex scan uses (pg_trgm, Lucene/ES wildcard,
+    Google Code Search): factor the pattern's REQUIRED literals out of
+    the regex ('slow ... table' must both appear for 'slow (\\w+)
+    table' to match), screen with cheap JVM ``contains`` first, and
+    run the regex engine only on the survivors. The prefilter is
+    whole-stage-codegen substring search (vectorizable, pushes into
+    the scan); the regex — orders of magnitude slower per byte — sees
+    only candidate documents. At 100 TB this is the difference between
+    a regex over every byte and a regex over the contains-selected
+    slice; with a real inverted trigram index the screen becomes a
+    posting-list intersection, but the two-phase plan is identical.
+
+    The oracle runs the SAME two phases in DuckDB — the screen is a
+    correctness-neutral narrowing (contains is implied by the match),
+    so both engines' final (id, n_matches) agree exactly; Java and
+    DuckDB (RE2) regex semantics coincide on this \\w-and-space
+    pattern, and both count non-overlapping matches left-to-right.
+
+    Reference analog: row filtering (log2sql.py:59-61) generalized to
+    pattern search; extension surface SURVEY.md §2.2.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    cand = docs.filter(
+        F.col("text").contains("slow") & F.col("text").contains("table")
+    )
+    n = F.regexp_count(F.col("text"), F.lit(r"slow (\w+) table")).cast("long")
+    return (
+        cand.select(F.col("doc_id").alias("id"), n.alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+        .orderBy("id")
+    )
