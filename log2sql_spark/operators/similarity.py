@@ -411,3 +411,46 @@ def pq_codes(
         ],
         F.sum("b.d").cast("bigint").alias("err"),
     )
+
+
+def gram_matrix(
+    vecs: DataFrame, dim: int, id_col: str = "id", vec_col: str = "qv"
+) -> DataFrame:
+    """Distributed Gram matrix X^T X over pre-quantized integer
+    vectors — the one-pass building block of covariance/PCA/linear
+    regression at scale: each Arrow batch contributes a d x d partial
+    (numpy int64 matmul, no Python loop over rows), partitions emit
+    only their d(d+1)/2 upper-triangle cells, and one tiny groupBy
+    folds the partials. The shuffle moves O(partitions * d^2) cells —
+    never a vector — so a 100 TB embedding table reduces to a
+    driver-sized matrix in a single pass; eigen-decomposition of the
+    result is an O(d^3) driver/NumPy afterthought, not a cluster job.
+
+    Integer inputs make the cell sums order-free and therefore
+    bit-identical across engines and across partitionings (float
+    accumulation order would differ run to run).
+
+    Output: (i, j, g) for i <= j, g = sum over rows of qv[i]*qv[j].
+    """
+    import numpy as np
+    import pandas as pd
+
+    def gram(batches):
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf):
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.int64)
+                acc += X.T @ X
+                seen = True
+        if seen:
+            iu = np.triu_indices(dim)
+            yield pd.DataFrame(
+                {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"),
+                 "g": acc[iu]}
+            )
+
+    partials = vecs.select(vec_col).mapInPandas(
+        gram, schema="i int, j int, g long"
+    )
+    return partials.groupBy("i", "j").agg(F.sum("g").cast("long").alias("g"))

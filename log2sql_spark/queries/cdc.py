@@ -1026,3 +1026,114 @@ def cdc_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         not_matched_by_source="update",
         set_cols={"is_active": F.lit(False)},
     ).orderBy("key")
+
+
+@query(
+    "cdc_lag_monitor",
+    oracle=_ORACLE_BASE
+    + """
+    , ins AS (
+      SELECT count(*) AS n, min(o_orderdate) AS mn, max(o_orderdate) AS mx
+      FROM src
+    ), upd AS (
+      SELECT count(*) AS n, min(o_orderdate) AS mn, max(o_orderdate) AS mx
+      FROM src WHERE o_orderkey % 3 = 0
+    ), del AS (
+      SELECT count(*) AS n, min(o_orderdate) AS mn, max(o_orderdate) AS mx
+      FROM src WHERE o_orderkey % 5 = 0
+    ), tot AS (
+      SELECT max(o_orderdate) AS head FROM src
+    )
+    SELECT * FROM (
+      SELECT 'insert' AS op,
+             CAST(ins.n AS BIGINT) AS n_events,
+             CAST(4 AS BIGINT) AS first_pos,
+             CAST(4 + 120 * ins.n AS BIGINT) AS last_stop,
+             CAST(120 * ins.n AS BIGINT) AS n_bytes,
+             CAST(epoch(tot.head) - epoch(ins.mx) AS BIGINT) AS lag_s,
+             CAST(epoch(ins.mx) - epoch(ins.mn) AS BIGINT) AS span_s
+      FROM ins, tot
+      UNION ALL
+      SELECT 'update',
+             CAST(upd.n AS BIGINT),
+             CAST(4 + 120 * ins.n AS BIGINT),
+             CAST(4 + 120 * (ins.n + upd.n) AS BIGINT),
+             CAST(120 * upd.n AS BIGINT),
+             CAST(epoch(tot.head) - epoch(upd.mx) AS BIGINT),
+             CAST(epoch(upd.mx) - epoch(upd.mn) AS BIGINT)
+      FROM ins, upd, tot
+      UNION ALL
+      SELECT 'delete',
+             CAST(del.n AS BIGINT),
+             CAST(4 + 120 * (ins.n + upd.n) AS BIGINT),
+             CAST(4 + 120 * (ins.n + upd.n + del.n) AS BIGINT),
+             CAST(120 * del.n AS BIGINT),
+             CAST(epoch(tot.head) - epoch(del.mx) AS BIGINT),
+             CAST(epoch(del.mx) - epoch(del.mn) AS BIGINT)
+      FROM ins, upd, del, tot
+    ) ORDER BY op
+    """,
+)
+def cdc_lag_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC pipeline observability: per-op event counts, byte ranges,
+    time span, and replication lag (dump-head timestamp minus the op's
+    newest event) straight off the parsed envelope — the monitoring
+    report a production CDC consumer exports per table (reference has
+    no observability at all; its loop at main.py:109-116 is silent).
+
+    This is also the one query that cross-checks the parser's
+    position/timestamp extraction across ALL THREE DML kinds at once:
+    the oracle reconstructs every number analytically from the fixture
+    arithmetic (positions advance 120/event in generation order —
+    inserts, then updates, then deletes), so a parser that misreads an
+    Update_rows header or drops a Delete_rows timestamp shifts a count
+    or a byte range and fails the hash. One groupBy("op") over the
+    envelope plus a broadcast 1-row head timestamp; never touches row
+    images, so the plan is the same at any dump size.
+    """
+    from log2sql_spark.sources.binlog import read_binlog
+
+    rows = _orders_subset(spark, sf_dir)
+    events = [
+        {"op": "insert", "db": "shop", "table": "orders",
+         "ts": r["o_orderdate"], "values": _row_tokens(r)}
+        for r in rows
+    ]
+    events += [
+        {"op": "update", "db": "shop", "table": "orders",
+         "ts": r["o_orderdate"], "before": _row_tokens(r),
+         "after": _row_tokens(r)}
+        for r in rows if r["o_orderkey"] % 3 == 0
+    ]
+    events += [
+        {"op": "delete", "db": "shop", "table": "orders",
+         "ts": r["o_orderdate"], "values": _row_tokens(r)}
+        for r in rows if r["o_orderkey"] % 5 == 0
+    ]
+    path = _write_dump(events)
+    env = read_binlog(spark, path)
+    head = env.agg(F.max("event_ts").alias("head_ts"))
+    per_op = env.groupBy("op").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("start_pos").cast("long").alias("first_pos"),
+        F.max("stop_pos").cast("long").alias("last_stop"),
+        F.min("event_ts").alias("mn"),
+        F.max("event_ts").alias("mx"),
+    )
+    return (
+        per_op.crossJoin(F.broadcast(head))
+        .select(
+            "op",
+            "n_events",
+            "first_pos",
+            "last_stop",
+            (F.col("last_stop") - F.col("first_pos")).alias("n_bytes"),
+            (F.unix_timestamp("head_ts") - F.unix_timestamp("mx"))
+            .cast("long")
+            .alias("lag_s"),
+            (F.unix_timestamp("mx") - F.unix_timestamp("mn"))
+            .cast("long")
+            .alias("span_s"),
+        )
+        .orderBy("op")
+    )

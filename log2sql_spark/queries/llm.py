@@ -2232,3 +2232,54 @@ def llm_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_hit * 10000 DIV greatest(n_exact, 1)"),
         )
     )
+
+
+@query(
+    "llm_embedding_gram_matrix",
+    oracle="""
+    WITH q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ), idx AS (
+      SELECT CAST(range AS INTEGER) AS i FROM range(64)
+    ), pairs AS (
+      SELECT a.i AS i, b.i AS j FROM idx a, idx b WHERE a.i <= b.i
+    )
+    SELECT p.i AS i, p.j AS j,
+           CAST(sum(qv[p.i + 1] * qv[p.j + 1]) AS BIGINT) AS g
+    FROM q, pairs p
+    GROUP BY p.i, p.j
+    ORDER BY i, j
+    """,
+)
+def llm_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram matrix X^T X of the embedding corpus —
+    operators/similarity.py:gram_matrix. The one-pass distributed
+    linear-algebra pattern behind covariance/PCA/whitening over a
+    100 TB embedding table: Arrow batches fold into per-partition
+    numpy int64 partials, partitions ship only d(d+1)/2 = 2080
+    triangle cells, one tiny groupBy folds them; the d x d result is
+    driver-sized so the eigen step (PCA axes for SemDeDup-style
+    clustering or dimensionality reduction) never becomes a cluster
+    job. Coordinates are pre-quantized to integer milli-units, making
+    cell sums order-free — bit-identical across engines, partition
+    counts, and runs; the DuckDB oracle recomputes every cell from the
+    raw floats with the same quantization.
+
+    Reference analog: none (LLM-pipeline extension, SURVEY.md §2.2).
+    """
+    from log2sql_spark.operators.similarity import gram_matrix
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    par = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < par:
+        emb = emb.repartition(par)
+    q = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000).cast("long"),
+        ).alias("qv"),
+    )
+    return gram_matrix(q, dim=64).orderBy("i", "j")
