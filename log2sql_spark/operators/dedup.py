@@ -549,3 +549,68 @@ def cdc_chunk_hashes(
     return d.select(
         "id", F.posexplode(chunks).alias("chunk_idx", "chunk_text")
     ).select("id", "chunk_idx", F.md5(F.col("chunk_text")).alias("chunk_hash"))
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold_bp: int = 9000,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_df: int | None = 1024,
+) -> DataFrame:
+    """All-pairs n-gram CONTAINMENT ≥ threshold (a < b) — the
+    asymmetric near-dup measure C = |A∩B| / min(|A|,|B|) that catches
+    what Jaccard structurally cannot: a short document quoted inside a
+    long one has containment ≈ 1 but Jaccard ≈ |small|/|large|, far
+    below any dedup threshold. This is the Broder "containment" twin
+    of resemblance — the right metric for excerpt/quote/subset
+    duplication in a pretraining corpus.
+
+    Same candidate machinery as ngram_jaccard_pairs (pairs meet
+    through a gram self-join, df==1 grams never generate, the
+    ``max_gram_df`` stopword-gram cap bounds join cost linearly at
+    scale), so the scale shape is identical; only the verification
+    arithmetic differs. Scores emit as truncating integer basis points
+    and the threshold evaluates by integer cross-multiplication —
+    no float compare crosses an engine boundary.
+    """
+    # word_ngrams is already per-doc distinct — (id, gram) needs no
+    # dedup shuffle here.
+    grams = exploded_grams(docs, n, text_col, id_col)
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    join_grams = grams
+    if max_gram_df is not None:
+        gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+        join_grams = grams.join(
+            gram_df.filter((F.col("df") >= 2) & (F.col("df") <= max_gram_df)),
+            "gram",
+        ).select("id", "gram")
+    inter = (
+        join_grams.alias("a")
+        .join(join_grams.alias("b"), "gram")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_grams": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_grams": "nb"}), "id_b")
+    )
+    small = F.least("na", "nb")
+    return (
+        scored.filter(
+            F.col("n_inter") * 10000 >= F.lit(threshold_bp) * small
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.expr("n_inter * 10000 DIV least(na, nb)")
+            .cast("long")
+            .alias("containment_bp"),
+            F.expr("n_inter * 10000 DIV (na + nb - n_inter)")
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+    )

@@ -2283,3 +2283,75 @@ def llm_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qv"),
     )
     return gram_matrix(q, dim=64).orderBy("i", "j")
+
+
+@query(
+    "llm_dedup_containment",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 400
+      UNION ALL
+      SELECT doc_id + 30000 AS doc_id,
+             array_to_string(regexp_split_to_array(trim(text), '\s+')[1:15], ' ')
+               AS text
+      FROM documents WHERE doc_id < 60
+    ), grams AS (
+      SELECT doc_id AS id, unnest(list_distinct(g.grams)) AS gram
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+                 i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                      regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                      regexp_split_to_array(trim(text), '\s+')[i+2]
+               ) AS grams
+        FROM corpus
+      ) g(doc_id, grams)
+    ), sizes AS (
+      SELECT id, count(*) AS n FROM grams GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM grams a JOIN grams b USING (gram)
+      WHERE a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(n_inter * 10000 // least(sa.n, sb.n) AS BIGINT)
+             AS containment_bp,
+           CAST(n_inter * 10000 // (sa.n + sb.n - n_inter) AS BIGINT)
+             AS jaccard_bp
+    FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+    WHERE n_inter * 10000 >= 9000 * least(sa.n, sb.n)
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment dedup —
+    operators/dedup.py:ngram_containment_pairs. The corpus plants
+    15-word prefix EXCERPTS of 60 documents (the quote-inclusion
+    case): their containment in the source is ~10000 bp while their
+    Jaccard sits near |excerpt|/|source| — the output's jaccard_bp
+    column shows exactly why the symmetric metric misses every one of
+    these pairs at any dedup threshold. Same gram-self-join candidate
+    machinery and scale bounds as the Jaccard/MinHash family; scores
+    and thresholds are integer basis points end to end."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 400)
+    excerpts = docs.filter(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim("text"), r"\s+"), 1, 15), " "
+        ).alias("text"),
+    )
+    corpus = base.unionByName(excerpts)
+    par = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
+    from log2sql_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(corpus, threshold_bp=9000).orderBy(
+        "id_a", "id_b"
+    )

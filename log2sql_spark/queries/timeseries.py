@@ -1187,3 +1187,139 @@ def ts_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_max_concurrency",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 12 HOUR
+                     THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), numbered AS (
+      SELECT *, CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_seq
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_seq, min(ts) AS s, max(ts) AS e
+      FROM numbered GROUP BY user_id, session_seq
+    ), bounds AS (
+      SELECT user_id, session_seq, s AS ts, 1 AS delta FROM sessions
+      UNION ALL
+      SELECT user_id, session_seq, e AS ts, -1 AS delta FROM sessions
+    ), swept AS (
+      SELECT CAST(ts AS DATE) AS day, ts, delta, user_id, session_seq,
+             sum(delta) OVER (
+               PARTITION BY CAST(ts AS DATE)
+               ORDER BY ts, delta DESC, user_id, session_seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS local_run
+      FROM bounds
+    ), day_local AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_boundaries,
+             CAST(max(local_run) AS BIGINT) AS max_local,
+             CAST(sum(delta) AS BIGINT) AS day_total
+      FROM swept GROUP BY day
+    ), carried AS (
+      SELECT day, n_boundaries,
+             CAST(coalesce(sum(day_total) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS carry_in,
+             max_local
+      FROM day_local
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, n_boundaries,
+           carry_in, CAST(carry_in + max_local AS BIGINT) AS max_concurrent
+    FROM carried ORDER BY day
+    """,
+)
+def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the interval-overlap sweep
+    (room-scheduling / peak-load problem) in its DISTRIBUTED form. The
+    naive sweep is one global running sum over every +1/-1 boundary —
+    a single-task sort at scale. This plan does the textbook two-phase
+    split: boundaries partition by DAY (per-day windows run in
+    parallel), then a tiny per-day aggregate (30 rows here, one row
+    per day at any scale) computes each day's carry-in occupancy as a
+    prefix sum of previous days' net deltas, and peak(day) = carry_in
+    + max(local running sum). Sessions spanning midnight are exactly
+    what the carry-in accounts for. The global window that remains
+    touches |days| rows, never |events|.
+
+    Ties are fully ordered ((ts, delta desc, user, session) — starts
+    before ends at the same instant, then a unique key) so the peak is
+    deterministic on both engines even when boundaries collide.
+
+    Sessions are the same 12 h-gap islands as ts_sessionize_events;
+    reference analog: none (extension surface, SURVEY.md §2.2).
+    """
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select("user_id", "event_id", "ts").withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.expr(
+                    "timestampdiff(MICROSECOND, lag(ts) OVER "
+                    "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+                )
+                > 12 * 3600 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = (
+        flagged.withColumn(
+            "session_seq", F.sum("new_session").over(w).cast("long")
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    bounds = sessions.select(
+        "user_id", "session_seq", F.col("s").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select(
+            "user_id", "session_seq", F.col("e").alias("ts"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    day = F.to_date("ts")
+    sweep_w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("ts"), F.col("delta").desc(), F.col("user_id"),
+                 F.col("session_seq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = bounds.withColumn("day", day).withColumn(
+        "local_run", F.sum("delta").over(sweep_w)
+    )
+    day_local = swept.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_boundaries"),
+        F.max("local_run").cast("long").alias("max_local"),
+        F.sum("delta").cast("long").alias("day_total"),
+    )
+    carry_w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        day_local.withColumn(
+            "carry_in",
+            F.coalesce(F.sum("day_total").over(carry_w), F.lit(0)).cast("long"),
+        )
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "n_boundaries",
+            "carry_in",
+            (F.col("carry_in") + F.col("max_local")).cast("long").alias(
+                "max_concurrent"
+            ),
+        )
+        .orderBy("day")
+    )
