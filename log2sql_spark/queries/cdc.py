@@ -19,7 +19,7 @@ import os
 
 from log2sql_spark.scratch import scratch_dir
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from log2sql_spark.cdc import binlog_to_sql
@@ -1136,4 +1136,117 @@ def cdc_lag_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("span_s"),
         )
         .orderBy("op")
+    )
+
+
+@query(
+    "cdc_integrity_audit",
+    oracle=_ORACLE_BASE
+    + """
+    , a AS (SELECT count(*) AS n FROM src),
+    b AS (SELECT count(*) AS n FROM src WHERE o_orderkey % 4 = 0)
+    SELECT * FROM (
+      SELECT 'redelivery-a.txt' AS file,
+             CAST(a.n AS BIGINT) AS n_events,
+             CAST(0 AS BIGINT) AS n_violations,
+             CAST(0 AS BIGINT) AS n_gaps,
+             CAST(b.n AS BIGINT) AS n_dup_cross_file
+      FROM a, b
+      UNION ALL
+      SELECT 'redelivery-b.txt',
+             CAST(b.n AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(b.n AS BIGINT)
+      FROM b
+    ) ORDER BY file
+    """,
+)
+def cdc_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binlog stream integrity audit: per-file position monotonicity
+    violations, coverage gaps (start_pos != previous stop_pos — a
+    dropped event), and cross-file duplicate row images (a partial
+    re-delivery) — the checks a CDC consumer runs before trusting an
+    at-least-once transport, none of which the reference performs (it
+    applies whatever arrives, main.py:109-116).
+
+    The fixture IS the failure scenario: file B re-delivers a quarter
+    of file A's events (fresh per-file positions, identical images),
+    so the duplicate counter provably fires while both files' position
+    chains audit clean — zeros the oracle asserts, not zeros from an
+    unexercised branch. Row images dedup by a canonical digest
+    (sorted map entries — map iteration order is not cross-engine
+    material), the same content-hash discipline as exact document
+    dedup. Shape: per-file windows (file count = parallelism, no
+    global order), one digest aggregate; both scale with files x
+    events/file, never globally sequential.
+    """
+    from log2sql_spark.sources.binlog import read_binlog
+
+    rows = _orders_subset(spark, sf_dir)
+
+    def _ev(r):
+        return {"op": "insert", "db": "shop", "table": "orders",
+                "ts": r["o_orderdate"], "values": _row_tokens(r)}
+
+    full = [_ev(r) for r in rows]
+    redelivered = [_ev(r) for r in rows if r["o_orderkey"] % 4 == 0]
+    text_a = render_binlog(full)
+    text_b = render_binlog(redelivered)
+    key = f"integrity:{len(text_a)}:{hash(text_a)}:{hash(text_b)}"
+    if key not in _DUMP_CACHE:
+        d = scratch_dir("log2sql_fixture_")
+        for name, text in (("redelivery-a.txt", text_a),
+                           ("redelivery-b.txt", text_b)):
+            with open(os.path.join(d, name), "w") as fh:
+                fh.write(text)
+        _DUMP_CACHE[key] = d
+    d = _DUMP_CACHE[key]
+
+    env = read_binlog(
+        spark,
+        [os.path.join(d, "redelivery-a.txt"),
+         os.path.join(d, "redelivery-b.txt")],
+    ).select(
+        F.element_at(F.split("file", "/"), -1).alias("file"),
+        "event_seq", "start_pos", "stop_pos", "table",
+        F.coalesce("after", "before").alias("img"),
+    )
+    digest = F.sha2(
+        F.concat_ws(
+            "|",
+            F.col("table"),
+            F.expr(
+                "array_join(transform(array_sort(map_keys(img)),"
+                " k -> concat(k, '=', img[k])), ',')"
+            ),
+        ),
+        256,
+    )
+    w = Window.partitionBy("file").orderBy("event_seq")
+    flagged = env.withColumn("digest", digest).withColumn(
+        "violation",
+        (F.col("start_pos") <= F.lag("start_pos").over(w)).cast("int"),
+    ).withColumn(
+        "gap",
+        (
+            F.lag("stop_pos").over(w).isNotNull()
+            & (F.col("start_pos") != F.lag("stop_pos").over(w))
+        ).cast("int"),
+    )
+    cross = flagged.groupBy("digest").agg(
+        F.countDistinct("file").alias("nf")
+    )
+    return (
+        flagged.join(cross, "digest")
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.coalesce(F.col("violation"), F.lit(0)))
+            .cast("long")
+            .alias("n_violations"),
+            F.sum("gap").cast("long").alias("n_gaps"),
+            F.sum((F.col("nf") > 1).cast("int"))
+            .cast("long")
+            .alias("n_dup_cross_file"),
+        )
+        .orderBy("file")
     )

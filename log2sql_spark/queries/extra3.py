@@ -1399,3 +1399,112 @@ def join_spatial_grid_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@query(
+    "events_funnel_latency_quantiles",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, ts FROM events),
+    v AS (
+      SELECT user_id, min(ts) AS view_ts FROM ev WHERE event_type = 'view'
+      GROUP BY user_id
+    ),
+    c AS (
+      SELECT ev.user_id, min(ts) AS click_ts
+      FROM ev JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts > view_ts
+      GROUP BY ev.user_id
+    ),
+    p AS (
+      SELECT ev.user_id, min(ts) AS purchase_ts
+      FROM ev JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts > click_ts
+      GROUP BY ev.user_id
+    ),
+    lat AS (
+      SELECT v.user_id,
+             CAST(date_diff('microsecond', view_ts, purchase_ts) // 1000000
+                  AS BIGINT) AS s
+      FROM v JOIN c ON v.user_id = c.user_id
+             JOIN p ON v.user_id = p.user_id
+    ),
+    ranked AS (
+      SELECT s, row_number() OVER (ORDER BY s, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM lat
+    )
+    SELECT CAST(n AS BIGINT) AS n_converted,
+           CAST(min(s) AS BIGINT) AS min_s,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN s END) AS BIGINT) AS p50_s,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN s END) AS BIGINT)
+             AS p90_s,
+           CAST(max(s) AS BIGINT) AS max_s
+    FROM ranked GROUP BY n
+    """,
+)
+def events_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency distribution (view→click→purchase completion
+    time): exact order statistics via the kth-element pick — p50 is
+    THE ((n+1) DIV 2)-th smallest latency, p90 the ceil(0.9n)-th
+    (integer form (9n+9) DIV 10), with a user_id tie-break so both
+    engines select the same row even among equal latencies. No
+    percentile_cont interpolation (float, engine-specific) and no
+    approx sketch — when the ranked set is PER-CONVERTED-USER (one
+    row per user after the funnel windows collapse the event stream)
+    the global sort is |users|-sized and an exact answer is cheap at
+    any event volume; the same plan over raw events would be wrong to
+    ship, which is precisely the aggregate-then-sort discipline the
+    rest of the suite's global sorts follow.
+
+    Reference analog: none (extension surface, SURVEY.md §2.2).
+    """
+    events = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        events.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("view_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        events.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("click_ts"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    lat = (
+        v.join(c, "user_id")
+        .join(p, "user_id")
+        .select(
+            "user_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, view_ts, purchase_ts) DIV 1000000"
+            ).cast("long").alias("s"),
+        )
+    )
+    w = Window.orderBy("s", "user_id")
+    ranked = lat.select(
+        "s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    return ranked.groupBy(F.col("n").cast("long").alias("n_converted")).agg(
+        F.min("s").cast("long").alias("min_s"),
+        F.max(F.when(F.expr("rn = (n + 1) DIV 2"), F.col("s")))
+        .cast("long")
+        .alias("p50_s"),
+        F.max(F.when(F.expr("rn = (9 * n + 9) DIV 10"), F.col("s")))
+        .cast("long")
+        .alias("p90_s"),
+        F.max("s").cast("long").alias("max_s"),
+    )

@@ -313,7 +313,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .distinct()
-        .persist()  # one 4-table build feeds three self-join arms
+        # eager checkpoint, not persist: the ≤75-row edge list feeds
+        # THREE self-join arms — checkpointing collapses the repeated
+        # 4-table build out of the plan entirely (same lineage-barrier
+        # reasoning as the BFS frontier loop above).
+        .localCheckpoint(eager=True)
     )
     e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))

@@ -90,6 +90,10 @@ def _compare(spark, edge_sf_dir, name):
         # round 6 wave 8: code detector (empty doc 0>=0 guard,
         # whitespace-only indent guard, \r\n line splits)
         "llm_code_detect",
+        # round 6 wave 8: containment dedup (empty/whitespace docs have
+        # no grams so never reach the pair join; 15-word prefix slice
+        # of short docs; dup-heavy doc collapses to one distinct gram)
+        "llm_dedup_containment",
     ],
 )
 def test_edge_doc_parity(spark, edge_sf_dir, name):
