@@ -791,3 +791,113 @@ def quality_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "customer.c_nationkey->nation", small_dim=True))
     )
     return report.orderBy("fk_edge")
+
+
+@query(
+    "quality_json_schema_validate",
+    oracle="""
+    WITH fx AS (
+      SELECT event_type,
+             '{"role":"user","content":"c' || (event_id % 100)
+               || '","turns":' || (event_id % 100) || '}' AS base,
+             event_id % 5 AS defect
+      FROM events
+    ), payload AS (
+      SELECT event_type,
+             CASE defect
+               WHEN 0 THEN left(base, length(base) - 1)
+               WHEN 1 THEN replace(base, '"role":"user",', '')
+               WHEN 2 THEN regexp_replace(base, '"turns":[0-9]+', '"turns":"x"')
+               ELSE base END AS j
+      FROM fx
+    ), checked AS (
+      SELECT event_type,
+             json_valid(j) AS ok,
+             CASE WHEN json_valid(j)
+                  THEN json_extract_string(j, '$.role') END AS role,
+             CASE WHEN json_valid(j)
+                  THEN try_cast(json_extract_string(j, '$.turns') AS BIGINT)
+             END AS turns
+      FROM payload
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_parse_fail,
+           CAST(sum(CASE WHEN ok AND role IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing_role,
+           CAST(sum(CASE WHEN ok AND role IS NOT NULL AND turns IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_turns,
+           CAST(sum(CASE WHEN ok AND role IS NOT NULL AND turns IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+    FROM checked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def quality_json_schema_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema validation over a JSON payload column — the gate an SFT/
+    chat-format ingest runs before training (role present, turn count
+    an integer, document parseable at all), reported as per-source
+    counts. The corpus's props are trivially clean, so the query
+    plants the three real defect classes deterministically (truncated
+    document, missing required key, wrong-typed field) on event_id
+    buckets — both engines build the identical payloads, so every
+    counter is exercised and cross-checked rather than asserting
+    zeros on an unexercised branch.
+
+    Validation is pure JVM JSON path extraction (get_json_object +
+    try_cast — invalid documents extract NULL rather than erroring,
+    Spark's PERMISSIVE discipline) folded into one map-side-combined
+    aggregate: at 100 TB this is a codegen scan emitting 5 groups, no
+    shuffle of payloads, no Python, no schema inference pass.
+
+    Reference analog: none (extension surface, SURVEY.md §2.2);
+    complements source_json_corrupt_recovery (file-level corrupt
+    records) with field-level schema conformance.
+    """
+    events = load_table(spark, "events", sf_dir).select("event_id", "event_type")
+    k = (F.col("event_id") % 100).cast("string")
+    base = F.concat(
+        F.lit('{"role":"user","content":"c'), k,
+        F.lit('","turns":'), k, F.lit("}"),
+    )
+    defect = F.col("event_id") % 5
+    staged = events.select("event_type", defect.alias("defect"), base.alias("base"))
+    j = (
+        F.when(F.col("defect") == 0, F.expr("left(base, length(base) - 1)"))
+        .when(F.col("defect") == 1, F.regexp_replace("base", r'"role":"user",', ""))
+        .when(
+            F.col("defect") == 2,
+            F.regexp_replace("base", r'"turns":[0-9]+', '"turns":"x"'),
+        )
+        .otherwise(F.col("base"))
+    )
+    checked = staged.select("event_type", j.alias("j")).select(
+        "event_type",
+        F.get_json_object("j", "$").isNotNull().alias("ok"),
+        F.get_json_object("j", "$.role").alias("role"),
+        F.expr("try_cast(get_json_object(j, '$.turns') AS BIGINT)").alias("turns"),
+    )
+    return (
+        checked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((~F.col("ok")).cast("int")).cast("long").alias("n_parse_fail"),
+            F.sum((F.col("ok") & F.col("role").isNull()).cast("int"))
+            .cast("long")
+            .alias("n_missing_role"),
+            F.sum(
+                (F.col("ok") & F.col("role").isNotNull() & F.col("turns").isNull())
+                .cast("int")
+            ).cast("long").alias("n_bad_turns"),
+            F.sum(
+                (
+                    F.col("ok")
+                    & F.col("role").isNotNull()
+                    & F.col("turns").isNotNull()
+                ).cast("int")
+            ).cast("long").alias("n_valid"),
+        )
+        .orderBy("event_type")
+    )

@@ -298,3 +298,41 @@ def test_image_ahash_bands_equijoin_not_bnlj(spark, qs):
     plan = explain_str(qs["llm_multimodal_image_ahash"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_spatial_grid_join_is_equijoin_not_bnlj(spark, qs):
+    """The grid-bucketed radius join must plan as a hash equi-join on
+    the cell key (broadcast here; shuffled-hash/SMJ at scale) — a
+    BroadcastNestedLoopJoin means the distance predicate leaked out of
+    the equi-join keys and the plan is the O(n*m) theta-join the
+    bucketing exists to avoid."""
+    df = qs["join_spatial_grid_radius"](spark, SF)
+    plan = explain_str(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 1 or "SortMergeJoin" in plan
+
+
+def test_regex_trigram_screen_stays_jvm(spark, qs):
+    """The contains() screen must compile into the scan/filter stage —
+    no Python evaluation anywhere in the two-phase regex plan."""
+    df = qs["search_regex_trigram"](spark, SF)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan
+    assert "Contains" in plan or "contains" in plan
+
+
+def test_triangle_count_reuses_checkpointed_edges(spark, qs):
+    """The 4-table edge derivation must appear ONCE (eager checkpoint),
+    not once per self-join arm: with three arms over a re-derived edge
+    list the static plan carried 29 exchanges; checkpointed it needs
+    only the wedge-join + aggregate exchanges."""
+    df = qs["graph_triangle_count"](spark, SF)
+    assert shuffle_count(df) <= 4
+
+
+def test_gram_matrix_shuffles_cells_not_vectors(spark, qs):
+    """X^T X must shuffle only (i, j, partial) cells: one exchange for
+    the cell fold (+1 for the output ordering) — an exchange count
+    that scales with anything else means vectors crossed the wire."""
+    df = qs["llm_embedding_gram_matrix"](spark, SF)
+    assert shuffle_count(df) <= 3
