@@ -614,3 +614,68 @@ def ngram_containment_pairs(
             .alias("jaccard_bp"),
         )
     )
+
+
+def oph_signatures(
+    docs: DataFrame,
+    num_bins: int = 64,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    grams: DataFrame | None = None,
+) -> DataFrame:
+    """(id, sig array<long>, filled_bins): one-permutation-hashing
+    MinHash (Li, Owen & Zhang, NIPS 2012) with rotation densification
+    (Shrivastava & Li, ICML 2014).
+
+    Classic ``minhash_signatures`` evaluates ``num_hashes`` affine
+    hashes per gram — 64 multiplications per token shuffled into 64
+    min-aggregates. OPH computes ONE hash per gram and lets the hash
+    itself pick the signature slot: ``bin = x mod k`` partitions the
+    gram space into k bins, ``min(x div k)`` within each bin is an
+    independent minimum. Same signature semantics (slot agreement is an
+    unbiased Jaccard estimator), 1/64th the per-token compute — at
+    100 TB the signature pass is hash-bound, so this is the cheap path.
+    Empty bins (short docs) borrow the nearest filled bin to the right
+    (circular), offset by ``c * 2^26`` so a borrowed slot can never
+    spuriously equal a directly-filled one but two docs borrowing the
+    same value at the same distance still agree — the rotation
+    densification that keeps the estimator unbiased for sparse docs.
+
+    The whole signature is ONE map-side-combined aggregate (k
+    conditional mins folded into an array) + a constant-size transform:
+    no per-(id, bin) shuffle, no 64-hash fan-out."""
+    if grams is None:
+        grams = exploded_grams(docs, n, text_col, id_col)
+    x = F.pmod(md5_long(F.col("gram")), F.lit(MERSENNE31))
+    hashed = grams.select(
+        "id",
+        (x % num_bins).cast("int").alias("bin"),
+        (x / num_bins).cast("long").alias("val"),
+    )
+    slots = hashed.groupBy("id").agg(
+        *[
+            F.min(F.when(F.col("bin") == i, F.col("val"))).alias(f"s{i}")
+            for i in range(num_bins)
+        ]
+    )
+    arr = slots.select(
+        "id", F.array(*[f"s{i}" for i in range(num_bins)]).alias("slots")
+    )
+    k = num_bins
+    dens = f"""
+    transform(sequence(0, {k - 1}), j ->
+      CASE WHEN slots[j] IS NOT NULL THEN slots[j]
+           ELSE slots[(j + filter(sequence(0, {k - 1}),
+                                  c -> slots[(j + c) % {k}] IS NOT NULL)[0]) % {k}]
+                + 67108864L * filter(sequence(0, {k - 1}),
+                                     c -> slots[(j + c) % {k}] IS NOT NULL)[0]
+      END)
+    """
+    return arr.select(
+        "id",
+        F.expr(dens).alias("sig"),
+        F.expr("size(filter(slots, s -> s IS NOT NULL))")
+        .cast("long")
+        .alias("filled_bins"),
+    )

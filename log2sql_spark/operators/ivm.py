@@ -142,3 +142,105 @@ def signed_aggregate(
             for name, src in sum_cols.items()
         ],
     )
+
+
+def minmax_mv(base: DataFrame, group_cols: list[str], val_col: str) -> DataFrame:
+    """Materialize the MIN/MAX view: (groups, n, min_v, max_v)."""
+    return base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(val_col).alias("min_v"),
+        F.max(val_col).alias("max_v"),
+    )
+
+
+def minmax_apply(
+    mv: DataFrame,
+    changes: DataFrame,
+    base_new: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Maintain a per-group MIN/MAX MV under a CDC batch — the textbook
+    NON-distributive case (``apply_delta``'s docstring scopes it out):
+    a deleted maximum cannot be subtracted back out, because the MV
+    holds no runner-up.
+
+    The standard dirty-group refinement keeps the cost batch-shaped
+    anyway: inserts only ever IMPROVE an extremum (min/max are monotone
+    under insert, so ``least``/``greatest`` against the batch minimum /
+    maximum folds them in exactly, like ``apply_delta`` folds sums), and
+    a delete can only break an extremum it actually TOUCHES. So a group
+    is *dirty* iff some deleted/update-before value equals-or-exceeds
+    the group's current extremum (``<= min_v`` or ``>= max_v``); only
+    dirty groups are recomputed, via a semi-join-pruned aggregate of the
+    post-change base — at 100 TB that read is manifest/cluster-pruned by
+    the dirty keys, and a batch whose deletes all land strictly inside
+    (min, max) recomputes NOTHING. Groups the batch never touches pass
+    through by anti-join, cost zero. An update contributes its before
+    image to the delete side and its after image to the insert side
+    (group-moving updates therefore dirty the old group and improve the
+    new one). Emits ``recomputed`` so the path split is observable —
+    and oracle-checkable.
+
+    Change-batch contract matches ``delta_aggregate``: ``op`` plus
+    after-image columns unprefixed, before-image columns ``before_``.
+    """
+    ins = changes.filter(F.col(op_col).isin("insert", "update")).select(
+        *group_cols, F.col(val_col).alias("_v")
+    )
+    dels = changes.filter(F.col(op_col).isin("delete", "update")).select(
+        *[F.col(f"before_{g}").alias(g) for g in group_cols],
+        F.col(f"before_{val_col}").alias("_v"),
+    )
+    ins_agg = ins.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("i_n"),
+        F.min("_v").alias("i_min"),
+        F.max("_v").alias("i_max"),
+    )
+    del_agg = dels.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("x_n"),
+        F.min("_v").alias("x_min"),
+        F.max("_v").alias("x_max"),
+    )
+    touched = (
+        mv.join(ins_agg, group_cols, "full_outer")
+        .join(del_agg, group_cols, "full_outer")
+        .withColumn(
+            "new_n",
+            F.coalesce("n", F.lit(0))
+            + F.coalesce("i_n", F.lit(0))
+            - F.coalesce("x_n", F.lit(0)),
+        )
+        .withColumn(
+            "dirty",
+            (F.col("x_min") <= F.col("min_v")) | (F.col("x_max") >= F.col("max_v")),
+        )
+        .filter(
+            F.col("i_n").isNotNull() | F.col("x_n").isNotNull()
+        )
+    )
+    clean = touched.filter(
+        ~F.coalesce("dirty", F.lit(False)) & (F.col("new_n") > 0)
+    ).select(
+        *group_cols,
+        F.col("new_n").alias("n"),
+        F.least(F.col("min_v"), F.col("i_min")).alias("min_v"),
+        F.greatest(F.col("max_v"), F.col("i_max")).alias("max_v"),
+        F.lit(False).alias("recomputed"),
+    )
+    dirty_keys = touched.filter(F.coalesce("dirty", F.lit(False))).select(*group_cols)
+    recomputed = (
+        base_new.join(dirty_keys, group_cols, "left_semi")
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(val_col).alias("min_v"),
+            F.max(val_col).alias("max_v"),
+        )
+        .withColumn("recomputed", F.lit(True))
+    )
+    untouched = mv.join(
+        touched.select(*group_cols), group_cols, "left_anti"
+    ).withColumn("recomputed", F.lit(False))
+    return clean.unionByName(recomputed).unionByName(untouched)

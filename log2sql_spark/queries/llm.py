@@ -2355,3 +2355,117 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(corpus, threshold_bp=9000).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "llm_dedup_minhash_oph",
+    oracle=_CORPUS_SQL
+    + r"""
+    , grams AS (
+      SELECT doc_id AS id, unnest(list_distinct(g.grams)) AS gram
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+                 i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                      regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                      regexp_split_to_array(trim(text), '\s+')[i+2]
+               ) AS grams
+        FROM corpus
+      ) g(doc_id, grams)
+    ), hashed AS (
+      SELECT id,
+             (('0x' || substr(md5(gram), 1, 15))::BIGINT % 2147483647) % 64
+               AS bin,
+             (('0x' || substr(md5(gram), 1, 15))::BIGINT % 2147483647) // 64
+               AS val
+      FROM grams
+    ), slots AS (
+      SELECT id, bin, min(val) AS v FROM hashed GROUP BY id, bin
+    ), spine AS (
+      SELECT d.id, r.range AS bin
+      FROM (SELECT DISTINCT id FROM slots) d, range(64) r
+    ), arr AS (
+      SELECT id, list(v ORDER BY bin) AS lst
+      FROM (
+        SELECT spine.id, spine.bin, slots.v
+        FROM spine LEFT JOIN slots USING (id, bin)
+      ) GROUP BY id
+    ), sig AS (
+      SELECT id,
+             list_transform(range(64), j ->
+               CASE WHEN lst[j + 1] IS NOT NULL THEN lst[j + 1]
+                    ELSE lst[((j + list_filter(range(64),
+                           c -> lst[((j + c) % 64) + 1] IS NOT NULL)[1]) % 64) + 1]
+                         + 67108864 * list_filter(range(64),
+                           c -> lst[((j + c) % 64) + 1] IS NOT NULL)[1]
+               END) AS s
+      FROM arr
+    ), bands AS (
+      SELECT id, r.range AS band, s[r.range * 8 + 1 : r.range * 8 + 8] AS slice
+      FROM sig, range(8) r
+    ), pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.slice = b.slice AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_filter(range(64),
+                i -> sa.s[i + 1] = sb.s[i + 1])) AS BIGINT) AS n_agree,
+           CAST(len(list_filter(range(64),
+                i -> sa.s[i + 1] = sb.s[i + 1])) * 10000 // 64 AS BIGINT)
+             AS est_jaccard_bp
+    FROM pairs
+      JOIN sig sa ON sa.id = id_a
+      JOIN sig sb ON sb.id = id_b
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation-hashing MinHash dedup candidates — the
+    hash-bound scale variant of llm_dedup_minhash_lsh: ONE hash per
+    gram (the hash picks the slot) instead of 64 affine hashes per
+    gram, so the signature pass costs 1/64th the compute at identical
+    banding semantics; rotation densification (offset-guarded borrow)
+    keeps sparse docs unbiased. 8 bands x 8 rows generate candidates
+    as an equi-join on the band slice; slot agreement over the full
+    64-slot signature is the unbiased Jaccard estimate, reported in
+    truncating basis points. The oracle re-derives every hash, bin
+    minimum, densified slot, band collision, and agreement count
+    bit-for-bit in SQL — the signature math itself is what's checked.
+    Ref: Li, Owen & Zhang (NIPS 2012); Shrivastava & Li (ICML 2014).
+    Reference analog: none — LLM-pipeline extension (SURVEY.md §2.2)."""
+    from log2sql_spark.operators.dedup import banded_slices, oph_signatures
+
+    sig = oph_signatures(_corpus(spark, sf_dir)).select("id", "sig")
+    bands = banded_slices(sig, bands=8)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    n_agree = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+    ).cast("long")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_agree.alias("n_agree"),
+            F.expr(
+                "CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y),"
+                " v -> v)) * 10000 DIV 64 AS BIGINT)"
+            ).alias("est_jaccard_bp"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -901,3 +901,87 @@ def quality_json_schema_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "quality_psi_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 5) AS bin,
+             CASE WHEN year(o_orderdate) < 1998 THEN 'a' ELSE 'b' END AS pop
+      FROM orders
+    ), bins AS (
+      SELECT unnest(generate_series(0, 5)) AS bin
+    ), counts AS (
+      SELECT bins.bin,
+             CAST(coalesce(sum(CASE WHEN pop = 'a' THEN 1 END), 0) AS BIGINT)
+               AS n_a,
+             CAST(coalesce(sum(CASE WHEN pop = 'b' THEN 1 END), 0) AS BIGINT)
+               AS n_b
+      FROM bins LEFT JOIN binned ON binned.bin = bins.bin
+      GROUP BY bins.bin
+    ), tot AS (
+      SELECT sum(n_a) AS t_a, sum(n_b) AS t_b, count(*) AS k FROM counts
+    ), contrib AS (
+      SELECT bin, n_a, n_b,
+             (CAST(n_a + 1 AS DOUBLE) / (t_a + k)
+              - CAST(n_b + 1 AS DOUBLE) / (t_b + k))
+             * ln((CAST(n_a + 1 AS DOUBLE) / (t_a + k))
+                  / (CAST(n_b + 1 AS DOUBLE) / (t_b + k))) AS c
+      FROM counts, tot
+    )
+    SELECT bin, n_a, n_b, round(c, 6) AS psi_contrib,
+           round(sum(c) OVER (), 6) AS psi_total
+    FROM contrib ORDER BY bin
+    """,
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the pre-1998 and 1998+ order
+    populations over fixed 50k-wide total-price bins — THE standard ML
+    feature-drift monitor (PSI < 0.1 stable, > 0.25 retrain). Laplace
+    +1 smoothing keeps empty bins finite and the spine join keeps every
+    bin present in both populations, so the per-bin contribution
+    (p−q)·ln(p/q) is defined everywhere; doubles are IEEE-identical
+    cross-engine from exact integer counts (the llm_token_entropy
+    precedent) and rounded to 6 dp. One scan, one 6-row aggregate —
+    the bin histogram is the only thing shuffled, never orders rows.
+    Complements quality_ks_drift (continuous CDF shift) with the binned
+    production-monitoring variant. Reference analog: none — quality
+    extension (SURVEY.md §2.2)."""
+    orders = load_table(spark, "orders", sf_dir)
+    binned = orders.select(
+        F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(5))
+        .cast("long")
+        .alias("bin"),
+        F.when(F.year("o_orderdate") < 1998, "a").otherwise("b").alias("pop"),
+    )
+    bins = spark.range(0, 6).select(F.col("id").cast("long").alias("bin"))
+    counts = (
+        bins.join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("pop") == "a", 1)), F.lit(0)
+            ).cast("long").alias("n_a"),
+            F.coalesce(
+                F.sum(F.when(F.col("pop") == "b", 1)), F.lit(0)
+            ).cast("long").alias("n_b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("t_a"),
+        F.sum("n_b").alias("t_b"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    p = (F.col("n_a") + 1).cast("double") / (F.col("t_a") + F.col("k"))
+    q = (F.col("n_b") + 1).cast("double") / (F.col("t_b") + F.col("k"))
+    contrib = counts.crossJoin(F.broadcast(tot)).select(
+        "bin", "n_a", "n_b", ((p - q) * F.log(p / q)).alias("c")
+    )
+    return contrib.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round("c", 6).alias("psi_contrib"),
+        F.round(F.sum("c").over(Window.partitionBy()), 6).alias("psi_total"),
+    ).orderBy("bin")

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from log2sql_spark.registry import query
@@ -969,3 +969,112 @@ def store_replace_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = _cached_build("replace_orders", sf_dir, build)
     return store.read(spark).select("k", "status", "cents").orderBy("k")
+
+
+@query(
+    "mv_incremental_minmax",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 5000
+    ), gmax AS (
+      SELECT status, max(cents) AS gmx FROM base GROUP BY status
+    ), tagged AS (
+      SELECT b.k, b.status, b.cents, b.cents = g.gmx AS is_max
+      FROM base b JOIN gmax g USING (status)
+    ), v2 AS (
+      SELECT k, status, cents FROM tagged WHERE NOT is_max AND k % 10 <> 5
+      UNION ALL
+      SELECT k, 'U' AS status, cents + 100 AS cents
+      FROM tagged WHERE NOT is_max AND k % 10 = 5
+      UNION ALL
+      SELECT k + 100000 AS k, 'N' AS status, CAST(42 AS BIGINT) AS cents
+      FROM base WHERE k % 100 = 7
+    ), pre AS (
+      SELECT status, min(cents) AS pmn, max(cents) AS pmx
+      FROM base GROUP BY status
+    ), del_before AS (
+      SELECT status, cents FROM tagged WHERE is_max
+      UNION ALL
+      SELECT status, cents FROM tagged WHERE NOT is_max AND k % 10 = 5
+    ), dirty AS (
+      SELECT DISTINCT d.status
+      FROM del_before d JOIN pre p USING (status)
+      WHERE d.cents <= p.pmn OR d.cents >= p.pmx
+    )
+    SELECT v2.status, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(cents) AS BIGINT) AS min_v,
+           CAST(max(cents) AS BIGINT) AS max_v,
+           max(dirty.status IS NOT NULL) AS recomputed
+    FROM v2 LEFT JOIN dirty ON v2.status = dirty.status
+    GROUP BY v2.status
+    ORDER BY v2.status
+    """,
+)
+def mv_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX materialized view maintained under CDC — the textbook
+    NON-distributive IVM case ``mv_incremental_orders`` scopes out: a
+    deleted maximum cannot be algebraically subtracted, the MV holds no
+    runner-up. ``operators/ivm.py:minmax_apply`` keeps the cost
+    batch-shaped with the dirty-group refinement: inserts fold in as
+    least/greatest (monotone), and only groups where a delete TOUCHES
+    the current extremum recompute, from a semi-join-pruned read of the
+    post-change base. The fixture forces both paths: every group's
+    maximum rows are deleted (all base statuses recompute), while the
+    group-moving updates and new-key inserts build two fresh groups on
+    the clean fold (recomputed=false). The oracle recomputes the view
+    AND the dirty flags from scratch, so the hash proves both the
+    values and WHICH groups took the expensive path."""
+    from log2sql_spark.operators.ivm import minmax_apply, minmax_mv
+
+    base = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") < 5000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("status")
+    tagged = base.withColumn("is_max", F.col("cents") == F.max("cents").over(w))
+    mv = minmax_mv(base, ["status"], "cents")
+
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("bigint")
+    deletes = tagged.filter("is_max").select(
+        F.lit("delete").alias("op"),
+        null_s.alias("status"), null_l.alias("cents"),
+        F.col("status").alias("before_status"),
+        F.col("cents").alias("before_cents"),
+    )
+    updates = tagged.filter(~F.col("is_max") & (F.col("k") % 10 == 5)).select(
+        F.lit("update").alias("op"),
+        F.lit("U").alias("status"), (F.col("cents") + 100).alias("cents"),
+        F.col("status").alias("before_status"),
+        F.col("cents").alias("before_cents"),
+    )
+    inserts = base.filter(F.col("k") % 100 == 7).select(
+        F.lit("insert").alias("op"),
+        F.lit("N").alias("status"), F.lit(42).cast("bigint").alias("cents"),
+        null_s.alias("before_status"), null_l.alias("before_cents"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+
+    survivors = tagged.filter(~F.col("is_max") & (F.col("k") % 10 != 5)).select(
+        "k", "status", "cents"
+    )
+    moved = tagged.filter(~F.col("is_max") & (F.col("k") % 10 == 5)).select(
+        "k", F.lit("U").alias("status"), (F.col("cents") + 100).alias("cents")
+    )
+    new = base.filter(F.col("k") % 100 == 7).select(
+        (F.col("k") + 100000).alias("k"),
+        F.lit("N").alias("status"),
+        F.lit(42).cast("bigint").alias("cents"),
+    )
+    base_new = survivors.unionByName(moved).unionByName(new)
+
+    return minmax_apply(mv, changes, base_new, ["status"], "cents").orderBy(
+        "status"
+    )

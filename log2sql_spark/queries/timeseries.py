@@ -1323,3 +1323,87 @@ def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "ts_acf_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT row_number() OVER (ORDER BY day) AS i, x FROM daily
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM idx
+    ), dev AS (
+      SELECT i, CAST(n * x - s AS BIGINT) AS d FROM idx, stats
+    ), var AS (
+      SELECT sum(CAST(d AS HUGEINT) * d) AS v FROM dev
+    ), lags AS (
+      SELECT unnest(generate_series(1, 7)) AS lag
+    ), cov AS (
+      SELECT lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             sum(CAST(a.d AS HUGEINT) * b.d) AS c
+      FROM lags, dev a JOIN dev b ON b.i = a.i + lag
+      GROUP BY lag
+    )
+    SELECT lag, n_pairs,
+           CAST((10000 * c) // v AS BIGINT) AS r_bp
+    FROM cov, var
+    ORDER BY lag
+    """,
+)
+def ts_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1..7 — the seasonality screen that tells a pipeline WHICH lag the
+    seasonal-naive forecaster (ts_forecast_snaive_eval) should use and
+    whether the weekday effect ts_dow_chisquare tests is autocorrelated
+    structure or noise. Integer-exact by the CUSUM trick: deviations are
+    scaled by the series length (d_i = n·x_i − Σx, no mean division),
+    so covariance and variance are exact integer sums and
+    r_k = 10000·Σ d_i·d_{i+k} DIV Σ d_i² is a truncating integer ratio
+    both engines compute identically (products folded in DECIMAL(38,0)
+    / HUGEINT — at 1e5-row days and 60-day spans the sums need ~2e19,
+    past bigint). The only global window orders |days| rows — the
+    events are read once into the daily rollup, the O(days·lags) pair
+    join never touches raw events. Reference analog: none — time-series
+    extension (SURVEY.md §2.2)."""
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("i"), "x"
+    )
+    stats = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = idx.crossJoin(F.broadcast(stats)).select(
+        "i", (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("d")
+    )
+    var = dev.agg(
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("v")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("bigint").alias("lag"))
+    a, b = dev.alias("a"), dev.alias("b")
+    cov = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.i") == F.col("a.i") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("a.d").cast("decimal(38,0)") * F.col("b.d")).alias("c"),
+        )
+    )
+    return (
+        cov.crossJoin(F.broadcast(var))
+        .select(
+            "lag",
+            "n_pairs",
+            F.expr("CAST((10000 * c) DIV v AS BIGINT)").alias("r_bp"),
+        )
+        .orderBy("lag")
+    )
