@@ -244,3 +244,83 @@ def minmax_apply(
         touched.select(*group_cols), group_cols, "left_anti"
     ).withColumn("recomputed", F.lit(False))
     return clean.unionByName(recomputed).unionByName(untouched)
+
+
+def distinct_mv(
+    base: DataFrame, group_cols: list[str], val_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize a COUNT(DISTINCT val) view plus its support relation.
+
+    DISTINCT is the other textbook non-distributive aggregate (with
+    ``minmax_apply``'s MIN/MAX): a deleted value only lowers the count
+    if it was the LAST occurrence, which the view alone cannot know.
+    The classic fix is auxiliary state — the support relation
+    ``(group, value, m)`` of per-value multiplicities, itself a plain
+    sum-IVM (insert +1, delete −1) — so the view's delta per touched
+    (group, value) is ``[m+d > 0] − [m > 0]``. At 100 TB the support
+    lives in a snapshot store clustered on (group, value): each batch
+    touches |batch| support rows via a pruned merge, never the table.
+    """
+    support = base.groupBy(*group_cols, val_col).agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    view = support.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    )
+    return view, support
+
+
+def distinct_apply(
+    view: DataFrame,
+    support: DataFrame,
+    changes: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Fold a CDC batch into a COUNT(DISTINCT) view using the support
+    relation (see ``distinct_mv``). Change-batch contract matches
+    ``delta_aggregate``: after images unprefixed, before images
+    ``before_``-prefixed. Cost: one aggregate of the batch, one join
+    against support ON THE TOUCHED KEYS ONLY, one |groups| join into
+    the view — batch-shaped throughout."""
+    ins = changes.filter(F.col(op_col).isin("insert", "update")).select(
+        *group_cols, F.col(val_col).alias("_v"), F.lit(1).alias("_d")
+    )
+    dels = changes.filter(F.col(op_col).isin("delete", "update")).select(
+        *[F.col(f"before_{g}").alias(g) for g in group_cols],
+        F.col(f"before_{val_col}").alias("_v"),
+        F.lit(-1).alias("_d"),
+    )
+    touched = (
+        ins.unionByName(dels)
+        .groupBy(*group_cols, "_v")
+        .agg(F.sum("_d").cast("long").alias("d"))
+        .filter(F.col("d") != 0)
+    )
+    sup = support.select(
+        *group_cols, F.col(val_col).alias("_v"), F.col("m")
+    )
+    g_delta = (
+        touched.join(sup, [*group_cols, "_v"], "left")
+        .select(
+            *group_cols,
+            (
+                ((F.coalesce(F.col("m"), F.lit(0)) + F.col("d")) > 0).cast("int")
+                - (F.coalesce(F.col("m"), F.lit(0)) > 0).cast("int")
+            ).alias("dd"),
+        )
+        .groupBy(*group_cols)
+        .agg(F.sum("dd").cast("long").alias("d_distinct"))
+    )
+    return (
+        view.join(g_delta, group_cols, "full_outer")
+        .select(
+            *group_cols,
+            (
+                F.coalesce(F.col("n_distinct"), F.lit(0))
+                + F.coalesce(F.col("d_distinct"), F.lit(0))
+            ).alias("n_distinct"),
+        )
+        .filter(F.col("n_distinct") > 0)
+    )

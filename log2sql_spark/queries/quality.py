@@ -985,3 +985,61 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c", 6).alias("psi_contrib"),
         F.round(F.sum("c").over(Window.partitionBy()), 6).alias("psi_total"),
     ).orderBy("bin")
+
+
+@query(
+    "quality_l_diversity",
+    oracle="""
+    WITH sens AS (
+      SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nation,
+             CAST(floor(round(c_acctbal * 100) / 200000) AS BIGINT) AS bal_band
+      FROM customer
+    ), grp AS (
+      SELECT segment, nation,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT bal_band) AS BIGINT) AS l
+      FROM sens GROUP BY 1, 2
+    )
+    SELECT CAST(min(l) AS BIGINT) AS l_diversity,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_under_3,
+           CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_exposed
+    FROM grp
+    """,
+)
+def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit — the attack k-anonymity misses: a
+    class can be large (k-anonymous) yet have every member share ONE
+    sensitive value, so membership alone discloses it (homogeneity
+    attack; Machanavajjhala et al., ICDE 2006). Over the same quasi-ID
+    classes as quality_k_anonymity (segment, nation) with the account
+    balance banded to 2000-unit integers as the sensitive attribute:
+    the dataset's l is the smallest per-class count of distinct
+    sensitive values, plus the classes and rows below l=3 a release
+    would need to generalize. Banding goes through integer cents so
+    the band edges are engine-exact. Same one-aggregate shape as the
+    k-anonymity screen — the quasi-ID rollup is all that shuffles."""
+    customer = load_table(spark, "customer", sf_dir)
+    sens = customer.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.floor(
+            F.round(F.col("c_acctbal") * 100) / 200000
+        ).cast("long").alias("bal_band"),
+    )
+    grp = sens.groupBy("segment", "nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("bal_band").cast("long").alias("l"),
+    )
+    return grp.agg(
+        F.min("l").cast("long").alias("l_diversity"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_under_3"),
+        F.sum(F.when(F.col("l") < 3, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("rows_exposed"),
+    )

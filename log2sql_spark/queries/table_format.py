@@ -1078,3 +1078,151 @@ def mv_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minmax_apply(mv, changes, base_new, ["status"], "cents").orderBy(
         "status"
     )
+
+
+@query(
+    "store_update_delete_where_read",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 1500
+    ), v3 AS (
+      SELECT k, status,
+             CASE WHEN k >= 500 AND k < 600 AND status = 'F'
+                  THEN cents + 999 ELSE cents END AS cents
+      FROM base
+      WHERE NOT (k >= 300 AND k < 400 AND k % 3 = 0)
+    )
+    SELECT CASE WHEN k < 300 THEN 'low'
+                WHEN k < 400 THEN 'deleted_band'
+                WHEN k < 500 THEN 'mid'
+                WHEN k < 600 THEN 'updated_band'
+                ELSE 'high' END AS segment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM v3
+    GROUP BY 1
+    ORDER BY segment
+    """,
+)
+def store_update_delete_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DML parity on the snapshot store: ``DELETE FROM ... WHERE``
+    (k in [300,400) and k%3=0 — a predicate NARROWER than its key band,
+    so surviving rows inside the band prove the rewrite filters rather
+    than drops files) then ``UPDATE ... SET cents = cents+999 WHERE``
+    (k in [500,600) and status='F' — the post-image keeps the predicate
+    but only SOME band rows match, proving the CASE rewrite leaves
+    non-matching rows in touched files byte-identical). Both run
+    key-bounded on the range-clustered store, so each rewrites ONLY the
+    overlapping file(s) — every other file carries by reference
+    (asserted file-by-file in tests/test_store_dml.py); the oracle
+    recomputes the final state relationally from scratch across all
+    five key segments."""
+    from log2sql_spark.store import SnapshotStore
+
+    def build():
+        store = SnapshotStore(scratch_dir("log2sql_dmlstore_"))
+        base = (
+            load_table(spark, "orders", sf_dir)
+            .filter(F.col("o_orderkey") < 1500)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("status"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            )
+        )
+        store.commit(base, mode="overwrite", cluster_by="k", target_files=8)
+        store.delete_where(
+            spark, "k >= 300 AND k < 400 AND k % 3 = 0", key_bounds=(300, 399)
+        )
+        store.update_where(
+            spark,
+            {"cents": "cents + 999"},
+            "k >= 500 AND k < 600 AND status = 'F'",
+            key_bounds=(500, 599),
+        )
+        return store
+
+    store = _cached_build("dml_where", sf_dir, build)
+    return (
+        store.read(spark)
+        .groupBy(
+            F.when(F.col("k") < 300, "low")
+            .when(F.col("k") < 400, "deleted_band")
+            .when(F.col("k") < 500, "mid")
+            .when(F.col("k") < 600, "updated_band")
+            .otherwise("high")
+            .alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "mv_incremental_distinct",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderpriority AS prio,
+             o_custkey % 50 AS v
+      FROM orders WHERE o_orderkey < 5000
+    ), v2 AS (
+      SELECT k, prio, v FROM base WHERE k % 10 NOT IN (0, 5)
+      UNION ALL
+      SELECT k, prio, (v + 1) % 50 AS v FROM base WHERE k % 10 = 5
+      UNION ALL
+      SELECT k + 100000 AS k, '0-NEW' AS prio, CAST(999 AS BIGINT) AS v
+      FROM base WHERE k % 100 = 7
+    )
+    SELECT prio, CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+    FROM v2 GROUP BY prio ORDER BY prio
+    """,
+)
+def mv_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) materialized view maintained under CDC via the
+    support relation (operators/ivm.py:distinct_apply) — the other
+    textbook non-distributive IVM case alongside mv_incremental_minmax:
+    a deleted value lowers the count only if it was the LAST occurrence,
+    which per-value multiplicities (themselves a plain sum-IVM) decide
+    exactly. The fixture's values collide 100:1 (custkey mod 50), so
+    most deletes do NOT change the distinct count, value-moving updates
+    debit one value and credit another, and inserts open a fresh group —
+    the oracle recomputes count(DISTINCT) from the post-change state, so
+    the hash proves support-tracked maintenance == full recompute at
+    batch-sized cost."""
+    from log2sql_spark.operators.ivm import distinct_apply, distinct_mv
+
+    base = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") < 5000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("prio"),
+            (F.col("o_custkey") % 50).alias("v"),
+        )
+    )
+    view, support = distinct_mv(base, ["prio"], "v")
+
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("bigint")
+    deletes = base.filter(F.col("k") % 10 == 0).select(
+        F.lit("delete").alias("op"),
+        null_s.alias("prio"), null_l.alias("v"),
+        F.col("prio").alias("before_prio"), F.col("v").alias("before_v"),
+    )
+    updates = base.filter(F.col("k") % 10 == 5).select(
+        F.lit("update").alias("op"),
+        F.col("prio").alias("prio"), ((F.col("v") + 1) % 50).alias("v"),
+        F.col("prio").alias("before_prio"), F.col("v").alias("before_v"),
+    )
+    inserts = base.filter(F.col("k") % 100 == 7).select(
+        F.lit("insert").alias("op"),
+        F.lit("0-NEW").alias("prio"), F.lit(999).cast("bigint").alias("v"),
+        null_s.alias("before_prio"), null_l.alias("before_v"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    return distinct_apply(view, support, changes, ["prio"], "v").orderBy("prio")

@@ -1407,3 +1407,109 @@ def ts_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@query(
+    "ts_holt_linear",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), series AS (
+      SELECT event_type,
+             list(CAST(cents AS DOUBLE) ORDER BY day) AS s,
+             list(day ORDER BY day) AS days
+      FROM daily GROUP BY event_type
+      HAVING count(*) >= 2
+    ), st AS (
+      SELECT event_type, s, days, CAST(2 AS BIGINT) AS i,
+             CAST(0.3 AS DOUBLE) * s[2]
+               + CAST(0.7 AS DOUBLE) * (s[1] + (s[2] - s[1])) AS l,
+             CAST(0.2 AS DOUBLE)
+               * (CAST(0.3 AS DOUBLE) * s[2]
+                  + CAST(0.7 AS DOUBLE) * (s[1] + (s[2] - s[1])) - s[1])
+               + CAST(0.8 AS DOUBLE) * (s[2] - s[1]) AS b
+      FROM series
+      UNION ALL
+      SELECT event_type, s, days, i + 1,
+             CAST(0.3 AS DOUBLE) * s[CAST(i + 1 AS INTEGER)]
+               + CAST(0.7 AS DOUBLE) * (l + b),
+             CAST(0.2 AS DOUBLE)
+               * (CAST(0.3 AS DOUBLE) * s[CAST(i + 1 AS INTEGER)]
+                  + CAST(0.7 AS DOUBLE) * (l + b) - l)
+               + CAST(0.8 AS DOUBLE) * b
+      FROM st WHERE i < len(s)
+    )
+    SELECT event_type, days[CAST(i AS INTEGER)] AS day,
+           CAST(s[CAST(i AS INTEGER)] AS BIGINT) AS cents,
+           round(l, 6) AS level,
+           round(b, 6) AS trend,
+           round(l + b, 6) AS forecast_next
+    FROM st
+    ORDER BY event_type, day
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing of daily revenue per
+    event type — the trend-aware upgrade of ts_ewma_smooth: level and
+    trend evolve as the coupled fold l_t = αx_t + (1−α)(l_{t−1}+b_{t−1}),
+    b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} (α=0.3, β=0.2, init l₁=x₁,
+    b₁=x₂−x₁), and l_t+b_t is the one-step-ahead forecast the snaive
+    baseline (ts_forecast_snaive_eval) is judged against. Like the EWMA
+    precedent, the fold is ORDER-SENSITIVE: the series is sort_array-ed
+    once per type and each day folds its prefix with the IDENTICAL IEEE
+    expression shape the oracle's recursive CTE iterates (DuckDB's
+    list_reduce rebinds struct fields SEQUENTIALLY mid-lambda, so the
+    coupled recurrence needs true snapshot semantics there) — the
+    running (level, trend) STATE itself hash-matches at 6 dp, not just
+    the final point. Per-type
+    series are day-bounded so the quadratic prefix fold is a few
+    thousand flops per group; the events are read once into the daily
+    rollup. Reference analog: none — time-series extension (SURVEY.md
+    §2.2)."""
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(_CENTS("value")).cast("long").alias("cents"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("rows")
+    ).filter(F.size("rows") >= 2)
+    exploded = series.select(
+        "event_type",
+        F.transform("rows", lambda r: r.cents.cast("double")).alias("s"),
+        F.transform("rows", lambda r: r.day).alias("days"),
+        F.posexplode(F.sequence(F.lit(2), F.size("rows"))).alias("_p", "i"),
+    )
+    st = F.aggregate(
+        F.slice("s", 2, F.col("i") - 1),
+        F.struct(
+            F.element_at("s", 1).alias("l"),
+            (F.element_at("s", 2) - F.element_at("s", 1)).alias("b"),
+        ),
+        lambda acc, x: F.struct(
+            (F.lit(0.3) * x + F.lit(0.7) * (acc.l + acc.b)).alias("l"),
+            (
+                F.lit(0.2)
+                * (F.lit(0.3) * x + F.lit(0.7) * (acc.l + acc.b) - acc.l)
+                + F.lit(0.8) * acc.b
+            ).alias("b"),
+        ),
+    )
+    return (
+        exploded.select(
+            "event_type",
+            F.element_at("days", F.col("i")).alias("day"),
+            F.element_at("s", F.col("i")).cast("bigint").alias("cents"),
+            st.alias("st"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "cents",
+            F.round(F.col("st.l"), 6).alias("level"),
+            F.round(F.col("st.b"), 6).alias("trend"),
+            F.round(F.col("st.l") + F.col("st.b"), 6).alias("forecast_next"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1218,6 +1218,8 @@ class SnapshotStore:
         ]
         touched_paths = {e["path"] for e in touched}
         untouched = [e for e in snap.entries if e["path"] not in touched_paths]
+        if not touched and df.isEmpty():
+            return parent  # nothing overlaps, nothing to add: no-op
         if touched:
             base = self._apply_renames(
                 spark.read.option("mergeSchema", "true").parquet(
@@ -1239,6 +1241,129 @@ class SnapshotStore:
                 "version": version,
                 "parent": parent,
                 "mode": "replace_where",
+                "entries": untouched + new_entries,
+                "cluster_by": snap.cluster_by,
+                "schema": out.schema.json(),
+                "layout": snap.layout,
+                "n_buckets": snap.n_buckets,
+                **_inherited(snap),
+            }
+        )
+        return version
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        key_bounds: tuple | None = None,
+    ) -> int:
+        """Delta ``DELETE FROM ... WHERE``: remove exactly the rows
+        matching ``predicate`` — ``replace_where`` with an empty
+        replacement, so it inherits the whole contract: atomic commit,
+        constraint/governance/generated state carried, and on a
+        range-clustered store with ``key_bounds`` only overlapping
+        files are read and rewritten (a file wholly inside an exact
+        bound vanishes; every other file carries by reference). Bytes
+        remain until ``vacuum()`` — deletion is a manifest event, which
+        is what keeps it O(footprint) and time travel intact."""
+        parent = self.head_version()
+        if parent is None:
+            raise ValueError("delete_where requires an existing snapshot")
+        schema = self.read(spark, parent, apply_policies=False).schema
+        empty = spark.createDataFrame([], schema)
+        return self.replace_where(spark, empty, predicate, key_bounds)
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        set_cols: dict[str, str],
+        predicate: str,
+        key_bounds: tuple | None = None,
+    ) -> int:
+        """Delta ``UPDATE ... SET ... WHERE``: rewrite matching rows
+        with ``set_cols`` (column -> SQL expression over the old row),
+        leaving the rest byte-identical. Unlike ``replace_where`` the
+        post-image need NOT satisfy the predicate (an UPDATE may move a
+        row out of its own WHERE clause), so the rewrite applies
+        ``CASE WHEN predicate THEN expr ELSE old END`` per column to the
+        touched footprint — no union, no replacement validation.
+
+        Scale shape: with ``key_bounds`` on a range-clustered store only
+        overlapping files rewrite, the rest carry by reference — BUT the
+        cluster key itself refuses to be updated on the pruned path
+        (rewritten rows would leave their file's [min, max] band and
+        break pruning soundness); updating the cluster key falls back to
+        the full rewrite, like unclustered merge."""
+        parent = self.head_version()
+        if parent is None:
+            raise ValueError("update_where requires an existing snapshot")
+        snap = self.snapshot(parent)
+        logical = [
+            f.name
+            for f in self.read(spark, parent, apply_policies=False).schema.fields
+        ]
+        unknown = set(set_cols) - set(logical)
+        if unknown:
+            raise ValueError(f"update_where: unknown columns {sorted(unknown)}")
+        pruned = (
+            snap.layout == "range"
+            and snap.has_stats
+            and snap.cluster_by is not None
+            and key_bounds is not None
+            and snap.cluster_by not in set_cols
+        )
+
+        def _updated(base: DataFrame) -> DataFrame:
+            return base.select(
+                *[
+                    F.expr(
+                        f"CASE WHEN ({predicate}) THEN ({set_cols[c]}) "
+                        f"ELSE `{c}` END"
+                    ).alias(c)
+                    if c in set_cols
+                    else F.col(c)
+                    for c in logical
+                ]
+            )
+
+        if not pruned:
+            out = _updated(self.read(spark, parent, apply_policies=False))
+            return self.commit(
+                out,
+                mode="overwrite",
+                cluster_by=snap.cluster_by,
+                layout=snap.layout,
+                target_files=snap.n_buckets or 8,
+                generated=snap.generated,
+                policies=snap.policies,
+                constraints=snap.constraints,
+            )
+        lo, hi = key_bounds
+        touched = [
+            e for e in snap.entries if not (e["max"] < lo or e["min"] > hi)
+        ]
+        touched_paths = {e["path"] for e in touched}
+        untouched = [e for e in snap.entries if e["path"] not in touched_paths]
+        if not touched:
+            return parent  # nothing overlaps: no-op, no new snapshot
+        base = self._apply_renames(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, e["path"]) for e in touched]
+            ),
+            snap.renames,
+            snap.dropped,
+        ).select(*logical)
+        out = _updated(base)
+        self._check_constraints(out, snap.constraints)
+        version = parent + 1
+        new_entries = self._write_data(
+            out, version, snap.cluster_by, max(1, len(touched))
+        )
+        self._publish(
+            {
+                "version": version,
+                "parent": parent,
+                "mode": "update_where",
                 "entries": untouched + new_entries,
                 "cluster_by": snap.cluster_by,
                 "schema": out.schema.json(),
