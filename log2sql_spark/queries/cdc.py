@@ -1250,3 +1250,125 @@ def cdc_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file")
     )
+
+
+@query(
+    "cdc_bootstrap_snapshot_tail",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT CAST(o_orderkey + 100000 AS VARCHAR) AS key,
+           CAST(55 AS BIGINT) AS cents
+    FROM src WHERE o_orderkey % 50 = 0
+    UNION ALL
+    SELECT CAST(o_orderkey AS VARCHAR) AS key,
+           CAST(CASE WHEN o_orderkey % 9 = 0 THEN cents + 123 ELSE cents END
+                + CASE WHEN o_orderkey % 4 = 0 THEN 700 ELSE 0 END AS BIGINT)
+             AS cents
+    FROM src WHERE o_orderkey % 7 <> 0
+    ORDER BY key
+    """,
+)
+def cdc_bootstrap_snapshot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard CDC BOOTSTRAP the reference (an offline one-shot
+    parser) has no story for: a consistent snapshot taken at binlog
+    position P, composed with the log tail STRICTLY AFTER P — Debezium's
+    snapshot-then-stream handoff, and the reference's own
+    --start-position argument (main.py:91-101) given its real meaning.
+    Three things must compose exactly: (1) keys whose entire history
+    predates the dump (here: the k%9 price corrections — the binlog that
+    produced them is PURGED, only the snapshot knows them) survive via
+    the snapshot baseline; (2) the overlap window (events <= P that are
+    also reflected in the snapshot) is EXCLUDED by the watermark filter
+    — Catalyst pushes start_pos > P into the scan, the reference's range
+    pushdown done declaratively; (3) the tail (updates, deletes, new
+    inserts) folds onto the baseline with the same newest-wins-per-key
+    window every apply path uses, snapshot images ranked below any log
+    event. The oracle rebuilds the final state arithmetically; a single
+    key resurrected from the purged region, double-applied from the
+    overlap, or missed from the tail breaks the hash."""
+    from pyspark.sql import Window as W
+
+    from log2sql_spark.sources.binlog import read_binlog
+    from log2sql_spark.sources.catalog import resolve_columns
+
+    rows = _orders_subset(spark, sf_dir)
+
+    # overlap window: the last pre-P events — price corrections already
+    # reflected in the snapshot (k % 9 == 0)
+    events = []
+    for r in rows:
+        if r["o_orderkey"] % 9 == 0:
+            events.append(
+                {"op": "update", "db": "shop", "table": "orders",
+                 "ts": r["o_orderdate"],
+                 "before": [(1, str(r["o_orderkey"])), (4, str(r["cents"]))],
+                 "after": [(1, str(r["o_orderkey"])), (4, str(r["cents"] + 123))]}
+            )
+    n_overlap = len(events)
+    watermark = 4 + 120 * n_overlap - 120  # start_pos of the LAST overlap event
+
+    # tail (> P): updates on k%4, then deletes on k%7 (later position →
+    # delete beats update on k%28), then brand-new inserts on k%50
+    for r in rows:
+        if r["o_orderkey"] % 4 == 0:
+            snap_cents = r["cents"] + 123 if r["o_orderkey"] % 9 == 0 else r["cents"]
+            events.append(
+                {"op": "update", "db": "shop", "table": "orders",
+                 "ts": r["o_orderdate"],
+                 "before": [(1, str(r["o_orderkey"])), (4, str(snap_cents))],
+                 "after": [(1, str(r["o_orderkey"])), (4, str(snap_cents + 700))]}
+            )
+    for r in rows:
+        if r["o_orderkey"] % 7 == 0:
+            events.append(
+                {"op": "delete", "db": "shop", "table": "orders",
+                 "ts": r["o_orderdate"],
+                 "values": [(1, str(r["o_orderkey"]))]}
+            )
+    for r in rows:
+        if r["o_orderkey"] % 50 == 0:
+            nr = dict(r)
+            nr["o_orderkey"] = r["o_orderkey"] + 100000
+            nr["cents"] = 55
+            events.append(
+                {"op": "insert", "db": "shop", "table": "orders",
+                 "ts": r["o_orderdate"], "values": _row_tokens(nr)}
+            )
+    path = _write_dump(events)
+    cat = catalog_from_dict(spark, _CATALOG_SPEC)
+
+    tail = (
+        resolve_columns(read_binlog(spark, path), cat)
+        .filter(F.col("start_pos") > watermark)  # pushed into the scan
+        .select(
+            F.element_at(F.coalesce("after", "before"), "o_orderkey").alias("key"),
+            "op",
+            F.element_at("after", "o_totalprice_cents").cast("long").alias("cents"),
+            "start_pos",
+            "event_seq",
+        )
+    )
+    snapshot = spark.createDataFrame(
+        [
+            (
+                str(r["o_orderkey"]),
+                "insert",
+                int(r["cents"] + 123 if r["o_orderkey"] % 9 == 0 else r["cents"]),
+            )
+            for r in rows
+        ],
+        "key string, op string, cents bigint",
+    ).select(
+        "key", "op", "cents",
+        F.lit(-1).cast("bigint").alias("start_pos"),  # ranks below any event
+        F.lit(-1).cast("bigint").alias("event_seq"),
+    )
+    w = W.partitionBy("key").orderBy(F.desc("start_pos"), F.desc("event_seq"))
+    return (
+        tail.unionByName(snapshot)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .filter(F.col("op") != "delete")
+        .select("key", "cents")
+        .orderBy("key")
+    )

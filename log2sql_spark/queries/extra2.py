@@ -1396,3 +1396,92 @@ def er_customer_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_records") > 1)
         .orderBy("entity_id")
     )
+
+
+@query(
+    "er_blocking_quality_eval",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(c_custkey AS BIGINT) AS id, lower(c_name) AS name
+      FROM customer WHERE c_custkey < 2000
+    ), dirty AS (
+      SELECT id + 100000 AS id, name[:len(name)-1] || 'x' AS name
+      FROM base WHERE id % 7 = 0
+    ), recs AS (
+      SELECT * FROM base UNION ALL SELECT * FROM dirty
+    ), cand AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM recs a JOIN recs b
+        ON substr(a.name, 10, 8) = substr(b.name, 10, 8)
+       AND a.id < b.id
+    ), counts AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM recs) AS n_records,
+             (SELECT CAST(count(*) AS BIGINT) FROM dirty) AS n_true,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand
+               WHERE id_b = id_a + 100000) AS n_found
+    )
+    SELECT n_records, n_true, n_candidates,
+           CAST(n_found * 10000 // n_true AS BIGINT) AS pair_completeness_bp,
+           CAST((n_records * (n_records - 1) // 2 - n_candidates) * 10000
+                // (n_records * (n_records - 1) // 2) AS BIGINT)
+             AS reduction_ratio_bp
+    FROM counts
+    """,
+)
+def er_blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation for the entity-resolution pipeline —
+    the two numbers every blocking scheme is judged by (Christen,
+    TKDE 2012), measured exactly on er_customer_survivorship's corpus
+    and block key: PAIR COMPLETENESS (what fraction of the planted
+    dirty↔master matches share a block — recall lost to blocking can
+    never be recovered by matching) and REDUCTION RATIO (what fraction
+    of the |n|·(n−1)/2 naive pairs the blocks avoid — the entire point
+    of blocking). Both in truncating basis points from exact integer
+    counts. This is the ER twin of llm_lsh_recall_eval: candidate
+    generation cost/recall as an oracle-checked number, so a block-key
+    change that silently drops matches (or degenerates into one giant
+    block — the 5M-Levenshtein failure the survivorship docstring
+    records) shows up as a hash break, not an anecdote."""
+    customer = load_table(spark, "customer", sf_dir)
+    base = customer.filter(F.col("c_custkey") < 2000).select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.lower("c_name").alias("name"),
+    )
+    dirty = base.filter(F.col("id") % 7 == 0).select(
+        (F.col("id") + 100000).alias("id"),
+        F.concat(
+            F.expr("substring(name, 1, length(name) - 1)"), F.lit("x")
+        ).alias("name"),
+    )
+    recs = base.unionByName(dirty)
+    a, b = recs.alias("a"), recs.alias("b")
+    cand = a.join(
+        b,
+        (F.expr("substring(a.name, 10, 8)") == F.expr("substring(b.name, 10, 8)"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    counts = (
+        recs.agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+        .crossJoin(dirty.agg(F.count(F.lit(1)).cast("long").alias("n_true")))
+        .crossJoin(
+            cand.agg(
+                F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.sum(
+                    (F.col("id_b") == F.col("id_a") + 100000).cast("int")
+                ).cast("long").alias("n_found"),
+            )
+        )
+    )
+    return counts.select(
+        "n_records",
+        "n_true",
+        "n_candidates",
+        F.expr("CAST(n_found * 10000 DIV n_true AS BIGINT)").alias(
+            "pair_completeness_bp"
+        ),
+        F.expr(
+            "CAST((n_records * (n_records - 1) DIV 2 - n_candidates) * 10000"
+            " DIV (n_records * (n_records - 1) DIV 2) AS BIGINT)"
+        ).alias("reduction_ratio_bp"),
+    )

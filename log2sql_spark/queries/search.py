@@ -360,3 +360,86 @@ def search_regex_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_matches") > 0)
         .orderBy("id")
     )
+
+
+@query(
+    "search_inverted_index_phrase",
+    oracle=r"""
+    WITH tp AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS pos,
+             regexp_split_to_array(trim(text), '\s+')[CAST(i AS INTEGER)] AS tok
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(1, len(regexp_split_to_array(trim(text), '\s+')) + 1))
+                 AS i
+        FROM documents
+      )
+    )
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM tp a JOIN tp b
+      ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok = 'merge' AND b.tok = 'batch'
+    GROUP BY a.doc_id
+    ORDER BY a.doc_id
+    """,
+)
+def search_inverted_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search THROUGH a persisted inverted index — the indexed
+    twin of search_phrase_adjacent (which folds the phrase test into a
+    full corpus scan): positional postings are built ONCE into a
+    token-clustered snapshot store, and the probe reads only the files
+    whose [min, max] token range can hold the phrase's terms
+    (read_pruned manifest skipping — same index-as-a-table pattern as
+    llm_ann_indexed). Postings are SEGMENTED (token × 1000-doc bucket)
+    Lucene-style, so no row ever holds a corpus-wide list: segment rows
+    stay bounded at any corpus size and the probe's explode+adjacency
+    join is proportional to the probed terms' postings, never the
+    corpus. The oracle recomputes the phrase match straight from the
+    documents — the index round-trip is semantically invisible."""
+    from log2sql_spark.scratch import scratch_dir
+    from log2sql_spark.store import SnapshotStore
+
+    def build():
+        store = SnapshotStore(scratch_dir("log2sql_invidx_"))
+        docs = load_table(spark, "documents", sf_dir)
+        tp = docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos0", "tok"),
+        ).select(
+            "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok"
+        )
+        postings = (
+            tp.withColumn("seg", (F.col("doc_id") / 1000).cast("long"))
+            .groupBy("tok", "seg")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("doc_id", "pos"))
+                ).alias("posts")
+            )
+        )
+        store.commit(postings, mode="overwrite", cluster_by="tok", target_files=16)
+        return store
+
+    from log2sql_spark.queries.table_format import _cached_build
+
+    store = _cached_build("inverted_index", sf_dir, build)
+    terms = ["merge", "batch"]
+    probe = (
+        store.read_pruned(spark, terms)
+        .filter(F.col("tok").isin(terms))
+        .select("tok", F.explode("posts").alias("p"))
+        .select("tok", F.col("p.doc_id").alias("doc_id"), F.col("p.pos").alias("pos"))
+    )
+    a = probe.filter(F.col("tok") == "merge").alias("a")
+    b = probe.filter(F.col("tok") == "batch").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy("doc_id")
+    )
