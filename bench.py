@@ -483,10 +483,45 @@ def sf1_section(spark) -> dict:
             "sec": dedup_sec,
             "docs_per_sec": round(n_docs / dedup_sec),
         },
+        "oph_vs_classic": oph_vs_classic(spark, sf1),
     }
     if os.environ.get("SPARK_GRAFT_SF10") == "1":
         out["dedup_sf10"] = dedup_sf10(spark)
     return out
+
+
+def oph_vs_classic(spark, sf_dir: str) -> dict:
+    """Signature-pass cost: classic 64-affine-hash MinHash vs
+    one-permutation hashing (operators/dedup.py:oph_signatures) over the
+    same sf1 corpus and the same exploded grams. OPH evaluates ONE hash
+    per gram (the hash picks the slot), so the measured ratio is the
+    design claim of llm_dedup_minhash_oph as a recorded number —
+    best-of-2 each side, count() action so only signature compute is
+    timed."""
+    from log2sql_spark.operators.dedup import minhash_signatures, oph_signatures
+    from log2sql_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .repartition(32)
+    )
+
+    def run(fn) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(docs).count()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    classic = run(lambda d: minhash_signatures(d, num_hashes=64))
+    oph = run(lambda d: oph_signatures(d, num_bins=64))
+    return {
+        "classic_sec": classic,
+        "oph_sec": oph,
+        "speedup": round(classic / oph, 2) if oph else None,
+    }
 
 
 def dedup_sf10(spark) -> dict:

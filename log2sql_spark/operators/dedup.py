@@ -634,8 +634,13 @@ def oph_signatures(
     itself pick the signature slot: ``bin = x mod k`` partitions the
     gram space into k bins, ``min(x div k)`` within each bin is an
     independent minimum. Same signature semantics (slot agreement is an
-    unbiased Jaccard estimator), 1/64th the per-token compute — at
-    100 TB the signature pass is hash-bound, so this is the cheap path.
+    unbiased Jaccard estimator) with 1/64th the HASH EVALUATIONS per
+    gram. Measured honestly (BENCH.json sf1.oph_vs_classic): ~1.05x
+    end-to-end at 50k docs, because the shared md5 gram hash and the
+    scan dominate and Spark JIT makes the 64 affine mods cheap — the
+    term OPH removes grows linearly with signature WIDTH, so the gap
+    widens at 256+ hashes or when the signature pass is CPU-bound
+    against cheaper input hashing, not at this corpus.
     Empty bins (short docs) borrow the nearest filled bin to the right
     (circular), offset by ``c * 2^26`` so a borrowed slot can never
     spuriously equal a directly-filled one but two docs borrowing the

@@ -1508,3 +1508,93 @@ def events_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
         .alias("p90_s"),
         F.max("s").cast("long").alias("max_s"),
     )
+
+
+_BLOOMJ_BITS = 1 << 16  # 64 Kbit = 8 KiB bitmap, k=2 md5 slices
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    WITH flagged AS (
+      SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN flagged ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction — the classic distributed-join
+    optimization (a hand-built runtime row-level filter, the technique
+    behind Spark's runtime.bloomFilter AQE rule, made explicit and
+    portable): the small side's join keys fold into an 8 KiB bitmap (2
+    md5-slice hashes), which rides into the FACT SCAN as an array<long>
+    literal — a map-only membership test that drops ~99% of lineitem
+    rows BEFORE they reach the join exchange. False positives pass the
+    bloom but die in the exact (broadcast) join, so the result is
+    bit-identical to the plain join the oracle runs; what changes is
+    WHERE rows die — at 100 TB the shuffle the bloom avoids is the
+    dominant cost of a selective fact-dim join, and unlike a broadcast
+    semi-join of the exact key set, the bitmap stays 8 KiB however
+    many keys qualify. Plan-asserted in tests/test_plans.py: the bit
+    test sits in the scan-side Filter, under the join."""
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    flagged = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+    def positions(expr: str, start: int) -> str:
+        return (
+            f"pmod(cast(conv(substr(md5({expr}), {start}, 15), 16, 10)"
+            f" as bigint), {_BLOOMJ_BITS})"
+        )
+
+    pos = (
+        flagged.select(
+            F.explode(
+                F.array(
+                    F.expr(positions("cast(o_orderkey as string)", 1)),
+                    F.expr(positions("cast(o_orderkey as string)", 9)),
+                )
+            ).alias("p")
+        )
+        .distinct()
+    )
+    words = [0] * (_BLOOMJ_BITS // 64)
+    for (p,) in pos.collect():  # bounded by m/64 = 1024 longs, 8 KiB
+        words[p // 64] |= 1 << (p % 64)
+    bitmap = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
+
+    def bit_test(start: int) -> str:
+        p = positions("cast(l_orderkey as string)", start)
+        return (
+            f"(shiftright(element_at(_bm, cast({p} div 64 as int) + 1),"
+            f" cast({p} % 64 as int)) & 1) = 1"
+        )
+
+    prefiltered = (
+        lineitem.withColumn("_bm", bitmap)
+        .filter(F.expr(f"{bit_test(1)} AND {bit_test(9)}"))
+        .drop("_bm")
+    )
+    return (
+        prefiltered.join(
+            F.broadcast(flagged), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).cast("long").alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

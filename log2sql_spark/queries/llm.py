@@ -2423,11 +2423,14 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-permutation-hashing MinHash dedup candidates — the
-    hash-bound scale variant of llm_dedup_minhash_lsh: ONE hash per
+    hash-evaluation-lean variant of llm_dedup_minhash_lsh: ONE hash per
     gram (the hash picks the slot) instead of 64 affine hashes per
-    gram, so the signature pass costs 1/64th the compute at identical
-    banding semantics; rotation densification (offset-guarded borrow)
-    keeps sparse docs unbiased. 8 bands x 8 rows generate candidates
+    gram, at identical banding semantics; rotation densification
+    (offset-guarded borrow) keeps sparse docs unbiased. The measured
+    end-to-end gain at 50k docs is ~1.05x (BENCH.json
+    sf1.oph_vs_classic — the shared md5 gram hash dominates); the
+    removed term scales with signature width, so OPH is the right
+    default for wide signatures, not a free 64x. 8 bands x 8 rows generate candidates
     as an equi-join on the band slice; slot agreement over the full
     64-slot signature is the unbiased Jaccard estimate, reported in
     truncating basis points. The oracle re-derives every hash, bin

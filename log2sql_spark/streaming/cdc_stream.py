@@ -347,3 +347,96 @@ def maintain_mv_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def maintain_minmax_mv_stream(
+    spark: SparkSession,
+    in_dir: str,
+    catalog: DataFrame,
+    replica_store_path: str,
+    view_store_path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    group_col: str,
+    val_col: str,
+) -> StreamingQuery:
+    """Continuous MIN/MAX materialized view over the CDC stream — the
+    non-distributive streaming twin of :func:`maintain_mv_stream`: a
+    deleted extremum cannot be subtracted out of the view, so the fold
+    (``operators/ivm.py:minmax_apply``) recomputes ONLY dirty groups —
+    and the post-change base it recomputes FROM is the replica store the
+    apply path maintains anyway (merged first, in the same micro-batch).
+    The composition is the production shape: one transactional replica
+    (key-merged, batch-idempotent by version ordering) feeding any
+    number of derived views, each folding batch deltas with bounded
+    reads of the replica.
+
+    Exactly-once: the replica merge is naturally idempotent under
+    re-delivery (newest-wins version ordering); the view fold is NOT, so
+    the applied batch_id rides in the view store's manifest metadata and
+    a re-delivered batch skips the fold. A crash BETWEEN replica merge
+    and view commit replays safely: the merge no-ops row-wise, and the
+    fold's dirty-group recompute reads post-change state either way."""
+    from log2sql_spark.operators.ivm import minmax_apply
+    from log2sql_spark.store import SnapshotStore
+
+    replica = SnapshotStore(replica_store_path)
+    view_store = SnapshotStore(view_store_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        head = view_store.head_version()
+        if head is not None:
+            if view_store.snapshot(head).meta.get("batch_id", -1) >= batch_id:
+                return  # re-delivered batch: view already folded
+        envelope = read_binlog_batch_files(spark, batch_df)
+        resolved = resolve_columns(envelope, catalog)
+        img = F.coalesce("after", "before")
+        changes = resolved.select(
+            F.element_at(img, key_col).alias("key"),
+            "op",
+            "after",
+            "file",
+            "start_pos",
+            "event_seq",
+            F.element_at("after", group_col).alias(group_col),
+            F.element_at("after", val_col).cast("long").alias(val_col),
+            F.element_at("before", group_col).alias(f"before_{group_col}"),
+            F.element_at("before", val_col).cast("long").alias(f"before_{val_col}"),
+        )
+        if replica.head_version() is None:
+            replica.commit(
+                spark.createDataFrame([], "key string, after map<string,string>"),
+                mode="overwrite",
+            )
+        replica.merge(
+            spark,
+            changes.select("key", "op", "after", "file", "start_pos", "event_seq"),
+            key_cols="key",
+            version_cols=["file", "start_pos", "event_seq"],
+        )
+        base_new = replica.read(spark).select(
+            F.element_at("after", group_col).alias(group_col),
+            F.element_at("after", val_col).cast("long").alias(val_col),
+        )
+        if view_store.head_version() is None:
+            mv = spark.createDataFrame(
+                [], f"{group_col} string, n bigint, min_v bigint, max_v bigint"
+            )
+        else:
+            mv = view_store.read(spark)
+        folded = minmax_apply(
+            mv,
+            changes,
+            base_new,
+            [group_col],
+            val_col,
+        ).drop("recomputed")
+        view_store.commit(folded, mode="overwrite", meta={"batch_id": batch_id})
+
+    lines = read_binlog_line_stream(spark, in_dir)
+    return (
+        lines.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

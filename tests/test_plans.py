@@ -336,3 +336,20 @@ def test_gram_matrix_shuffles_cells_not_vectors(spark, qs):
     that scales with anything else means vectors crossed the wire."""
     df = qs["llm_embedding_gram_matrix"](spark, SF)
     assert shuffle_count(df) <= 3
+
+
+def test_bloom_prefilter_sits_under_the_join(spark, qs):
+    """The bloom membership test must evaluate in the fact-scan Filter
+    (JVM bit arithmetic, no Python), and the exact join must be the
+    broadcast hash join that kills false positives — if the md5 bit
+    test floated above the join, the prefilter saved nothing."""
+    df = qs["join_bloom_prefilter"](spark, SF)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan
+    assert "shiftright" in plan and "md5" in plan
+    assert broadcast_join_count(df) >= 1
+    # the bit test lives in a Filter detail block (scan side), and the
+    # join condition itself is the plain key equality — the bloom never
+    # leaks into the join keys
+    assert "Filter" in plan
+    assert "NestedLoop" not in plan
