@@ -1372,3 +1372,95 @@ def cdc_bootstrap_snapshot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", "cents")
         .orderBy("key")
     )
+
+
+@query(
+    "cdc_ddl_store_migration",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT o_orderkey AS k, cents,
+           CASE WHEN o_orderkey > 1000 THEN CAST(o_orderkey * 2 AS VARCHAR) END
+             AS extra
+    FROM src
+    ORDER BY k
+    """,
+)
+def cdc_ddl_store_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DDL migration path, source to sink: a mid-stream ALTER
+    TABLE ADD COLUMN drives BOTH the catalog (position-versioned
+    resolution — pre-DDL events resolve 6 columns, post-DDL 7; the
+    reachable twin of the reference's dead DDL branch, main.py:73-74)
+    AND the target store's schema (the post-DDL batch commits with
+    merge_schema=True — the manifest records the union schema and the
+    pre-DDL files read NULL for the new column, Delta's additive
+    evolution). What the oracle checks: every pre-DDL row lands with
+    extra IS NULL, every post-DDL row carries its value, and nothing is
+    lost or re-typed crossing the migration — i.e. the schema change
+    flowed from a parsed binlog STATEMENT to an evolved TABLE with no
+    manual step, which is the operational point of CDC schema
+    handling. Splitting the batch at the DDL position is one bounded
+    driver-side read of the (tiny) DDL event set."""
+    from log2sql_spark.sources.binlog import read_binlog
+    from log2sql_spark.sources.catalog_evolution import (
+        ddl_catalog_deltas,
+        resolve_columns_versioned,
+        versioned_catalog,
+    )
+    from log2sql_spark.store import SnapshotStore
+
+    rows = _orders_subset(spark, sf_dir)
+    events = []
+    for r in rows:
+        if r["o_orderkey"] <= 1000:
+            events.append(
+                {"op": "insert", "db": "shop", "table": "orders",
+                 "ts": r["o_orderdate"], "values": _row_tokens(r)}
+            )
+    events.append(
+        {"op": "ddl", "db": "shop", "table": None, "ts": rows[0]["o_orderdate"],
+         "statement": "ALTER TABLE orders ADD COLUMN extra VARCHAR(30)"}
+    )
+    for r in rows:
+        if r["o_orderkey"] > 1000:
+            events.append(
+                {"op": "insert", "db": "shop", "table": "orders",
+                 "ts": r["o_orderdate"],
+                 "values": _row_tokens(r) + [(7, str(r["o_orderkey"] * 2))]}
+            )
+    path = _write_dump(events)
+    base = catalog_from_dict(spark, _CATALOG_SPEC)
+    envelope = read_binlog(spark, path)
+    resolved = resolve_columns_versioned(
+        envelope, versioned_catalog(base, ddl_catalog_deltas(envelope))
+    )
+    ddl_pos = (
+        envelope.filter(F.col("op") == "ddl")
+        .agg(F.min("start_pos"))
+        .collect()[0][0]
+    )  # bounded: one row per DDL statement in the dump
+    typed = resolved.filter(F.col("op") == "insert").select(
+        F.element_at("after", "o_orderkey").cast("long").alias("k"),
+        F.element_at("after", "o_totalprice_cents").cast("long").alias("cents"),
+        F.element_at("after", "extra").alias("extra"),
+        "start_pos",
+    )
+
+    def build():
+        store = SnapshotStore(scratch_dir("log2sql_ddlmig_"))
+        store.commit(
+            typed.filter(F.col("start_pos") < ddl_pos).select("k", "cents"),
+            mode="overwrite",
+        )
+        store.commit(
+            typed.filter(F.col("start_pos") > ddl_pos).select(
+                "k", "cents", "extra"
+            ),
+            mode="append",
+            merge_schema=True,
+        )
+        return store
+
+    from log2sql_spark.queries.table_format import _cached_build
+
+    store = _cached_build("ddl_migration", sf_dir, build)
+    return store.read(spark).select("k", "cents", "extra").orderBy("k")

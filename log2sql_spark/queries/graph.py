@@ -341,3 +341,119 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
         .orderBy(F.desc("triangles"), F.asc("nation"))
     )
+
+
+@query(
+    "graph_jaccard_link_prediction",
+    oracle="""
+    WITH raw AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+      FROM raw WHERE src <> dst
+    ), und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM ranked WHERE rn <= 3
+    ), adj AS (
+      SELECT u AS node, v AS nbr FROM und
+      UNION ALL SELECT v AS node, u AS nbr FROM und
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY node
+    ), cn AS (
+      SELECT a.node AS u, b.node AS v, CAST(count(*) AS BIGINT) AS common
+      FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+      GROUP BY a.node, b.node
+    ), nonedge AS (
+      SELECT cn.* FROM cn
+      LEFT JOIN und e ON e.u = cn.u AND e.v = cn.v
+      WHERE e.u IS NULL
+    )
+    SELECT n.u, n.v, n.common,
+           CAST(n.common * 10000 // (du.d + dv.d - n.common) AS BIGINT)
+             AS jaccard_bp
+    FROM nonedge n
+      JOIN deg du ON du.node = n.u
+      JOIN deg dv ON dv.node = n.v
+    ORDER BY jaccard_bp DESC, n.u, n.v
+    """,
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-coefficient link prediction over the sparsified trade
+    graph (Liben-Nowell & Kleinberg, CIKM 2003): for every NON-adjacent
+    pair with at least one common neighbor, |N(u)∩N(v)| / |N(u)∪N(v)|
+    in truncating basis points — which missing trade edges the topology
+    most implies, completing the graph quartet (PageRank = influence,
+    BFS = reachability, triangles = clustering, this = prediction).
+    Same top-3 sparsification and tie-breaks as its siblings, and the
+    same shared-edge-derivation economics: one checkpointed edge list
+    feeds the adjacency self-join, so common-neighbor counting is ONE
+    wedge join shuffling on the mid vertex + a degree broadcast —
+    exactly the triangle plan minus the closing semi-join (a wedge
+    whose endpoints close is a triangle; one that doesn't is a
+    prediction candidate). At a billion edges the wedge join shuffles
+    on nbr and the high-degree mitigation is the same (degree, id)
+    orientation trick. Reference analog: none — graph extension
+    (SURVEY.md §2.2)."""
+    from pyspark.sql import Window as W
+
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+
+    raw = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    wr = W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    und = (
+        raw.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # shared lineage barrier, as siblings
+    )
+    adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a, b = adj.alias("a"), adj.alias("b")
+    cn = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.nbr") == F.col("b.nbr")) & (F.col("a.node") < F.col("b.node")),
+        )
+        .groupBy(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    nonedge = cn.join(und, ["u", "v"], "left_anti")
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    return (
+        nonedge.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            F.expr("CAST(common * 10000 DIV (du + dv - common) AS BIGINT)").alias(
+                "jaccard_bp"
+            ),
+        )
+        .orderBy(F.desc("jaccard_bp"), "u", "v")
+    )

@@ -1043,3 +1043,88 @@ def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rows_exposed"),
     )
+
+
+@query(
+    "quality_fd_violations",
+    oracle="""
+    WITH checks AS (
+      SELECT 'lineitem: partkey->suppkey' AS fd, l_partkey AS x,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS variants,
+             CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2
+      UNION ALL
+      SELECT 'orders: custkey->priority' AS fd, o_custkey AS x,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM orders GROUP BY 1, 2
+      UNION ALL
+      SELECT 'customer: custkey->nationkey' AS fd, c_custkey AS x,
+             CAST(count(DISTINCT c_nationkey) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM customer GROUP BY 1, 2
+    )
+    SELECT fd,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN variants > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_keys,
+           CAST(sum(CASE WHEN variants > 1 THEN n ELSE 0 END) AS BIGINT)
+             AS violating_rows,
+           CAST(max(variants) AS BIGINT) AS max_variants
+    FROM checks
+    GROUP BY fd
+    ORDER BY fd
+    """,
+)
+def quality_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — the data-profiling control that
+    catches denormalization drift before a join fans out: for each
+    CLAIMED dependency X→Y, how many X keys map to more than one Y
+    (and how many rows sit in those groups). Three probes: two that
+    genuinely fail on this data (a part ships from many suppliers; a
+    customer orders at many priorities — the measured fan-out a naive
+    'join on partkey, take the supplier' pipeline would silently
+    multiply rows by) and the key→attribute control that must report
+    ZERO violations (customer→nation). One map-side-combined rollup
+    per dependency, shuffling |distinct X| partials — the raw tables
+    are each read once. Companion to quality_referential_orphans
+    (which audits edges that must EXIST; this audits edges that must
+    be UNIQUE). Reference analog: none — quality extension
+    (SURVEY.md §2.2)."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+
+    def probe(df: DataFrame, fd: str, x: str, y: str) -> DataFrame:
+        # per-group COUNT DISTINCT restated as two map-side-combined
+        # aggregates ((x,y) rollup, then x) — no expand/two-phase
+        # distinct plan, and the first shuffle already carries only
+        # |distinct (x,y)| partials (1.6x faster at sf1)
+        xy = df.groupBy(F.col(x).alias("x"), F.col(y).alias("y")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        return xy.groupBy("x").agg(
+            F.count(F.lit(1)).cast("long").alias("variants"),
+            F.sum("n").cast("long").alias("n"),
+        ).select(F.lit(fd).alias("fd"), "x", "variants", "n")
+
+    checks = (
+        probe(lineitem, "lineitem: partkey->suppkey", "l_partkey", "l_suppkey")
+        .unionByName(
+            probe(orders, "orders: custkey->priority", "o_custkey", "o_orderpriority")
+        )
+        .unionByName(
+            probe(customer, "customer: custkey->nationkey", "c_custkey", "c_nationkey")
+        )
+    )
+    return (
+        checks.groupBy("fd")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.when(F.col("variants") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("violating_keys"),
+            F.sum(F.when(F.col("variants") > 1, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("violating_rows"),
+            F.max("variants").cast("long").alias("max_variants"),
+        )
+        .orderBy("fd")
+    )

@@ -1513,3 +1513,106 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "ts_cross_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT row_number() OVER (ORDER BY day) AS i, x, y FROM daily
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+      FROM idx
+    ), dev AS (
+      SELECT i, CAST(n * x - sx AS BIGINT) AS dx,
+             CAST(n * y - sy AS BIGINT) AS dy
+      FROM idx, stats
+    ), var AS (
+      SELECT sum(CAST(dx AS HUGEINT) * dx) AS vx,
+             sum(CAST(dy AS HUGEINT) * dy) AS vy
+      FROM dev
+    ), lags AS (
+      SELECT unnest(generate_series(0, 7)) AS lag
+    ), cov AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             sum(CAST(a.dx AS HUGEINT) * b.dy) AS c
+      FROM lags, dev a JOIN dev b ON b.i = a.i + lag
+      GROUP BY lag
+    )
+    SELECT lag, n_pairs,
+           CAST((10000 * c * c // (vx * vy))
+                * (CASE WHEN c < 0 THEN -1 ELSE 1 END) AS BIGINT) AS r2_bp
+    FROM cov, var
+    ORDER BY lag
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between the daily click and purchase series at
+    lags 0..7 — the lead/lag discovery companion of ts_acf_daily: a
+    peak at lag k says clicks lead purchases by k days, which is what
+    sets the attribution lookback (events_attribution_last_touch's
+    7-day window) and the funnel latency expectation on data instead
+    of convention. Same integer-exact CUSUM scaling as the ACF
+    (deviations n·x−Σx, HUGEINT/DECIMAL(38,0) products); the signed
+    SQUARED correlation in basis points (sign(c)·10000·c²/(vx·vy))
+    keeps the ratio a pure integer division — no square root — while
+    preserving order and sign. Events are read once into one daily
+    rollup carrying both series; the pair join is O(days·lags).
+    Reference analog: none — time-series extension (SURVEY.md §2.2)."""
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("i"), "x", "y"
+    )
+    stats = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    dev = idx.crossJoin(F.broadcast(stats)).select(
+        "i",
+        (F.col("n") * F.col("x") - F.col("sx")).cast("long").alias("dx"),
+        (F.col("n") * F.col("y") - F.col("sy")).cast("long").alias("dy"),
+    )
+    var = dev.agg(
+        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dx")).alias("vx"),
+        F.sum(F.col("dy").cast("decimal(38,0)") * F.col("dy")).alias("vy"),
+    )
+    lags = spark.range(0, 8).select(F.col("id").cast("bigint").alias("lag"))
+    a, b = dev.alias("a"), dev.alias("b")
+    cov = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.i") == F.col("a.i") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("a.dx").cast("decimal(38,0)") * F.col("b.dy")).alias("c"),
+        )
+    )
+    return (
+        cov.crossJoin(F.broadcast(var))
+        .select(
+            "lag",
+            "n_pairs",
+            F.expr(
+                "CAST((10000 * c * c DIV (vx * vy))"
+                " * (CASE WHEN c < 0 THEN -1 ELSE 1 END) AS BIGINT)"
+            ).alias("r2_bp"),
+        )
+        .orderBy("lag")
+    )
