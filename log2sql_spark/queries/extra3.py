@@ -1598,3 +1598,103 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "events_feature_asof_training",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ), feat AS (
+      SELECT *,
+             CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS clicks_7d,
+             last_value(CASE WHEN event_type = 'view' THEN cents END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY sec, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_view_cents,
+             CAST(min(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS first_sec
+      FROM ev
+    )
+    SELECT user_id, event_id AS label_event_id, cents AS label_cents,
+           clicks_7d, last_view_cents,
+           CAST((sec - first_sec) // 86400 AS BIGINT) AS days_since_first
+    FROM feat
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, label_event_id
+    """,
+)
+def events_feature_asof_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature assembly — the feature-store /
+    training-set backfill pattern: every purchase becomes a labeled
+    example whose features are computed STRICTLY from its past (a
+    trailing 7-day click count via a time-RANGE frame ending 1 second
+    before the label, the last pre-label view amount via an
+    IGNORE NULLS value carry ending 1 row before, and account age from
+    a running min) — the leakage discipline that separates a valid
+    training set from one that quietly reads the future. All three
+    features ride ONE per-user window partitioning: the events shuffle
+    once on user_id, labels and features never join (the classic
+    as-of-join formulation would shuffle twice). Epochs are floored to
+    seconds on both engines (DuckDB's epoch() CAST rounds — the LTTB
+    lesson). Reference analog: none — LLM/training-pipeline extension
+    (SURVEY.md §2.2)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.unix_timestamp("ts").cast("bigint").alias("sec"),
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-604800, -1)
+    )
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    feat = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "cents",
+        "sec",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", 1)).over(w_range),
+            F.lit(0),
+        ).cast("long").alias("clicks_7d"),
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("cents")), ignorenulls=True
+        ).over(w_rows).alias("last_view_cents"),
+        F.min("sec").over(w_run).cast("long").alias("first_sec"),
+    )
+    return (
+        feat.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("label_event_id"),
+            F.col("cents").alias("label_cents"),
+            "clicks_7d",
+            "last_view_cents",
+            F.expr("CAST((sec - first_sec) DIV 86400 AS BIGINT)").alias(
+                "days_since_first"
+            ),
+        )
+        .orderBy("user_id", "label_event_id")
+    )

@@ -1616,3 +1616,129 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@query(
+    "ts_survival_kaplan_meier",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ), bounds AS (
+      SELECT max(sec) AS obs_end FROM ev
+    ), users AS (
+      SELECT user_id, min(sec) AS first_sec,
+             min(CASE WHEN event_type = 'purchase' THEN sec END) AS purch_sec
+      FROM ev GROUP BY user_id
+    ), durations AS (
+      SELECT user_id,
+             CASE WHEN purch_sec IS NOT NULL
+                  THEN (purch_sec - first_sec) // 86400
+                  ELSE (obs_end - first_sec) // 86400 END AS t,
+             CASE WHEN purch_sec IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM users, bounds
+    ), total AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM durations),
+    daily AS (
+      SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leave_t
+      FROM durations GROUP BY t
+    ), risk AS (
+      SELECT t, d,
+             n_users - CAST(coalesce(sum(leave_t) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS n_risk
+      FROM daily, total
+    ), series AS (
+      SELECT list(CAST(n_risk - d AS DOUBLE) / n_risk ORDER BY t) AS f,
+             list(t ORDER BY t) AS ts_list,
+             list(d ORDER BY t) AS d_list,
+             list(n_risk ORDER BY t) AS n_list
+      FROM risk
+    ), e AS (
+      SELECT unnest(range(1, len(f) + 1)) AS i, f, ts_list, d_list, n_list
+      FROM series
+    )
+    SELECT CAST(ts_list[CAST(i AS INTEGER)] AS BIGINT) AS t_days,
+           CAST(d_list[CAST(i AS INTEGER)] AS BIGINT) AS d_events,
+           CAST(n_list[CAST(i AS INTEGER)] AS BIGINT) AS n_at_risk,
+           round(list_reduce(f[1:CAST(i AS INTEGER)], (a, x) -> a * x), 6)
+             AS km_survival
+    FROM e
+    ORDER BY t_days
+    """,
+)
+def ts_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival estimate of time-to-first-purchase with
+    RIGHT-CENSORING — the churn/conversion statistic a naive
+    'average days to purchase over converters' gets wrong, because
+    users who never purchased carry information (they survived at
+    least their observation window) and dropping them biases the curve
+    optimistic. Each user contributes a duration from first activity
+    to first purchase (event) or to the observation end (censored);
+    S(t) = Π_{s≤t} (n_s − d_s)/n_s over event days. The product is an
+    ORDER-SENSITIVE IEEE fold, handled like the EWMA/Holt precedent:
+    per-day factors are assembled once (|days| rows — the only window
+    orders days, users shuffle once into durations), then each day
+    folds its prefix with identical scalar arithmetic in both engines,
+    6 dp. Reference analog: none — time-series extension (SURVEY.md
+    §2.2)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("sec"),
+    )
+    obs_end = ev.agg(F.max("sec").alias("obs_end"))
+    users = ev.groupBy("user_id").agg(
+        F.min("sec").alias("first_sec"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("sec"))).alias(
+            "purch_sec"
+        ),
+    )
+    durations = users.crossJoin(F.broadcast(obs_end)).select(
+        "user_id",
+        F.when(
+            F.col("purch_sec").isNotNull(),
+            F.expr("(purch_sec - first_sec) DIV 86400"),
+        )
+        .otherwise(F.expr("(obs_end - first_sec) DIV 86400"))
+        .alias("t"),
+        F.when(F.col("purch_sec").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    total = durations.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    daily = durations.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leave_t"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = daily.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("leave_t").over(w), F.lit(0))
+        ).cast("long").alias("n_risk"),
+    )
+    series = risk.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "n_risk"))).alias("rows")
+    )
+    exploded = series.select(
+        F.transform(
+            "rows", lambda r: (r.n_risk - r.d).cast("double") / r.n_risk
+        ).alias("f"),
+        F.transform("rows", lambda r: r.t).alias("ts_list"),
+        F.transform("rows", lambda r: r.d).alias("d_list"),
+        F.transform("rows", lambda r: r.n_risk).alias("n_list"),
+        F.posexplode(F.sequence(F.lit(1), F.size("rows"))).alias("_p", "i"),
+    )
+    km = F.aggregate(
+        F.slice("f", 1, F.col("i")), F.lit(1.0), lambda a, x: a * x
+    )
+    return (
+        exploded.select(
+            F.element_at("ts_list", F.col("i")).cast("bigint").alias("t_days"),
+            F.element_at("d_list", F.col("i")).cast("bigint").alias("d_events"),
+            F.element_at("n_list", F.col("i")).cast("bigint").alias("n_at_risk"),
+            F.round(km, 6).alias("km_survival"),
+        )
+        .orderBy("t_days")
+    )
