@@ -1464,3 +1464,105 @@ def cdc_ddl_store_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = _cached_build("ddl_migration", sf_dir, build)
     return store.read(spark).select("k", "cents", "extra").orderBy("k")
+
+
+@query(
+    "cdc_flashback_point_in_time",
+    oracle=_ORACLE_BASE
+    + f"""
+    , u AS (
+      SELECT 2 AS f, 4 + 120 * (rn - 1) AS start_pos,
+             'UPDATE `shop`.`orders` SET `o_orderkey`=' || o_orderkey
+               || ', `o_totalprice_cents`=' || cents
+               || ' WHERE `o_orderkey`=' || o_orderkey || ' LIMIT 1;'
+               AS sql_text
+      FROM src
+    ), d AS (
+      SELECT 3 AS f,
+             4 + 120 * (row_number() OVER (ORDER BY o_orderkey) - 1)
+               AS start_pos,
+             'INSERT INTO `shop`.`orders`({_COL_LIST}) VALUES ('
+               || o_orderkey || ', ' || o_custkey || ', ''' || o_orderstatus
+               || ''', ' || (cents + 500) || ', '''
+               || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || ''', '''
+               || o_orderpriority || ''');' AS sql_text
+      FROM src WHERE o_orderkey % 6 = 0
+    ), allv AS (
+      SELECT * FROM u UNION ALL SELECT * FROM d
+    )
+    SELECT f, start_pos, sql_text,
+           CAST(row_number() OVER (ORDER BY f DESC, start_pos DESC) - 1
+                AS BIGINT) AS apply_rank
+    FROM allv
+    ORDER BY f, start_pos
+    """,
+)
+def cdc_flashback_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time ROLLBACK — the reference's actual use case
+    (flashback mode + --start-datetime, main.py:30-34) run as one
+    script over a multi-file history: inserts (file 1, before the
+    rollback point) are OUT of scope via the datetime filter; the
+    file-2 updates and file-3 deletes at/after it invert (update swaps
+    images, delete becomes INSERT of the deleted row — which carries
+    the post-update amount, because the fixture deletes happened after
+    the updates) and the whole script orders REVERSE-chronologically
+    ACROSS file rotations (file desc, position desc — undo the delete
+    first, then the update), the global ordering the reference's
+    single-pass printer cannot produce (README.md:23-27). apply_rank
+    encodes that ordering for the order-insensitive hash; the oracle
+    rebuilds every inverted statement and its rank by string
+    arithmetic."""
+    import os as _os
+
+    from pyspark.sql import Window as W
+
+    from log2sql_spark.cdc import binlog_to_sql
+    from log2sql_spark.sources.binlog_fixture import render_binlog
+
+    rows = _orders_subset(spark, sf_dir)
+    ts_early = rows[0]["o_orderdate"].replace(hour=1)
+    ts_mid = rows[0]["o_orderdate"].replace(hour=12)
+    ts_late = rows[0]["o_orderdate"].replace(hour=18)
+
+    inserts = [
+        {"op": "insert", "db": "shop", "table": "orders", "ts": ts_early,
+         "values": _row_tokens(r)}
+        for r in rows
+    ]
+    updates = [
+        {"op": "update", "db": "shop", "table": "orders", "ts": ts_mid,
+         "before": [(1, str(r["o_orderkey"])), (4, str(r["cents"]))],
+         "after": [(1, str(r["o_orderkey"])), (4, str(r["cents"] + 500))]}
+        for r in rows
+    ]
+    deletes = []
+    for r in rows:
+        if r["o_orderkey"] % 6 == 0:
+            nr = dict(r)
+            nr["cents"] = r["cents"] + 500  # post-update row image
+            deletes.append(
+                {"op": "delete", "db": "shop", "table": "orders",
+                 "ts": ts_late, "values": _row_tokens(nr)}
+            )
+    key = f"pit:{len(rows)}"
+    if key not in _DUMP_CACHE:
+        d = scratch_dir("log2sql_pitfb_")
+        for i, evs in enumerate([inserts, updates, deletes], start=1):
+            with open(_os.path.join(d, f"mysql-bin.00000{i}.txt"), "w") as fh:
+                fh.write(render_binlog(evs))
+        _DUMP_CACHE[key] = d
+    paths = [
+        _os.path.join(_DUMP_CACHE[key], f"mysql-bin.00000{i}.txt")
+        for i in (1, 2, 3)
+    ]
+    cat = catalog_from_dict(spark, _CATALOG_SPEC)
+    df = binlog_to_sql(spark, paths, cat, flashback=True, start_datetime=ts_mid)
+    f_num = F.regexp_extract("file", r"mysql-bin\.(\d+)\.txt", 1).cast("int")
+    return df.select(
+        f_num.alias("f"),
+        "start_pos",
+        "sql_text",
+        (
+            F.row_number().over(W.orderBy(F.desc(f_num), F.desc("start_pos"))) - 1
+        ).cast("long").alias("apply_rank"),
+    ).orderBy("f", "start_pos")
