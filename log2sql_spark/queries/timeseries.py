@@ -1383,7 +1383,7 @@ def ts_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = idx.crossJoin(F.broadcast(stats)).select(
         "i", (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("d")
-    )
+    ).localCheckpoint(eager=True)  # |days| rows; var + both cov arms share it
     var = dev.agg(
         F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("v")
     )
@@ -1588,7 +1588,7 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i",
         (F.col("n") * F.col("x") - F.col("sx")).cast("long").alias("dx"),
         (F.col("n") * F.col("y") - F.col("sy")).cast("long").alias("dy"),
-    )
+    ).localCheckpoint(eager=True)  # |days| rows; shared by var + cov arms
     var = dev.agg(
         F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dx")).alias("vx"),
         F.sum(F.col("dy").cast("decimal(38,0)") * F.col("dy")).alias("vy"),
@@ -1717,7 +1717,7 @@ def ts_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_users")
             - F.coalesce(F.sum("leave_t").over(w), F.lit(0))
         ).cast("long").alias("n_risk"),
-    )
+    ).localCheckpoint(eager=True)  # |days| rows, read once downstream
     series = risk.groupBy().agg(
         F.sort_array(F.collect_list(F.struct("t", "d", "n_risk"))).alias("rows")
     )
