@@ -1226,3 +1226,94 @@ def mv_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = deletes.unionByName(updates).unionByName(inserts)
     return distinct_apply(view, support, changes, ["prio"], "v").orderBy("prio")
+
+
+@query(
+    "store_bitemporal_asof",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 300
+    )
+    SELECT k,
+           cents AS known_at_v1_cents,
+           CAST(cents + CASE WHEN k % 10 = 0 THEN 55 ELSE 0 END AS BIGINT)
+             AS known_now_cents,
+           k % 10 = 0 AS corrected
+    FROM base
+    ORDER BY k
+    """,
+)
+def store_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of: VALID time (when a price was in effect) crossed
+    with TRANSACTION time (when the system learned it) — the 2D query
+    auditors and ML backfills need: 'what did we BELIEVE the day-15
+    price was, as of commit v1, vs what do we know NOW that a
+    correction landed?' Valid time lives in the rows (interval columns,
+    as-of containment probe); transaction time is the snapshot store's
+    version axis (read(version=1) vs head) — no extra machinery, time
+    travel IS the transaction dimension, and the correction itself is
+    an update_where hitting only the mis-priced interval rows. A
+    training pipeline that joins features 'as we knew them then'
+    (events_feature_asof_training's discipline, extended to late
+    corrections) reads the v1 side; a restatement report reads both and
+    diffs. The oracle rebuilds both beliefs arithmetically; `corrected`
+    flags exactly the keys whose history was rewritten."""
+    from log2sql_spark.store import SnapshotStore
+
+    def build():
+        store = SnapshotStore(scratch_dir("log2sql_bitempo_"))
+        base = (
+            load_table(spark, "orders", sf_dir)
+            .filter(F.col("o_orderkey") < 300)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            )
+        )
+        first = base.select(
+            "k", F.lit(0).cast("bigint").alias("valid_from_day"),
+            F.lit(30).cast("bigint").alias("valid_to_day"), "cents",
+        )
+        second = base.select(
+            "k", F.lit(30).cast("bigint").alias("valid_from_day"),
+            F.lit(10**9).cast("bigint").alias("valid_to_day"),
+            (F.col("cents") + 100).alias("cents"),
+        )
+        store.commit(
+            first.unionByName(second), mode="overwrite", cluster_by="k",
+            target_files=4,
+        )
+        # the late correction: first-interval price was wrong for k%10
+        store.update_where(
+            spark,
+            {"cents": "cents + 55"},
+            "k % 10 = 0 AND valid_from_day = 0",
+        )
+        return store
+
+    store = _cached_build("bitemporal", sf_dir, build)
+    probe_day = 15  # inside the first valid interval for every key
+
+    def belief(version: int | None, alias: str) -> DataFrame:
+        df = store.read(spark, version) if version else store.read(spark)
+        return df.filter(
+            (F.col("valid_from_day") <= probe_day)
+            & (F.col("valid_to_day") > probe_day)
+        ).select("k", F.col("cents").alias(alias))
+
+    v1 = belief(1, "known_at_v1_cents")
+    now = belief(None, "known_now_cents")
+    return (
+        v1.join(now, "k")
+        .select(
+            "k",
+            "known_at_v1_cents",
+            "known_now_cents",
+            (F.col("known_at_v1_cents") != F.col("known_now_cents")).alias(
+                "corrected"
+            ),
+        )
+        .orderBy("k")
+    )
