@@ -1566,3 +1566,100 @@ def cdc_flashback_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(W.orderBy(F.desc(f_num), F.desc("start_pos"))) - 1
         ).cast("long").alias("apply_rank"),
     ).orderBy("f", "start_pos")
+
+
+@query(
+    "cdc_conflict_bidirectional",
+    oracle=_ORACLE_BASE
+    + """
+    SELECT o_orderkey AS k,
+           CAST(cents + 100 AS BIGINT) AS site_a_cents,
+           CAST(cents + 200 AS BIGINT) AS site_b_cents,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS winner_site,
+           CAST(CASE WHEN o_orderkey % 2 = 0 THEN cents + 100
+                     ELSE cents + 200 END AS BIGINT) AS resolved_cents
+    FROM src
+    WHERE o_orderkey % 15 = 0
+    ORDER BY k
+    """,
+)
+def cdc_conflict_bidirectional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional (active-active) replication conflict detection —
+    the operational hazard single-direction CDC never sees: the SAME
+    key updated at BOTH sites within the exchange window. Each site's
+    binlog parses independently (site = file identity); keys present
+    on both update streams are conflicts, resolved deterministically
+    by last-writer-wins on event time with site-precedence ('a') on
+    ties — the policy documented by every active-active system
+    (MySQL Group Replication certifies, DMS/Aurora use LWW). The
+    fixture interleaves clock orders (site A writes LATER for even
+    keys, earlier for odd), so the winner column exercises both
+    directions and a tie-break that silently preferred one site would
+    break the hash. One equi-join of the two (already filtered,
+    key-distinct) update streams — cost is |conflicting keys|, never
+    dump size."""
+    import os as _os
+
+    from log2sql_spark.sources.binlog import read_binlog
+    from log2sql_spark.sources.binlog_fixture import render_binlog
+    from log2sql_spark.sources.catalog import resolve_columns
+
+    rows = _orders_subset(spark, sf_dir)
+    t10 = rows[0]["o_orderdate"].replace(hour=10)
+    t11 = rows[0]["o_orderdate"].replace(hour=11)
+    t12 = rows[0]["o_orderdate"].replace(hour=12)
+
+    def upd(r, add, ts):
+        return {"op": "update", "db": "shop", "table": "orders", "ts": ts,
+                "before": [(1, str(r["o_orderkey"])), (4, str(r["cents"]))],
+                "after": [(1, str(r["o_orderkey"])), (4, str(r["cents"] + add))]}
+
+    site_a = [
+        upd(r, 100, t12 if r["o_orderkey"] % 2 == 0 else t10)
+        for r in rows if r["o_orderkey"] % 3 == 0
+    ]
+    site_b = [upd(r, 200, t11) for r in rows if r["o_orderkey"] % 5 == 0]
+    key = f"bidi:{len(rows)}"
+    if key not in _DUMP_CACHE:
+        d = scratch_dir("log2sql_bidi_")
+        with open(_os.path.join(d, "site-a-bin.000001.txt"), "w") as fh:
+            fh.write(render_binlog(site_a))
+        with open(_os.path.join(d, "site-b-bin.000001.txt"), "w") as fh:
+            fh.write(render_binlog(site_b))
+        _DUMP_CACHE[key] = d
+    d = _DUMP_CACHE[key]
+    paths = [
+        _os.path.join(d, "site-a-bin.000001.txt"),
+        _os.path.join(d, "site-b-bin.000001.txt"),
+    ]
+    cat = catalog_from_dict(spark, _CATALOG_SPEC)
+    resolved = resolve_columns(read_binlog(spark, paths), cat).filter(
+        F.col("op") == "update"
+    )
+    site = F.when(F.col("file").contains("site-a"), "a").otherwise("b")
+    ups = resolved.select(
+        F.element_at("after", "o_orderkey").cast("long").alias("k"),
+        F.element_at("after", "o_totalprice_cents").cast("long").alias("cents"),
+        "event_ts",
+        site.alias("site"),
+    )
+    a = ups.filter(F.col("site") == "a").select(
+        "k", F.col("cents").alias("site_a_cents"), F.col("event_ts").alias("ts_a")
+    )
+    b = ups.filter(F.col("site") == "b").select(
+        "k", F.col("cents").alias("site_b_cents"), F.col("event_ts").alias("ts_b")
+    )
+    winner = F.when(F.col("ts_a") >= F.col("ts_b"), "a").otherwise("b")
+    return (
+        a.join(b, "k")
+        .select(
+            "k",
+            "site_a_cents",
+            "site_b_cents",
+            winner.alias("winner_site"),
+            F.when(winner == "a", F.col("site_a_cents"))
+            .otherwise(F.col("site_b_cents"))
+            .alias("resolved_cents"),
+        )
+        .orderBy("k")
+    )
