@@ -10,7 +10,7 @@ the per-document side is one pass over the exploded token stream.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from log2sql_spark.registry import query
@@ -442,4 +442,135 @@ def search_inverted_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
         .orderBy("doc_id")
+    )
+
+
+_RAKE_STOPS = "'the','a','of','and','to','in','is','it','for','on'"
+
+
+@query(
+    "search_rake_keyphrases",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, i AS pos,
+             regexp_split_to_array(lower(trim(text)), '\s+')[CAST(i AS INTEGER)]
+               AS tok
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(1,
+                 len(regexp_split_to_array(trim(text), '\s+')) + 1)) AS i
+        FROM documents WHERE doc_id < 100
+      )
+    ), marked AS (
+      SELECT doc_id, pos, tok, tok IN ({_RAKE_STOPS}) AS stop,
+             CAST(sum(CASE WHEN tok IN ({_RAKE_STOPS}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS phrase_id
+      FROM toks
+    ), phrase_toks AS (
+      SELECT doc_id, phrase_id, pos, tok FROM marked WHERE NOT stop
+    ), phrases AS (
+      SELECT doc_id, phrase_id,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM phrase_toks GROUP BY doc_id, phrase_id
+    ), wstats AS (
+      SELECT pt.doc_id, pt.tok,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(p.plen) AS BIGINT) AS deg
+      FROM phrase_toks pt
+      JOIN phrases p USING (doc_id, phrase_id)
+      GROUP BY pt.doc_id, pt.tok
+    ), scored AS (
+      SELECT p.doc_id, p.phrase_id, p.phrase,
+             CAST(sum(1000 * w.deg // w.freq) AS BIGINT) AS score_milli
+      FROM phrase_toks pt
+      JOIN phrases p USING (doc_id, phrase_id)
+      JOIN wstats w ON w.doc_id = pt.doc_id AND w.tok = pt.tok
+      GROUP BY p.doc_id, p.phrase_id, p.phrase
+    ), ranked AS (
+      SELECT doc_id, phrase, score_milli,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_milli DESC, phrase) AS rank
+      FROM scored
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase, score_milli
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def search_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — the unsupervised
+    keyword stage of document tagging/indexing pipelines: candidate
+    phrases are maximal stopword-free token runs (the classic
+    gaps-and-islands segmentation — phrase id = running stopword
+    count), each word scores degree/frequency over the doc's phrases,
+    a phrase scores the sum of its words, top-3 per doc. Integer
+    discipline: word scores truncate to milli before summing (a
+    documented deviation from float RAKE that makes both engines hash
+    the phrase ranking exactly, ties broken lexicographically). Every
+    stage is per-doc bounded: one window orders tokens within the doc,
+    the stats and scoring joins key on (doc, token)/(doc, phrase) —
+    nothing global ever shuffles more than token counts. Reference
+    analog: none — text-analysis extension (SURVEY.md §2.2)."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    stops = [s.strip("'") for s in _RAKE_STOPS.split(",")]
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+            "pos0", "tok"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.col("tok").isin(stops).alias("stop"),
+        F.sum(F.col("tok").isin(stops).cast("int")).over(w).cast("long").alias(
+            "phrase_id"
+        ),
+    )
+    phrase_toks = marked.filter(~F.col("stop")).select(
+        "doc_id", "phrase_id", "pos", "tok"
+    )
+    phrases = phrase_toks.groupBy("doc_id", "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda r: r.tok,
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    wstats = (
+        phrase_toks.join(phrases, ["doc_id", "phrase_id"])
+        .groupBy("doc_id", "tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+    )
+    scored = (
+        phrase_toks.join(phrases, ["doc_id", "phrase_id"])
+        .join(wstats, ["doc_id", "tok"])
+        .groupBy("doc_id", "phrase_id", "phrase")
+        .agg(
+            F.sum(F.expr("1000 * deg DIV freq")).cast("long").alias("score_milli")
+        )
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_milli"), F.asc("phrase")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter("rank <= 3")
+        .select("doc_id", "rank", "phrase", "score_milli")
+        .orderBy("doc_id", "rank")
     )

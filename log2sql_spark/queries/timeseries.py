@@ -1841,3 +1841,90 @@ def events_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+@query(
+    "events_markov_prediction_eval",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst,
+             day(ts) <= 20 AS train
+      FROM events
+    ), pairs AS (
+      SELECT src, dst, train FROM seq WHERE dst IS NOT NULL
+    ), model AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      FROM pairs WHERE train GROUP BY src, dst
+    ), pred AS (
+      SELECT src, dst AS predicted
+      FROM (SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY n DESC, dst) AS rn
+            FROM model)
+      WHERE rn = 1
+    )
+    SELECT p.src,
+           max(pr.predicted) AS predicted,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN p.dst = pr.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN p.dst = pr.predicted THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS accuracy_bp
+    FROM pairs p JOIN pred pr ON pr.src = p.src
+    WHERE NOT p.train
+    GROUP BY p.src
+    ORDER BY p.src
+    """,
+)
+def events_markov_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction backtest: the first-order Markov model the
+    path-transition query implies (argmax next event per source,
+    trained on days ≤ 20) scored on the HELD-OUT tail — top-1 accuracy
+    per source state in basis points, against the majority-class
+    baseline each row implicitly carries (n_correct/n_eval of the
+    argmax IS the baseline any sequence model must beat, the
+    sequence-modeling sibling of ts_forecast_snaive_eval). Temporal
+    split, not random: evaluating a sequence model on interleaved
+    history leaks the future. One per-user window shuffle shared by
+    train and eval legs (the split is a projection off the same lead()
+    pass), one tiny model aggregate, broadcast argmax join — events
+    read once. Ties in the argmax break lexicographically so both
+    engines pick the same prediction. Reference analog: none —
+    analytics extension (SURVEY.md §2.2)."""
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+        (F.dayofmonth("ts") <= 20).alias("train"),
+    ).filter(F.col("dst").isNotNull())
+    model = (
+        seq.filter("train")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wr = Window.partitionBy("src").orderBy(F.desc("n"), F.asc("dst"))
+    pred = (
+        model.withColumn("rn", F.row_number().over(wr))
+        .filter("rn = 1")
+        .select("src", F.col("dst").alias("predicted"))
+    )
+    return (
+        seq.filter(~F.col("train"))
+        .join(F.broadcast(pred), "src")
+        .groupBy("src")
+        .agg(
+            F.max("predicted").alias("predicted"),
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum((F.col("dst") == F.col("predicted")).cast("int"))
+            .cast("long")
+            .alias("n_correct"),
+            F.expr(
+                "CAST(sum(CASE WHEN dst = predicted THEN 1 ELSE 0 END)"
+                " * 10000 DIV count(*) AS BIGINT)"
+            ).alias("accuracy_bp"),
+        )
+        .orderBy("src")
+    )
