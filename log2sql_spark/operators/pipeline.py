@@ -371,3 +371,47 @@ def bpe_train_merges(
     finally:
         enc.unpersist()
     return merges
+
+
+def greedy_tokenize_words(words: DataFrame, vocab: list[str]) -> DataFrame:
+    """(word, n_tok): greedy longest-match subword tokenization
+    (WordPiece-style inference without the ## continuation marker) of
+    each DISTINCT word against a fixed vocabulary — the ENCODE side of
+    the tokenizer family (``bpe_train_merges`` is the train side).
+
+    The scale shape is dictionary encoding: real corpora have orders of
+    magnitude fewer distinct words than word OCCURRENCES, so the
+    sequential per-word match loop runs once per vocabulary entry and
+    the result joins back to the token stream — tokenizing 100 TB costs
+    |distinct words| matches plus one broadcast join, not |tokens|
+    matches. The match itself is an Arrow-batched pandas iterator
+    (pure-Python greedy scan, vocab as a closure constant) — the
+    honest shape for tokenizer inference, which no built-in expression
+    expresses. Characters not in the vocab fall back to one
+    single-char token each, so every word tokenizes (no OOV sink)."""
+    import pandas as pd
+
+    by_len = sorted(set(vocab), key=lambda v: (-len(v), v))
+    max_len = max(len(v) for v in by_len)
+    vset = set(by_len)
+
+    def encode(word: str) -> int:
+        n = 0
+        i = 0
+        while i < len(word):
+            step = 1
+            for ln in range(min(max_len, len(word) - i), 0, -1):
+                if word[i : i + ln] in vset:
+                    step = ln
+                    break
+            i += step
+            n += 1
+        return n
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"word": pdf["word"], "n_tok": [encode(w) for w in pdf["word"]]}
+            )
+
+    return words.mapInPandas(run, "word string, n_tok long")

@@ -1120,3 +1120,80 @@ def llm_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+_GREEDY_VOCAB = [
+    "ta", "ble", "win", "dow", "spark", "str", "eam", "ba", "tch", "cus",
+    "tom", "er", "qu", "ery", "val", "ue", "lin", "scan", "sort", "hash",
+    "mer", "ge", "fil", "ter", "group", "the", "row", "key", "agg", "da",
+    "col", "umn", "ord", "join", "part", "big", "small", "fast", "slow",
+    "vec", "tor",
+]
+
+
+@query(
+    "llm_tokenize_greedy_vocab",
+    oracle=rf"""
+    WITH RECURSIVE vocab(v) AS (
+      SELECT unnest([{", ".join(repr(v) for v in _GREEDY_VOCAB)}])
+    ), toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        AS word
+      FROM documents WHERE doc_id < 50
+    ), words(w) AS (SELECT DISTINCT word FROM toks),
+    enc AS (
+      SELECT w, w AS remaining, 0 AS n_tok FROM words
+      UNION ALL
+      SELECT w,
+             substr(remaining, length(coalesce(
+               (SELECT v FROM vocab WHERE remaining LIKE v || '%'
+                ORDER BY length(v) DESC, v LIMIT 1),
+               substr(remaining, 1, 1))) + 1),
+             n_tok + 1
+      FROM enc WHERE remaining <> ''
+    ), dict AS (
+      SELECT w AS word, CAST(n_tok AS BIGINT) AS n_tok
+      FROM enc WHERE remaining = ''
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(d.n_tok) AS BIGINT) AS n_subwords
+    FROM toks t JOIN dict d USING (word)
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def llm_tokenize_greedy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODE pass (greedy longest-match subword inference
+    against a fixed vocabulary — WordPiece-style), completing the
+    tokenizer family's other half (llm_bpe_train learns merges; this
+    APPLIES a vocabulary). The at-scale trick is dictionary encoding:
+    the sequential match loop (inherently per-word, an Arrow-batched
+    pandas iterator — operators/pipeline.py:greedy_tokenize_words)
+    runs once per DISTINCT word, then one broadcast join prices every
+    occurrence — 100 TB tokenizes at |vocabulary| match cost, not
+    |token stream|. Unmatched characters fall back to single-char
+    tokens so every word encodes. The DuckDB oracle re-runs the exact
+    greedy match as a recursive CTE (longest-prefix-first, same
+    tie-break), so the per-word token counts — not just totals — are
+    cross-engine-proven. Reference analog: none — LLM-pipeline
+    extension (SURVEY.md §2.2)."""
+    from log2sql_spark.operators.pipeline import greedy_tokenize_words
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    )
+    dict_df = greedy_tokenize_words(
+        toks.select("word").distinct(), _GREEDY_VOCAB
+    )
+    return (
+        toks.join(F.broadcast(dict_df), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_subwords"),
+        )
+        .orderBy("doc_id")
+    )
