@@ -1317,3 +1317,75 @@ def store_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "store_delete_mor_read",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 1500
+    ), after AS (
+      SELECT k, status, cents FROM base
+      WHERE NOT (k % 7 = 0)
+        AND NOT (status = 'O' AND k < 200)
+    )
+    SELECT CASE WHEN k < 200 THEN 'low'
+                WHEN k < 700 THEN 'mid'
+                ELSE 'high' END AS segment,
+           status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM after
+    GROUP BY 1, 2
+    ORDER BY segment, status
+    """,
+)
+def store_delete_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (Delta deletion-vector analog,
+    store/snapshots.py::delete_where_mor): two accumulated deletes —
+    ``k % 7 = 0`` (touches EVERY file: copy-on-write would rewrite the
+    whole table, merge-on-read commits a ~200-key tombstone parquet and
+    rewrites nothing) then ``status='O' AND k < 200`` (a non-key
+    predicate no file-level prune could serve) — and a read of the
+    result. The read is one scan plus a broadcast anti-join of the
+    tombstoned keys; zero data files changed across both deletes
+    (asserted file-by-file in tests/test_store_mor.py, along with the
+    fold-before-next-write contract that keeps carried-by-reference
+    files from resurrecting deleted rows). The oracle recomputes the
+    post-delete state relationally from scratch."""
+    from log2sql_spark.store import SnapshotStore
+
+    def build():
+        store = SnapshotStore(scratch_dir("log2sql_morstore_"))
+        base = (
+            load_table(spark, "orders", sf_dir)
+            .filter(F.col("o_orderkey") < 1500)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("status"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            )
+        )
+        store.commit(base, mode="overwrite", cluster_by="k", target_files=8)
+        store.delete_where_mor(spark, "k % 7 = 0")
+        store.delete_where_mor(spark, "status = 'O' AND k < 200")
+        return store
+
+    store = _cached_build("mor_store", sf_dir, build)
+    return (
+        store.read(spark)
+        .groupBy(
+            F.when(F.col("k") < 200, "low")
+            .when(F.col("k") < 700, "mid")
+            .otherwise("high")
+            .alias("segment"),
+            "status",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("segment", "status")
+    )

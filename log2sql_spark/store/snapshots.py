@@ -119,15 +119,23 @@ class Snapshot:
     # analog): {name: SQL bool expr}. Every future commit/merge
     # validates its written rows; violations abort before publish.
     constraints: dict = field(default_factory=dict)
+    # Merge-on-read deletes (Delta deletion-vector analog): {"key":
+    # [cols], "entries": [{"path": rel}]} — parquet files of deleted
+    # KEY rows. Reads anti-join them; the next data write folds them
+    # into a materialized rewrite (see delete_where_mor).
+    tombstones: dict = field(default_factory=dict)
 
     @property
     def dirs(self) -> list[str]:
         """Top-level data directories OWNED by this snapshot (an entry
         is either a dir or a file inside one). Absolute entry paths are
         BORROWED references (shallow clone) — never owned, so vacuum /
-        forget must never delete them; they are skipped here."""
+        forget must never delete them; they are skipped here. Tombstone
+        (merge-on-read delete) files are owned data like any other —
+        vacuum must not reap a directory a retained snapshot's
+        tombstones still reference."""
         seen: list[str] = []
-        for e in self.entries:
+        for e in self.entries + list(self.tombstones.get("entries") or []):
             if os.path.isabs(e["path"]):
                 continue
             parts = e["path"].split(os.sep)
@@ -175,6 +183,11 @@ def _inherited(snap: Snapshot) -> dict:
         "dropped": snap.dropped,
         "policies": snap.policies,
         "constraints": snap.constraints,
+        # Metadata-only commits (restore/rename/constraint) compose
+        # with pending merge-on-read deletes; data REWRITE paths fold
+        # them first (_fold_pending_deletes), so by the time they
+        # publish via _inherited this is {}.
+        "tombstones": snap.tombstones,
     }
 
 
@@ -216,6 +229,7 @@ class SnapshotStore:
             dropped=m.get("dropped") or [],
             policies=m.get("policies") or {},
             constraints=m.get("constraints") or {},
+            tombstones=m.get("tombstones") or {},
         )
 
     # ---- commits ------------------------------------------------------
@@ -447,6 +461,11 @@ class SnapshotStore:
         like Delta ``overwriteSchema``."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if mode == "append":
+            # pending merge-on-read deletes fold before any new data
+            # lands: appended entries join a manifest whose tombstones
+            # are gone, so a re-inserted key is a new visible row
+            self._fold_pending_deletes(df.sparkSession)
         parent = self.head_version()
         if mode == "append" and parent is not None and generated is None:
             generated = dict(self.snapshot(parent).generated)
@@ -697,6 +716,7 @@ class SnapshotStore:
             "constraints": sorted(snap.constraints),
             "masked_columns": sorted((snap.policies.get("masks") or {})),
             "has_row_filter": bool(snap.policies.get("row_filter")),
+            "pending_delete_files": len(snap.tombstones.get("entries") or []),
         }
 
     def fsck(self, version: int | None = None) -> list[str]:
@@ -710,9 +730,10 @@ class SnapshotStore:
         version = self.head_version() if version is None else version
         if version is None:
             return []
+        snap = self.snapshot(version)
         return [
             e["path"]
-            for e in self.snapshot(version).entries
+            for e in snap.entries + list(snap.tombstones.get("entries") or [])
             if not os.path.exists(os.path.join(self.path, e["path"]))
         ]
 
@@ -817,7 +838,27 @@ class SnapshotStore:
             # internal bucket column when sibling dirs share a parent
             df = df.drop("_bucket")
         df = self._apply_renames(df, snap.renames, snap.dropped)
+        df = self._apply_tombstones(spark, df, snap)
         return self._apply_policies(df, snap) if apply_policies else df
+
+    def _apply_tombstones(
+        self, spark: SparkSession, df: DataFrame, snap: Snapshot
+    ) -> DataFrame:
+        """Merge-on-read deletes: anti-join the snapshot's tombstoned
+        keys (Delta deletion-vector read side). Tombstone sets are
+        small relative to the table by contract — a delete big enough
+        to matter should be a copy-on-write ``delete_where`` — so the
+        anti-join broadcasts and the scan stays one pass. Applied
+        BEFORE governance policies: a tombstone is data state, not a
+        view."""
+        entries = snap.tombstones.get("entries") or []
+        if not entries:
+            return df
+        keys = snap.tombstones["key"]
+        tomb = spark.read.parquet(
+            *[os.path.join(self.path, e["path"]) for e in entries]
+        ).dropDuplicates(keys)
+        return df.join(F.broadcast(tomb), on=keys, how="left_anti")
 
     @staticmethod
     def _apply_policies(df: DataFrame, snap: Snapshot) -> DataFrame:
@@ -895,9 +936,8 @@ class SnapshotStore:
         )
         if "_bucket" in df.columns:
             df = df.drop("_bucket")
-        return self._apply_policies(
-            self._apply_renames(df, snap.renames, snap.dropped), snap
-        )
+        df = self._apply_renames(df, snap.renames, snap.dropped)
+        return self._apply_policies(self._apply_tombstones(spark, df, snap), snap)
 
     def read_pruned_box(
         self,
@@ -938,9 +978,8 @@ class SnapshotStore:
         df = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, e["path"]) for e in keep]
         )
-        return self._apply_policies(
-            self._apply_renames(df, snap.renames, snap.dropped), snap
-        )
+        df = self._apply_renames(df, snap.renames, snap.dropped)
+        return self._apply_policies(self._apply_tombstones(spark, df, snap), snap)
 
     def _buckets_of(self, spark: SparkSession, snap: Snapshot, values: list) -> set:
         """Buckets the given key values hash into (one tiny Spark job —
@@ -977,6 +1016,7 @@ class SnapshotStore:
         by reference. Unclustered stores fall back to a full rewrite.
         Returns the new version either way."""
         keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        self._fold_pending_deletes(spark)
         parent = self.head_version()
         if parent is None:
             raise ValueError("merge requires an existing snapshot; commit first")
@@ -1178,6 +1218,7 @@ class SnapshotStore:
         whose file placement a row-level filter cannot preserve
         per-file) the rewrite is full, like unclustered merge.
         """
+        self._fold_pending_deletes(spark)
         parent = self.head_version()
         if parent is None:
             raise ValueError("replace_where requires an existing snapshot")
@@ -1273,6 +1314,141 @@ class SnapshotStore:
         empty = spark.createDataFrame([], schema)
         return self.replace_where(spark, empty, predicate, key_bounds)
 
+    def delete_where_mor(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        key_cols: list[str] | str | None = None,
+    ) -> int:
+        """Merge-on-read DELETE (Delta deletion-vector analog): commit
+        the delete WITHOUT rewriting a single data file. The matched
+        rows' keys are written as a tiny tombstone parquet (O(|matched|)
+        bytes) and the new manifest references the SAME data entries
+        plus the tombstone; every read anti-joins the tombstoned keys
+        out. This is what makes a point delete on a 100 TB table a
+        kilobyte-sized commit — copy-on-write ``delete_where`` pays a
+        rewrite of every touched FILE even for a one-row delete.
+
+        Contract (documented restriction matrix, like early Delta DV):
+
+        - ``key_cols`` (default: the cluster key) must identify rows
+          uniquely — the store's CDC key. The anti-join is by key, so a
+          non-unique key would over-delete.
+        - Reads, time travel, ``diff``, metadata-only commits
+          (restore / policies / constraints / rename or drop of OTHER
+          columns) compose with pending tombstones.
+        - The next DATA write (append / merge / replace_where /
+          update_where / compact / forget) first folds pending
+          tombstones into a materialized rewrite
+          (``materialize_deletes``) — so carried-by-reference files can
+          never resurrect deleted rows, and a later insert of a
+          tombstoned key is a NEW visible row. Delta folds per-file;
+          this stand-in folds wholesale at the next write.
+        - Accumulating MOR deletes must share one key set.
+
+        Returns the new version (or the head unchanged when nothing
+        matched — an empty delete publishes nothing)."""
+        import shutil
+
+        parent = self.head_version()
+        if parent is None:
+            raise ValueError("delete_where_mor requires an existing snapshot")
+        snap = self.snapshot(parent)
+        if key_cols is None:
+            if not snap.cluster_by or snap.layout == "zorder":
+                raise ValueError(
+                    "delete_where_mor needs key_cols on an unclustered or "
+                    "zorder store (the cluster key is the default only for "
+                    "range/hash layouts)"
+                )
+            keys = [snap.cluster_by]
+        else:
+            keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        prior = snap.tombstones
+        if prior.get("entries") and prior.get("key") != keys:
+            raise ValueError(
+                f"pending tombstones use key {prior.get('key')}; a new "
+                f"merge-on-read delete must use the same key (got {keys}) "
+                "or materialize_deletes() first"
+            )
+        matched = (
+            self.read(spark, parent, apply_policies=False)  # honors prior tombstones
+            .filter(F.expr(predicate))
+            .select(*keys)
+            .dropDuplicates(keys)
+        )
+        data_root = os.path.join(self.path, "data")
+        os.makedirs(data_root, exist_ok=True)
+        data_abs = tempfile.mkdtemp(prefix=f"v{parent + 1}-del-", dir=data_root)
+        matched.coalesce(1).write.mode("overwrite").parquet(data_abs)
+        import pyarrow.parquet as pq
+
+        new_entries = [
+            {"path": os.path.relpath(os.path.join(data_abs, n), self.path)}
+            for n in sorted(os.listdir(data_abs))
+            if n.endswith(".parquet")
+            and not n.startswith(("_", "."))
+            # footer-only row count: drop the zero-row part Spark
+            # writes for an empty match (no second scan of the table)
+            and pq.ParquetFile(os.path.join(data_abs, n)).metadata.num_rows > 0
+        ]
+        if not new_entries:  # nothing matched: no version, no orphan dir
+            shutil.rmtree(data_abs)
+            return parent
+        self._publish(
+            {
+                "version": parent + 1,
+                "parent": parent,
+                "mode": "delete_mor",
+                "entries": snap.entries,
+                "cluster_by": snap.cluster_by,
+                "schema": snap.schema_json,
+                "meta": {"predicate": predicate},
+                "layout": snap.layout,
+                "n_buckets": snap.n_buckets,
+                **{
+                    **_inherited(snap),
+                    "tombstones": {
+                        "key": keys,
+                        "entries": list(prior.get("entries") or []) + new_entries,
+                    },
+                },
+            }
+        )
+        return parent + 1
+
+    def materialize_deletes(self, spark: SparkSession) -> int | None:
+        """Fold pending merge-on-read tombstones into a real rewrite
+        (the OPTIMIZE that clears deletion vectors): reads the head —
+        which applies the tombstones — and commits the result as an
+        overwrite preserving layout, clustering, generated columns,
+        governance, and constraints. No-op when nothing is pending."""
+        parent = self.head_version()
+        if parent is None:
+            return None
+        snap = self.snapshot(parent)
+        if not snap.tombstones.get("entries"):
+            return parent
+        out = self.read(spark, parent, apply_policies=False)
+        return self.commit(
+            out,
+            mode="overwrite",
+            cluster_by=snap.cluster_by,
+            layout=snap.layout,
+            target_files=snap.n_buckets or 8,
+            generated=snap.generated,
+            policies=snap.policies,
+            constraints=snap.constraints,
+        )
+
+    def _fold_pending_deletes(self, spark: SparkSession) -> None:
+        """Every data-REWRITE path calls this first: raw file reads and
+        carried-by-reference entries are only sound against a head with
+        no pending merge-on-read deletes."""
+        head = self.head_version()
+        if head is not None and self.snapshot(head).tombstones.get("entries"):
+            self.materialize_deletes(spark)
+
     def update_where(
         self,
         spark: SparkSession,
@@ -1294,6 +1470,7 @@ class SnapshotStore:
         (rewritten rows would leave their file's [min, max] band and
         break pruning soundness); updating the cluster key falls back to
         the full rewrite, like unclustered merge."""
+        self._fold_pending_deletes(spark)
         parent = self.head_version()
         if parent is None:
             raise ValueError("update_where requires an existing snapshot")
@@ -1386,6 +1563,18 @@ class SnapshotStore:
         cancel out of the diff by construction, so only the rewritten
         footprint is compared."""
         a_snap, b_snap = self.snapshot(from_version), self.snapshot(to_version)
+        if a_snap.tombstones.get("entries") or b_snap.tombstones.get("entries"):
+            # A merge-on-read delete changes NO data entries, so the
+            # file-level diff below would miss it; fall back to a full
+            # logical diff through read() (which applies tombstones).
+            # O(both snapshots) — only paid while tombstones pend.
+            a_full = self.read(spark, from_version, apply_policies=False)
+            b_full = self.read(spark, to_version, apply_policies=False)
+            return b_full.exceptAll(a_full).withColumn(
+                "change_type", F.lit("added")
+            ).unionByName(
+                a_full.exceptAll(b_full).withColumn("change_type", F.lit("removed"))
+            )
         a_paths = {e["path"] for e in a_snap.entries}
         b_paths = {e["path"] for e in b_snap.entries}
         only_a = sorted(a_paths - b_paths)
@@ -1468,6 +1657,11 @@ class SnapshotStore:
         if head is None:
             raise ValueError("rename_column on an empty store")
         snap = self.snapshot(head)
+        if old in (snap.tombstones.get("key") or []):
+            raise ValueError(
+                f"column {old!r} keys pending merge-on-read deletes; "
+                "materialize_deletes() before renaming it"
+            )
         schema = T.StructType.fromJson(json.loads(snap.schema_json))
         if old not in schema.names:
             raise ValueError(f"no column {old!r}; have {schema.names}")
@@ -1559,6 +1753,7 @@ class SnapshotStore:
                 "dropped": snap.dropped,
                 "policies": snap.policies,
                 "constraints": snap.constraints,
+                "tombstones": snap.tombstones,
             }
         )
         return head + 1
@@ -1576,6 +1771,11 @@ class SnapshotStore:
         if head is None:
             raise ValueError("drop_column on an empty store")
         snap = self.snapshot(head)
+        if col in (snap.tombstones.get("key") or []):
+            raise ValueError(
+                f"column {col!r} keys pending merge-on-read deletes; "
+                "materialize_deletes() before dropping it"
+            )
         schema = T.StructType.fromJson(json.loads(snap.schema_json))
         if col not in schema.names:
             raise ValueError(f"no column {col!r}; have {schema.names}")
@@ -1641,6 +1841,7 @@ class SnapshotStore:
                 "dropped": dropped,
                 "policies": snap.policies,
                 "constraints": snap.constraints,
+                "tombstones": snap.tombstones,
             }
         )
         return head + 1
@@ -1662,6 +1863,7 @@ class SnapshotStore:
                 "dropped": snap.dropped,
                 "policies": policies,
                 "constraints": snap.constraints,
+                "tombstones": snap.tombstones,
             }
         )
         return snap.version + 1
@@ -1803,6 +2005,18 @@ class SnapshotStore:
             {**e, "path": os.path.join(src_root, e["path"])}
             for e in snap.entries
         ]
+        # pending merge-on-read tombstones are borrowed absolutely like
+        # the data they mask — the clone reads the same post-delete
+        # state, and (being absolute) they are never clone-owned
+        tomb = snap.tombstones
+        if tomb.get("entries"):
+            tomb = {
+                **tomb,
+                "entries": [
+                    {**e, "path": os.path.join(src_root, e["path"])}
+                    for e in tomb["entries"]
+                ],
+            }
         dest._publish(
             {
                 "version": 1,
@@ -1814,7 +2028,7 @@ class SnapshotStore:
                 "meta": {"cloned_from": src_root, "source_version": v},
                 "layout": snap.layout,
                 "n_buckets": snap.n_buckets,
-                **_inherited(snap),
+                **{**_inherited(snap), "tombstones": tomb},
             }
         )
         return dest
@@ -1823,7 +2037,11 @@ class SnapshotStore:
         """Rewrite the head snapshot into ``target_files`` files (keeping
         the cluster layout if any) — the small-file compaction every
         streaming-ingest table needs; appears as a normal overwrite
-        commit, so it is time-travel-safe and atomic like any other."""
+        commit, so it is time-travel-safe and atomic like any other.
+
+        Also the explicit way to fold pending merge-on-read deletes
+        (it rewrites from read(), which applies them; the fresh
+        manifest carries no tombstones)."""
         snap = self.snapshot(self.head_version())
         df = self.read(spark, apply_policies=False)
         if snap.cluster_by is None:
@@ -1863,6 +2081,7 @@ class SnapshotStore:
         or None when nothing qualifies. Column-mapped stores materialize
         renames only in the rewritten files — the read-side coalesce
         handles the mix, same as after a pruned merge."""
+        self._fold_pending_deletes(spark)
         head = self.head_version()
         if head is None:
             raise ValueError("compact_small on an empty store")
@@ -1942,6 +2161,7 @@ class SnapshotStore:
         Like ``vacuum(include_orphans=True)``, only safe with no commit
         concurrently in flight. On Delta/Iceberg the same flow is
         DELETE FROM + VACUUM at zero retention."""
+        self._fold_pending_deletes(spark)
         head = self.head_version()
         if head is None:
             raise ValueError("forget on an empty store")

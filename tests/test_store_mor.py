@@ -1,0 +1,146 @@
+"""Merge-on-read deletes (Delta deletion-vector analog):
+store/snapshots.py delete_where_mor / materialize_deletes.
+
+Companion query: store_delete_mor_read (oracle-checked final data);
+these tests assert what the oracle can't see — that the delete commit
+rewrote ZERO data files, that every rewrite path folds pending
+tombstones before touching data, and the restriction-matrix edges."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from log2sql_spark.store import SnapshotStore
+
+
+@pytest.fixture
+def store(spark, tmp_path):
+    s = SnapshotStore(str(tmp_path / "mor"))
+    base = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("bigint").alias("grp"),
+        (F.col("id") * 10).cast("bigint").alias("cents"),
+    )
+    s.commit(base, mode="overwrite", cluster_by="k", target_files=4)
+    return s
+
+
+def _data_paths(s, v):
+    return [e["path"] for e in s.snapshot(v).entries]
+
+
+def test_mor_delete_rewrites_no_data_files(spark, store):
+    v1 = store.head_version()
+    v2 = store.delete_where_mor(spark, "grp = 2 AND k < 100")
+    assert _data_paths(store, v2) == _data_paths(store, v1)  # zero rewrites
+    snap = store.snapshot(v2)
+    assert snap.tombstones["key"] == ["k"]
+    assert len(snap.tombstones["entries"]) == 1
+    got = store.read(spark)
+    assert got.filter("grp = 2 AND k < 100").count() == 0
+    assert got.count() == 400 - 25
+    # time travel: pre-delete snapshot still sees every row
+    assert store.read(spark, v1).count() == 400
+    # detail + fsck know about the tombstone
+    assert store.detail()["pending_delete_files"] == 1
+    assert store.fsck() == []
+
+
+def test_mor_deletes_accumulate_and_materialize(spark, store):
+    store.delete_where_mor(spark, "k < 10")
+    v3 = store.delete_where_mor(spark, "k >= 390")
+    assert len(store.snapshot(v3).tombstones["entries"]) == 2
+    assert store.read(spark).count() == 380
+    v4 = store.materialize_deletes(spark)
+    snap = store.snapshot(v4)
+    assert not snap.tombstones
+    assert store.read(spark).count() == 380
+    # materialize preserved the clustering (pruned merges still work)
+    assert snap.cluster_by == "k" and snap.has_stats
+    # idempotent no-op afterwards
+    assert store.materialize_deletes(spark) == v4
+
+
+def test_mor_empty_match_publishes_nothing(spark, store):
+    v1 = store.head_version()
+    assert store.delete_where_mor(spark, "k < 0") == v1
+    assert store.head_version() == v1
+    assert not store.snapshot(v1).tombstones
+
+
+def test_merge_folds_pending_tombstones_first(spark, store):
+    store.delete_where_mor(spark, "k = 5")
+    changes = spark.createDataFrame(
+        [(5, 9, 999, 1, "insert")], "k long, grp long, cents long, v long, op string"
+    )
+    store.merge(spark, changes, "k", "v")
+    got = store.read(spark)
+    # the re-inserted key is a NEW visible row, not tombstone-shadowed
+    assert got.filter("k = 5").count() == 1
+    assert got.filter("k = 5").head().cents == 999
+    assert not store.snapshot(store.head_version()).tombstones
+
+
+def test_append_folds_pending_tombstones_first(spark, store):
+    store.delete_where_mor(spark, "k = 7")
+    extra = spark.createDataFrame([(7, 3, 777)], "k long, grp long, cents long")
+    store.commit(extra, mode="append")
+    got = store.read(spark)
+    assert got.filter("k = 7").count() == 1  # resurrection-inverse guard
+    assert got.filter("k = 7").head().cents == 777
+
+
+def test_mor_composes_with_metadata_commits(spark, store):
+    store.delete_where_mor(spark, "k < 50")
+    # governance on top of pending tombstones: both apply
+    store.set_mask("cents", "CAST(-1 AS BIGINT)")
+    got = store.read(spark)
+    assert got.count() == 350
+    assert got.agg(F.max("cents")).head()[0] == -1
+    # rename of a NON-key column composes; the key column refuses
+    store.rename_column("cents", "pennies")
+    assert store.read(spark).count() == 350
+    with pytest.raises(ValueError, match="materialize_deletes"):
+        store.rename_column("k", "kk")
+    with pytest.raises(ValueError, match="materialize_deletes"):
+        store.drop_column("k")
+
+
+def test_mor_restore_and_vacuum_keep_tombstones(spark, store):
+    v2 = store.delete_where_mor(spark, "k < 20")
+    store.materialize_deletes(spark)
+    v4 = store.restore(v2)  # restore TO the tombstoned version
+    assert store.snapshot(v4).tombstones["entries"]
+    assert store.read(spark).count() == 380
+    # vacuum to head only: the restored head's tombstone files survive
+    store.vacuum(keep_last=1)
+    assert store.fsck() == []
+    assert store.read(spark).count() == 380
+
+
+def test_mor_diff_sees_the_delete(spark, store):
+    v1 = store.head_version()
+    v2 = store.delete_where_mor(spark, "k < 3")
+    d = store.diff(spark, v1, v2)
+    rows = {(r.k, r.change_type) for r in d.collect()}
+    assert rows == {(0, "removed"), (1, "removed"), (2, "removed")}
+
+
+def test_mor_clone_borrows_tombstones(spark, store, tmp_path):
+    store.delete_where_mor(spark, "k >= 395")
+    clone = store.clone_to(str(tmp_path / "clone"))
+    assert clone.read(spark).count() == 395
+    # borrowed (absolute) tombstones are never clone-owned
+    t = clone.snapshot(1).tombstones
+    assert all(os.path.isabs(e["path"]) for e in t["entries"])
+    clone.vacuum(keep_last=1)
+    assert store.fsck() == []  # source untouched
+
+
+def test_mor_key_mismatch_refuses(spark, store):
+    store.delete_where_mor(spark, "k = 1")
+    with pytest.raises(ValueError, match="same key"):
+        store.delete_where_mor(spark, "grp = 3", key_cols=["grp"])
