@@ -101,7 +101,9 @@ def store_main(argv: list[str]) -> int:
     replaceWhere surface a lakehouse CLI exposes. ``history``,
     ``detail``, ``vacuum``, ``restore``, ``fsck``, ``rename-column``,
     and ``clone`` are manifest-only (no Spark startup); ``compact``,
-    ``zorder``, and ``replace-where`` run a rewrite commit."""
+    ``zorder``, and ``replace-where`` run a rewrite commit;
+    ``delete-mor`` commits a merge-on-read delete (tombstone only, no
+    rewrite) and ``materialize-deletes`` folds pending tombstones."""
     import json as _json
 
     p = argparse.ArgumentParser(prog="log2sql_spark store")
@@ -111,6 +113,7 @@ def store_main(argv: list[str]) -> int:
         "rename-column", "drop-column", "clone", "detail",
         "set-mask", "drop-mask", "set-row-filter", "drop-row-filter",
         "add-constraint", "drop-constraint", "replace-where",
+        "delete-mor", "materialize-deletes",
     ):
         sp = sub.add_parser(name)
         sp.add_argument("path", help="snapshot store directory")
@@ -149,6 +152,11 @@ def store_main(argv: list[str]) -> int:
             sp.add_argument("--predicate", required=True)
         if name == "detail":
             sp.add_argument("--at-version", type=int, default=None)
+        if name == "delete-mor":
+            sp.add_argument("--predicate", required=True)
+            sp.add_argument("--key", default=None,
+                            help="comma-separated key columns (default: "
+                                 "the cluster key)")
         if name == "replace-where":
             sp.add_argument("--predicate", required=True)
             sp.add_argument("--source", required=True,
@@ -156,7 +164,8 @@ def store_main(argv: list[str]) -> int:
             sp.add_argument("--key-bounds", default=None,
                             help="lo,hi on the cluster key: prune the "
                                  "rewrite to overlapping files")
-        if name in ("compact", "zorder", "add-constraint", "replace-where"):
+        if name in ("compact", "zorder", "add-constraint", "replace-where",
+                    "delete-mor", "materialize-deletes"):
             sp.add_argument("--cpus", default=None)
     args = p.parse_args(argv)
 
@@ -214,6 +223,13 @@ def store_main(argv: list[str]) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     if args.cmd == "add-constraint":  # validates EXISTING rows first
         print(f"v{store.add_constraint(spark, args.c_name, args.predicate)}")
+        return 0
+    if args.cmd == "delete-mor":
+        keys = args.key.split(",") if args.key else None
+        print(f"v{store.delete_where_mor(spark, args.predicate, key_cols=keys)}")
+        return 0
+    if args.cmd == "materialize-deletes":
+        print(f"v{store.materialize_deletes(spark)}")
         return 0
     if args.cmd == "replace-where":
         bounds = None

@@ -92,27 +92,58 @@ class SnapshotCdfStreamReader(SimpleDataSourceStreamReader):
         # startingVersion=0 (default) replays the full table as adds
         return {"version": self.starting - 1 if self.starting > 0 else 0}
 
-    def _version_rows(self, store, version: int, paths: set) -> list[tuple]:
-        """Rows of the given version restricted to ``paths`` (relative),
-        as hashable field tuples. Column-mapping aware: a file written
-        before a rename stores the PHYSICAL name, so each subscriber
-        field resolves through that version's physical generations
-        (first name present in the record wins — one generation per
-        file)."""
-        import pyarrow.parquet as pq
-
+    def _candidates(self, store, names: list) -> dict:
         # Resolve through the HEAD's composed map, not the emitted
         # version's: the subscriber declared TODAY's logical names, and
         # a version published before the rename knows nothing about it.
         renames = store.snapshot(store.head_version()).renames
-        candidates = {
+        return {
             f: [f] + [p for p, log in renames.items() if log == f]
-            for f in self.fields
+            for f in names
         }
+
+    @staticmethod
+    def _tomb_keyset(store, snap) -> tuple[list, set]:
+        """(key columns, set of tombstoned key tuples) for a snapshot's
+        pending merge-on-read deletes — empty when none."""
+        import pyarrow.parquet as pq
+
+        entries = snap.tombstones.get("entries") or []
+        if not entries:
+            return [], set()
+        keys = snap.tombstones["key"]
+        keyset = set()
+        for e in entries:
+            tbl = pq.read_table(os.path.join(store.path, e["path"]))
+            for rec in tbl.to_pylist():
+                keyset.add(tuple(rec.get(k) for k in keys))
+        return keys, keyset
+
+    def _version_rows(self, store, version: int, paths: set) -> list[tuple]:
+        """VISIBLE rows of the given version restricted to ``paths``
+        (relative), as hashable field tuples. Column-mapping aware: a
+        file written before a rename stores the PHYSICAL name, so each
+        subscriber field resolves through that version's physical
+        generations (first name present in the record wins — one
+        generation per file). Tombstone aware: rows merge-on-read
+        deleted AT that version are not part of its visible state."""
+        import pyarrow.parquet as pq
+
+        snap = store.snapshot(version)
+        keys, keyset = self._tomb_keyset(store, snap)
+        kcand = self._candidates(store, keys) if keys else {}
+        candidates = self._candidates(store, self.fields)
         out = []
         for rel in sorted(paths):
             tbl = pq.read_table(os.path.join(store.path, rel))
             for rec in tbl.to_pylist():
+                if keyset:
+                    kt = tuple(
+                        next((rec[c] for c in kcand[k] if c in rec), None)
+                        for k in keys
+                    )
+                    if kt in keyset:
+                        continue
                 out.append(
                     tuple(
                         _freeze(
@@ -121,6 +152,37 @@ class SnapshotCdfStreamReader(SimpleDataSourceStreamReader):
                         for f in self.fields
                     )
                 )
+        return out
+
+    def _keyed_rows(
+        self, store, version: int, paths: set, keys: list, keyset: set
+    ) -> list[tuple]:
+        """Rows of ``paths`` whose key tuple is in ``keyset`` — the
+        subscriber-facing images of a merge-on-read tombstone delta."""
+        import pyarrow.parquet as pq
+
+        kcand = self._candidates(store, keys)
+        candidates = self._candidates(store, self.fields)
+        out = []
+        for rel in sorted(paths):
+            tbl = pq.read_table(os.path.join(store.path, rel))
+            for rec in tbl.to_pylist():
+                kt = tuple(
+                    next((rec[c] for c in kcand[k] if c in rec), None)
+                    for k in keys
+                )
+                if kt in keyset:
+                    out.append(
+                        tuple(
+                            _freeze(
+                                next(
+                                    (rec[c] for c in candidates[f] if c in rec),
+                                    None,
+                                )
+                            )
+                            for f in self.fields
+                        )
+                    )
         return out
 
     def _thaw(self, row: tuple):
@@ -139,15 +201,38 @@ class SnapshotCdfStreamReader(SimpleDataSourceStreamReader):
         if new.parent is None:
             old_paths: set = set()
             new_paths = {e["path"] for e in new.entries}
+            shared: set = set()
         else:
             old = store.snapshot(new.parent)
             a = {e["path"] for e in old.entries}
             b = {e["path"] for e in new.entries}
             old_paths, new_paths = a - b, b - a
+            shared = a & b
         added = Counter(self._version_rows(store, version, new_paths))
         removed = Counter(
             self._version_rows(store, new.parent, old_paths)
         ) if new.parent is not None and old_paths else Counter()
+        if new.parent is not None and shared:
+            # Merge-on-read tombstone delta: a delete_where_mor (or a
+            # restore across one) changes NO data entries, so the
+            # file-level diff above is blind to it. Rows of the CARRIED
+            # files whose key the new version tombstones (but the
+            # parent did not) are removals; keys the parent tombstoned
+            # that the new version does not (restore to pre-delete) are
+            # additions. _version_rows applies each side's own
+            # tombstones, so rewritten files never double-count.
+            nk, nset = self._tomb_keyset(store, new)
+            ok_, oset = self._tomb_keyset(store, store.snapshot(new.parent))
+            newly_dead = nset - oset if nk else set()
+            revived = oset - nset if ok_ else set()
+            if newly_dead:
+                removed += Counter(
+                    self._keyed_rows(store, new.parent, shared, nk, newly_dead)
+                )
+            if revived:
+                added += Counter(
+                    self._keyed_rows(store, version, shared, ok_, revived)
+                )
         out = []
         for row, n in sorted((added - removed).items()):
             out.extend([(*self._thaw(row), version, "added")] * n)
@@ -304,9 +389,31 @@ class SnapshotReader(DataSourceReader):
             f: [f] + [p for p, log in snap.renames.items() if log == f]
             for f in fields
         }
+        # Merge-on-read tombstones: a connector must serve the same
+        # post-delete state as SnapshotStore.read — skipping this would
+        # resurrect deleted rows through a format-string change. The
+        # keyset is small by contract (big deletes are copy-on-write).
+        keys = snap.tombstones.get("key") or []
+        keyset: set = set()
+        if keys and snap.tombstones.get("entries"):
+            kcand = {
+                k: [k] + [p for p, log in snap.renames.items() if log == k]
+                for k in keys
+            }
+            for e in snap.tombstones["entries"]:
+                tpath = os.path.join(self.path, e["path"])
+                for rec in pq.read_table(tpath).to_pylist():
+                    keyset.add(tuple(rec.get(k) for k in keys))
         out = []
         tbl = pq.read_table(partition.path)
         for rec in tbl.to_pylist():
+            if keyset:
+                kt = tuple(
+                    next((rec[c] for c in kcand[k] if c in rec), None)
+                    for k in keys
+                )
+                if kt in keyset:
+                    continue
             out.append(
                 tuple(
                     next(
@@ -389,6 +496,13 @@ class SnapshotWriter(DataSourceWriter):
                     "policies / constraints; append through "
                     "SnapshotStore.commit (the writer cannot compute or "
                     "validate them)"
+                )
+            if snap.tombstones.get("entries"):
+                raise ValueError(
+                    "store has pending merge-on-read deletes; append "
+                    "through SnapshotStore.commit (which folds them) or "
+                    "materialize_deletes() first — a raw append must not "
+                    "carry tombstones that would shadow re-inserted keys"
                 )
             prev = StructType.fromJson(json.loads(snap.schema_json))
             added = [f for f in self.fields if f not in prev.names]

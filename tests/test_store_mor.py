@@ -144,3 +144,68 @@ def test_mor_key_mismatch_refuses(spark, store):
     store.delete_where_mor(spark, "k = 1")
     with pytest.raises(ValueError, match="same key"):
         store.delete_where_mor(spark, "grp = 3", key_cols=["grp"])
+
+
+def test_mor_delete_streams_to_cdf_subscribers(spark, store, tmp_path):
+    """A merge-on-read delete changes no data files, but the CDF stream
+    must still emit its rows as ``removed`` (and a restore across it as
+    re-``added``) — the file-level diff is blind to tombstones, so the
+    source diffs the tombstone key delta explicitly."""
+    out_dir, ckpt = tmp_path / "out", tmp_path / "ckpt"
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_cdf")
+            .load(store.path)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    v1 = store.head_version()
+    drain()  # v1: 400 adds
+    v2 = store.delete_where_mor(spark, "k < 3")
+    drain()
+    rows = spark.read.parquet(str(out_dir)).collect()
+    v2_rows = {(r.k, r._change_type) for r in rows if r._version == v2}
+    assert v2_rows == {(0, "removed"), (1, "removed"), (2, "removed")}
+    # restore to the pre-delete version: tombstoned keys come back
+    v3 = store.restore(v1)
+    drain()
+    rows = spark.read.parquet(str(out_dir)).collect()
+    v3_rows = {(r.k, r._change_type) for r in rows if r._version == v3}
+    assert v3_rows == {(0, "added"), (1, "added"), (2, "added")}
+    assert len(rows) == 400 + 3 + 3
+
+
+def test_cli_delete_mor_and_materialize(spark, store, capsys):
+    from log2sql_spark.cli import store_main
+
+    assert store_main(["delete-mor", store.path, "--predicate", "k < 5"]) == 0
+    assert capsys.readouterr().out.strip().endswith("v2")
+    assert store.read(spark).count() == 395
+    assert store.detail()["pending_delete_files"] == 1
+    assert store_main(["materialize-deletes", store.path]) == 0
+    assert capsys.readouterr().out.strip().endswith("v3")
+    assert not store.snapshot(3).tombstones
+    assert store.read(spark).count() == 395
+
+
+def test_snapshot_batch_datasource_honors_tombstones(spark, store):
+    """The ``format('snapshot')`` connector must serve the same
+    post-delete state as SnapshotStore.read — a format-string change is
+    not a way to resurrect merge-on-read-deleted rows."""
+    store.delete_where_mor(spark, "k < 10")
+    df = spark.read.format("snapshot").load(store.path)
+    assert df.count() == 390
+    assert df.filter("k < 10").count() == 0
+
+
+def test_snapshot_writer_refuses_pending_tombstones(spark, store):
+    store.delete_where_mor(spark, "k = 0")
+    extra = spark.createDataFrame([(900, 1, 1)], "k long, grp long, cents long")
+    with pytest.raises(Exception, match="merge-on-read"):
+        extra.write.format("snapshot").mode("append").save(store.path)
