@@ -412,6 +412,26 @@ def store_merge_bench(spark, sf_dir: str) -> dict:
         t0 = time.time()
         clustered.clone_to(os.path.join(tmp, "clone"))
         t_clone = time.time() - t0
+
+        # Merge-on-read DELETE vs copy-on-write DELETE of the same 1500
+        # scattered keys (k % 1000 = 0 touches EVERY file, the CoW
+        # worst case): the MOR commit writes a tombstone parquet of the
+        # matched keys and rewrites nothing — bytes written is the
+        # deletion-vector scale claim measured.
+        mor = SnapshotStore(os.path.join(tmp, "mor"))
+        mor.commit(base, mode="overwrite", cluster_by="k", target_files=32)
+        b0 = du(os.path.join(mor.path, "data"))
+        t0 = time.time()
+        mor.delete_where_mor(spark, "k % 1000 = 0")
+        t_mor = time.time() - t0
+        bytes_mor = du(os.path.join(mor.path, "data")) - b0
+        cow = SnapshotStore(os.path.join(tmp, "cow"))
+        cow.commit(base, mode="overwrite", cluster_by="k", target_files=32)
+        b0 = du(os.path.join(cow.path, "data"))
+        t0 = time.time()
+        cow.delete_where(spark, "k % 1000 = 0")
+        t_cow = time.time() - t0
+        bytes_cow = du(os.path.join(cow.path, "data")) - b0
         return {
             "rows": 1_500_000,
             "changed_keys": n_keys,
@@ -424,6 +444,11 @@ def store_merge_bench(spark, sf_dir: str) -> dict:
             "files_total": len(parent.entries),
             "rename_column_sec": round(t_rename, 4),
             "shallow_clone_sec": round(t_clone, 4),
+            "delete_mor_sec": round(t_mor, 3),
+            "delete_cow_sec": round(t_cow, 3),
+            "delete_mor_mb_written": round(bytes_mor / 1e6, 2),
+            "delete_cow_mb_written": round(bytes_cow / 1e6, 2),
+            "delete_write_reduction": round(bytes_cow / max(1, bytes_mor), 1),
         }
     finally:
         changes.unpersist()
