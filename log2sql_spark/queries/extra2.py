@@ -1485,3 +1485,94 @@ def er_blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (n_records * (n_records - 1) DIV 2) AS BIGINT)"
         ).alias("reduction_ratio_bp"),
     )
+
+
+@query(
+    "udtf_table_argument_sessions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events WHERE user_id < 200
+    ), marked AS (
+      SELECT user_id, s,
+             CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 43200
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s)
+    ), islands AS (
+      SELECT user_id, s,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY s
+                                 ROWS UNBOUNDED PRECEDING) AS INTEGER)
+               AS session_idx
+      FROM marked
+    )
+    SELECT user_id, session_idx,
+           CAST(count(*) AS INTEGER) AS n_events,
+           CAST(min(s) AS BIGINT) AS start_s,
+           CAST(max(s) AS BIGINT) AS end_s
+    FROM islands
+    GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """,
+)
+def udtf_table_argument_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 UDTF with a TABLE argument: the function consumes WHOLE
+    PARTITIONS (``TABLE(v) PARTITION BY user_id ORDER BY s``) instead
+    of scalar rows — the missing member of the UDTF family next to the
+    LATERAL row-expander (udtf_word_positions) and the polymorphic
+    analyze-time schema (udtf_dynamic_schema). The engine guarantees
+    per-partition ordered delivery, so the class is a plain sequential
+    state machine (12 h gap sessionizer) with no window functions in
+    Python — the same per-user stream shape as
+    applyInPandasWithState, but batch and in pure SQL syntax. Scale:
+    partitions are per-user and shuffle once on user_id; state is one
+    (idx, count, start, last) tuple per instance. Epochs are FLOORED on
+    both engines (the LTTB lesson: DuckDB epoch() keeps the fractional
+    second, Spark unix_timestamp truncates). The oracle recomputes the
+    sessions as classic gaps-and-islands SQL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="user_id bigint, session_idx int, n_events int, "
+        "start_s bigint, end_s bigint"
+    )
+    class Sessionize:
+        def __init__(self):
+            self.user = None
+            self.idx = 0
+            self.n = 0
+            self.start = None
+            self.last = None
+
+        def eval(self, row):
+            u, s = row.user_id, row.s
+            if self.user is None:
+                self.user, self.idx = u, 1
+                self.n, self.start, self.last = 1, s, s
+                return
+            if s - self.last > 43200:
+                yield self.user, self.idx, self.n, self.start, self.last
+                self.idx += 1
+                self.n, self.start = 1, s
+            else:
+                self.n += 1
+            self.last = s
+
+        def terminate(self):
+            if self.user is not None:
+                yield self.user, self.idx, self.n, self.start, self.last
+
+    spark.udtf.register("log2sql_sessionize", Sessionize)
+    (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") < 200)
+        .select("user_id", F.unix_timestamp("ts").alias("s"))
+        .createOrReplaceTempView("udtf_sess_v")
+    )
+    return spark.sql(
+        """
+        SELECT * FROM log2sql_sessionize(
+          TABLE(udtf_sess_v) PARTITION BY user_id ORDER BY s
+        )
+        ORDER BY user_id, session_idx
+        """
+    )
