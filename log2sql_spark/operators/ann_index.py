@@ -187,3 +187,39 @@ def kmeans_inertia(
         .head()
     )
     return float(row.inertia)
+
+
+def append_to_index(
+    spark: SparkSession,
+    index_path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_files: int = 4,
+) -> SnapshotStore:
+    """Index FRESHNESS without a rebuild (FAISS ``IndexIVF.add`` /
+    Milvus insert semantics): new vectors are assigned against the
+    FROZEN coarse quantizer — the centroid sibling store written at
+    build time — and land as ONE clustered append commit. The manifest
+    gains per-file centroid-id stats for the new files only; existing
+    files are untouched, so the append is atomic, time-travelable, and
+    O(|new vectors|) regardless of index size. Probes are unchanged:
+    ``read_pruned`` sees old and new files through the same stats.
+    The trade-off is the classic IVF one — cell balance drifts as the
+    corpus distribution moves; re-training centroids is a rebuild,
+    detectable by comparing per-cell counts (llm_lsh_bucket_stats
+    style) against the build-time histogram."""
+    cent = (
+        SnapshotStore(index_path + "_centroids")
+        .read(spark)
+        .select(
+            F.col("centroid_id").alias(id_col),
+            F.col("centroid_vec").alias(vec_col),
+        )
+    )
+    assigned = assign_to_centroids_vectorized(vectors, cent, id_col, vec_col)
+    store = SnapshotStore(index_path)
+    store.commit(
+        assigned, mode="append", cluster_by="centroid_id", target_files=target_files
+    )
+    return store

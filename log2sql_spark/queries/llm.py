@@ -2472,3 +2472,35 @@ def llm_dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "llm_ann_indexed_incremental",
+    oracle=_IVF_ORACLE,
+)
+def llm_ann_indexed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index freshness: the IVF store is built from HALF the corpus,
+    the other half arrives later via ``append_to_index`` — assignment
+    against the frozen coarse quantizer, one clustered append commit,
+    O(|new|) regardless of index size (operators/ann_index.py). The
+    probe is identical to llm_ann_indexed and so is the oracle (the
+    full-corpus direct IVF): an append-maintained index must be
+    indistinguishable from a fresh build over the union, because the
+    quantizer never moved. That is the operational story a serving
+    index needs — ingest keeps running, probes never see a rebuild."""
+    import os
+
+    from log2sql_spark.operators.ann_index import (
+        append_to_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+    from log2sql_spark.scratch import scratch_dir
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.filter(F.col("vec_id") % 25 == 0)
+    idx = os.path.join(scratch_dir("log2sql_annincr_"), "ivf")
+    build_ivf_index(spark, idx, emb.filter(F.col("vec_id") % 2 == 0), centroids)
+    append_to_index(spark, idx, emb.filter(F.col("vec_id") % 2 == 1))
+    out = ivf_topk_indexed(spark, idx, emb.filter(F.col("vec_id") < 20), k=5, nprobe=3)
+    return out.withColumn("cos_sim", F.round("cos_sim", 6)).orderBy("query_id", "rank")

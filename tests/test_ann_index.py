@@ -80,3 +80,29 @@ def test_kmeans_training_improves_centroids(spark):
     a = {r.vec_id: list(r.embedding) for r in trained.collect()}
     b = {r.vec_id: list(r.embedding) for r in again.collect()}
     assert a == b
+
+
+def test_append_to_index_matches_fresh_build(spark, tmp_path):
+    """An append-maintained index (frozen quantizer) must be
+    indistinguishable from a fresh build over the union — and the
+    append must keep the manifest's pruning stats alive."""
+    from log2sql_spark.operators.ann_index import append_to_index
+
+    emb = load_table(spark, "embeddings", SF)
+    centroids = emb.filter(F.col("vec_id") % 25 == 0)
+    idx = str(tmp_path / "ivf_incr")
+    build_ivf_index(spark, idx, emb.filter(F.col("vec_id") % 2 == 0), centroids)
+    v1_entries = set(
+        e["path"] for e in SnapshotStore(idx).snapshot(1).entries
+    )
+    append_to_index(spark, idx, emb.filter(F.col("vec_id") % 2 == 1))
+    store = SnapshotStore(idx)
+    snap = store.snapshot(store.head_version())
+    # old files untouched (append, not rewrite); stats on every entry
+    assert v1_entries < {e["path"] for e in snap.entries}
+    assert snap.cluster_by == "centroid_id" and snap.has_stats
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    direct = ivf_topk(queries, emb, centroids, k=5, nprobe=3)
+    indexed = ivf_topk_indexed(spark, idx, queries, k=5, nprobe=3)
+    assert _rows(indexed) == _rows(direct)
