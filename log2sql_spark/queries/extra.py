@@ -665,3 +665,68 @@ def events_bot_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("burst_bp"), "user_id")
         .limit(50)
     )
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    WITH full_load AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey <= 4000
+    ), backfill AS (
+      -- the corrected re-load of ONE partition (1-URGENT): +1 cent
+      SELECT k, pri, cents + 1 AS cents FROM full_load WHERE pri = '1-URGENT'
+    ), final AS (
+      SELECT * FROM full_load WHERE pri <> '1-URGENT'
+      UNION ALL SELECT * FROM backfill
+    )
+    SELECT pri, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM final GROUP BY pri ORDER BY pri
+    """,
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (``partitionOverwriteMode=dynamic``)
+    — the production backfill pattern sink_partitioned_parquet stops
+    short of: a full hive-partitioned load, then a CORRECTION batch
+    containing only one partition's rows overwrites exactly the
+    partitions it carries — every other partition's files are
+    untouched (in static mode the same write would TRUNCATE the whole
+    table first; at 100 TB that is the difference between re-loading a
+    day and re-loading history). The read-back aggregates per
+    partition; the oracle recomputes the expected final state — the
+    corrected partition shows the +1-cent batch, the rest the original
+    load."""
+    out = scratch_dir("log2sql_dynsink_")
+    base = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") <= 4000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("pri"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    base.write.mode("overwrite").partitionBy("pri").parquet(out)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            base.filter(F.col("pri") == "1-URGENT")
+            .withColumn("cents", F.col("cents") + 1)
+            .write.mode("overwrite")
+            .partitionBy("pri")
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("pri")
+    )
