@@ -1533,7 +1533,8 @@ def udtf_table_argument_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udtf(
         returnType="user_id bigint, session_idx int, n_events int, "
-        "start_s bigint, end_s bigint"
+        "start_s bigint, end_s bigint",
+        useArrow=True,
     )
     class Sessionize:
         def __init__(self):
