@@ -1128,3 +1128,65 @@ def quality_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fd")
     )
+
+
+@query(
+    "quality_histogram_equidepth",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ), cum AS (
+      SELECT cents, cnt,
+             sum(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS c,
+             sum(cnt) OVER () AS n
+      FROM vals
+    )
+    SELECT CAST((c - cnt) * 10 // n + 1 AS BIGINT) AS bin,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents,
+           CAST(sum(cnt) AS BIGINT) AS n_rows
+    FROM cum
+    GROUP BY 1
+    ORDER BY bin
+    """,
+)
+def quality_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order totals — the pair-completion of
+    quality_value_histogram's fixed-width bins and the statistic a
+    cost-based optimizer (and repartitionByRange's sampler) actually
+    wants: 10 bins holding ~equal row counts, with data-derived edges.
+    Each distinct value lands in the bin of its FIRST rank —
+    bin = (cum − cnt)·10 DIV n + 1, pure integer arithmetic over exact
+    cumulative counts, so a heavy value never splits and both engines
+    hash identically (the KS-drift precedent). Aggregate-then-sort
+    discipline: the global window orders |distinct values|, never raw
+    rows — the raw table only feeds one map-side-combined count
+    aggregate."""
+    orders = load_table(spark, "orders", sf_dir)
+    from pyspark.sql import Window as W
+
+    vals = orders.groupBy(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    cum = vals.select(
+        "cents",
+        "cnt",
+        F.sum("cnt").over(w).alias("c"),
+        F.sum("cnt").over(W.partitionBy()).alias("n"),
+    )
+    return (
+        cum.groupBy(
+            F.expr("(c - cnt) * 10 DIV n").cast("bigint").alias("bin")
+        )
+        .agg(
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+            F.sum("cnt").alias("n_rows"),
+        )
+        .withColumn("bin", F.col("bin") + 1)
+        .select("bin", "lo_cents", "hi_cents", "n_rows")
+        .orderBy("bin")
+    )
