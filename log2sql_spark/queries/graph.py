@@ -545,43 +545,11 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").cast("bigint").alias("c"), F.col("s"))
         .distinct()
     )
-    edges = (
+    from log2sql_spark.operators.graph import connected_components
+
+    labels = connected_components(
         e.select(F.col("c").alias("src"), (F.col("s") + 1000000).alias("dst"))
-        .unionByName(
-            e.select((F.col("s") + 1000000).alias("src"), F.col("c").alias("dst"))
-        )
-        .localCheckpoint(eager=True)  # edge derivation runs once, not per round
     )
-    labels = (
-        edges.select("src").distinct().select(
-            F.col("src").alias("node"), F.col("src").alias("label")
-        )
-    ).localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(12):  # cap >> log2(diameter); sum-check exits early
-        prop = edges.join(labels, edges.src == labels.node).select(
-            F.col("dst").alias("node"), F.col("label")
-        )
-        stepped = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
-        # pointer jump: a label is itself a node id, so re-resolve it
-        # through the label table — halves the remaining distance to
-        # the component minimum every round (O(log diameter) total).
-        jump = stepped.select(
-            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
-        )
-        labels = (
-            stepped.join(jump, stepped.label == jump.jnode)
-            .select("node", F.col("jlabel").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:  # labels only decrease: equal sum == fixed point
-            break
-        prev_sum = cur_sum
     sized = labels.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("comp_size"))
     return (
         labels.join(sized, "label")

@@ -1,0 +1,66 @@
+"""connected_components (operators/graph.py) vs a pure-Python
+union-find reference on adversarial graph shapes the corpus query
+never produces: long chains (worst-case diameter for plain
+propagation — the pointer-jump's reason to exist), stars, cycles,
+disjoint singleton-rich forests, and random seeded graphs."""
+
+from __future__ import annotations
+
+import random
+
+from log2sql_spark.operators.graph import connected_components
+
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id of the component
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    return {n: min(members) for r, members in comp.items() for n in members}
+
+
+def _check(spark, edges):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    expect = _union_find(edges, nodes)
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.label for r in connected_components(df).collect()}
+    assert got == expect
+
+
+def test_long_chain(spark):
+    # diameter 40: plain propagation needs 40 rounds, the jump ~log2
+    _check(spark, [(i, i + 1) for i in range(40)])
+
+
+def test_star_and_cycle_and_islands(spark):
+    star = [(100, 100 + i) for i in range(1, 8)]
+    cycle = [(200 + i, 200 + (i + 1) % 6) for i in range(6)]
+    pair = [(900, 901)]
+    _check(spark, star + cycle + pair)
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        nodes = list(range(trial * 1000, trial * 1000 + n))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(n // 2)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        _check(spark, edges)
