@@ -209,3 +209,28 @@ def test_snapshot_writer_refuses_pending_tombstones(spark, store):
     extra = spark.createDataFrame([(900, 1, 1)], "k long, grp long, cents long")
     with pytest.raises(Exception, match="merge-on-read"):
         extra.write.format("snapshot").mode("append").save(store.path)
+
+
+def test_mor_crash_before_publish_leaves_clean_store(spark, store, monkeypatch):
+    """A crash between the tombstone write and the manifest publish must
+    leave the store unchanged — the attempt directory is an orphan the
+    include_orphans vacuum sweeps, same crash contract as commit()."""
+    from log2sql_spark.store.snapshots import SnapshotStore
+
+    v1 = store.head_version()
+
+    def boom(manifest):
+        raise RuntimeError("crash before publish")
+
+    monkeypatch.setattr(store, "_publish", boom)
+    with pytest.raises(RuntimeError, match="crash"):
+        store.delete_where_mor(spark, "k < 5")
+    monkeypatch.undo()
+    assert store.head_version() == v1
+    assert store.read(spark).count() == 400  # nothing deleted
+    assert store.fsck() == []
+    # the orphan tombstone attempt dir is reclaimed like any other
+    fresh = SnapshotStore(store.path)
+    deleted = fresh.vacuum(keep_last=1, include_orphans=True)
+    assert any("-del-" in d for d in deleted)
+    assert fresh.read(spark).count() == 400
