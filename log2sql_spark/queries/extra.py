@@ -730,3 +730,82 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("pri")
     )
+
+
+_DPP_CACHE: dict[tuple, str] = {}
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    WITH pri_rank AS (
+      SELECT '1-URGENT' AS pri, 1 AS sla_hours
+      UNION ALL SELECT '2-HIGH', 4
+      UNION ALL SELECT '3-MEDIUM', 24
+      UNION ALL SELECT '4-NOT SPECIFIED', 72
+      UNION ALL SELECT '5-LOW', 168
+    )
+    SELECT o.pri, r.sla_hours,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM (
+      SELECT o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ) o
+    JOIN pri_rank r ON r.pri = o.pri
+    WHERE r.sla_hours <= 4
+    GROUP BY o.pri, r.sla_hours
+    ORDER BY o.pri
+    """,
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the Catalyst runtime optimization
+    the static demos can't show: the fact table lives hive-PARTITIONED
+    by priority, the dimension's selective filter (sla_hours <= 4) is
+    only known at PLAN time on the dim side, and Spark injects a
+    ``dynamicpruning`` subquery into the fact scan so only the 2
+    matching partition directories are ever read — at 100 TB, the
+    difference between scanning two days and scanning history when the
+    filter arrives through a join instead of a literal predicate.
+    The broadcast exchange is REUSED as the pruning subquery (one dim
+    evaluation, not two). Plan-asserted in tests/test_plans.py; the
+    oracle computes the same join relationally on the unpartitioned
+    table."""
+    # one-time partitioned materialization, cached per (process, sf_dir)
+    # like the table_format fixture stores — repeat runs measure the
+    # pruned JOIN, not the build
+    key = ("dpp_fact", sf_dir)
+    if key not in _DPP_CACHE:
+        fact_dir = scratch_dir("log2sql_dpp_")
+        (
+            load_table(spark, "orders", sf_dir)
+            .select(
+                F.col("o_orderpriority").alias("pri"),
+                F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("pri")
+            .parquet(fact_dir)
+        )
+        _DPP_CACHE[key] = fact_dir
+    fact = spark.read.parquet(_DPP_CACHE[key])
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", 1),
+            ("2-HIGH", 4),
+            ("3-MEDIUM", 24),
+            ("4-NOT SPECIFIED", 72),
+            ("5-LOW", 168),
+        ],
+        "pri string, sla_hours int",
+    ).filter(F.col("sla_hours") <= 4)
+    return (
+        fact.join(F.broadcast(dim), "pri")
+        .groupBy("pri", "sla_hours")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("pri")
+    )

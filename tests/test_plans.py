@@ -353,3 +353,13 @@ def test_bloom_prefilter_sits_under_the_join(spark, qs):
     # leaks into the join keys
     assert "Filter" in plan
     assert "NestedLoop" not in plan
+
+
+def test_dynamic_partition_pruning_injected(spark, qs):
+    """join_dynamic_partition_pruning must show a dynamicpruning
+    subquery on the partitioned fact scan — the runtime filter that
+    keeps a 100 TB partitioned fact from being scanned whole when the
+    selective predicate arrives through a join."""
+    df = qs["join_dynamic_partition_pruning"](spark, SF)
+    plan = explain_str(df)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
