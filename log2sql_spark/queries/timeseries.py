@@ -1928,3 +1928,152 @@ def events_markov_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("src")
     )
+
+
+_HW_L0 = "(list_reduce(s[1:7], (a,b) -> a + b) / 7.0)"
+_HW_B0 = (
+    "((list_reduce(s[8:14], (a,b) -> a + b)"
+    " - list_reduce(s[1:7], (a,b) -> a + b)) / 49.0)"
+)
+# inlined recursive step (DuckDB cannot reference a computed alias in the
+# same SELECT, the Holt-linear precedent): LNEW appears verbatim inside
+# bnew and snew so both engines run the IDENTICAL IEEE expression tree.
+_HW_LNEW = (
+    "(0.3 * (s[CAST(i + 1 AS INTEGER)] - sv[CAST((i % 7) + 1 AS INTEGER)])"
+    " + 0.7 * (l + b))"
+)
+
+
+@query(
+    "ts_holt_winters_additive",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), series AS (
+      SELECT event_type,
+             list(CAST(cents AS DOUBLE) ORDER BY day) AS s,
+             list(day ORDER BY day) AS days
+      FROM daily GROUP BY event_type
+      HAVING count(*) >= 15
+    ), st AS (
+      SELECT event_type, s, days, CAST(7 AS BIGINT) AS i,
+             {_HW_L0} AS l, {_HW_B0} AS b,
+             list_transform(range(1, 8), j -> s[j] - {_HW_L0}) AS sv
+      FROM series
+      UNION ALL
+      SELECT event_type, s, days, i + 1,
+             {_HW_LNEW} AS l,
+             0.2 * ({_HW_LNEW} - l) + 0.8 * b AS b,
+             list_transform(range(1, 8), j -> CASE
+               WHEN j = (i % 7) + 1
+               THEN 0.4 * (s[CAST(i + 1 AS INTEGER)] - {_HW_LNEW})
+                    + 0.6 * sv[CAST((i % 7) + 1 AS INTEGER)]
+               ELSE sv[j] END) AS sv
+      FROM st WHERE i < len(s)
+    )
+    SELECT event_type, days[CAST(i AS INTEGER)] AS day,
+           CAST(s[CAST(i AS INTEGER)] AS BIGINT) AS cents,
+           round(l, 6) AS level,
+           round(b, 6) AS trend,
+           round(sv[CAST(((i - 1) % 7) + 1 AS INTEGER)], 6) AS seasonal,
+           round(l + b + sv[CAST((i % 7) + 1 AS INTEGER)], 6)
+             AS forecast_next
+    FROM st WHERE i >= 8
+    ORDER BY event_type, day
+    """,
+)
+def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE (triple-exponential) smoothing of daily
+    revenue per event type — the seasonal member that completes the
+    classical smoothing family (EWMA -> Holt linear -> Holt-Winters,
+    judged against ts_forecast_snaive_eval's baseline): level, trend,
+    and a 7-slot positional seasonal vector evolve as the coupled fold
+    l_t = alpha(x_t - s_prev) + (1-alpha)(l+b), b_t = beta(l_t - l) +
+    (1-beta)b, s_t = gamma(x_t - l_t) + (1-gamma)s_prev (alpha=.3,
+    beta=.2, gamma=.4; textbook init l=mean of week 1, b=(week2-week1)
+    mean difference / 49, s_i = x_i - l over the first week). Seasonal
+    slots are POSITIONAL (index mod 7, the textbook series treatment),
+    so gaps never make the two engines disagree about a slot. Like the
+    EWMA/Holt precedents the fold is order-sensitive: each day folds
+    its prefix with the IDENTICAL inlined IEEE expression tree the
+    oracle's recursive CTE iterates (l_new inlined into b_new and
+    s_new — neither engine can reference a computed alias mid-SELECT),
+    so the whole running (level, trend, seasonal) STATE hash-matches
+    at 6 dp. The only shuffle is the daily rollup; the quadratic
+    prefix fold is a few thousand flops over |days| per type."""
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(_CENTS("value")).cast("long").alias("cents"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("rows")
+    ).filter(F.size("rows") >= 15)
+    exploded = series.select(
+        "event_type",
+        F.transform("rows", lambda r: r.cents.cast("double")).alias("s"),
+        F.transform("rows", lambda r: r.day).alias("days"),
+        F.posexplode(F.sequence(F.lit(8), F.size("rows"))).alias("_p", "i"),
+    )
+    # pairs[t-7] = (x_t, seasonal slot of t) for t in 8..n; row i folds
+    # the prefix pairs[1 .. i-7] from the week-1 initial state
+    lnew = (
+        "(0.3 * (p.x - element_at(acc.sv, p.slot))"
+        " + 0.7 * (acc.l + acc.b))"
+    )
+    st = F.expr(
+        f"""
+        aggregate(
+          slice(
+            transform(sequence(8, size(s)),
+                      t -> struct(element_at(s, t) AS x,
+                                  CAST((t - 1) % 7 + 1 AS INT) AS slot)),
+            1, i - 7),
+          struct(
+            CAST(aggregate(slice(s, 1, 7), cast(0 as double),
+                           (a, v) -> a + v) / 7.0 AS DOUBLE) AS l,
+            CAST((aggregate(slice(s, 8, 7), cast(0 as double), (a, v) -> a + v)
+                  - aggregate(slice(s, 1, 7), cast(0 as double), (a, v) -> a + v))
+                 / 49.0 AS DOUBLE) AS b,
+            transform(sequence(1, 7),
+                      j -> element_at(s, j)
+                           - aggregate(slice(s, 1, 7), cast(0 as double),
+                                       (a, v) -> a + v) / 7.0) AS sv),
+          (acc, p) -> struct(
+            CAST({lnew} AS DOUBLE) AS l,
+            CAST(0.2 * ({lnew} - acc.l) + 0.8 * acc.b AS DOUBLE) AS b,
+            transform(sequence(1, 7),
+                      j -> IF(j = p.slot,
+                              0.4 * (p.x - {lnew})
+                              + 0.6 * element_at(acc.sv, p.slot),
+                              element_at(acc.sv, j))) AS sv))
+        """
+    )
+    return (
+        exploded.select(
+            "event_type",
+            F.element_at("days", F.col("i")).alias("day"),
+            F.element_at("s", F.col("i")).cast("bigint").alias("cents"),
+            st.alias("st"),
+            F.col("i"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "cents",
+            F.round(F.col("st.l"), 6).alias("level"),
+            F.round(F.col("st.b"), 6).alias("trend"),
+            F.round(
+                F.element_at(F.col("st.sv"), ((F.col("i") - 1) % 7 + 1).cast("int")),
+                6,
+            ).alias("seasonal"),
+            F.round(
+                F.col("st.l")
+                + F.col("st.b")
+                + F.element_at(F.col("st.sv"), (F.col("i") % 7 + 1).cast("int")),
+                6,
+            ).alias("forecast_next"),
+        )
+        .orderBy("event_type", "day")
+    )
