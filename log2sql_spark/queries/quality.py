@@ -1190,3 +1190,64 @@ def quality_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", "lo_cents", "hi_cents", "n_rows")
         .orderBy("bin")
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH vals AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT flag, cents, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS c,
+             sum(w) OVER (PARTITION BY flag) AS n
+      FROM vals
+    )
+    SELECT flag,
+           CAST(min(cents) FILTER (WHERE 2 * c >= n) AS BIGINT)
+             AS weighted_median_cents,
+           CAST(max(n) AS BIGINT) AS total_weight
+    FROM cum
+    GROUP BY flag
+    ORDER BY flag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median (lower convention: the smallest value whose
+    cumulative weight reaches half the total) of line-item price
+    weighted by quantity, per return flag — the weighted order
+    statistic the exact-quantile family lacked (unweighted exact kth:
+    events_funnel_latency_quantiles; interpolated: agg_percentiles;
+    sketched: KLL). Pure integer rank arithmetic (2·cum >= total avoids
+    the n/2 division entirely), so both engines pick the identical
+    value. Aggregate-then-sort discipline: the raw table feeds ONE
+    map-side-combined (flag, cents) weight aggregate; the cumulative
+    window orders |distinct prices| per flag, never raw rows."""
+    li = load_table(spark, "lineitem", sf_dir)
+    from pyspark.sql import Window as W
+
+    vals = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    wc = W.partitionBy("flag").orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    cum = vals.select(
+        "flag",
+        "cents",
+        F.sum("w").over(wc).alias("c"),
+        F.sum("w").over(W.partitionBy("flag")).alias("n"),
+    )
+    return (
+        cum.groupBy("flag")
+        .agg(
+            F.min(F.when(2 * F.col("c") >= F.col("n"), F.col("cents"))).alias(
+                "weighted_median_cents"
+            ),
+            F.max("n").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
