@@ -113,7 +113,7 @@ def store_main(argv: list[str]) -> int:
         "rename-column", "drop-column", "clone", "detail",
         "set-mask", "drop-mask", "set-row-filter", "drop-row-filter",
         "add-constraint", "drop-constraint", "replace-where",
-        "delete-mor", "materialize-deletes",
+        "delete-mor", "materialize-deletes", "analyze",
     ):
         sp = sub.add_parser(name)
         sp.add_argument("path", help="snapshot store directory")
@@ -152,6 +152,10 @@ def store_main(argv: list[str]) -> int:
             sp.add_argument("--predicate", required=True)
         if name == "detail":
             sp.add_argument("--at-version", type=int, default=None)
+        if name == "analyze":
+            sp.add_argument("--columns", required=True,
+                            help="comma-separated columns to record per-file "
+                                 "footer stats for (metadata-only commit)")
         if name == "delete-mor":
             sp.add_argument("--predicate", required=True)
             sp.add_argument("--key", default=None,
@@ -215,6 +219,9 @@ def store_main(argv: list[str]) -> int:
         return 0
     if args.cmd == "detail":
         print(_json.dumps(store.detail(args.at_version)))
+        return 0
+    if args.cmd == "analyze":  # footer reads only — no Spark startup
+        print(f"v{store.analyze(args.columns.split(','))}")
         return 0
 
     from log2sql_spark.session import get_spark

@@ -1389,3 +1389,77 @@ def store_delete_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "status")
     )
+
+
+@query(
+    "store_analyze_pruned_scan",
+    oracle="""
+    SELECT CAST(month(o_orderdate) AS BIGINT) AS mon,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    WHERE year(o_orderdate) = 1995
+    GROUP BY 1
+    ORDER BY mon
+    """,
+)
+def store_analyze_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-then-skip: Delta-style any-column data skipping added
+    AFTER the fact (store/snapshots.py::analyze). The orders table is
+    committed clustered by a monotonically-assigned ingest id — the
+    time-ordered arrival a CDC table actually has — so the DATE column
+    correlates with file placement without being the cluster key.
+    ``analyze(['odate_int'])`` then records per-file [min, max] for it
+    straight from the parquet FOOTERS (metadata-only commit, no Spark
+    job, no data read), and the 1995 scan goes through
+    ``read_pruned_stats`` — only files whose recorded date range
+    overlaps the year are opened; at 100 TB that is Delta's default
+    data-skipping behavior reproduced as an explicit, auditable
+    manifest commit (pruning power + no-false-negative asserted in
+    tests/test_snapshot_store.py). The oracle recomputes the monthly
+    rollup from the raw table."""
+    from log2sql_spark.store import SnapshotStore
+
+    def build():
+        store = SnapshotStore(scratch_dir("log2sql_azstore_"))
+        from pyspark.sql import Window as W
+
+        base = (
+            load_table(spark, "orders", sf_dir)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                (
+                    F.year("o_orderdate") * 10000
+                    + F.month("o_orderdate") * 100
+                    + F.dayofmonth("o_orderdate")
+                ).cast("long").alias("odate_int"),
+                F.month("o_orderdate").cast("long").alias("mon"),
+                F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            )
+            .withColumn(
+                "ingest_id",
+                F.row_number().over(W.orderBy("odate_int", "k")).cast("long"),
+            )
+        )
+        store.commit(
+            base, mode="overwrite", cluster_by="ingest_id", target_files=16
+        )
+        store.analyze(["odate_int"])
+        return store
+
+    store = _cached_build("analyze_store", sf_dir, build)
+    pruned = store.read_pruned_stats(
+        spark, {"odate_int": (19950101, 19951231)}
+    )
+    return (
+        pruned.filter(
+            (F.col("odate_int") >= 19950101) & (F.col("odate_int") <= 19951231)
+        )
+        .groupBy("mon")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("mon")
+    )

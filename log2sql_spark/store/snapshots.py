@@ -981,6 +981,131 @@ class SnapshotStore:
         df = self._apply_renames(df, snap.renames, snap.dropped)
         return self._apply_policies(self._apply_tombstones(spark, df, snap), snap)
 
+    def analyze(self, cols: list[str]) -> int:
+        """Delta-style any-column data skipping, added AFTER the fact:
+        record per-file [min, max] stats for ``cols`` in the manifest —
+        a METADATA-ONLY commit whose numbers come straight from the
+        parquet FOOTERS already on disk (driver-side reads of file
+        metadata; no Spark job, no data scanned). ``read_pruned_stats``
+        then skips files on predicates over ANY analyzed column, which
+        pays off exactly when a column correlates with ingest order
+        (dates, monotonic ids — the common case for time-ordered CDC
+        tables). O(files) per analyze; stats ride per-entry like the
+        zorder layout's, so carried-by-reference files keep them
+        through pruned merges, and files written later simply lack
+        them (conservative: an un-analyzed file is never skipped).
+
+        Restrictions: renamed/dropped column mappings must be
+        compacted away first (footers hold physical names); masked
+        columns are refused — their min/max in a world-readable
+        manifest would leak what the mask hides."""
+        head = self.head_version()
+        if head is None:
+            raise ValueError("analyze on an empty store")
+        snap = self.snapshot(head)
+        if snap.renames or snap.dropped:
+            raise ValueError(
+                "store has column mappings; compact() before analyze "
+                "(footers hold physical names)"
+            )
+        masked = set(snap.policies.get("masks") or {})
+        bad = masked & set(cols)
+        if bad:
+            raise ValueError(
+                f"columns {sorted(bad)} are masked; manifest stats would "
+                "leak masked values"
+            )
+        entries = []
+        for e in snap.entries:
+            root = e["path"] if os.path.isabs(e["path"]) else os.path.join(
+                self.path, e["path"]
+            )
+            files = []
+            if os.path.isdir(root):
+                for r, _d, fs in os.walk(root):
+                    files += [
+                        os.path.join(r, f)
+                        for f in fs
+                        if f.endswith(".parquet") and not f.startswith((".", "_"))
+                    ]
+            else:
+                files = [root]
+            stats = dict(e.get("stats") or {})
+            for c in cols:
+                lo = hi = None
+                ok = True
+                for f in sorted(files):
+                    flo, fhi = self._footer_bounds(f, c)
+                    if flo is None or fhi is None:
+                        ok = False
+                        break
+                    lo = flo if lo is None or flo < lo else lo
+                    hi = fhi if hi is None or fhi > hi else hi
+                if ok and lo is not None:
+                    stats[c] = [lo, hi]
+            entries.append({**e, "stats": stats} if stats else dict(e))
+        self._publish(
+            {
+                "version": head + 1,
+                "parent": head,
+                "mode": "analyze",
+                "entries": entries,
+                "cluster_by": snap.cluster_by,
+                "schema": snap.schema_json,
+                "meta": {"analyzed": sorted(cols)},
+                "layout": snap.layout,
+                "n_buckets": snap.n_buckets,
+                **_inherited(snap),
+            }
+        )
+        return head + 1
+
+    def read_pruned_stats(
+        self,
+        spark: SparkSession,
+        preds: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Generalized data skipping over ``analyze``-recorded stats:
+        ``preds`` maps column -> (lo, hi) inclusive bounds (either side
+        None for open); only entries whose recorded [min, max] for a
+        predicate column rules out every row are skipped. Entries
+        LACKING stats for a column are kept — an un-analyzed file is a
+        conservative full read, never a correctness risk. Superset
+        read, like every min/max skip: apply the exact filter on the
+        result."""
+        version = self.head_version() if version is None else version
+        snap = self.snapshot(version)
+        if not snap.entries:
+            return self.read(spark, version)
+
+        def overlaps(e: dict) -> bool:
+            st = e.get("stats") or {}
+            for c, (plo, phi) in preds.items():
+                if c not in st or st[c][0] is None:
+                    continue  # no stats recorded: cannot skip
+                lo, hi = st[c]
+                if phi is not None and lo > phi:
+                    return False
+                if plo is not None and hi < plo:
+                    return False
+            return True
+
+        keep = [e for e in snap.entries if overlaps(e)]
+        if not keep:
+            return self.read(spark, version).limit(0)
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[
+                e["path"] if os.path.isabs(e["path"])
+                else os.path.join(self.path, e["path"])
+                for e in keep
+            ]
+        )
+        if "_bucket" in df.columns:
+            df = df.drop("_bucket")
+        df = self._apply_renames(df, snap.renames, snap.dropped)
+        return self._apply_policies(self._apply_tombstones(spark, df, snap), snap)
+
     def _buckets_of(self, spark: SparkSession, snap: Snapshot, values: list) -> set:
         """Buckets the given key values hash into (one tiny Spark job —
         xxhash64 lives JVM-side; |values| is small by contract)."""

@@ -821,3 +821,57 @@ def test_replace_where_on_renamed_store(spark, store):
     got = {r.k: r.label for r in store.read(spark, v).collect()}
     assert got[40] == "NEW" and got[45] == "NEW"
     assert got[39] == "v39" and got[46] == "v46" and len(got) == 100
+
+
+def test_analyze_any_column_stats_prune(spark, tmp_path):
+    """analyze() records per-file footer stats for arbitrary columns as
+    a metadata-only commit; read_pruned_stats skips files on any
+    analyzed column with zero false negatives, and un-analyzed files
+    are conservatively kept."""
+    from pyspark.sql import functions as F
+
+    from log2sql_spark.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "az"))
+    # time-ordered ingest: ingest_id is the cluster key, odate follows it
+    base = spark.range(0, 1000).select(
+        F.col("id").alias("ingest_id"),
+        (F.lit(20240000) + (F.col("id") / 10).cast("long")).alias("odate_int"),
+        (F.col("id") * 3).alias("cents"),
+    )
+    v1 = store.commit(base, mode="overwrite", cluster_by="ingest_id", target_files=8)
+    v2 = store.analyze(["odate_int"])
+    assert v2 == v1 + 1
+    snap = store.snapshot(v2)
+    # metadata-only: same data paths, stats added
+    assert [e["path"] for e in snap.entries] == [
+        e["path"] for e in store.snapshot(v1).entries
+    ]
+    assert all("odate_int" in (e.get("stats") or {}) for e in snap.entries)
+
+    got = store.read_pruned_stats(spark, {"odate_int": (20240010, 20240019)})
+    rows = got.filter("odate_int BETWEEN 20240010 AND 20240019")
+    assert rows.count() == 100  # no false negatives
+    # pruning power: the superset read touched fewer files than the table
+    pruned_files = [
+        e for e in snap.entries
+        if e["stats"]["odate_int"][0] <= 20240019
+        and e["stats"]["odate_int"][1] >= 20240010
+    ]
+    assert 0 < len(pruned_files) < len(snap.entries)
+    assert got.count() <= 1000 // 8 * 2  # at most ~2 of 8 files read
+
+    # a later append lacks stats -> conservatively kept, still correct
+    extra = spark.createDataFrame(
+        [(5000, 20240015, 1)], "ingest_id long, odate_int long, cents long"
+    )
+    store.commit(extra, mode="append")
+    got2 = store.read_pruned_stats(spark, {"odate_int": (20240010, 20240019)})
+    assert got2.filter("odate_int BETWEEN 20240010 AND 20240019").count() == 101
+
+    # masked columns refuse analyze (manifest stats would leak)
+    store.set_mask("cents", "CAST(0 AS BIGINT)")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="masked"):
+        store.analyze(["cents"])

@@ -212,3 +212,21 @@ def test_cli_restore_and_fsck(spark, tmp_path, capsys):
         os.remove(victim_file)
     assert store_main(["fsck", path]) == 1
     assert victim in capsys.readouterr().out
+
+
+def test_cli_analyze_records_stats(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from log2sql_spark.cli import store_main
+    from log2sql_spark.store import SnapshotStore
+
+    path = str(tmp_path / "az")
+    store = SnapshotStore(path)
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    store.commit(base, mode="overwrite", cluster_by="k", target_files=4)
+    assert store_main(["analyze", path, "--columns", "v"]) == 0
+    assert capsys.readouterr().out.strip() == "v2"
+    snap = store.snapshot(2)
+    assert all("v" in (e.get("stats") or {}) for e in snap.entries)
