@@ -1698,3 +1698,48 @@ def events_feature_asof_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "label_event_id")
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct_orders,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 bitmap aggregate family (bitmap_bucket_number /
+    bitmap_bit_position / bitmap_construct_agg / bitmap_count): EXACT
+    distinct counting as re-aggregable state — the exact twin of the
+    HLL sketch rollup (sketch_hll_distinct_users): each (group, 32k-id
+    bucket) folds its ids into one bitmap map-side, buckets re-aggregate
+    into per-group totals, and — unlike count(DISTINCT) — the partial
+    bitmaps can be STORED and merged later (bitmap_or_agg), which is
+    what makes exact distinct rollups incremental at warehouse scale.
+    The oracle checks plain COUNT(DISTINCT); the bitmap path must agree
+    exactly, being a set representation rather than an estimate."""
+    li = load_table(spark, "lineitem", sf_dir)
+    buckets = (
+        li.groupBy(
+            "l_returnflag",
+            F.expr("bitmap_bucket_number(l_orderkey)").alias("bucket"),
+        )
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(l_orderkey))"
+            ).alias("bm"),
+            F.count(F.lit(1)).alias("rows_in_bucket"),
+        )
+    )
+    return (
+        buckets.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_orders"),
+            F.sum("rows_in_bucket").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
