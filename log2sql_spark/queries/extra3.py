@@ -1743,3 +1743,72 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_within_group_ordered_set",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderpriority, o_orderstatus, count(*) AS c
+      FROM orders GROUP BY 1, 2
+    ), mx AS (
+      SELECT o_orderpriority, max(c) AS top FROM counts GROUP BY 1
+    ), best AS (
+      SELECT counts.o_orderpriority,
+             min(o_orderstatus) FILTER (WHERE c = top) AS mode_status
+      FROM counts JOIN mx USING (o_orderpriority)
+      GROUP BY counts.o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(percentile_disc(0.5) WITHIN GROUP
+                (ORDER BY round(o_totalprice * 100)) AS BIGINT)
+             AS median_cents_disc,
+           CAST(percentile_disc(0.9) WITHIN GROUP
+                (ORDER BY round(o_totalprice * 100)) AS BIGINT)
+             AS p90_cents_disc,
+           max(b.mode_status) AS mode_status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders o JOIN best b ON b.o_orderpriority = o.o_orderpriority
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def agg_within_group_ordered_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ordered-set aggregates via SQL ``WITHIN GROUP`` syntax —
+    the standard's spelling of order-dependent aggregation, parsed by
+    Spark 4's SQL front end (PERCENTILE_DISC / MODE). PERCENTILE_DISC
+    picks an ACTUAL value (the discrete order statistic), so unlike the
+    interpolated percentile_cont there is no float blend to disagree
+    on — integer cents in, integer cents out. MODE is restated
+    deterministically on the Spark side the same way
+    agg_mode_deterministic does (count + ranked pick with a value
+    tie-break), because built-in mode() is legally nondeterministic on
+    tied groups; the oracle restates it identically as
+    min-of-most-frequent. Both engines run the SAME ANSI WITHIN GROUP
+    spelling for the discrete percentiles."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("wg_orders_v")
+    return spark.sql(
+        """
+        WITH ranked_mode AS (
+          SELECT o_orderpriority, o_orderstatus, count(*) AS c
+          FROM wg_orders_v GROUP BY o_orderpriority, o_orderstatus
+        ), best AS (
+          SELECT o_orderpriority,
+                 min_by(o_orderstatus,
+                        struct(-c, o_orderstatus)) AS mode_status
+          FROM ranked_mode GROUP BY o_orderpriority
+        )
+        SELECT w.o_orderpriority,
+               CAST(percentile_disc(0.5) WITHIN GROUP
+                    (ORDER BY round(o_totalprice * 100)) AS BIGINT)
+                 AS median_cents_disc,
+               CAST(percentile_disc(0.9) WITHIN GROUP
+                    (ORDER BY round(o_totalprice * 100)) AS BIGINT)
+                 AS p90_cents_disc,
+               max(b.mode_status) AS mode_status,
+               count(*) AS n
+        FROM wg_orders_v w JOIN best b ON b.o_orderpriority = w.o_orderpriority
+        GROUP BY w.o_orderpriority
+        ORDER BY w.o_orderpriority
+        """
+    )
