@@ -120,6 +120,8 @@ def store_main(argv: list[str]) -> int:
         if name == "vacuum":
             sp.add_argument("--keep-last", type=int, default=1)
             sp.add_argument("--include-orphans", action="store_true", default=False)
+            sp.add_argument("--dry-run", action="store_true", default=False,
+                            help="report what would be deleted; touch nothing")
         if name == "compact":
             sp.add_argument("--target-files", type=int, default=8)
             sp.add_argument("--min-file-mb", type=float, default=None,
@@ -181,7 +183,11 @@ def store_main(argv: list[str]) -> int:
             print(_json.dumps(h))
         return 0
     if args.cmd == "vacuum":
-        for d in store.vacuum(args.keep_last, include_orphans=args.include_orphans):
+        for d in store.vacuum(
+            args.keep_last,
+            include_orphans=args.include_orphans,
+            dry_run=args.dry_run,
+        ):
             print(d)
         return 0
     if args.cmd == "restore":

@@ -2334,7 +2334,12 @@ class SnapshotStore:
                     os.remove(fp)
         return version
 
-    def vacuum(self, keep_last: int = 1, include_orphans: bool = False) -> list[str]:
+    def vacuum(
+        self,
+        keep_last: int = 1,
+        include_orphans: bool = False,
+        dry_run: bool = False,
+    ) -> list[str]:
         """Drop manifests older than the last ``keep_last`` and delete
         data directories no retained snapshot references. Returns the
         deleted directories. The only destructive operation, and it
@@ -2348,7 +2353,12 @@ class SnapshotStore:
         ``include_orphans`` additionally removes data directories no
         manifest at all references (crashed or conflict-losing commit
         attempts). Only safe when no commit is concurrently in flight —
-        an in-flight attempt's directory looks identical to an orphan."""
+        an in-flight attempt's directory looks identical to an orphan.
+
+        ``dry_run=True`` (Delta ``VACUUM ... DRY RUN``) reports exactly
+        what a real run would delete — directories AND the manifests —
+        and touches nothing: the operator's pre-flight check before the
+        one irreversible command, byte-identical store afterwards."""
         import shutil
 
         if keep_last < 1:
@@ -2361,17 +2371,19 @@ class SnapshotStore:
             for d in self.snapshot(v).dirs:
                 if d not in referenced:
                     abs_d = os.path.join(self.path, d)
-                    if os.path.isdir(abs_d):
+                    if os.path.isdir(abs_d) and not dry_run:
                         shutil.rmtree(abs_d)
                     deleted.append(d)
                     referenced.add(d)  # don't double-delete
-            os.remove(os.path.join(self._manifest_dir, f"v{v}.json"))
+            if not dry_run:
+                os.remove(os.path.join(self._manifest_dir, f"v{v}.json"))
         if include_orphans:
             data_root = os.path.join(self.path, "data")
             if os.path.isdir(data_root):
                 for name in sorted(os.listdir(data_root)):
                     rel = os.path.join("data", name)
                     if rel not in referenced:
-                        shutil.rmtree(os.path.join(data_root, name))
+                        if not dry_run:
+                            shutil.rmtree(os.path.join(data_root, name))
                         deleted.append(rel)
         return deleted

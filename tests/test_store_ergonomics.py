@@ -230,3 +230,26 @@ def test_cli_analyze_records_stats(spark, tmp_path, capsys):
     assert capsys.readouterr().out.strip() == "v2"
     snap = store.snapshot(2)
     assert all("v" in (e.get("stats") or {}) for e in snap.entries)
+
+
+def test_vacuum_dry_run_touches_nothing(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from log2sql_spark.cli import store_main
+    from log2sql_spark.store import SnapshotStore
+
+    path = str(tmp_path / "dv")
+    store = SnapshotStore(path)
+    base = spark.range(0, 50).select(F.col("id").alias("k"))
+    store.commit(base, mode="overwrite")
+    store.commit(base, mode="overwrite")  # v1 now reclaimable
+    would = store.vacuum(keep_last=1, dry_run=True)
+    assert would  # something reported...
+    assert store.versions() == [1, 2]  # ...nothing removed
+    assert store.read(spark, 1).count() == 50  # old version still readable
+    assert store_main(["vacuum", path, "--dry-run"]) == 0
+    assert capsys.readouterr().out.strip()  # CLI prints the report
+    assert store.versions() == [1, 2]
+    # the real run deletes exactly what the dry run reported
+    assert store.vacuum(keep_last=1) == would
+    assert store.versions() == [2]
