@@ -566,3 +566,133 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("comp", "entity_type", "entity_key")
     )
+
+
+@query(
+    "graph_closeness_centrality",
+    oracle="""
+    WITH RECURSIVE raw AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+      FROM raw WHERE src <> dst
+    ), und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM ranked WHERE rn <= 3
+    ), edges AS (
+      SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und
+    ), walk(src, node, d) AS (
+      SELECT a, a, 0 FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT walk.src, edges.b, walk.d + 1
+      FROM walk JOIN edges ON edges.a = walk.node
+      WHERE walk.d < 6
+    ), dist AS (
+      SELECT src, node, CAST(min(d) AS BIGINT) AS d
+      FROM walk GROUP BY src, node
+    )
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_reached,
+           CAST(sum(d) AS BIGINT) AS sum_dist,
+           CAST(count(*) * 10000 // sum(d) AS BIGINT)
+             AS closeness_bp
+    FROM dist JOIN nation n ON n.n_nationkey = dist.src
+    WHERE dist.node <> dist.src
+    GROUP BY n.n_name
+    HAVING sum(d) > 0
+    ORDER BY closeness_bp DESC, nation
+    """,
+)
+def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness centrality over the top-3-sparsified trade graph —
+    the all-sources member of the centrality family (PageRank =
+    influence, BFS = single-source reachability, triangles =
+    clustering, components = connectivity): closeness(v) =
+    (reached−1)/Σdist, reported as integer basis points via truncating
+    division so both engines agree exactly. MULTI-source BFS in ONE
+    frontier loop: the distance frontier carries (source, node) pairs,
+    so the same K broadcast-join hops that computed one source's
+    distances compute all |V| of them — at scale this is the textbook
+    trick that turns |V| sequential BFS runs into one loop over a
+    |V|×frontier relation (Pregel's message batching restated as
+    joins). The oracle walks the identical graph with a recursive CTE
+    and takes min hops per (source, node)."""
+    from pyspark.sql import Window as W
+
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+
+    raw = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    wr = W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    und = (
+        raw.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    edges = (
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=True)  # derive the 4-table join once
+    )
+    dist = edges.select(F.col("a").alias("src")).distinct().select(
+        "src", F.col("src").alias("node"), F.lit(0).alias("d")
+    )
+    for k in range(1, 7):
+        frontier = (
+            edges.join(
+                F.broadcast(dist), edges.a == dist.node
+            )  # dist is <=625 rows: nations x nations
+            .select("src", F.col("b").alias("node"), F.lit(k).alias("d"))
+        )
+        dist = (
+            dist.unionByName(frontier)
+            .groupBy("src", "node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)  # linear lineage, the BFS lesson
+        )
+    return (
+        dist.filter(F.col("node") != F.col("src"))
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum("d").cast("long").alias("sum_dist"),
+        )
+        .filter(F.col("sum_dist") > 0)
+        .join(
+            F.broadcast(
+                nation.select(F.col("n_nationkey").alias("src"), "n_name")
+            ),
+            "src",
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_reached",
+            "sum_dist",
+            F.expr("n_reached * 10000 DIV sum_dist").cast("bigint").alias(
+                "closeness_bp"
+            ),
+        )
+        .orderBy(F.desc("closeness_bp"), "nation")
+    )
