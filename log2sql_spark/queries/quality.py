@@ -1251,3 +1251,94 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@query(
+    "quality_impute_report",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pri,
+             CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+      FROM orders
+    ), vals AS (
+      SELECT pri, cents, CAST(count(*) AS BIGINT) AS w
+      FROM base WHERE cents IS NOT NULL GROUP BY 1, 2
+    ), cum AS (
+      SELECT pri, cents,
+             sum(w) OVER (PARTITION BY pri ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS c,
+             sum(w) OVER (PARTITION BY pri) AS n
+      FROM vals
+    ), med AS (
+      SELECT pri, CAST(min(cents) FILTER (WHERE 2 * c >= n) AS BIGINT)
+               AS impute_cents
+      FROM cum GROUP BY pri
+    )
+    SELECT b.pri,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE b.cents IS NULL) AS BIGINT) AS n_imputed,
+           CAST(max(m.impute_cents) AS BIGINT) AS impute_cents,
+           CAST(sum(coalesce(b.cents, m.impute_cents)) AS BIGINT)
+             AS sum_cents_after
+    FROM base b JOIN med m ON m.pri = b.pri
+    GROUP BY b.pri
+    ORDER BY b.pri
+    """,
+)
+def quality_impute_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation — the ML-prep step between the quality
+    screens and the training set: NULLs (carved deterministically on an
+    id bucket, the json-defects precedent, so the counters provably
+    fire) are filled with the EXACT per-group lower median via the same
+    2·cum ≥ n integer rank arithmetic as agg_weighted_median — no
+    percentile interpolation for the engines to disagree on, and the
+    impute VALUE itself is reported and hash-checked, not just the
+    post-impute sums. Median-impute beats mean-impute on the heavy
+    tail this price column has, and the report (rows touched, fill
+    value, post-fill mass) is what makes the imputation auditable.
+    One aggregate over distinct (group, value) pairs builds the
+    medians; one broadcast join applies them — raw rows shuffle only
+    for the final per-group rollup."""
+    from pyspark.sql import Window as W
+
+    base = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.lit(None).cast("long")
+        ).otherwise(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    vals = (
+        base.filter(F.col("cents").isNotNull())
+        .groupBy("pri", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    wc = W.partitionBy("pri").orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    med = (
+        vals.select(
+            "pri",
+            "cents",
+            F.sum("w").over(wc).alias("c"),
+            F.sum("w").over(W.partitionBy("pri")).alias("n"),
+        )
+        .groupBy("pri")
+        .agg(
+            F.min(F.when(2 * F.col("c") >= F.col("n"), F.col("cents"))).alias(
+                "impute_cents"
+            )
+        )
+    )
+    return (
+        base.join(F.broadcast(med), "pri")
+        .groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("cents").isNull(), 1)).alias("n_imputed"),
+            F.max("impute_cents").alias("impute_cents"),
+            F.sum(F.coalesce("cents", "impute_cents")).alias("sum_cents_after"),
+        )
+        .orderBy("pri")
+    )
