@@ -2077,3 +2077,95 @@ def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "events_uplift_by_decile",
+    oracle="""
+    WITH users AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CAST(count(*) FILTER (WHERE event_type IN ('view', 'click'))
+                  AS BIGINT) AS score,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') > 0
+                  AS INTEGER) AS converted
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+      FROM users
+    ), per AS (
+      SELECT decile,
+             CAST(count(*) FILTER (WHERE variant = 1) AS BIGINT) AS t_n,
+             CAST(sum(converted) FILTER (WHERE variant = 1) AS BIGINT) AS t_conv,
+             CAST(count(*) FILTER (WHERE variant = 0) AS BIGINT) AS c_n,
+             CAST(sum(converted) FILTER (WHERE variant = 0) AS BIGINT) AS c_conv
+      FROM ranked GROUP BY decile
+    ), cum AS (
+      SELECT decile, t_n, t_conv, c_n, c_conv,
+             sum(t_n) OVER w AS ct_n, sum(t_conv) OVER w AS ct_conv,
+             sum(c_n) OVER w AS cc_n, sum(c_conv) OVER w AS cc_conv
+      FROM per WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT decile, t_n, t_conv, c_n, c_conv,
+           CAST(10000 * (t_conv * c_n - c_conv * t_n) // (t_n * c_n)
+                AS BIGINT) AS uplift_bp,
+           CAST(10000 * (ct_conv * cc_n - cc_conv * ct_n) // (ct_n * cc_n)
+                AS BIGINT) AS cum_uplift_bp
+    FROM cum
+    ORDER BY decile
+    """,
+)
+def events_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-by-decile (Qini-style targeting readout) — what the A/B
+    family reports when the question moves from "did the treatment
+    win overall" (events_ab_conversion, CUPED) to "WHOM should we
+    treat": users rank into deciles by a PRE-treatment engagement
+    score (view/click volume — never the purchase outcome, the
+    leakage discipline of events_feature_asof_training), and each
+    decile compares treated vs control conversion as an exact integer
+    cross-multiplication in basis points, plus the cumulative curve
+    the targeting cutoff is read from. ntile is deterministic under
+    its total order (score desc, user_id — the RFM precedent); both
+    engines truncate the signed uplift toward zero (the Mann-Kendall
+    division verification). One per-user aggregate, one |users|-row
+    ntile sort, one 10-row window — events shuffle once."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, "events", sf_dir)
+    users = events.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type").isin("view", "click"), 1))
+        .cast("long")
+        .alias("score"),
+        (F.count(F.when(F.col("event_type") == "purchase", 1)) > 0)
+        .cast("int")
+        .alias("converted"),
+    ).withColumn("variant", F.col("user_id") % 2)
+    ranked = users.withColumn(
+        "decile", F.ntile(10).over(W.orderBy(F.desc("score"), F.asc("user_id")))
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.when(F.col("variant") == 1, 1)).cast("long").alias("t_n"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("t_conv"),
+        F.count(F.when(F.col("variant") == 0, 1)).cast("long").alias("c_n"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_conv"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    cum = per.select(
+        "decile", "t_n", "t_conv", "c_n", "c_conv",
+        F.sum("t_n").over(wc).alias("ct_n"),
+        F.sum("t_conv").over(wc).alias("ct_conv"),
+        F.sum("c_n").over(wc).alias("cc_n"),
+        F.sum("c_conv").over(wc).alias("cc_conv"),
+    )
+    return cum.select(
+        "decile", "t_n", "t_conv", "c_n", "c_conv",
+        F.expr("10000 * (t_conv * c_n - c_conv * t_n) DIV (t_n * c_n)")
+        .cast("bigint")
+        .alias("uplift_bp"),
+        F.expr("10000 * (ct_conv * cc_n - cc_conv * ct_n) DIV (ct_n * cc_n)")
+        .cast("bigint")
+        .alias("cum_uplift_bp"),
+    ).orderBy("decile")
