@@ -297,6 +297,16 @@ class SnapshotReader(DataSourceReader):
         self.version = (
             int(options["version"]) if options.get("version") is not None else None
         )
+        # TIMESTAMP AS OF parity with SnapshotStore.read_as_of: resolve
+        # the wall-clock to a version once at plan time (epoch seconds).
+        if options.get("timestampAsOf") is not None:
+            if self.version is not None:
+                raise ValueError(
+                    "pass either version or timestampAsOf, not both"
+                )
+            self.version = self._store().version_at(
+                float(options["timestampAsOf"])
+            )
         self.key_values: set | None = None
         # Governance: the connector's Python workers cannot evaluate
         # the store's SQL mask/row-filter policies, so serving a
@@ -434,6 +444,11 @@ class SnapshotDataSource(DataSource):
     def schema(self) -> StructType:
         store_path = self.options.get("path")
         version = self.options.get("version")
+        ts = self.options.get("timestampAsOf")
+        if version is None and ts is not None:
+            from log2sql_spark.store import SnapshotStore
+
+            version = SnapshotStore(store_path).version_at(float(ts))
         if version is not None:
             from log2sql_spark.store import SnapshotStore
 

@@ -222,3 +222,30 @@ def test_snapshot_stream_writer_exactly_once(spark, tmp_path):
     assert store.head_version() == v1 + 1
     assert store.read(spark).count() == 25
     assert store.read(spark, v1).count() == 20  # time travel intact
+
+
+def test_snapshot_batch_timestamp_as_of(spark, tmp_path):
+    """format('snapshot').option('timestampAsOf', epoch) resolves to the
+    version current at that wall-clock — DataSource parity with
+    SnapshotStore.read_as_of."""
+    import time as _time
+
+    path = str(tmp_path / "taso")
+    store = SnapshotStore(path)
+    store.commit(
+        spark.createDataFrame([(1, "a")], "k bigint, val string"), mode="overwrite"
+    )
+    _time.sleep(0.05)
+    t_between = _time.time()
+    _time.sleep(0.05)
+    store.commit(
+        spark.createDataFrame([(2, "b")], "k bigint, val string"), mode="overwrite"
+    )
+    old = (
+        spark.read.format("snapshot")
+        .option("timestampAsOf", str(t_between))
+        .load(path)
+    )
+    assert [(r.k, r.val) for r in old.collect()] == [(1, "a")]
+    head = spark.read.format("snapshot").load(path)
+    assert [(r.k, r.val) for r in head.collect()] == [(2, "b")]
