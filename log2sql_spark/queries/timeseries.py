@@ -2169,3 +2169,44 @@ def events_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cum_uplift_bp"),
     ).orderBy("decile")
+
+
+@query(
+    "ts_window_tvf_hourly",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts) AS win_start,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE user_id < 500
+    GROUP BY 1, 2
+    ORDER BY event_type, win_start
+    """,
+)
+def ts_window_tvf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``window()`` time-bucketing TVF in BATCH mode — the same
+    construct the streaming queries aggregate on (stream_tumbling_window
+    etc.), applied to a static frame: one API for both executions is
+    the Structured Streaming premise (batch ≡ streaming), and using it
+    here proves the tumbling bucket assignment itself is
+    engine-deterministic (the window START equals date_trunc for
+    aligned 1-hour tumbles, which is exactly what the oracle checks).
+    Plain map-side-combined hash aggregate; the TVF adds no shuffle."""
+    events = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 500)
+    return (
+        events.groupBy(
+            "event_type", F.window("ts", "1 hour").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_CENTS("value")).cast("bigint").alias("cents"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("win_start"),
+            "n",
+            "cents",
+        )
+        .orderBy("event_type", "win_start")
+    )
