@@ -1197,3 +1197,68 @@ def llm_tokenize_greedy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_dataset_card_stats",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, source, lang, text,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             md5(text) AS digest
+      FROM documents
+    ), dupes AS (
+      SELECT digest, count(*) AS c FROM docs GROUP BY digest
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           min(d.lang) AS first_lang,
+           CAST(count(*) FILTER (WHERE dp.c > 1) AS BIGINT) AS exact_dup_docs,
+           CAST(count(*) FILTER (WHERE dp.c > 1) * 10000 // count(*)
+                AS BIGINT) AS dup_rate_bp,
+           CAST(min(d.n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(d.n_tokens) AS BIGINT) AS max_tokens
+    FROM docs d JOIN dupes dp USING (digest)
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def llm_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source DATASET CARD — the one-table summary a corpus
+    release ships (datasheets-for-datasets practice): document and
+    token volumes, language spread, exact-duplicate exposure (docs
+    whose content digest collides anywhere in the corpus, rate in
+    truncating bp), and token-length extremes. One tokenize-free pass
+    (whitespace token COUNT only — no explode), one 16-byte digest
+    aggregate for the dup join, one rollup; at 100 TB nothing here
+    shuffles documents, only digests and per-source partials. The
+    composition is the point: the card pulls the mixture
+    (llm_source_mix), dedup (llm_dedup_exact), and length-profile
+    signals into the single artifact a consumer reads first."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.md5("text").alias("digest"),
+    )
+    dupes = docs.groupBy("digest").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        docs.join(dupes, "digest")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.min("lang").alias("first_lang"),
+            F.count(F.when(F.col("c") > 1, 1)).alias("exact_dup_docs"),
+            F.expr(
+                "count(CASE WHEN c > 1 THEN 1 END) * 10000 DIV count(*)"
+            ).cast("bigint").alias("dup_rate_bp"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
