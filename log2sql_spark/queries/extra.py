@@ -125,19 +125,67 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles + max_by (order statistics are
-    picks/interpolations of actual values — no summation-order issue)."""
-    return (
-        load_table(spark, "lineitem", sf_dir)
-        .groupBy("l_returnflag")
-        .agg(
-            F.percentile("l_extendedprice", 0.5).alias("median_price"),
-            F.percentile("l_extendedprice", 0.9).alias("p90_price"),
-            F.max_by("l_orderkey", "l_extendedprice").alias("top_order"),
-            F.min("l_extendedprice").alias("min_price"),
-        )
-        .orderBy("l_returnflag")
+    """Exact interpolated percentiles via integer rank arithmetic — NOT
+    Spark's ``Percentile`` aggregate, whose per-group value→count map
+    buffers unboundedly on the final reducers (with only 3 return-flag
+    groups, those 3 reducers become the job at 100× scale).
+
+    Same aggregate-then-sort discipline as agg_weighted_median /
+    quality_histogram_equidepth: the raw table feeds ONE
+    map-side-combined (flag, price) count aggregate; the cumulative
+    window orders |distinct prices| per flag, never raw rows; a final
+    hash aggregate picks the bracketing order statistics by exact
+    integer rank (h = q·(n−1), lo = ⌊h⌋, hi = ⌈h⌉ — computed as
+    integer DIV/mod so the pick is deterministic) and interpolates
+    v_lo + frac·(v_hi − v_lo), the same linear-interpolation
+    convention as SQL quantile_cont / Spark percentile. max_by is
+    recovered for free: the max-price row is the one where cum == n.
+    """
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, "lineitem", sf_dir)
+    vals = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.max("l_orderkey").alias("max_ok"),
     )
+    wc = W.partitionBy("flag").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = vals.select(
+        "flag",
+        "v",
+        "max_ok",
+        F.sum("cnt").over(wc).alias("c"),
+        F.sum("cnt").over(W.partitionBy("flag")).alias("n"),
+    )
+    # 0-indexed bracketing ranks; value at rank r = min(v where c > r).
+    lo50 = F.expr("(n - 1) DIV 2")
+    hi50 = F.expr("n DIV 2")
+    lo90 = F.expr("(9 * (n - 1)) DIV 10")
+    hi90 = F.expr("(9 * (n - 1) + 9) DIV 10")
+    picked = cum.groupBy("flag").agg(
+        F.min(F.when(F.col("c") > lo50, F.col("v"))).alias("v_lo50"),
+        F.min(F.when(F.col("c") > hi50, F.col("v"))).alias("v_hi50"),
+        F.min(F.when(F.col("c") > lo90, F.col("v"))).alias("v_lo90"),
+        F.min(F.when(F.col("c") > hi90, F.col("v"))).alias("v_hi90"),
+        F.max(F.when(F.col("c") == F.col("n"), F.col("max_ok"))).alias("top_order"),
+        F.min("v").alias("min_price"),
+        F.max("n").alias("n"),
+    )
+    frac50 = F.expr("((n - 1) % 2) / 2.0")
+    frac90 = F.expr("((9 * (n - 1)) % 10) / 10.0")
+    return picked.select(
+        F.col("flag").alias("l_returnflag"),
+        (F.col("v_lo50") + frac50 * (F.col("v_hi50") - F.col("v_lo50"))).alias(
+            "median_price"
+        ),
+        (F.col("v_lo90") + frac90 * (F.col("v_hi90") - F.col("v_lo90"))).alias(
+            "p90_price"
+        ),
+        "top_order",
+        "min_price",
+    ).orderBy("l_returnflag")
 
 
 @query(

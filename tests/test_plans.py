@@ -363,3 +363,16 @@ def test_dynamic_partition_pruning_injected(spark, qs):
     df = qs["join_dynamic_partition_pruning"](spark, SF)
     plan = explain_str(df)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_agg_percentiles_has_no_percentile_buffer(spark, qs):
+    """agg_percentiles must compute exact quantiles via hash aggregates
+    over (flag, price) counts + a per-flag cumulative window — NOT
+    Spark's Percentile/ObjectHashAggregate, whose per-group value map
+    buffers every distinct price on the 3 final reducers and becomes
+    the job at 100x scale."""
+    df = qs["agg_percentiles"](spark, SF)
+    plan = explain_str(df)
+    assert "percentile" not in plan.lower(), plan[:2000]
+    assert "ObjectHashAggregate" not in plan, plan[:2000]
+    assert "HashAggregate" in plan
