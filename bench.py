@@ -479,10 +479,13 @@ def sf1_section(spark) -> dict:
         t0 = time.time()
         qs[name](spark, sf1).write.mode("overwrite").format("noop").save()
         cold_total += time.time() - t0
-        df = qs[name](spark, sf1)
-        t0 = time.time()
-        df.write.mode("overwrite").format("noop").save()
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # warm best-of-2 (cold run above pays JIT)
+            df = qs[name](spark, sf1)
+            t0 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
         spark.catalog.clearCache()  # drop per-query persist() leaks
 
     from log2sql_spark.operators.dedup import minhash_dedup_pairs
@@ -549,6 +552,75 @@ def oph_vs_classic(spark, sf_dir: str) -> dict:
     }
 
 
+# The 5 heaviest non-eval queries by sf1 budget (tools/sf1_budgets.json):
+# the linearity proof targets. Each reads only these tables, which are
+# the only ones generated at sf10 (a 600M-row lineitem for queries that
+# never read it would be wasted disk).
+SF10_QUERIES = [
+    "market_basket_pairs",
+    "graph_connected_components",
+    "llm_decontaminate_bloom",
+    "join_spatial_grid_radius",
+    "quality_json_schema_validate",
+]
+SF10_TABLES = ("lineitem", "orders", "customer", "supplier", "events", "documents")
+SF10_DIR = os.environ.get(
+    "SPARK_GRAFT_SF10_DIR", os.path.join(_REPO, ".bench_data", "sf10")
+)
+
+
+def sf10_linearity(spark, sf1: str) -> dict:
+    """Linearity proof: the 5 heaviest non-eval queries at sf1 AND sf10
+    (100x the driver's sf0.1), same session, ratio reported. A linear
+    plan lands near 10x plus per-job constant (≤ ~12x); super-linear
+    ratios flag a stage whose cost curve bends (all-pairs growth,
+    per-group state, a broadcast that stopped fitting). Each query is
+    warmed once at sf0.1 so codegen JIT is paid outside both measured
+    runs; sf1 and sf10 are each single-run — the RATIO is the metric
+    here, and both sides ride the same machine state."""
+    import importlib.util
+
+    marker = os.path.join(SF10_DIR, "documents.parquet")
+    if not all(
+        os.path.exists(os.path.join(SF10_DIR, f"{t}.parquet")) for t in SF10_TABLES
+    ) or not os.path.exists(marker):
+        spec = importlib.util.spec_from_file_location(
+            "gen_sf", os.path.join(_REPO, "tools", "gen_sf.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.generate(SF10_DIR, 100, tables=SF10_TABLES)
+
+    qs = registry.all_queries()
+    # Page-cache warm pass over the sf10 inputs (same reasoning as sf1).
+    for t in SF10_TABLES:
+        spark.read.parquet(os.path.join(SF10_DIR, f"{t}.parquet")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    out: dict = {"queries": {}}
+    for name in SF10_QUERIES:
+        qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()  # JIT warm
+        spark.catalog.clearCache()
+        t0 = time.time()
+        qs[name](spark, sf1).write.mode("overwrite").format("noop").save()
+        t_sf1 = time.time() - t0
+        spark.catalog.clearCache()
+        t0 = time.time()
+        qs[name](spark, SF10_DIR).write.mode("overwrite").format("noop").save()
+        t_sf10 = time.time() - t0
+        spark.catalog.clearCache()
+        out["queries"][name] = {
+            "sf1_sec": round(t_sf1, 3),
+            "sf10_sec": round(t_sf10, 3),
+            "ratio": round(t_sf10 / t_sf1, 2),
+        }
+    ratios = [v["ratio"] for v in out["queries"].values()]
+    out["max_ratio"] = max(ratios)
+    out["linear_at_12x"] = all(r <= 12.0 for r in ratios)
+    return out
+
+
 def dedup_sf10(spark) -> dict:
     """Opt-in (SPARK_GRAFT_SF10=1, ~4 min): MinHash dedup on a 500k-doc
     corpus (documents at 100x) where every base doc has 99 near-dup
@@ -587,7 +659,40 @@ def dedup_sf10(spark) -> dict:
     }
 
 
+def machine_state() -> dict:
+    """Co-tenant noise fingerprint. Round 7 proved the need: byte-identical
+    code swung ±24% on headline totals round-over-round, which made the
+    driver's perf signal unable to distinguish a real regression from a
+    busy host. `cpu_calib_sec` times a fixed single-core workload (md5
+    over 64 MiB) — a number that moves with host contention but never
+    with this repo's code — so a reader can normalize: if calib moved
+    20%, a 20% headline move is machine state, not a regression."""
+    import hashlib
+
+    t0 = time.time()
+    h = hashlib.md5()
+    block = b"\x5a" * (1 << 20)
+    for _ in range(64):
+        h.update(block)
+    calib = time.time() - t0
+    state: dict = {
+        "cpu_calib_sec": round(calib, 4),
+        "cpus": os.cpu_count(),
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }
+    try:
+        with open("/proc/meminfo") as f:
+            for ln in f:
+                if ln.startswith("MemAvailable:"):
+                    state["mem_available_gb"] = round(int(ln.split()[1]) / 1e6, 1)
+                    break
+    except OSError:
+        pass
+    return state
+
+
 def main() -> None:
+    machine_start = machine_state()
     spark = get_spark("log2sql_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.all_queries()
@@ -603,7 +708,7 @@ def main() -> None:
     build_times: dict[str, float] = {}
     for name in HEADLINE:
         best = best_build = float("inf")
-        for _ in range(2):  # best-of-2: damp co-tenant noise on the host
+        for _ in range(3):  # best-of-3: damp co-tenant noise on the host
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             t1 = time.time()
@@ -618,6 +723,12 @@ def main() -> None:
     cdc_stream = cdc_stream_throughput(spark)
     dedup = dedup_scale(spark)
     sf1 = sf1_section(spark)
+    sf10 = (
+        None
+        if os.environ.get("SPARK_GRAFT_SKIP_SF10")
+        else sf10_linearity(spark, ensure_sf1_dir())
+    )
+    machine_end = machine_state()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -635,7 +746,18 @@ def main() -> None:
         "cdc_stream": cdc_stream,
         "dedup_scale": dedup,
         "sf1": sf1,
+        "sf10_linearity": sf10,
         "sf": sf_val,
+        "machine": {
+            "start": machine_start,
+            "end": machine_end,
+            "note": (
+                "headline/sf1 are best-of-N; cpu_calib_sec times a fixed "
+                "single-core md5 workload that moves with host contention, "
+                "never with repo code — normalize round-over-round deltas "
+                "against it before reading them as regressions"
+            ),
+        },
     }
     # Full result to disk; stdout gets ONE compact line. The driver
     # captures only the last ~2000 bytes of stdout (BENCH_r05 recorded
@@ -660,8 +782,12 @@ def main() -> None:
             "dedup_docs_per_sec": sf1["dedup"]["docs_per_sec"],
         },
         "cdc_stream_events_per_sec": cdc_stream["events_per_sec"],
+        "machine_calib_sec": machine_start["cpu_calib_sec"],
         "detail": "BENCH.json",
     }
+    if sf10 is not None:
+        compact["sf10_max_ratio"] = sf10["max_ratio"]
+        compact["sf10_linear_at_12x"] = sf10["linear_at_12x"]
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # stay inside the driver's tail window
         compact["sf1"]["queries"] = {"see": "BENCH.json"}

@@ -1313,16 +1313,18 @@ def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_spatial_grid_radius",
     oracle="""
-    WITH c AS (
+    WITH p AS (
+      SELECT CAST(100 * ceil(sqrt(count(*))) AS BIGINT) AS side FROM customer
+    ), c AS (
       SELECT c_custkey AS ck,
-             (c_custkey * 7919) % 10000 AS x,
-             (c_custkey * 104729) % 10000 AS y
-      FROM customer
+             (c_custkey * 7919) % side AS x,
+             (c_custkey * 104729) % side AS y
+      FROM customer, p
     ), s AS (
       SELECT s_suppkey AS sk,
-             (s_suppkey * 7919) % 10000 AS x,
-             (s_suppkey * 104729) % 10000 AS y
-      FROM supplier
+             (s_suppkey * 7919) % side AS x,
+             (s_suppkey * 104729) % side AS y
+      FROM supplier, p
     )
     SELECT c.ck AS custkey,
            CAST(count(*) AS BIGINT) AS n_nearby,
@@ -1338,41 +1340,52 @@ def join_spatial_grid_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial radius join via grid bucketing — the geohash/S2-cell
     pattern that turns an all-pairs distance predicate into an
     equi-join. Points get deterministic integer coordinates on a
-    10000x10000 plane (hash-derived from their keys); each supplier is
-    replicated into its 3x3 neighborhood of radius-sized (500) grid
-    cells, customers land in exactly one cell, and the cell equi-join
-    plus an exact integer distance filter finds every pair within the
-    radius — cell size = radius guarantees the neighborhood covers all
+    square plane whose side scales as 100·⌈√n⌉ (hash-derived from
+    their keys), so point DENSITY is constant across scale factors —
+    the way real geographic data scales (more points cover more area,
+    not the same city packed 100x denser). Each supplier is replicated
+    into its 3x3 neighborhood of radius-sized (500) grid cells,
+    customers land in exactly one cell, and the cell equi-join plus an
+    exact integer distance filter finds every pair within the radius —
+    cell size = radius guarantees the neighborhood covers all
     candidates, and the single-cell side means no pair is produced
-    twice, so no dedup pass.
+    twice, so no dedup pass. The plane side is a 1-row aggregate
+    broadcast to both sides (the bounded-stats-crossJoin precedent),
+    never a driver collect.
 
     The ORACLE is the naive theta-join (fine at sf0.01); the engine
     side is the plan that survives scale: a hash shuffle on cell id
     with constant 9x replication of the smaller side, per-cell
-    candidate counts bounded by point density — at a billion points
-    per side the naive plan is 10^18 pairs while this one touches only
-    neighbor-cell candidates. Skewed cells (hot spots) fall to AQE
-    skew-join like any other equi-join, which no theta-join gets.
+    candidate counts bounded by the constant point density — at a
+    billion points per side the naive plan is 10^18 pairs while this
+    one touches only neighbor-cell candidates (sf10/sf1 wall ratio
+    measured in BENCH sf10_linearity; the fixed-plane variant measured
+    31.7x there, the density-constant one is linear). Skewed cells
+    (hot spots) fall to AQE skew-join like any other equi-join, which
+    no theta-join gets.
 
     Reference analog: none (extension join family, SURVEY.md §2.2).
     """
     customer = load_table(spark, "customer", sf_dir)
     supplier = load_table(spark, "supplier", sf_dir)
 
-    c = customer.select(
+    p = customer.agg(
+        (F.ceil(F.sqrt(F.count(F.lit(1)))) * 100).cast("long").alias("side")
+    )
+    c = customer.crossJoin(F.broadcast(p)).select(
         F.col("c_custkey").alias("ck"),
-        (F.col("c_custkey") * 7919 % 10000).alias("cx"),
-        (F.col("c_custkey") * 104729 % 10000).alias("cy"),
+        (F.col("c_custkey") * 7919 % F.col("side")).alias("cx"),
+        (F.col("c_custkey") * 104729 % F.col("side")).alias("cy"),
     ).withColumns(
         {
             "gx": F.expr("cx DIV 500"),
             "gy": F.expr("cy DIV 500"),
         }
     )
-    s = supplier.select(
+    s = supplier.crossJoin(F.broadcast(p)).select(
         F.col("s_suppkey").alias("sk"),
-        (F.col("s_suppkey") * 7919 % 10000).alias("sx"),
-        (F.col("s_suppkey") * 104729 % 10000).alias("sy"),
+        (F.col("s_suppkey") * 7919 % F.col("side")).alias("sx"),
+        (F.col("s_suppkey") * 104729 % F.col("side")).alias("sy"),
     ).withColumn(
         "off",
         F.explode(
