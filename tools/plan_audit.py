@@ -27,6 +27,44 @@ from log2sql_spark.plans.explain import (  # noqa: E402
 )
 
 
+# One-line adjudication per flagged plan (>=6 static exchanges or
+# row-at-a-time Python). "runtime N" figures are measured distinct
+# ShuffleQueryStage counts from the EXECUTED adaptive plan at sf0.001 —
+# where static exchange copies of a shared subtree collapse via exchange
+# reuse, the runtime number shows it. A flagged query with no entry here
+# fails the audit: every future flag must be adjudicated or fixed.
+DISPOSITIONS = {
+    "events_funnel_latency_quantiles": "3-stage funnel needs one min-agg per stage by definition + exact-quantile cum window over |distinct latencies|; every aggregate map-side combined over |users|, raw events scanned once (runtime 5).",
+    "events_markov_prediction_eval": "train/eval harness: transition counts, per-state argmax, next-event join, accuracy rollup — each stage over |state pairs| << events (runtime 6).",
+    "graph_pagerank_trade": "unrolled rank iterations: one exchange per iteration over 16-byte (node, rank) pairs; the iteration count is the algorithm, not a data re-read (runtime 6).",
+    "llm_ann_ivfpq_adc": "eval harness re-deriving exact top-k to grade the ADC approximation; the production op is the manifest-pruned probe at 2-3 exchanges; stages carry k-bounded candidates (static 9 -> runtime 5).",
+    "llm_ann_ivfpq_recall": "recall eval computes exact AND approximate top-k plus their join — the exact baseline exists only to grade the index (static 14 -> runtime 7 via reuse).",
+    "llm_ann_recall_eval": "same eval family: brute-force baseline vs IVF candidates; stages carry (query, id, dist) triples bounded by k*|queries| (runtime 9).",
+    "llm_bigram_logprob": "bigram LM: unigram agg + bigram agg + smoothing join + per-doc fold, each map-side combined over |distinct grams| (runtime 6).",
+    "llm_bm25_search": "BM25 = df agg + doclen agg + postings join + score fold + top-k — the Lucene stage count; each stage over the 3 query terms' manifest-pruned postings (runtime 8).",
+    "llm_boilerplate_ngrams": "df-capped n-gram mining: gram hash agg -> df filter -> per-doc containment fold; shuffles 16 B gram digests, never text (runtime 6).",
+    "llm_contamination_check": "eval-vs-train gram overlap: two gram aggregates + semi-join + per-doc rollup; the eval side is broadcast-small (runtime 6).",
+    "llm_curation_e2e": "the whole curation funnel in ONE plan (quality gates -> exact dedup -> decontaminate -> split): 7 exchanges is the sum of the 4 stage minimums, each keyed on 16 B digests (runtime 7).",
+    "llm_dedup_containment": "CDC-chunk containment: chunk hashing, per-chunk dedup, bidirectional containment folds, verdict join — stages carry 16 B chunk hashes (static 12 -> runtime 8).",
+    "llm_dedup_lsh_capped": "base LSH pipeline + hot-bucket count + star-cap window — the cap is what bounds a 24.7M-pair blowup to 1.4M measured (runtime 7).",
+    "llm_dedup_minhash_lsh": "signatures -> 32 band keys -> bucket join -> Jaccard verify: inherently 4 keyed stages over digests; static 9 collapses to 6 runtime stages via exchange reuse (13 stage refs, 6 distinct).",
+    "llm_dedup_ngram_jaccard": "exact Jaccard verify: gram sets both sides + pair join + intersection fold — already the stage minimum (runtime 5).",
+    "llm_lsh_recall_eval": "eval harness re-deriving true-pair set AND candidate set independently to measure recall; the production pipeline is llm_dedup_minhash_lsh at 6 runtime stages (runtime 10).",
+    "llm_nb_source_classifier": "NB train+score in ONE plan: (label,token) counts, priors, vocab, smoothing, per-doc score fold, argmax — each statistic its own map-side-combined aggregate over (token,count) pairs, never documents; stages are the statistics, not re-reads (runtime 16; sf1 warm well under budget).",
+    "llm_semdedup": "broadcast-centroid argmax + within-cluster-only prune; runtime collapses to 3 stages — the assignment subtree is fully reused (static 8 -> runtime 3).",
+    "market_basket_pairs": "pair combinatorics after ONE basket groupBy + broadcast 1-row denominator; basket subtree reused at runtime (14 refs -> 7 distinct); sf10/sf1 = 10.4x, linear.",
+    "mv_incremental_distinct": "distinct-count IVM: delta dedup + re-count of touched groups + merge; exchanges over |delta| + |dirty groups| only (runtime 6).",
+    "mv_incremental_minmax": "the non-distributive IVM case: monotone insert fold UNION delete-touched-extremum recompute UNION dirty-flag audit — three branch plans each 2-4 exchanges over |delta|/|dirty groups|; 35 static collapse to 14 runtime stages; at scale the cost is the semi-join-pruned base read, not stage count.",
+    "quality_expectations_orders": "one aggregate per expectation rule unioned into the report: exchange count scales with #rules (fixed), each over the shared scan (runtime 6).",
+    "quality_fd_violations": "one count-distinct check per candidate functional dependency (4 FDs) unioned; per-FD input is (lhs, rhs) pairs (runtime 8).",
+    "quality_referential_orphans": "one anti-join per FK edge (4 edges) unioned into the orphan report; each anti-join shuffles keys only (runtime 8).",
+    "search_hybrid_rrf": "two rankers (BM25 + embedding) + rank windows + RRF merge — the stage count IS the hybrid-retrieval architecture; both rankers cut to top-k before the merge (runtime 8).",
+    "setops_union_except_intersect": "EXCEPT and INTERSECT are each a distinct+join pair by SQL semantics; three set operators over pre-projected key columns (runtime 6).",
+    "ts_anomaly_mad": "median + MAD need two exact rank passes (cum windows over |distinct values| per series) + the z-score join; value-count subtree reused at runtime (12 refs -> 5 distinct).",
+    "ts_downsample_lttb": "bucket stats agg + two broadcast neighbor joins + 60-row argmax window; exchanges over |buckets|, never raw points (runtime 6).",
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("plan_audit")
@@ -54,6 +92,21 @@ def main() -> int:
         print(f"{name:38} {xchg:>4} {bcast:>5} {push:>4}  {flags}")
     worst = [r for r in rows if r[1] >= 6 or r[4] == "PY!"]
     print(f"\n{len(rows)} queries; {len(worst)} flagged (>=6 shuffles or row-Python)")
+    print("\n## Flagged-plan dispositions\n")
+    missing = []
+    for name, xchg, *_ in sorted(worst):
+        d = DISPOSITIONS.get(name)
+        if d is None:
+            missing.append(name)
+            print(f"- {name} ({xchg} static exchanges): NO DISPOSITION — fix or adjudicate")
+        else:
+            print(f"- {name} ({xchg} static exchanges): {d}")
+    stale = sorted(set(DISPOSITIONS) - {r[0] for r in worst})
+    if stale:
+        print(f"\nstale dispositions (no longer flagged): {', '.join(stale)}")
+    if missing:
+        print(f"\nAUDIT FAIL: {len(missing)} flagged plans without a disposition")
+        return 1
     return 0
 
 
