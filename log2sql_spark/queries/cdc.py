@@ -1663,3 +1663,194 @@ def cdc_conflict_bidirectional(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+_TOPIC_CACHE: dict[str, str] = {}
+
+
+def _write_debezium_topic(spark: SparkSession, sf_dir: str) -> str:
+    """Synthesize a file-simulated Debezium topic from the orders subset
+    (driver-side fixture scaffolding, cached per sf_dir).
+
+    History per key k (partition = k % 4, per-partition offsets):
+      wave 0  insert  (full after image, gtid uuid:1:<k>)
+      wave 1  update  for k % 3 == 0: status -> 'U', cents + 100
+      wave 2  delete  for k % 5 == 0 (before image, null after)
+              + a Kafka tombstone record (null value)
+    then the ENTIRE insert wave re-delivered verbatim (same gtids, the
+    original stale images) on partition file topic-9 with fresh offsets
+    — an overlapping re-dump/re-snapshot. Without GTID dedup those
+    stale high-offset copies would win last-writer-wins for every
+    updated key and resurrect every deleted key, so the dedup is
+    hash-checked by the final state, not just asserted."""
+    key = sf_dir
+    if key in _TOPIC_CACHE:
+        return _TOPIC_CACHE[key]
+    import json
+
+    from log2sql_spark.sources.debezium import render_debezium_record
+
+    rows = _orders_subset(spark, sf_dir)
+    lines: dict[int, list[str]] = {p: [] for p in (0, 1, 2, 3, 9)}
+    offsets: dict[int, int] = {p: 0 for p in lines}
+    positions: dict[int, int] = {}
+    redeliver: list[tuple[int, dict]] = []
+
+    def emit(partition: int, **kw) -> None:
+        kw.setdefault("db", "shop")
+        kw.setdefault("table", "orders")
+        rec = render_debezium_record(
+            partition=partition, offset=offsets[partition], **kw
+        )
+        lines[partition].append(rec)
+        offsets[partition] += 1
+
+    def image(r, status: str | None = None, cents_add: int = 0) -> dict:
+        return {
+            "o_orderkey": r["o_orderkey"],
+            "o_custkey": r["o_custkey"],
+            "o_orderstatus": status or r["o_orderstatus"],
+            "o_totalprice_cents": r["cents"] + cents_add,
+            "o_orderpriority": r["o_orderpriority"],
+        }
+
+    pos = 4
+    for r in rows:
+        k = int(r["o_orderkey"])
+        ts = int(r["o_orderdate"].timestamp() * 1000)
+        kw = dict(
+            op="c",
+            key=str(k),
+            before=None,
+            after=image(r),
+            ts_ms=ts,
+            pos=pos,
+            gtid=f"b6f7a3e0-1dcb-11ee-0000-000000000001:1:{k}",
+        )
+        emit(k % 4, **kw)
+        redeliver.append((k, kw))
+        pos += 120
+    for r in rows:
+        k = int(r["o_orderkey"])
+        if k % 3 != 0:
+            continue
+        emit(
+            k % 4,
+            op="u",
+            key=str(k),
+            before=image(r),
+            after=image(r, status="U", cents_add=100),
+            ts_ms=int(r["o_orderdate"].timestamp() * 1000) + 1000,
+            pos=pos,
+            gtid=f"b6f7a3e0-1dcb-11ee-0000-000000000001:2:{k}",
+        )
+        pos += 120
+    for r in rows:
+        k = int(r["o_orderkey"])
+        if k % 5 != 0:
+            continue
+        last = image(r, status="U", cents_add=100) if k % 3 == 0 else image(r)
+        emit(
+            k % 4,
+            op="d",
+            key=str(k),
+            before=last,
+            after=None,
+            ts_ms=int(r["o_orderdate"].timestamp() * 1000) + 2000,
+            pos=pos,
+            gtid=f"b6f7a3e0-1dcb-11ee-0000-000000000001:3:{k}",
+        )
+        pos += 120
+        # Kafka log-compaction tombstone Debezium emits after a delete
+        lines[k % 4].append(
+            json.dumps(
+                {
+                    "partition": k % 4,
+                    "offset": offsets[k % 4],
+                    "key": str(k),
+                    "value": None,
+                }
+            )
+        )
+        offsets[k % 4] += 1
+    for _k, kw in redeliver:  # overlapping re-dump: stale images, same gtids
+        emit(9, **kw)
+
+    d = scratch_dir("log2sql_debezium_")
+    for p, recs in lines.items():
+        with open(os.path.join(d, f"topic-{p}.jsonl"), "w") as fh:
+            fh.write("\n".join(recs) + ("\n" if recs else ""))
+    _TOPIC_CACHE[key] = d
+    return d
+
+
+@query(
+    "cdc_debezium_apply_state",
+    oracle=f"""
+    WITH src AS (
+      SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey <= {_KEY_MAX}
+    )
+    SELECT o_orderkey,
+           o_custkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END
+             AS o_orderstatus,
+           CASE WHEN o_orderkey % 3 = 0 THEN cents + 100 ELSE cents END
+             AS o_totalprice_cents,
+           o_orderpriority
+    FROM src
+    WHERE o_orderkey % 5 <> 0
+    ORDER BY o_orderkey
+    """,
+)
+def cdc_debezium_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium transport end-to-end: Kafka-shaped JSON change events
+    (insert/update/delete waves + log-compaction tombstones + an
+    overlapping re-dump of stale images on another partition) parsed
+    into the shared envelope (`sources/debezium.py`), GTID-deduped with
+    the SAME operator the binlog path uses (operators/cdc_filters.py),
+    and folded to final state by per-key last-writer-wins on
+    (partition, offset) — Kafka's ordering contract, valid because
+    Debezium keys records by primary key. The re-delivered stale
+    inserts carry HIGHER offsets than the updates/deletes they predate,
+    so if GTID dedup failed the final state would show reverted
+    statuses and resurrected keys — the dedup is hash-checked, not
+    asserted. Reference analog: `--stop-never` (main.py:26-27), the
+    online mode whose production transport this is."""
+    from log2sql_spark.operators.cdc_filters import dedup_by_gtid
+    from log2sql_spark.sources.debezium import (
+        debezium_to_envelope,
+        read_debezium_topic,
+    )
+
+    topic = _write_debezium_topic(spark, sf_dir)
+    env = dedup_by_gtid(debezium_to_envelope(read_debezium_topic(spark, topic)))
+    keyed = env.select(
+        F.coalesce(
+            F.element_at("after", "o_orderkey"),
+            F.element_at("before", "o_orderkey"),
+        )
+        .cast("long")
+        .alias("_key"),
+        "op",
+        "after",
+        "event_seq",
+    )
+    return (
+        keyed.groupBy("_key")
+        .agg(
+            F.max_by("op", "event_seq").alias("_last_op"),
+            F.max_by("after", "event_seq").alias("after"),
+        )
+        .filter(F.col("_last_op") != "delete")
+        .select(
+            F.col("_key").alias("o_orderkey"),
+            F.element_at("after", "o_custkey").cast("long").alias("o_custkey"),
+            F.element_at("after", "o_orderstatus").alias("o_orderstatus"),
+            F.element_at("after", "o_totalprice_cents")
+            .cast("long")
+            .alias("o_totalprice_cents"),
+            F.element_at("after", "o_orderpriority").alias("o_orderpriority"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -283,13 +283,14 @@ def apply_changes_to_snapshot_store(
 def maintain_mv_stream(
     spark: SparkSession,
     in_dir: str,
-    catalog: DataFrame,
+    catalog: DataFrame | None,
     store_path: str,
     checkpoint_dir: str,
     group_col: str,
     sum_col: str,
     database: str | None = None,
     table: str | None = None,
+    transport: str = "binlog",
 ) -> StreamingQuery:
     """Continuous aggregate: maintain a (group, count, sum) materialized
     view over the CDC stream by folding each micro-batch's SIGNED deltas
@@ -299,7 +300,14 @@ def maintain_mv_stream(
     NOT naturally idempotent (re-applying double-counts), so the applied
     batch_id rides in the snapshot manifest's metadata and an already-
     applied batch is skipped on re-delivery — the transactional-sink
-    pattern, with the store's atomic commit as the transaction."""
+    pattern, with the store's atomic commit as the transaction.
+
+    ``transport`` picks the wire format: ``"binlog"`` (mysqlbinlog text
+    dumps, the reference's shape) or ``"debezium"`` (Kafka-shaped JSON
+    change events, `sources/debezium.py` — the shape real deployments
+    see). Everything after the envelope — delta fold, exactly-once
+    batch-id contract, store commit — is shared; the Debezium envelope
+    is born name-keyed so it needs no catalog (pass ``catalog=None``)."""
     from log2sql_spark.operators.ivm import apply_delta, delta_aggregate
     from log2sql_spark.store import SnapshotStore
 
@@ -312,8 +320,13 @@ def maintain_mv_stream(
             applied = store.snapshot(head).meta.get("batch_id", -1)
             if applied >= batch_id:
                 return  # re-delivered batch: already folded in
-        envelope = read_binlog_batch_files(spark, batch_df)
-        resolved = resolve_columns(envelope, catalog)
+        if transport == "debezium":
+            from log2sql_spark.sources.debezium import debezium_to_envelope
+
+            resolved = debezium_to_envelope(batch_df)
+        else:
+            envelope = read_binlog_batch_files(spark, batch_df)
+            resolved = resolve_columns(envelope, catalog)
         # scope to the MV's table: a multi-table dump must not leak other
         # tables' rows (whose images lack these columns) into the deltas
         if database is not None:
@@ -340,7 +353,12 @@ def maintain_mv_stream(
             meta={"batch_id": batch_id},
         )
 
-    lines = read_binlog_line_stream(spark, in_dir)
+    if transport == "debezium":
+        from log2sql_spark.sources.debezium import read_debezium_topic_stream
+
+        lines = read_debezium_topic_stream(spark, in_dir)
+    else:
+        lines = read_binlog_line_stream(spark, in_dir)
     return (
         lines.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
