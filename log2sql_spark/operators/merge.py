@@ -155,3 +155,159 @@ def merge_full_sync(
                 name, F.when(store_only, expr).otherwise(F.col(name))
             )
     return picked.select(*key_cols, *data_cols)
+
+
+# --- Delta swap-in seam ------------------------------------------------------
+#
+# On a real deployment the apply target is a transactional table format
+# (Delta/Iceberg), and the two merge functions above become MERGE INTO
+# statements executed by the table format's engine. These renderers emit
+# that exact SQL so the swap is a one-line backend change, and the golden
+# tests (tests/test_merge_sql_render.py) pin the statement text — the
+# contract a Delta target would execute — without needing delta-spark in
+# this container. Reference analog: the stdout sink (log2sql.py:14),
+# whose real-world meaning is "apply this SQL to a table".
+
+
+def _q(name: str) -> str:
+    return f"`{name}`"
+
+
+def render_merge_into_sql(
+    target_table: str,
+    source_view: str,
+    key_cols: list[str] | str,
+    data_cols: list[str],
+    version_cols: list[str] | str,
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> str:
+    """Render the Delta ``MERGE INTO`` equivalent of :func:`merge_into`.
+
+    The latest-change-per-key pick rides INSIDE the USING subquery
+    (``row_number`` over the version order) because Delta requires the
+    merge source to match each target row at most once — feeding the
+    raw change feed would abort with a duplicate-source-row error.
+    Clause order matters and is part of the golden contract: the
+    delete-matched clause precedes update-matched (first match wins in
+    SQL MERGE), mirroring ``merge_into``'s op precedence.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    version_cols = (
+        [version_cols] if isinstance(version_cols, str) else list(version_cols)
+    )
+    on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in key_cols)
+    part = ", ".join(_q(k) for k in key_cols)
+    order = ", ".join(f"{_q(v)} DESC" for v in version_cols)
+    sets = ", ".join(f"t.{_q(c)} = s.{_q(c)}" for c in data_cols)
+    all_cols = key_cols + data_cols
+    ins_cols = ", ".join(_q(c) for c in all_cols)
+    ins_vals = ", ".join(f"s.{_q(c)}" for c in all_cols)
+    return (
+        f"MERGE INTO {target_table} AS t\n"
+        f"USING (\n"
+        f"  SELECT * FROM (\n"
+        f"    SELECT *, row_number() OVER (PARTITION BY {part} ORDER BY {order}) AS _rn\n"
+        f"    FROM {source_view}\n"
+        f"  ) WHERE _rn = 1\n"
+        f") AS s\n"
+        f"ON {on}\n"
+        f"WHEN MATCHED AND s.{_q(op_col)} = '{delete_op}' THEN DELETE\n"
+        f"WHEN MATCHED THEN UPDATE SET {sets}\n"
+        f"WHEN NOT MATCHED AND s.{_q(op_col)} <> '{delete_op}' THEN\n"
+        f"  INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
+def render_merge_full_sync_sql(
+    target_table: str,
+    source_view: str,
+    key_cols: list[str] | str,
+    data_cols: list[str],
+    not_matched_by_source: str = "delete",
+    set_exprs: dict[str, str] | None = None,
+) -> str:
+    """Render the 3-clause Delta ``MERGE INTO`` equivalent of
+    :func:`merge_full_sync`, including ``WHEN NOT MATCHED BY SOURCE``
+    (the clause Delta added in 2.3 for full-snapshot reconciliation).
+    ``not_matched_by_source``: ``"delete"`` emits the DELETE clause,
+    ``"update"`` emits UPDATE SET from ``set_exprs`` (SQL expression
+    strings, e.g. ``{"is_active": "false"}``), ``"keep"`` omits the
+    clause — absent clause == rows untouched, exactly Delta semantics.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not_matched_by_source not in ("delete", "keep", "update"):
+        raise ValueError(f"unknown action: {not_matched_by_source!r}")
+    if not_matched_by_source == "update" and not set_exprs:
+        raise ValueError("action 'update' needs set_exprs")
+    on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in key_cols)
+    sets = ", ".join(f"t.{_q(c)} = s.{_q(c)}" for c in data_cols)
+    all_cols = key_cols + data_cols
+    ins_cols = ", ".join(_q(c) for c in all_cols)
+    ins_vals = ", ".join(f"s.{_q(c)}" for c in all_cols)
+    sql = (
+        f"MERGE INTO {target_table} AS t\n"
+        f"USING {source_view} AS s\n"
+        f"ON {on}\n"
+        f"WHEN MATCHED THEN UPDATE SET {sets}\n"
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+    if not_matched_by_source == "delete":
+        sql += "\nWHEN NOT MATCHED BY SOURCE THEN DELETE"
+    elif not_matched_by_source == "update":
+        assert set_exprs is not None
+        nm_sets = ", ".join(f"t.{_q(c)} = {e}" for c, e in set_exprs.items())
+        sql += f"\nWHEN NOT MATCHED BY SOURCE THEN UPDATE SET {nm_sets}"
+    return sql
+
+
+def execute_merge(
+    spark,
+    changes: DataFrame,
+    target_table: str,
+    key_cols: list[str] | str,
+    version_cols: list[str] | str,
+    backend: str = "snapshot",
+    store=None,
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> str | None:
+    """The backend seam: one call site, two targets.
+
+    ``backend="snapshot"`` (default) applies via the snapshot store's
+    merge (unchanged path — ``store`` is the SnapshotStore). With
+    ``backend="delta"`` the changes register as a temp view and the
+    rendered ``MERGE INTO`` executes against ``target_table`` — which
+    requires a Delta (or other row-level-op DSv2) table; in this
+    container, where no such catalog exists, the statement is rendered
+    and returned but executing it raises the analyzer's table error,
+    so the call is env-gated by the caller. Returns the SQL text for
+    the delta backend (for logging/audit), None for snapshot."""
+    if backend == "snapshot":
+        if store is None:
+            raise ValueError("snapshot backend needs store=")
+        store.merge(spark, changes, key_cols=key_cols, version_cols=version_cols)
+        return None
+    if backend != "delta":
+        raise ValueError(f"unknown backend: {backend!r}")
+    key_list = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    version_list = (
+        [version_cols] if isinstance(version_cols, str) else list(version_cols)
+    )
+    data_cols = [
+        c
+        for c in changes.columns
+        if c not in key_list and c != op_col and c not in version_list
+    ]
+    changes.createOrReplaceTempView("_merge_changes")
+    sql = render_merge_into_sql(
+        target_table,
+        "_merge_changes",
+        key_list,
+        data_cols,
+        version_list,
+        op_col=op_col,
+        delete_op=delete_op,
+    )
+    spark.sql(sql)
+    return sql
