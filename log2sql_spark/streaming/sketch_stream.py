@@ -9,11 +9,20 @@ the (eps, confidence)-sized summary — ~KBs regardless of how many
 events have flowed — which is the entire point of sketching a stream:
 per-key exact state would grow with the key space, the sketch doesn't.
 
-Exactly-once: the fold records the last applied batch id next to the
-sketch and skips replays (the same contract as the snapshot store's
-streaming writers), and the file swap is tmp+rename atomic. Reference
-analog: none — the reference is a batch text parser; this is the
-mandated streaming extension surface (SURVEY.md §2.2).
+Exactly-once: there is ONE commit point. The merged sketch lands in a
+batch-versioned file (``<name>.<batch_id>.bin``) that nothing reads
+until the state file — {last_batch_id, sketch file} in a single
+tmp+rename — publishes it. A crash after the sketch write but before
+the state publish leaves the state pointing at the PREVIOUS sketch, so
+the restarted fold re-merges the batch from the old sketch and simply
+overwrites the orphaned attempt — never a double fold. (The first cut
+swapped ``sketch.bin`` in place and published the watermark in a second
+rename; a crash between the two renames double-counted the batch on
+replay — found by the crash-injection tests, fixed by making the state
+file the sole commit point.) Same contract as the snapshot store's
+streaming writers. Reference analog: none — the reference is a batch
+text parser; this is the mandated streaming extension surface
+(SURVEY.md §2.2).
 """
 
 from __future__ import annotations
@@ -25,20 +34,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _paths(store_dir: str) -> tuple[str, str]:
-    return os.path.join(store_dir, "sketch.bin"), os.path.join(
-        store_dir, "state.json"
-    )
-
-
-def _load_state(store_dir: str) -> tuple[bytes | None, int]:
-    sk_path, st_path = _paths(store_dir)
+def _load_sketch(store_dir: str, name: str) -> tuple[bytes | None, int, str | None]:
+    """(sketch bytes, last applied batch id, referenced sketch file) —
+    resolved through the state file, the single source of truth."""
+    st_path = os.path.join(store_dir, f"{name}_state.json")
     if not os.path.exists(st_path):
-        return None, -1
+        return None, -1, None
     with open(st_path) as f:
         st = json.load(f)
-    with open(sk_path, "rb") as f:
-        return f.read(), st["last_batch_id"]
+    data = None
+    if st.get("sketch"):
+        with open(os.path.join(store_dir, st["sketch"]), "rb") as f:
+            data = f.read()
+    return data, st["last_batch_id"], st.get("sketch")
+
+
+def _commit_sketch(
+    store_dir: str,
+    name: str,
+    batch_id: int,
+    data: bytes | None,
+    prev_file: str | None,
+) -> None:
+    """Publish one fold atomically: versioned sketch file first (unreferenced
+    until published), then the state file in ONE rename — the commit point.
+    ``data=None`` (empty micro-batch) advances the watermark while keeping
+    the previous sketch reference. The superseded sketch file is removed
+    best-effort AFTER the publish (a crash before the cleanup leaves an
+    orphan file, never a wrong state)."""
+    st_path = os.path.join(store_dir, f"{name}_state.json")
+    sketch_file = prev_file
+    if data is not None:
+        sketch_file = f"{name}.{batch_id}.bin"
+        path = os.path.join(store_dir, sketch_file)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    tmp_st = st_path + ".tmp"
+    with open(tmp_st, "w") as f:
+        json.dump({"last_batch_id": batch_id, "sketch": sketch_file}, f)
+    os.replace(tmp_st, st_path)
+    if data is not None and prev_file and prev_file != sketch_file:
+        try:
+            os.remove(os.path.join(store_dir, prev_file))
+        except OSError:
+            pass
 
 
 def fold_batch_sketch(
@@ -54,15 +95,15 @@ def fold_batch_sketch(
     """Merge one micro-batch's sketch into the store. Returns False if
     the batch id was already applied (replay after restart — skipped)."""
     os.makedirs(store_dir, exist_ok=True)
-    prev, last_id = _load_state(store_dir)
+    prev, last_id, prev_file = _load_sketch(store_dir, "countmin")
     if batch_id <= last_id:
         return False
     row = batch_df.agg(
         F.count_min_sketch(col, F.lit(eps), F.lit(confidence), F.lit(seed)).alias("sk")
     ).head()
-    sk_path, st_path = _paths(store_dir)
     # An EMPTY micro-batch aggregates to NULL: record the watermark
-    # (the batch is consumed) but leave the sketch untouched.
+    # (the batch is consumed) but keep the previous sketch reference.
+    merged_bytes = None
     if row.sk is not None:
         jvm = spark._jvm
         CMS = jvm.org.apache.spark.util.sketch.CountMinSketch
@@ -71,14 +112,8 @@ def fold_batch_sketch(
             merged.mergeInPlace(CMS.readFrom(prev))
         out = jvm.java.io.ByteArrayOutputStream()
         merged.writeTo(out)
-        tmp = sk_path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(bytes(out.toByteArray()))
-        os.replace(tmp, sk_path)  # atomic swap, then publish the watermark
-    tmp_st = st_path + ".tmp"
-    with open(tmp_st, "w") as f:
-        json.dump({"last_batch_id": batch_id}, f)
-    os.replace(tmp_st, st_path)
+        merged_bytes = bytes(out.toByteArray())
+    _commit_sketch(store_dir, "countmin", batch_id, merged_bytes, prev_file)
     return True
 
 
@@ -110,9 +145,7 @@ def stream_countmin_fold(
 
 def probe_sketch(spark: SparkSession, store_dir: str, keys: list) -> dict:
     """Driver-side probe of the persisted sketch for a bounded key set."""
-    sk_path, _ = _paths(store_dir)
-    with open(sk_path, "rb") as f:
-        data = f.read()
+    data, _, _ = _load_sketch(store_dir, "countmin")
     sk = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(data)
     return {k: sk.estimateCount(k) for k in keys}
 
@@ -132,44 +165,27 @@ def fold_batch_hll(
     over sketches of the same lgK, so the folded estimate equals the
     one-shot batch estimate (pytest-asserted)."""
     os.makedirs(store_dir, exist_ok=True)
-    sk_path = os.path.join(store_dir, "hll.bin")
-    st_path = os.path.join(store_dir, "hll_state.json")
-    last_id = -1
-    if os.path.exists(st_path):
-        with open(st_path) as f:
-            last_id = json.load(f)["last_batch_id"]
+    prev, last_id, prev_file = _load_sketch(store_dir, "hll")
     if batch_id <= last_id:
         return False
     row = batch_df.agg(
         F.hll_sketch_agg(col, F.lit(lg_k)).alias("sk")
     ).head()
     cur = bytes(row.sk) if row.sk is not None else None
-    if cur is not None and os.path.exists(sk_path):
-        with open(sk_path, "rb") as f:
-            prev = f.read()
+    if cur is not None and prev is not None:
         merged_row = batch_df.sparkSession.range(1).select(
             F.expr(
                 f"hll_union(X'{prev.hex()}', X'{cur.hex()}')"
             ).alias("m")
         )
         cur = bytes(merged_row.head().m)
-    if cur is not None:
-        tmp = sk_path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(cur)
-        os.replace(tmp, sk_path)
-    tmp_st = st_path + ".tmp"
-    with open(tmp_st, "w") as f:
-        json.dump({"last_batch_id": batch_id}, f)
-    os.replace(tmp_st, st_path)
+    _commit_sketch(store_dir, "hll", batch_id, cur, prev_file)
     return True
 
 
 def probe_hll(spark: SparkSession, store_dir: str) -> int:
     """Driver-side distinct-count estimate from the persisted sketch."""
-    sk_path = os.path.join(store_dir, "hll.bin")
-    with open(sk_path, "rb") as f:
-        data = f.read()
+    data, _, _ = _load_sketch(store_dir, "hll")
     return spark.range(1).select(
         F.expr(f"hll_sketch_estimate(X'{data.hex()}')").alias("n")
     ).head().n
@@ -191,21 +207,14 @@ def fold_batch_kll(
     stay exact at test scale while degrading gracefully to the KLL
     error bound on a real stream."""
     os.makedirs(store_dir, exist_ok=True)
-    sk_path = os.path.join(store_dir, "kll.bin")
-    st_path = os.path.join(store_dir, "kll_state.json")
-    last_id = -1
-    if os.path.exists(st_path):
-        with open(st_path) as f:
-            last_id = json.load(f)["last_batch_id"]
+    prev, last_id, prev_file = _load_sketch(store_dir, "kll")
     if batch_id <= last_id:
         return False
     row = batch_df.agg(
         F.kll_sketch_agg_bigint(col, k).alias("sk")
     ).head()
     cur = bytes(row.sk) if row.sk is not None else None
-    if cur is not None and os.path.exists(sk_path):
-        with open(sk_path, "rb") as f:
-            prev = f.read()
+    if cur is not None and prev is not None:
         merged = (
             batch_df.sparkSession.range(1)
             .select(
@@ -219,23 +228,13 @@ def fold_batch_kll(
             .head()
         )
         cur = bytes(merged.m)
-    if cur is not None:
-        tmp = sk_path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(cur)
-        os.replace(tmp, sk_path)
-    tmp_st = st_path + ".tmp"
-    with open(tmp_st, "w") as f:
-        json.dump({"last_batch_id": batch_id}, f)
-    os.replace(tmp_st, st_path)
+    _commit_sketch(store_dir, "kll", batch_id, cur, prev_file)
     return True
 
 
 def probe_kll(spark: SparkSession, store_dir: str, quantiles: list[float]) -> dict:
     """Driver-side quantile probe of the persisted rank sketch."""
-    sk_path = os.path.join(store_dir, "kll.bin")
-    with open(sk_path, "rb") as f:
-        data = f.read()
+    data, _, _ = _load_sketch(store_dir, "kll")
     exprs = [
         F.expr(f"kll_sketch_get_quantile_bigint(X'{data.hex()}', {q})").alias(
             f"q{int(q * 100)}"

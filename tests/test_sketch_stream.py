@@ -61,7 +61,7 @@ def test_fold_skips_replayed_batch(spark, tmp_path):
     assert probe_sketch(spark, store, ["a", "b"]) == {"a": 2, "b": 1}
     assert fold_batch_sketch(spark, df, 1, store, "event_type") is True
     assert probe_sketch(spark, store, ["a", "b"]) == {"a": 4, "b": 2}
-    with open(f"{store}/state.json") as f:
+    with open(f"{store}/countmin_state.json") as f:
         assert json.load(f)["last_batch_id"] == 1
 
 
