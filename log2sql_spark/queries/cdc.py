@@ -1854,3 +1854,68 @@ def cdc_debezium_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "cdc_debezium_replay_sql",
+    oracle=f"""
+    WITH src AS (
+      SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey <= {_KEY_MAX}
+    ),
+    ins AS (
+      SELECT 'INSERT INTO `shop`.`orders`(`o_orderkey`, `o_custkey`, '
+             || '`o_orderstatus`, `o_totalprice_cents`, `o_orderpriority`) '
+             || 'VALUES (' || o_orderkey || ', ' || o_custkey || ', '''
+             || o_orderstatus || ''', ' || cents || ', ''' || o_orderpriority
+             || ''');' AS sql_text
+      FROM src
+    ),
+    upd AS (
+      SELECT 'UPDATE `shop`.`orders` SET `o_orderkey`=' || o_orderkey
+             || ', `o_custkey`=' || o_custkey
+             || ', `o_orderstatus`=''U'', `o_totalprice_cents`=' || (cents + 100)
+             || ', `o_orderpriority`=''' || o_orderpriority
+             || ''' WHERE `o_orderkey`=' || o_orderkey || ' LIMIT 1;' AS sql_text
+      FROM src WHERE o_orderkey % 3 = 0
+    ),
+    del AS (
+      SELECT 'DELETE FROM `shop`.`orders` WHERE `o_orderkey`=' || o_orderkey
+             || ' LIMIT 1;' AS sql_text
+      FROM src WHERE o_orderkey % 5 = 0
+    )
+    SELECT sql_text FROM ins
+    UNION ALL SELECT sql_text FROM upd
+    UNION ALL SELECT sql_text FROM del
+    ORDER BY sql_text
+    """,
+)
+def cdc_debezium_replay_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship OUTPUT (replay SQL, log2sql.py:161-185)
+    on the Debezium transport: Kafka-shaped change events → GTID dedup
+    (the re-dumped stale copies on partition 9 must render NOTHING —
+    a dedup failure duplicates statements and breaks the rowcount) →
+    SQL-literal re-tokenization (`sources/debezium.py:sql_tokens` —
+    typed JSON values back to quoted/escaped literals) → the UNCHANGED
+    replay codegen, with key_columns attached by one broadcast catalog
+    join. End-to-end this is `main.py:109-116` with Kafka instead of
+    mysqlbinlog files."""
+    from log2sql_spark.operators.cdc_codegen import with_sql_text
+    from log2sql_spark.operators.cdc_filters import dedup_by_gtid
+    from log2sql_spark.sources.debezium import (
+        debezium_to_envelope,
+        read_debezium_topic,
+        sql_tokens,
+    )
+
+    topic = _write_debezium_topic(spark, sf_dir)
+    env = sql_tokens(
+        dedup_by_gtid(debezium_to_envelope(read_debezium_topic(spark, topic)))
+    )
+    cat = catalog_from_dict(spark, _CATALOG_SPEC)
+    resolved = env.join(
+        F.broadcast(cat.select("db", "table", "key_columns")),
+        ["db", "table"],
+        "left",
+    )
+    return with_sql_text(resolved).select("sql_text").orderBy("sql_text")

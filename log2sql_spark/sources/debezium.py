@@ -100,7 +100,7 @@ def read_debezium_topic_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(TOPIC_SCHEMA).json(path)
 
 
-def debezium_to_envelope(records: DataFrame) -> DataFrame:
+def debezium_to_envelope(records: DataFrame, keep_key: bool = False) -> DataFrame:
     """(partition, offset, key, value) → the engine's envelope schema.
 
     Pure `from_json` + column mapping: one narrow JVM projection, no
@@ -109,9 +109,12 @@ def debezium_to_envelope(records: DataFrame) -> DataFrame:
     preserves, so position/lag monitoring works unchanged. Tombstone
     records (null value — Kafka log-compaction markers Debezium emits
     after deletes) are dropped, as every consumer of the envelope
-    expects row images.
+    expects row images. ``keep_key=True`` appends the Kafka record key
+    as ``_kafka_key`` (Debezium keys records by primary key, so this IS
+    the row's key — what a multi-table apply needs without a catalog).
     """
     p = F.from_json("value", _PAYLOAD_SCHEMA).getField("payload")
+    extra = [F.col("key").alias("_kafka_key")] if keep_key else []
     return records.filter(F.col("value").isNotNull()).select(
         F.concat(F.lit("topic-"), F.col("partition").cast("string")).alias("file"),
         F.col("offset").alias("event_seq"),
@@ -130,6 +133,7 @@ def debezium_to_envelope(records: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("statement"),
         p.getField("source").getField("gtid").alias("gtid"),
         p.getField("transaction").getField("total_order").alias("txn_seq"),
+        *extra,
     ).filter(F.col("op").isNotNull())
 
 
@@ -225,4 +229,38 @@ def apply_debezium_topic(
         )
         .filter(F.col("_last_op") != "delete")
         .select("_key", "after")
+    )
+
+
+def sql_tokens(envelope: DataFrame) -> DataFrame:
+    """Re-render the envelope's plain-string values as SQL literal
+    tokens so the replay/flashback codegen (operators/cdc_codegen.py)
+    runs unchanged on the Debezium transport.
+
+    The binlog path's maps already carry SQL tokens (mysqlbinlog -vv
+    prints them quoted); Debezium payloads are typed JSON, so after the
+    from_json coercion a value is a bare canonical string. The literal
+    rules here are a generic SQL renderer's: JSON null → ``NULL``
+    (which the codegen's predicate builder turns into ``IS NULL``),
+    numeric/boolean forms stay bare, everything else single-quotes with
+    ``''`` escaping. Pure `transform_values` — JVM-side, no shuffle.
+    """
+    lit_re = r"^(-?[0-9]+(\.[0-9]+)?([eE]-?[0-9]+)?|true|false)$"
+
+    def to_sql(m):
+        return F.transform_values(
+            m,
+            lambda _, v: F.when(v.isNull(), F.lit("NULL"))
+            .when(v.rlike(lit_re), v)
+            .otherwise(
+                F.concat(
+                    F.lit("'"),
+                    F.regexp_replace(v, "'", "''"),
+                    F.lit("'"),
+                )
+            ),
+        )
+
+    return envelope.withColumn("before", to_sql(F.col("before"))).withColumn(
+        "after", to_sql(F.col("after"))
     )

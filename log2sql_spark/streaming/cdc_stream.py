@@ -179,12 +179,13 @@ def apply_changes_to_state(
 def apply_changes_to_snapshot_store(
     spark: SparkSession,
     in_dir: str,
-    catalog: DataFrame,
+    catalog: DataFrame | None,
     store_path: str,
     checkpoint_dir: str,
     key_col: str | None = "id",
     clustered: bool = True,
     auto_compact_files: int | None = 64,
+    transport: str = "binlog",
 ) -> StreamingQuery:
     """The production apply path end-to-end: ``foreachBatch → MERGE INTO``
     a transactional snapshot store (SURVEY.md §1.1's named target, with
@@ -217,24 +218,45 @@ def apply_changes_to_snapshot_store(
     commit — Delta's optimizeWrite/auto-compact behavior, keeping scan
     cost flat under continuous ingest instead of degrading with every
     batch. Set None to disable.
+
+    ``transport="debezium"`` swaps the source for a Kafka-shaped topic
+    (`sources/debezium.py`); the merge, layout, auto-compaction and
+    version ordering run unchanged — the Debezium envelope's (file,
+    start_pos, event_seq) are (partition, source.pos, offset), which
+    order every key's history because Debezium keys records by primary
+    key. With ``key_col=None`` the multi-table key derives from the
+    in-band db/table names (no catalog needed; pass ``catalog=None``).
     """
     from log2sql_spark.store import SnapshotStore
 
     store = SnapshotStore(store_path)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        envelope = read_binlog_batch_files(spark, batch_df)
-        resolved = resolve_columns(envelope, catalog)
+        if transport == "debezium":
+            from log2sql_spark.sources.debezium import debezium_to_envelope
+
+            resolved = debezium_to_envelope(batch_df, keep_key=(key_col is None))
+        else:
+            envelope = read_binlog_batch_files(spark, batch_df)
+            resolved = resolve_columns(envelope, catalog)
         img = F.coalesce("after", "before")
         if key_col is None:
-            key_vals = F.transform(
-                "key_columns", lambda c: F.coalesce(F.element_at(img, c), F.lit(""))
-            )
-            key = F.concat_ws(
-                ":",
-                F.concat_ws(".", "db", "table"),
-                F.concat_ws("|", key_vals),
-            )
+            if transport == "debezium":
+                # Debezium keys records by primary key: the Kafka key IS
+                # the row key — no catalog needed for multi-table apply
+                key = F.concat_ws(
+                    ":", F.concat_ws(".", "db", "table"), F.col("_kafka_key")
+                )
+            else:
+                key_vals = F.transform(
+                    "key_columns",
+                    lambda c: F.coalesce(F.element_at(img, c), F.lit("")),
+                )
+                key = F.concat_ws(
+                    ":",
+                    F.concat_ws(".", "db", "table"),
+                    F.concat_ws("|", key_vals),
+                )
         else:
             key = F.element_at(img, key_col)
         changes = resolved.select(
@@ -269,9 +291,13 @@ def apply_changes_to_snapshot_store(
     # query's streaming progress (observedMetrics.cdc_audit) — the
     # applied-vs-received audit an operator reconciles against the
     # source, collected on the SAME scan, never by a second read.
-    lines = read_binlog_line_stream(spark, in_dir).observe(
-        "cdc_audit", F.count(F.lit(1)).alias("n_lines")
-    )
+    if transport == "debezium":
+        from log2sql_spark.sources.debezium import read_debezium_topic_stream
+
+        source = read_debezium_topic_stream(spark, in_dir)
+    else:
+        source = read_binlog_line_stream(spark, in_dir)
+    lines = source.observe("cdc_audit", F.count(F.lit(1)).alias("n_lines"))
     return (
         lines.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

@@ -171,3 +171,47 @@ def test_maintain_mv_stream_debezium_restart(spark, tmp_path):
     q3.awaitTermination(120)
     mv3 = {r.status: (r.n, r.sum_amount) for r in store.read(spark).collect()}
     assert mv3 == mv2
+
+
+def test_apply_to_snapshot_store_debezium_multitable(spark, tmp_path):
+    """foreachBatch -> MERGE INTO the snapshot store on the Debezium
+    transport, multi-table (key_col=None) with NO catalog — the key is
+    db.table + the Kafka record key Debezium derives from the primary
+    key. Update wins over insert by (partition, pos, offset) ordering;
+    a second run with no new data commits nothing."""
+    from log2sql_spark.store import SnapshotStore
+    from log2sql_spark.streaming.cdc_stream import apply_changes_to_snapshot_store
+
+    in_dir, store_dir, ckpt = tmp_path / "in", tmp_path / "store", tmp_path / "ckpt"
+    base = dict(ts_ms=1_700_000_000_000)
+    _write_topic(in_dir, [
+        render_debezium_record(partition=0, offset=0, op="c", key="1", pos=4,
+                               db="shop", table="orders", before=None,
+                               after={"id": 1, "status": "new"}, **base),
+        render_debezium_record(partition=0, offset=1, op="u", key="1", pos=124,
+                               db="shop", table="orders",
+                               before={"id": 1, "status": "new"},
+                               after={"id": 1, "status": "done"}, **base),
+        # same key value in ANOTHER table must not collide
+        render_debezium_record(partition=1, offset=0, op="c", key="1", pos=244,
+                               db="shop", table="users", before=None,
+                               after={"uid": 1, "name": "ann"}, **base),
+    ])
+
+    def run():
+        q = apply_changes_to_snapshot_store(
+            spark, str(in_dir), None, str(store_dir), str(ckpt),
+            key_col=None, transport="debezium",
+        )
+        q.awaitTermination(120)
+
+    run()
+    store = SnapshotStore(str(store_dir))
+    rows = {r.key: dict(r.after) for r in store.read(spark).collect()}
+    assert rows == {
+        "shop.orders:1": {"id": "1", "status": "done"},
+        "shop.users:1": {"uid": "1", "name": "ann"},
+    }
+    v1 = store.head_version()
+    run()  # no new data: no new version
+    assert store.head_version() == v1
