@@ -1,9 +1,11 @@
 """CLI: drop-in workflow replacement for the reference's ``main.py``.
 
-Same argument surface (``main.py:42-85``) minus the live-MySQL
-connection flags — the catalog comes from a JSON file (or a JDBC URL on
-a real deployment) instead of per-event ``information_schema`` queries —
-plus the flags the reference declared but never honored:
+Same argument surface (``main.py:42-85``) including the live-MySQL
+connection flags (``-h/-u/-p/-P``, ``main.py:44-52``, with the bare
+``-p`` getpass prompt, ``main.py:35-38``) — with ``--catalog`` absent
+the catalog loads ONCE from the server's ``information_schema`` over
+JDBC instead of the reference's per-event N+1 queries — plus the flags
+the reference declared but never honored:
 
 * ``--no-primary-key`` actually strips PKs from INSERTs;
 * ``--stop-never`` runs the online Structured-Streaming mode the
@@ -27,10 +29,32 @@ import sys
 
 
 def build_parser() -> argparse.ArgumentParser:
+    # add_help=False so -h can mean --host, exactly like the reference
+    # (main.py:44, which reserves -h for the MySQL host and moves help
+    # to --help).
     p = argparse.ArgumentParser(
         prog="log2sql_spark",
         description="Parse MySQL binlog dumps to replay/flashback SQL on Spark",
+        add_help=False,
     )
+    p.add_argument("--help", action="help", help="show this help message and exit")
+
+    # Live-MySQL connection flags (reference main.py:44-52): used when
+    # --catalog is absent — the catalog then loads ONCE from the
+    # server's information_schema via JDBC (sources/catalog.py
+    # catalog_from_jdbc), replacing the reference's per-event N+1
+    # lookups (log2sql.py:29-46).
+    conn = p.add_argument_group("connect setting")
+    conn.add_argument("-h", "--host", dest="host", default="127.0.0.1",
+                      help="Host the MySQL database server located")
+    conn.add_argument("-u", "--user", dest="user", default="root",
+                      help="MySQL Username to log in as")
+    conn.add_argument("-p", "--password", dest="password", nargs="*", default="",
+                      help="MySQL Password to use (bare -p prompts, like the "
+                           "reference's getpass fallback, main.py:35-38)")
+    conn.add_argument("-P", "--port", dest="port", type=int, default=3306,
+                      help="MySQL port to use")
+
     src = p.add_argument_group("source")
     src.add_argument("--start-file", dest="start_file", help="binlog dump file/glob to parse")
     src.add_argument("--raw", action="store_true", default=False,
@@ -39,7 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     src.add_argument("--mysqlbinlog-bin", dest="mysqlbinlog_bin", default="mysqlbinlog",
                      help="mysqlbinlog binary name/path (executors must resolve it too)")
     src.add_argument("--watch-dir", dest="watch_dir", help="directory to stream dumps from")
-    src.add_argument("--catalog", required=True, help="catalog JSON ({'db.table': {columns, key_columns}})")
+    src.add_argument("--catalog", default=None,
+                     help="catalog JSON ({'db.table': {columns, key_columns}}); "
+                          "omit to load the catalog live from the server's "
+                          "information_schema via -h/-u/-p/-P")
 
     interval = p.add_argument_group("interval filter")
     interval.add_argument("--start-position", type=int, default=None)
@@ -68,6 +95,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--key-column", dest="key_column", default="id",
                    help="row-image key column for --apply-store (default: id)")
     p.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
+    p.add_argument("--back-interval", dest="back_interval", type=float, default=None,
+                   help="seconds between micro-batches on --stop-never "
+                        "(reference main.py:82-83's declared-but-unused rollback "
+                        "throttle, honored here as the processing-time trigger)")
+    p.add_argument("--max-files-per-trigger", dest="max_files_per_trigger",
+                   type=int, default=None,
+                   help="cap dump files per micro-batch on --stop-never")
     p.add_argument("--cpus", default=None, help="local parallelism (default: SPARK_GRAFT_CPUS)")
     return p
 
@@ -93,6 +127,46 @@ def validate(args: argparse.Namespace) -> None:
                 datetime.strptime(v, "%Y-%m-%d %H:%M:%S")
             except ValueError as exc:
                 raise ValueError("Incorrect datetime argument") from exc  # main.py:30-34
+
+
+def resolve_password(args: argparse.Namespace) -> str:
+    """Reference getpass fallback (main.py:35-38): bare ``-p`` (empty
+    nargs list) prompts; ``-p secret`` takes the first token; no ``-p``
+    at all means empty password (only consulted in live-catalog mode)."""
+    if args.password == "" or args.password is None:
+        return ""
+    if isinstance(args.password, list):
+        if not args.password:
+            import getpass
+
+            return getpass.getpass()
+        return args.password[0]
+    return str(args.password)
+
+
+def load_catalog(args: argparse.Namespace, spark):
+    """Route --catalog JSON vs live information_schema over JDBC.
+
+    The JDBC path is driver-gated the same way streaming/apply_sink.py
+    gates pymysql: with no MySQL JDBC driver on the classpath the
+    attempt raises a clear actionable error instead of a JVM stack."""
+    from log2sql_spark.sources.catalog import catalog_from_jdbc, catalog_from_json
+
+    if args.catalog:
+        return catalog_from_json(spark, args.catalog)
+    url = f"jdbc:mysql://{args.host}:{args.port}"
+    properties = {"user": args.user, "password": resolve_password(args)}
+    try:
+        return catalog_from_jdbc(spark, url, properties)
+    except Exception as exc:  # noqa: BLE001 — env gate, driver jar absent
+        msg = str(exc)
+        if "No suitable driver" in msg or "ClassNotFound" in msg or "driver" in msg.lower():
+            raise SystemExit(
+                f"live catalog load from {args.host}:{args.port} needs the MySQL "
+                "JDBC driver on Spark's classpath (spark.jars); pass --catalog "
+                "catalog.json to run without a live server"
+            ) from exc
+        raise
 
 
 def store_main(argv: list[str]) -> int:
@@ -335,11 +409,10 @@ def main(argv: list[str] | None = None) -> int:
     validate(args)
 
     from log2sql_spark.session import get_spark
-    from log2sql_spark.sources.catalog import catalog_from_json
 
     spark = get_spark("log2sql_spark_cli", cpus=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    catalog = catalog_from_json(spark, args.catalog)
+    catalog = load_catalog(args, spark)
 
     filters = dict(
         sql_types=args.sql_type,
@@ -361,6 +434,8 @@ def main(argv: list[str] | None = None) -> int:
             q = apply_changes_to_snapshot_store(
                 spark, args.watch_dir, catalog, args.apply_store,
                 args.checkpoint, key_col=args.key_column,
+                max_files_per_trigger=args.max_files_per_trigger,
+                trigger_interval=args.back_interval,
             )
         else:
             from log2sql_spark.streaming.cdc_stream import stream_binlog_to_sql
@@ -368,6 +443,8 @@ def main(argv: list[str] | None = None) -> int:
             q = stream_binlog_to_sql(
                 spark, args.watch_dir, catalog, args.out, args.checkpoint,
                 flashback=args.flashback,
+                max_files_per_trigger=args.max_files_per_trigger,
+                trigger_interval=args.back_interval,
             )
         q.awaitTermination()
         return 0

@@ -24,6 +24,8 @@ keeps the rewrite local either way.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -299,15 +301,23 @@ def execute_merge(
         for c in changes.columns
         if c not in key_list and c != op_col and c not in version_list
     ]
-    changes.createOrReplaceTempView("_merge_changes")
-    sql = render_merge_into_sql(
-        target_table,
-        "_merge_changes",
-        key_list,
-        data_cols,
-        version_list,
-        op_col=op_col,
-        delete_op=delete_op,
-    )
-    spark.sql(sql)
+    # Per-call unique view name: a fixed name would let two merges in
+    # flight on the same SparkSession (e.g. two foreachBatch sinks)
+    # clobber each other's view between createOrReplaceTempView and
+    # spark.sql, merging the wrong batch into a target.
+    view = f"_merge_changes_{uuid.uuid4().hex}"
+    changes.createOrReplaceTempView(view)
+    try:
+        sql = render_merge_into_sql(
+            target_table,
+            view,
+            key_list,
+            data_cols,
+            version_list,
+            op_col=op_col,
+            delete_op=delete_op,
+        )
+        spark.sql(sql)
+    finally:
+        spark.catalog.dropTempView(view)
     return sql

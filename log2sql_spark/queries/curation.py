@@ -819,9 +819,9 @@ def llm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _URL_SYNTH_SQL = """
       SELECT doc_id,
-             'HTTP://Example' || CAST(doc_id % 20 AS VARCHAR) || '.COM'
+             'HTTP://Example' || CAST(doc_id % 10 AS VARCHAR) || '.COM'
              || CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END
-             || '/Path/' || CAST(doc_id % 50 AS VARCHAR)
+             || '/Path/' || CAST(doc_id % 25 AS VARCHAR)
              || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
              || '?utm_source=feed&b=' || CAST(doc_id % 5 AS VARCHAR)
              || '&a=' || CAST(doc_id % 7 AS VARCHAR)
@@ -869,7 +869,10 @@ def llm_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     slashes, fragments, tracking (utm_*) params, and query-param order
     into one canonical form before content ever downloads. URLs are
     synthesized deterministically from doc_id (the corpus has no URL
-    column) with all six variance axes planted; every canonicalization
+    column) with all six variance axes planted; the canonical-key
+    period is lcm(10,25,5,7)=350, below the sf0.01 corpus of 500 docs,
+    so duplicate groups EXIST at the oracle scale (a 700-period first
+    cut matched the oracle vacuously on 0 rows); every canonicalization
     rule is an anchored single-match regex or an array op, identical
     in both engines, so group membership and the keeper choice are
     hash-checked. Map-only until the final groupBy on the canonical
@@ -881,11 +884,11 @@ def llm_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = docs.repartition(par)  # regex-heavy map stage: use all cores
     url = F.concat(
         F.lit("HTTP://Example"),
-        (F.col("doc_id") % 20).cast("string"),
+        (F.col("doc_id") % 10).cast("string"),
         F.lit(".COM"),
         F.when(F.col("doc_id") % 3 == 0, ":80").otherwise(""),
         F.lit("/Path/"),
-        (F.col("doc_id") % 50).cast("string"),
+        (F.col("doc_id") % 25).cast("string"),
         F.when(F.col("doc_id") % 2 == 0, "/").otherwise(""),
         F.lit("?utm_source=feed&b="),
         (F.col("doc_id") % 5).cast("string"),

@@ -117,9 +117,13 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            quantile_cont(l_extendedprice, 0.5) AS median_price,
            quantile_cont(l_extendedprice, 0.9) AS p90_price,
-           max_by(l_orderkey, l_extendedprice) AS top_order,
+           -- deterministic tie-break mirroring the Spark side:
+           -- max(l_orderkey) among max-price rows, not tie-arbitrary max_by
+           max(CASE WHEN l_extendedprice = mx THEN l_orderkey END) AS top_order,
            min(l_extendedprice) AS min_price
-    FROM lineitem
+    FROM (SELECT l_returnflag, l_extendedprice, l_orderkey,
+                 max(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mx
+          FROM lineitem)
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,

@@ -116,7 +116,11 @@ def debezium_to_envelope(records: DataFrame, keep_key: bool = False) -> DataFram
     p = F.from_json("value", _PAYLOAD_SCHEMA).getField("payload")
     extra = [F.col("key").alias("_kafka_key")] if keep_key else []
     return records.filter(F.col("value").isNotNull()).select(
-        F.concat(F.lit("topic-"), F.col("partition").cast("string")).alias("file"),
+        # Zero-padded: downstream ordering (dedup_by_gtid min(file), merge
+        # version_cols) is lexicographic on `file`, and an unpadded
+        # 'topic-10' < 'topic-2' would let a re-delivered copy on a
+        # high-numbered partition outrank the key's home partition.
+        F.format_string("topic-%05d", F.col("partition")).alias("file"),
         F.col("offset").alias("event_seq"),
         F.when(p.getField("op").isin("c", "r"), F.lit("insert"))
         .when(p.getField("op") == "u", F.lit("update"))

@@ -26,6 +26,18 @@ from log2sql_spark.sources.binlog import read_binlog_batch_files
 from log2sql_spark.sources.catalog import resolve_columns
 
 
+
+def _trigger_kwargs(trigger_interval: float | None) -> dict:
+    """availableNow (drain-and-stop, the testable default) vs a
+    processing-time trigger. ``trigger_interval`` seconds > 0 maps the
+    reference's ``--back-interval`` throttle (main.py:82-83 — sleep
+    between rollback chunks, declared there but never honored) onto the
+    engine's honest equivalent: the minimum pause between micro-batches
+    on the --stop-never path."""
+    if trigger_interval is None:
+        return {"availableNow": True}
+    return {"processingTime": f"{trigger_interval} seconds"}
+
 def read_binlog_line_stream(spark: SparkSession, in_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     reader = spark.readStream.format("text")
     if max_files_per_trigger is not None:
@@ -44,6 +56,7 @@ def stream_binlog_to_sql(
     flashback: bool = False,
     max_files_per_trigger: int | None = None,
     evolve_schema: bool = False,
+    trigger_interval: float | None = None,
 ) -> StreamingQuery:
     """writeStream(foreachBatch): per micro-batch, run the batch CDC
     chain and append the rendered SQL to parquet at ``out_dir``.
@@ -109,7 +122,7 @@ def stream_binlog_to_sql(
     return (
         lines.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**_trigger_kwargs(trigger_interval))
         .start()
     )
 
@@ -186,6 +199,8 @@ def apply_changes_to_snapshot_store(
     clustered: bool = True,
     auto_compact_files: int | None = 64,
     transport: str = "binlog",
+    max_files_per_trigger: int | None = None,
+    trigger_interval: float | None = None,
 ) -> StreamingQuery:
     """The production apply path end-to-end: ``foreachBatch → MERGE INTO``
     a transactional snapshot store (SURVEY.md §1.1's named target, with
@@ -296,12 +311,12 @@ def apply_changes_to_snapshot_store(
 
         source = read_debezium_topic_stream(spark, in_dir)
     else:
-        source = read_binlog_line_stream(spark, in_dir)
+        source = read_binlog_line_stream(spark, in_dir, max_files_per_trigger)
     lines = source.observe("cdc_audit", F.count(F.lit(1)).alias("n_lines"))
     return (
         lines.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**_trigger_kwargs(trigger_interval))
         .start()
     )
 

@@ -36,17 +36,49 @@ from pyspark.sql import functions as F
 
 def _load_sketch(store_dir: str, name: str) -> tuple[bytes | None, int, str | None]:
     """(sketch bytes, last applied batch id, referenced sketch file) —
-    resolved through the state file, the single source of truth."""
+    resolved through the state file, the single source of truth.
+
+    Migration: the first cut of this module kept the sketch in a fixed
+    ``<name>.bin`` (countmin: ``sketch.bin`` + ``state.json`` with only
+    ``last_batch_id``). A store written by that layout has a state file
+    WITHOUT the ``sketch`` key — treating it as empty would silently
+    discard the accumulated sketch while keeping the watermark (data
+    loss masked as success), so the legacy bytes are read instead, and
+    an unrecognized state file fails loudly rather than folding from
+    scratch."""
     st_path = os.path.join(store_dir, f"{name}_state.json")
     if not os.path.exists(st_path):
+        # countmin's legacy layout used unprefixed state.json.
+        legacy_st = os.path.join(store_dir, "state.json")
+        if name == "countmin" and os.path.exists(legacy_st):
+            with open(legacy_st) as f:
+                st = json.load(f)
+            return _legacy_bytes(store_dir, "sketch.bin"), st["last_batch_id"], None
         return None, -1, None
     with open(st_path) as f:
         st = json.load(f)
+    if "last_batch_id" not in st:
+        raise ValueError(
+            f"unrecognized sketch state file {st_path}: keys {sorted(st)}"
+        )
+    if "sketch" not in st:
+        # Legacy layout: same state-file name, sketch in <name>.bin.
+        return _legacy_bytes(store_dir, f"{name}.bin"), st["last_batch_id"], None
     data = None
     if st.get("sketch"):
         with open(os.path.join(store_dir, st["sketch"]), "rb") as f:
             data = f.read()
     return data, st["last_batch_id"], st.get("sketch")
+
+
+def _legacy_bytes(store_dir: str, filename: str) -> bytes | None:
+    path = os.path.join(store_dir, filename)
+    if not os.path.exists(path):
+        raise ValueError(
+            f"sketch state file references legacy layout but {path} is missing"
+        )
+    with open(path, "rb") as f:
+        return f.read()
 
 
 def _commit_sketch(

@@ -311,3 +311,73 @@ def test_cli_query_list_and_run(spark, capsys):
     assert main(["query", "q1_pricing_sumary", "--cpus", "4"]) == 2
     err = capsys.readouterr().err
     assert "did you mean" in err and "q1_pricing_summary" in err
+
+
+def test_cli_connection_flags_parse():
+    """Reference parity (main.py:44-52): -h/-u/-p/-P parse with the
+    reference's defaults; -h means --host (help moved to --help,
+    add_help=False like the reference's parser)."""
+    p = build_parser()
+    args = p.parse_args(["--start-file", "x"])
+    assert (args.host, args.user, args.port) == ("127.0.0.1", "root", 3306)
+    assert args.password == ""
+    args = p.parse_args(["--start-file", "x", "-h", "db.prod", "-u", "repl",
+                         "-p", "secret", "-P", "3307"])
+    assert (args.host, args.user, args.port) == ("db.prod", "repl", 3307)
+    assert args.password == ["secret"]
+
+
+def test_cli_password_getpass_fallback(monkeypatch):
+    """Bare -p (empty nargs list) prompts via getpass (main.py:35-38);
+    -p secret takes the first token; absent -p is empty password."""
+    import getpass as getpass_mod
+
+    from log2sql_spark.cli import resolve_password
+
+    p = build_parser()
+    monkeypatch.setattr(getpass_mod, "getpass", lambda: "prompted")
+    assert resolve_password(p.parse_args(["--start-file", "x", "-p"])) == "prompted"
+    assert resolve_password(
+        p.parse_args(["--start-file", "x", "-p", "s3cret", "extra"])
+    ) == "s3cret"
+    assert resolve_password(p.parse_args(["--start-file", "x"])) == ""
+
+
+def test_cli_live_catalog_routes_to_jdbc(monkeypatch):
+    """Without --catalog, load_catalog builds the JDBC URL from
+    -h/-u/-p/-P and calls catalog_from_jdbc (one-shot information_schema
+    load) — driver-gated, so the live connection itself is not made."""
+    import log2sql_spark.sources.catalog as catmod
+    from log2sql_spark.cli import load_catalog
+
+    seen = {}
+
+    def fake_jdbc(spark, url, properties=None):
+        seen["url"] = url
+        seen["props"] = properties
+        return "CATALOG_DF"
+
+    monkeypatch.setattr(catmod, "catalog_from_jdbc", fake_jdbc)
+    p = build_parser()
+    args = p.parse_args(["--start-file", "x", "-h", "db.prod", "-u", "repl",
+                         "-p", "pw", "-P", "3307"])
+    out = load_catalog(args, spark=None)
+    assert out == "CATALOG_DF"
+    assert seen["url"] == "jdbc:mysql://db.prod:3307"
+    assert seen["props"] == {"user": "repl", "password": "pw"}
+
+
+def test_cli_live_catalog_driver_gate(monkeypatch):
+    """With no MySQL JDBC driver on the classpath the live path exits
+    with an actionable message instead of a JVM stack."""
+    import log2sql_spark.sources.catalog as catmod
+    from log2sql_spark.cli import load_catalog
+
+    def no_driver(spark, url, properties=None):
+        raise RuntimeError("java.sql.SQLException: No suitable driver")
+
+    monkeypatch.setattr(catmod, "catalog_from_jdbc", no_driver)
+    p = build_parser()
+    args = p.parse_args(["--start-file", "x"])
+    with pytest.raises(SystemExit, match="JDBC driver"):
+        load_catalog(args, spark=None)

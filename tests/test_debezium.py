@@ -59,7 +59,7 @@ def test_envelope_mapping(spark, tmp_path):
     ).orderBy("file", "event_seq")
     rows = env.collect()
     assert [r.op for r in rows] == ["insert", "update", "delete", "insert"]
-    assert rows[0].file == "topic-0" and rows[0].event_seq == 0
+    assert rows[0].file == "topic-00000" and rows[0].event_seq == 0
     assert rows[0].after == {"id": "1", "status": "new", "amount": "100"}
     assert rows[0].before is None
     assert rows[0].gtid == "uuid:1" and rows[0].txn_seq == 1
@@ -67,7 +67,7 @@ def test_envelope_mapping(spark, tmp_path):
     assert rows[0].event_ts.year == 2023  # ts_ms decoded, not epoch-seconds
     assert rows[1].before["status"] == "new" and rows[1].after["status"] == "done"
     assert rows[2].after is None and rows[2].before["amount"] == "110"
-    assert rows[3].file == "topic-1" and rows[3].op == "insert"
+    assert rows[3].file == "topic-00001" and rows[3].op == "insert"
     # column names match the engine envelope exactly
     from log2sql_spark.sources.binlog import ENVELOPE_SCHEMA
 
@@ -100,7 +100,7 @@ def test_gtid_dedup_runs_unchanged_on_debezium(spark, tmp_path):
     kept = dedup_by_gtid(env).select("file", "gtid").collect()
     assert len(kept) == 2
     assert {(r.file, r.gtid) for r in kept} == {
-        ("topic-0", "uuid:1"), ("topic-0", "uuid:2"),
+        ("topic-00000", "uuid:1"), ("topic-00000", "uuid:2"),
     }
 
 
@@ -215,3 +215,31 @@ def test_apply_to_snapshot_store_debezium_multitable(spark, tmp_path):
     v1 = store.head_version()
     run()  # no new data: no new version
     assert store.head_version() == v1
+
+
+def test_partition_file_order_is_numeric(spark, tmp_path):
+    """Regression: with >=10 partitions the envelope `file` must sort
+    numerically — an unpadded 'topic-10' < 'topic-2' let a stale
+    re-delivered copy on partition 10 outrank the home partition 2 in
+    dedup_by_gtid's min(file) pick and in merge version ordering."""
+    from log2sql_spark.operators.cdc_filters import dedup_by_gtid
+
+    base = dict(op="c", db="shop", table="orders", before=None,
+                ts_ms=1_700_000_000_000)
+    recs = [
+        # home delivery on partition 2
+        render_debezium_record(partition=2, offset=0, key="1", pos=4,
+                               after={"id": 1, "amount": 100},
+                               gtid="uuid:7", **base),
+        # stale re-delivery on partition 10 (lexicographically earlier
+        # than 'topic-2' when unpadded)
+        render_debezium_record(partition=10, offset=0, key="1", pos=4,
+                               after={"id": 1, "amount": 100},
+                               gtid="uuid:7", **base),
+    ]
+    _write_topic(tmp_path / "t", recs)
+    env = debezium_to_envelope(read_debezium_topic(spark, str(tmp_path / "t")))
+    files = sorted(r.file for r in env.select("file").collect())
+    assert files == ["topic-00002", "topic-00010"]  # numeric == lexicographic
+    kept = dedup_by_gtid(env).select("file").collect()
+    assert [r.file for r in kept] == ["topic-00002"]

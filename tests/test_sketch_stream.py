@@ -136,3 +136,71 @@ def test_folds_survive_empty_batch(spark, tmp_path):
     assert fold_batch_kll(spark, lfull, 0, store_k, "v") is True
     assert fold_batch_kll(spark, lempty, 1, store_k, "v") is True
     assert probe_kll(spark, store_k, [0.5]) == {"q50": 5}
+
+
+def test_legacy_state_layout_migrates(spark, tmp_path):
+    """A store written by the first-cut layout (countmin: state.json +
+    sketch.bin; hll/kll: <name>_state.json without a 'sketch' key +
+    <name>.bin) must fold ON TOP of the accumulated sketch, not silently
+    restart from empty while keeping the watermark."""
+    import os
+
+    import pytest
+
+    from log2sql_spark.streaming.sketch_stream import (
+        fold_batch_hll,
+        probe_hll,
+    )
+
+    # --- countmin legacy: build bytes via the modern fold, then rewrite
+    # the store in the legacy layout.
+    store = str(tmp_path / "legacy_cms")
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], SCHEMA)
+    assert fold_batch_sketch(spark, df, 0, store, "event_type") is True
+    with open(f"{store}/countmin_state.json") as f:
+        st = json.load(f)
+    with open(f"{store}/{st['sketch']}", "rb") as f:
+        sketch_bytes = f.read()
+    os.remove(f"{store}/{st['sketch']}")
+    os.remove(f"{store}/countmin_state.json")
+    with open(f"{store}/sketch.bin", "wb") as f:
+        f.write(sketch_bytes)
+    with open(f"{store}/state.json", "w") as f:
+        json.dump({"last_batch_id": 0}, f)
+
+    assert fold_batch_sketch(spark, df, 1, store, "event_type") is True
+    assert probe_sketch(spark, store, ["a", "b"]) == {"a": 4, "b": 2}
+
+    # --- hll legacy: same state-file name, sketch in hll.bin, no key.
+    store2 = str(tmp_path / "legacy_hll")
+    df2 = spark.createDataFrame([(str(i),) for i in range(100)], SCHEMA)
+    assert fold_batch_hll(spark, df2, 0, store2, "event_type") is True
+    with open(f"{store2}/hll_state.json") as f:
+        st2 = json.load(f)
+    with open(f"{store2}/{st2['sketch']}", "rb") as f:
+        hll_bytes = f.read()
+    os.remove(f"{store2}/{st2['sketch']}")
+    with open(f"{store2}/hll.bin", "wb") as f:
+        f.write(hll_bytes)
+    with open(f"{store2}/hll_state.json", "w") as f:
+        json.dump({"last_batch_id": 0}, f)
+
+    df3 = spark.createDataFrame([(str(i),) for i in range(100, 150)], SCHEMA)
+    assert fold_batch_hll(spark, df3, 1, store2, "event_type") is True
+    assert abs(probe_hll(spark, store2) - 150) <= 3  # folded on top, not reset
+
+    # --- corrupted / unrecognized state fails loudly, never folds empty.
+    store3 = str(tmp_path / "bad")
+    os.makedirs(store3)
+    with open(f"{store3}/countmin_state.json", "w") as f:
+        json.dump({"watermark": 5}, f)
+    with pytest.raises(ValueError, match="unrecognized"):
+        fold_batch_sketch(spark, df, 0, store3, "event_type")
+
+    # legacy state referencing a missing sketch file also fails loudly
+    store4 = str(tmp_path / "bad2")
+    os.makedirs(store4)
+    with open(f"{store4}/hll_state.json", "w") as f:
+        json.dump({"last_batch_id": 3}, f)
+    with pytest.raises(ValueError, match="legacy layout"):
+        fold_batch_hll(spark, df2, 4, store4, "event_type")

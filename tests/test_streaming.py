@@ -724,3 +724,54 @@ def test_stateful_ops_on_rocksdb_state_store(spark, tmp_path):
     )
     rows = spark.read.schema(out_schema).json(out).filter("user_id = 1").collect()
     assert len(rows) == 1 and rows[0].n_events == 2 and rows[0].has_purchase
+
+
+def test_back_interval_maps_to_processing_time_trigger(spark, tmp_path):
+    """--back-interval (reference main.py:82-83's declared-but-unused
+    rollback throttle) is honored as the processing-time trigger on the
+    --stop-never path: micro-batches are paced, files still process."""
+    from log2sql_spark.streaming.cdc_stream import _trigger_kwargs
+
+    # the mapping itself
+    assert _trigger_kwargs(None) == {"availableNow": True}
+    assert _trigger_kwargs(2.5) == {"processingTime": "2.5 seconds"}
+
+    # a real paced stream: processingTime trigger, runs until stopped
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    in_dir.mkdir()
+    cat = catalog_from_dict(spark, CATALOG)
+    _dump(in_dir / "bin.000001.txt", [
+        {"op": "insert", "db": "shop", "table": "orders", "ts": TS,
+         "values": [(1, "1"), (2, "'a'")]},
+    ])
+    q = stream_binlog_to_sql(
+        spark, str(in_dir), cat, str(out_dir), str(ckpt),
+        trigger_interval=0.5, max_files_per_trigger=1,
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(str(out_dir)).count() >= 1:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        assert q.isActive  # processingTime trigger keeps running
+    finally:
+        q.stop()
+    got = {r["sql_text"] for r in spark.read.parquet(str(out_dir)).collect()}
+    assert got == {"INSERT INTO `shop`.`orders`(`id`, `status`) VALUES (1, 'a');"}
+
+
+def test_cli_back_interval_flag_parses():
+    from log2sql_spark.cli import build_parser
+
+    p = build_parser()
+    args = p.parse_args(["--watch-dir", "w", "--stop-never", "--out", "o",
+                         "--checkpoint", "c", "--back-interval", "1.5",
+                         "--max-files-per-trigger", "3"])
+    assert args.back_interval == 1.5 and args.max_files_per_trigger == 3
+    # default: no throttle -> drain-and-stop availableNow trigger
+    args = p.parse_args(["--start-file", "x"])
+    assert args.back_interval is None and args.max_files_per_trigger is None
