@@ -195,6 +195,81 @@ def cdc_stream_throughput(spark) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def cdc_replay_linearity(spark) -> dict:
+    """CDC replay linearity: the batch replay pipeline (read_binlog ->
+    broadcast catalog resolve -> replay-SQL codegen) at 100k vs 1M
+    events, 16 dump files each. The registered cdc_* queries read a
+    FIXED 2000-row fixture (correctness scaffolding), so they cannot
+    prove scaling; this bench feeds the same operators a 10x input and
+    reports the wall ratio — linear means <= ~12 with the per-job
+    constant."""
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from log2sql_spark.operators.cdc_codegen import with_sql_text
+    from log2sql_spark.sources.binlog import read_binlog
+    from log2sql_spark.sources.binlog_fixture import render_binlog
+    from log2sql_spark.sources.catalog import catalog_from_dict, resolve_columns
+
+    cat = catalog_from_dict(
+        spark, {"shop.orders": {"columns": ["id", "status"], "key_columns": ["id"]}}
+    )
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+
+    def make_dump(n_events: int, n_files: int, d: str) -> None:
+        chunk = n_events // n_files
+        for i in range(n_files):
+            events = [
+                {
+                    "op": "insert" if j % 3 else "update",
+                    "db": "shop",
+                    "table": "orders",
+                    "ts": t0 + timedelta(seconds=j % 86_400),
+                    "values": [(1, str(j)), (2, f"'{j % 7}'")],
+                    **(
+                        {
+                            "before": [(1, str(j)), (2, "'x'")],
+                            "after": [(1, str(j)), (2, f"'{j % 7}'")],
+                        }
+                        if j % 3 == 0
+                        else {}
+                    ),
+                }
+                for j in range(i * chunk, (i + 1) * chunk)
+            ]
+            with open(os.path.join(d, f"mysql-bin.{i:06d}.txt"), "w") as f:
+                f.write(render_binlog(events))
+
+    def run(path: str, n: int) -> float:
+        t = time.time()
+        rendered = with_sql_text(
+            resolve_columns(read_binlog(spark, f"{path}/*.txt"), cat)
+        )
+        assert rendered.count() == n
+        return time.time() - t
+
+    tmp = tempfile.mkdtemp(prefix="bench_cdc_lin_")
+    try:
+        small, big = os.path.join(tmp, "s"), os.path.join(tmp, "b")
+        os.makedirs(small), os.makedirs(big)
+        make_dump(100_000, 16, small)
+        make_dump(1_000_000, 16, big)
+        run(small, 100_000)  # warm
+        t_small = run(small, 100_000)
+        t_big = run(big, 1_000_000)
+        return {
+            "events_small": 100_000,
+            "events_big": 1_000_000,
+            "small_sec": round(t_small, 3),
+            "big_sec": round(t_big, 3),
+            "ratio_at_10x": round(t_big / t_small, 2),
+            "linear_at_10x": t_big / t_small <= 12.0,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def dedup_scale(spark) -> dict:
     """Full-corpus MinHash+LSH dedup throughput at $SF_DIR (no oracle
     cap): every document plus exact copies of every 10th one, hot-bucket
@@ -556,12 +631,26 @@ def oph_vs_classic(spark, sf_dir: str) -> dict:
 # the linearity proof targets. Each reads only these tables, which are
 # the only ones generated at sf10 (a 600M-row lineitem for queries that
 # never read it would be wasted disk).
+# Only queries whose INPUT scales with sf_dir qualify — several
+# headline queries the round-8 verdict suggested (cdc_* replay/SCD2,
+# join_asof, llm_dedup_minhash_lsh, llm_curation_e2e) read fixtures
+# capped at a fixed key range (o_orderkey <= 2000 / doc_id < 600 /
+# event_id < 2000) so their sf10/sf1 ratio would measure per-job
+# constants, not scaling; their scale proofs live in dedicated
+# benches instead (cdc_replay_linearity below for the CDC pipeline,
+# dedup_sf10 for the MinHash pipeline at 500k docs).
 SF10_QUERIES = [
     "market_basket_pairs",
     "graph_connected_components",
     "llm_decontaminate_bloom",
     "join_spatial_grid_radius",
     "quality_json_schema_validate",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "agg_rollup",
+    "events_funnel_steps",
+    "ts_cohort_retention",
+    "llm_bm25_search",
 ]
 SF10_TABLES = ("lineitem", "orders", "customer", "supplier", "events", "documents")
 SF10_DIR = os.environ.get(
@@ -721,6 +810,7 @@ def main() -> None:
 
     cdc_parse = cdc_parse_throughput(spark)
     cdc_stream = cdc_stream_throughput(spark)
+    cdc_lin = cdc_replay_linearity(spark)
     dedup = dedup_scale(spark)
     sf1 = sf1_section(spark)
     sf10 = (
@@ -744,6 +834,7 @@ def main() -> None:
         "build_total": round(sum(build_times.values()), 3),
         "cdc_parse": cdc_parse,
         "cdc_stream": cdc_stream,
+        "cdc_replay_linearity": cdc_lin,
         "dedup_scale": dedup,
         "sf1": sf1,
         "sf10_linearity": sf10,

@@ -156,6 +156,114 @@ def store_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.diff(spark, 1, 2).orderBy("k", "change_type")
 
 
+def _three_version_store(spark: SparkSession, sf_dir: str):
+    """v1 = 1000 order rows (hash-clustered on k); v2 = CDC merge
+    (deletes k%10=0, updates k%10=5 -> ('U', cents+100), inserts
+    (k+100000,'N',42) for k%100=7); v3 = second CDC merge on top
+    (deletes k%10=1, RE-updates k%10=5 -> ('W', cents+101), inserts
+    (k+200000,'Z',7) for k%100=3). Fixture of the keyed change-data-
+    feed query: two commits so per-commit attribution is observable,
+    one key family updated twice so the feed must emit two pre/post
+    pairs for the same key."""
+    from log2sql_spark.store import SnapshotStore
+
+    store = SnapshotStore(scratch_dir("log2sql_cdfstore_"))
+    base = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    store.commit(base, mode="overwrite", cluster_by="k", layout="hash")
+
+    def batch(deletes, updates, inserts):
+        return deletes.unionByName(updates).unionByName(inserts)
+
+    c2 = batch(
+        base.filter(F.col("k") % 10 == 0).select(
+            "k", "status", "cents", F.lit("delete").alias("op"), F.lit(1).alias("seq")
+        ),
+        base.filter(F.col("k") % 10 == 5).select(
+            "k", F.lit("U").alias("status"), (F.col("cents") + 100).alias("cents"),
+            F.lit("update").alias("op"), F.lit(1).alias("seq"),
+        ),
+        base.filter(F.col("k") % 100 == 7).select(
+            (F.col("k") + 100000).alias("k"), F.lit("N").alias("status"),
+            F.lit(42).cast("bigint").alias("cents"),
+            F.lit("insert").alias("op"), F.lit(1).alias("seq"),
+        ),
+    )
+    store.merge(spark, c2, key_cols="k", version_cols="seq")
+    c3 = batch(
+        base.filter(F.col("k") % 10 == 1).select(
+            "k", "status", "cents", F.lit("delete").alias("op"), F.lit(1).alias("seq")
+        ),
+        base.filter(F.col("k") % 10 == 5).select(
+            "k", F.lit("W").alias("status"), (F.col("cents") + 101).alias("cents"),
+            F.lit("update").alias("op"), F.lit(1).alias("seq"),
+        ),
+        base.filter(F.col("k") % 100 == 3).select(
+            (F.col("k") + 200000).alias("k"), F.lit("Z").alias("status"),
+            F.lit(7).cast("bigint").alias("cents"),
+            F.lit("insert").alias("op"), F.lit(1).alias("seq"),
+        ),
+    )
+    store.merge(spark, c3, key_cols="k", version_cols="seq")
+    return store
+
+
+@query(
+    "store_cdf_keyed_commits",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 1000
+    )
+    SELECT * FROM (
+      SELECT k, status, cents, 'delete' AS _change_type,
+             CAST(2 AS BIGINT) AS _commit_version FROM base WHERE k % 10 = 0
+      UNION ALL
+      SELECT k, status, cents, 'update_preimage', 2 FROM base WHERE k % 10 = 5
+      UNION ALL
+      SELECT k, 'U', cents + 100, 'update_postimage', 2 FROM base WHERE k % 10 = 5
+      UNION ALL
+      SELECT k + 100000, 'N', 42, 'insert', 2 FROM base WHERE k % 100 = 7
+      UNION ALL
+      SELECT k, status, cents, 'delete', 3 FROM base WHERE k % 10 = 1
+      UNION ALL
+      SELECT k, 'U', cents + 100, 'update_preimage', 3 FROM base WHERE k % 10 = 5
+      UNION ALL
+      SELECT k, 'W', cents + 101, 'update_postimage', 3 FROM base WHERE k % 10 = 5
+      UNION ALL
+      SELECT k + 200000, 'Z', 7, 'insert', 3 FROM base WHERE k % 100 = 3
+    )
+    ORDER BY k, _commit_version, _change_type
+    """,
+)
+def store_cdf_keyed_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed change data feed across a commit RANGE — Delta
+    ``table_changes()`` parity on the snapshot store: per commit, the
+    set-level diff of the rewritten footprint classifies into
+    insert / delete / update_preimage / update_postimage via one
+    full-outer join on the key, stamped with ``_commit_version``. The
+    oracle enumerates every expected change row relationally from the
+    same deterministic fixture, so classification, image pairing, AND
+    commit attribution are all hash-checked — including the key family
+    updated in BOTH commits (two pre/post pairs, distinct versions).
+    This is the feed :func:`~log2sql_spark.store.invert_changes` turns
+    back into the reference's flashback (log2sql.py:137-160)."""
+    store = _cached_build(
+        "cdf3", sf_dir, lambda: _three_version_store(spark, sf_dir)
+    )
+    return store.read_changes(spark, 1, 3, key_cols=["k"]).orderBy(
+        "k", "_commit_version", "_change_type"
+    )
+
+
 @query(
     "store_pruned_merge_narrow",
     oracle="""

@@ -1,3 +1,8 @@
-from log2sql_spark.store.snapshots import ConflictError, Snapshot, SnapshotStore
+from log2sql_spark.store.snapshots import (
+    ConflictError,
+    Snapshot,
+    SnapshotStore,
+    invert_changes,
+)
 
-__all__ = ["ConflictError", "Snapshot", "SnapshotStore"]
+__all__ = ["ConflictError", "Snapshot", "SnapshotStore", "invert_changes"]
