@@ -188,6 +188,7 @@ def store_main(argv: list[str]) -> int:
         "set-mask", "drop-mask", "set-row-filter", "drop-row-filter",
         "add-constraint", "drop-constraint", "replace-where",
         "delete-mor", "materialize-deletes", "analyze",
+        "cdf", "flashback",
     ):
         sp = sub.add_parser(name)
         sp.add_argument("path", help="snapshot store directory")
@@ -244,8 +245,21 @@ def store_main(argv: list[str]) -> int:
             sp.add_argument("--key-bounds", default=None,
                             help="lo,hi on the cluster key: prune the "
                                  "rewrite to overlapping files")
+        if name == "cdf":
+            sp.add_argument("--from-version", dest="from_version", type=int, required=True)
+            sp.add_argument("--to-version", dest="to_version", type=int, required=True)
+            sp.add_argument("--key", default=None,
+                            help="comma-separated key columns (default: cluster key)")
+            sp.add_argument("--out", default=None,
+                            help="write the feed to this parquet dir instead of printing")
+            sp.add_argument("--limit", type=int, default=100,
+                            help="max rows to print without --out")
+        if name == "flashback":
+            sp.add_argument("--to-version", dest="to_version", type=int, required=True)
+            sp.add_argument("--key", default=None,
+                            help="comma-separated key columns (default: cluster key)")
         if name in ("compact", "zorder", "add-constraint", "replace-where",
-                    "delete-mor", "materialize-deletes"):
+                    "delete-mor", "materialize-deletes", "cdf", "flashback"):
             sp.add_argument("--cpus", default=None)
     args = p.parse_args(argv)
 
@@ -317,6 +331,22 @@ def store_main(argv: list[str]) -> int:
         return 0
     if args.cmd == "materialize-deletes":
         print(f"v{store.materialize_deletes(spark)}")
+        return 0
+    if args.cmd == "cdf":
+        keys = args.key.split(",") if args.key else None
+        feed = store.read_changes(
+            spark, args.from_version, args.to_version, key_cols=keys
+        )
+        if args.out:
+            feed.write.mode("overwrite").parquet(args.out)
+            print(args.out)
+        else:
+            for row in feed.orderBy("_commit_version").limit(args.limit).collect():
+                print(_json.dumps(row.asDict(), default=str))
+        return 0
+    if args.cmd == "flashback":
+        keys = args.key.split(",") if args.key else None
+        print(f"v{store.flashback_to(spark, args.to_version, key_cols=keys)}")
         return 0
     if args.cmd == "replace-where":
         bounds = None

@@ -510,6 +510,86 @@ def json_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_variant_polymorphic",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id,
+             '{"device":{"os":"o' || CAST(event_id % 4 AS VARCHAR)
+             || '","ver":' || CAST(event_id % 7 AS VARCHAR) || '}'
+             || CASE WHEN event_id % 3 = 0
+                     THEN ',"tags":["t' || CAST(event_id % 5 AS VARCHAR) || '","x"]'
+                     ELSE '' END
+             || ',"score":'
+             || CASE WHEN event_id % 2 = 0 THEN CAST(event_id % 100 AS VARCHAR)
+                     ELSE '"s' || CAST(event_id % 10 AS VARCHAR) || '"' END
+             || '}' AS p
+      FROM events WHERE event_id < 400
+    )
+    SELECT event_id,
+           json_extract_string(p, '$.device.os') AS os,
+           CAST(json_extract(p, '$.device.ver') AS BIGINT) AS ver,
+           json_extract_string(p, '$.tags[0]') AS tag0,
+           CAST(json_array_length(p, '$.tags') AS INTEGER) AS n_tags,
+           CASE json_type(p, '$.score')
+                WHEN 'UBIGINT' THEN 'BIGINT'
+                WHEN 'VARCHAR' THEN 'STRING' END AS score_type,
+           TRY_CAST(json_extract(p, '$.score') AS BIGINT) AS score_num,
+           CASE WHEN json_type(p, '$.score') = 'VARCHAR'
+                THEN json_extract_string(p, '$.score') END AS score_str
+    FROM raw
+    ORDER BY event_id
+    """,
+)
+def json_variant_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT over genuinely POLYMORPHIC payloads — the part of the
+    Spark 4 semi-structured surface the flat ``json_variant_funcs``
+    probe cannot reach: nested-path extraction, array indexing into an
+    OPTIONAL field (absent 2/3 of the time), and a type-drifting field
+    (``score`` is int on even ids, string on odd) routed with
+    ``schema_of_variant`` + ``try_variant_get`` instead of a fragile
+    cast. Payloads synthesize deterministically from event_id (the
+    fixture's real props column is shape-constant ``{"k":N}``), so
+    every extraction is value-hash-checked against DuckDB's JSON
+    operators. At scale this is the schema-on-read path for ragged
+    metadata: parse_json once into the binary variant encoding, typed
+    extraction stays columnar JVM-side, and a type change in one
+    producer degrades that field to NULL instead of killing the scan."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 400)
+    i = F.col("event_id")
+    payload = F.concat(
+        F.lit('{"device":{"os":"o'), (i % 4).cast("string"),
+        F.lit('","ver":'), (i % 7).cast("string"), F.lit("}"),
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit(',"tags":["t'), (i % 5).cast("string"), F.lit('","x"]')),
+        ).otherwise(F.lit("")),
+        F.lit(',"score":'),
+        F.when(i % 2 == 0, (i % 100).cast("string")).otherwise(
+            F.concat(F.lit('"s'), (i % 10).cast("string"), F.lit('"'))
+        ),
+        F.lit("}"),
+    )
+    v = ev.select("event_id", F.parse_json(payload).alias("v"))
+    tags = F.expr("try_variant_get(v, '$.tags', 'array<string>')")
+    stype = F.expr("schema_of_variant(variant_get(v, '$.score'))")
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.device.os', 'string')").alias("os"),
+        F.expr("variant_get(v, '$.device.ver', 'bigint')").alias("ver"),
+        F.expr("try_variant_get(v, '$.tags[0]', 'string')").alias("tag0"),
+        F.when(tags.isNull(), F.lit(None).cast("int"))
+        .otherwise(F.size(tags))
+        .alias("n_tags"),
+        stype.alias("score_type"),
+        F.expr("try_variant_get(v, '$.score', 'bigint')").alias("score_num"),
+        F.when(
+            stype == "STRING",
+            F.expr("try_variant_get(v, '$.score', 'string')"),
+        ).alias("score_str"),
+    ).orderBy("event_id")
+
+
+@query(
     "sql_lateral_subquery",
     oracle="""
     SELECT o.o_orderkey AS o_orderkey,

@@ -81,6 +81,18 @@ class SnapshotCdfStreamReader(SimpleDataSourceStreamReader):
         self.fields = [f.name for f in schema.fields[:-2]]
         self.max_versions = int(options.get("maxVersionsPerTrigger", 16))
         self.starting = int(options.get("startingVersion", 0))
+        # Optional keyed classification (Delta CDF parity): with
+        # .option("key", "k[,k2]") the _change_type values become
+        # insert / delete / update_preimage / update_postimage instead
+        # of added / removed — an update pairs the removed (pre) and
+        # added (post) image of the same key within one version.
+        key_opt = options.get("key")
+        self.key_cols = [k.strip() for k in key_opt.split(",")] if key_opt else None
+        if self.key_cols:
+            missing = [k for k in self.key_cols if k not in self.fields]
+            if missing:
+                raise ValueError(f"key columns not in store schema: {missing}")
+            self._key_idx = [self.fields.index(k) for k in self.key_cols]
 
     def _store(self):
         from log2sql_spark.store import SnapshotStore
@@ -233,11 +245,41 @@ class SnapshotCdfStreamReader(SimpleDataSourceStreamReader):
                 added += Counter(
                     self._keyed_rows(store, version, shared, ok_, revived)
                 )
+        net_added, net_removed = added - removed, removed - added
+        if self.key_cols:
+            return self._classify(net_added, net_removed, version)
         out = []
-        for row, n in sorted((added - removed).items()):
+        for row, n in sorted(net_added.items()):
             out.extend([(*self._thaw(row), version, "added")] * n)
-        for row, n in sorted((removed - added).items()):
+        for row, n in sorted(net_removed.items()):
             out.extend([(*self._thaw(row), version, "removed")] * n)
+        return out
+
+    def _classify(self, added: Counter, removed: Counter, version: int) -> list[tuple]:
+        """Keyed change types: a key with exactly one net-added and one
+        net-removed row is an update (pre/post pair); added-only keys
+        are inserts, removed-only deletes. A key with several images on
+        one side (non-unique key — outside MERGE's contract) degrades
+        deterministically to per-row insert/delete tags rather than
+        guessing pairings."""
+        by_key: dict[tuple, tuple[list, list]] = {}
+        for row, n in sorted(added.items()):
+            k = tuple(row[i] for i in self._key_idx)
+            by_key.setdefault(k, ([], []))[0].extend([row] * n)
+        for row, n in sorted(removed.items()):
+            k = tuple(row[i] for i in self._key_idx)
+            by_key.setdefault(k, ([], []))[1].extend([row] * n)
+        out = []
+        for k in sorted(by_key):
+            adds, rems = by_key[k]
+            if len(adds) == 1 and len(rems) == 1:
+                out.append((*self._thaw(rems[0]), version, "update_preimage"))
+                out.append((*self._thaw(adds[0]), version, "update_postimage"))
+                continue
+            for row in rems:
+                out.append((*self._thaw(row), version, "delete"))
+            for row in adds:
+                out.append((*self._thaw(row), version, "insert"))
         return out
 
     def read(self, start: dict):

@@ -249,3 +249,65 @@ def test_snapshot_batch_timestamp_as_of(spark, tmp_path):
     assert [(r.k, r.val) for r in old.collect()] == [(1, "a")]
     head = spark.read.format("snapshot").load(path)
     assert [(r.k, r.val) for r in head.collect()] == [(2, "b")]
+
+
+def test_cdf_stream_keyed_change_types(spark, tmp_path):
+    """.option('key', 'k'): the stream emits Delta-CDF change types —
+    updates pair pre/post images of the key inside one version, the
+    initial commit streams as inserts, deletes carry the preimage."""
+    store_dir, out_dir, ckpt = tmp_path / "s", tmp_path / "o", tmp_path / "c"
+    store = SnapshotStore(str(store_dir))
+    store.commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, val string"),
+        cluster_by="k", layout="hash", target_files=2,
+    )
+    store.merge(
+        spark,
+        spark.createDataFrame(
+            [(2, "B", "update", 1), (3, "c", "insert", 1), (1, None, "delete", 1)],
+            "k bigint, val string, op string, seq int",
+        ),
+        key_cols="k", version_cols="seq",
+    )
+    q = (
+        spark.readStream.format("snapshot_cdf")
+        .option("key", "k")
+        .load(str(store_dir))
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.k, r.val, r._version, r._change_type)
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    assert got == {
+        (1, "a", 1, "insert"),
+        (2, "b", 1, "insert"),
+        (1, "a", 2, "delete"),
+        (2, "b", 2, "update_preimage"),
+        (2, "B", 2, "update_postimage"),
+        (3, "c", 2, "insert"),
+    }
+
+
+def test_cdf_stream_keyed_rejects_unknown_key(spark, tmp_path):
+    import pytest
+
+    store_dir = tmp_path / "s"
+    store = SnapshotStore(str(store_dir))
+    store.commit(spark.createDataFrame([(1, "a")], "k bigint, val string"))
+    with pytest.raises(Exception, match="key columns not in store schema"):
+        (
+            spark.readStream.format("snapshot_cdf")
+            .option("key", "nope")
+            .load(str(store_dir))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "c2"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )

@@ -381,3 +381,35 @@ def test_cli_live_catalog_driver_gate(monkeypatch):
     args = p.parse_args(["--start-file", "x"])
     with pytest.raises(SystemExit, match="JDBC driver"):
         load_catalog(args, spark=None)
+
+
+def test_cli_store_cdf_and_flashback(spark, tmp_path, capsys):
+    """CLI surface for the keyed change feed and row-level flashback."""
+    from log2sql_spark.store import SnapshotStore
+
+    d = str(tmp_path / "s")
+    store = SnapshotStore(d)
+    store.commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        mode="overwrite", cluster_by="k", layout="hash",
+    )
+    store.merge(
+        spark,
+        spark.createDataFrame(
+            [(1, "a2", "update", 1), (3, "c", "insert", 1)],
+            "k int, v string, op string, seq int",
+        ),
+        key_cols="k", version_cols="seq",
+    )
+
+    assert main(["store", "cdf", d, "--from-version", "1", "--to-version", "2"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    feed = [json.loads(ln) for ln in out]
+    assert {(r["k"], r["_change_type"]) for r in feed} == {
+        (1, "update_preimage"), (1, "update_postimage"), (3, "insert"),
+    }
+
+    assert main(["store", "flashback", d, "--to-version", "1"]) == 0
+    assert capsys.readouterr().out.strip() == "v3"
+    rows = {tuple(r) for r in store.read(spark).collect()}
+    assert rows == {(1, "a"), (2, "b")}
