@@ -1759,6 +1759,12 @@ class SnapshotStore:
         only; commits process independently and union. At 100 TB the
         cost tracks the churn, never the table.
 
+        Vacuum interplay: vacuum drops a PREFIX of history, so a range
+        whose ``from_version`` is still retained always has every
+        intermediate manifest too; asking for a vacuumed
+        ``from_version`` fails loudly on the missing manifest (Delta's
+        CDF has the same contract when change files are vacuumed).
+
         Reference analog: the flashback direction of this feed is the
         reference's whole reason to exist (log2sql.py:137-160);
         :func:`invert_changes` + :meth:`merge` below turn this feed

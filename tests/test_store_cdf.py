@@ -174,3 +174,35 @@ def test_flashback_roundtrip_random_histories(spark, tmp_path, seed):
     # the full history, including every flashback commit, stays readable
     for v, want in states.items():
         assert _state(spark, store, v) == want
+
+
+def test_read_changes_multi_column_key(spark, tmp_path):
+    """Composite keys: classification joins on ALL key columns — two
+    rows sharing k1 but differing in k2 are distinct entities."""
+    store = SnapshotStore(str(tmp_path / "mk"))
+    base = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)],
+        "g string, k int, cents long",
+    )
+    store.commit(base, mode="overwrite")
+    changes = spark.createDataFrame(
+        [("a", 1, 11, "update", 1), ("a", 2, None, "delete", 1),
+         ("b", 2, 40, "insert", 1)],
+        "g string, k int, cents long, op string, seq int",
+    )
+    store.merge(spark, changes, key_cols=["g", "k"], version_cols="seq")
+    feed = {
+        tuple(r)
+        for r in store.read_changes(spark, 1, 2, key_cols=["g", "k"]).select(
+            "g", "k", "cents", "_change_type"
+        ).collect()
+    }
+    assert feed == {
+        ("a", 1, 10, "update_preimage"),
+        ("a", 1, 11, "update_postimage"),
+        ("a", 2, 20, "delete"),
+        ("b", 2, 40, "insert"),
+    }
+    # key_cols default requires a cluster key on this unclustered store
+    with pytest.raises(ValueError, match="no cluster key"):
+        store.read_changes(spark, 1, 2)
