@@ -413,3 +413,26 @@ def test_cli_store_cdf_and_flashback(spark, tmp_path, capsys):
     assert capsys.readouterr().out.strip() == "v3"
     rows = {tuple(r) for r in store.read(spark).collect()}
     assert rows == {(1, "a"), (2, "b")}
+
+
+def test_cli_stop_never_drains_watch_dir(spark, dump_and_catalog, tmp_path):
+    """The --stop-never ONLINE branch of main() end-to-end: watch-dir ->
+    streaming parse -> rendered SQL parquet. Default trigger is
+    availableNow (drain-and-stop), so the call terminates once the
+    existing dumps are processed — the always-on variant is the same
+    path with --back-interval (covered by the paced-stream test)."""
+    dump, cat = dump_and_catalog
+    import shutil
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    shutil.copy(dump, watch / "bin.000001.txt")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    rc = main([
+        "--watch-dir", str(watch), "--stop-never", "--catalog", cat,
+        "--out", out, "--checkpoint", ckpt,
+        "--max-files-per-trigger", "1",
+    ])
+    assert rc == 0
+    got = {r["sql_text"] for r in __import__("pyspark").sql.SparkSession.active().read.parquet(out).collect()}
+    assert "INSERT INTO `shop`.`orders`(`id`, `status`) VALUES (1, 'a');" in got
