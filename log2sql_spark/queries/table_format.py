@@ -264,6 +264,110 @@ def store_cdf_keyed_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_release_store(spark: SparkSession, sf_dir: str):
+    """Corpus release fixture: v1 = 400 docs as (doc_id, source,
+    n_tokens); v2 = a curation pass merged on top — dedup removals
+    (doc_id%7=0), re-extraction updates (+3 tokens, doc_id%5=0 among
+    the survivors), and a new crawl batch (docs 400-449 re-keyed to
+    +50000)."""
+    from log2sql_spark.store import SnapshotStore
+
+    store = SnapshotStore(scratch_dir("log2sql_corpusrel_"))
+    docs = load_table(spark, "documents", sf_dir)
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    base = docs.filter(F.col("doc_id") < 400).select(
+        "doc_id", "source", n_tokens.alias("n_tokens")
+    )
+    store.commit(base, mode="overwrite", cluster_by="doc_id", layout="range")
+    deletes = base.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "source", "n_tokens",
+        F.lit("delete").alias("op"), F.lit(1).alias("seq"),
+    )
+    updates = base.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7 != 0)
+    ).select(
+        "doc_id", "source", (F.col("n_tokens") + 3).alias("n_tokens"),
+        F.lit("update").alias("op"), F.lit(1).alias("seq"),
+    )
+    inserts = (
+        docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 450))
+        .select(
+            (F.col("doc_id") + 50000).alias("doc_id"), "source",
+            n_tokens.alias("n_tokens"),
+            F.lit("insert").alias("op"), F.lit(1).alias("seq"),
+        )
+    )
+    store.merge(
+        spark, deletes.unionByName(updates).unionByName(inserts),
+        key_cols="doc_id", version_cols="seq",
+    )
+    return store
+
+
+@query(
+    "llm_corpus_release_diff",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents WHERE doc_id < 400
+    ),
+    newdocs AS (
+      SELECT doc_id + 50000 AS doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents WHERE doc_id >= 400 AND doc_id < 450
+    ),
+    dels AS (SELECT * FROM base WHERE doc_id % 7 = 0),
+    upds AS (SELECT * FROM base WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0),
+    changes AS (
+      SELECT source, 'removed' AS kind, -n_tokens AS delta FROM dels
+      UNION ALL SELECT source, 'added', n_tokens FROM newdocs
+      UNION ALL SELECT source, 'changed_pre', -n_tokens FROM upds
+      UNION ALL SELECT source, 'changed_post', n_tokens + 3 FROM upds
+    )
+    SELECT source,
+           CAST(count(*) FILTER (WHERE kind = 'added') AS BIGINT) AS n_added,
+           CAST(count(*) FILTER (WHERE kind = 'removed') AS BIGINT) AS n_removed,
+           CAST(count(*) FILTER (WHERE kind = 'changed_post') AS BIGINT) AS n_changed,
+           CAST(sum(delta) AS BIGINT) AS token_delta
+    FROM changes
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def llm_corpus_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset release notes straight from the table format: what a
+    curation pass did to the training corpus — per source, documents
+    added / removed / changed and the NET TOKEN DELTA — computed from
+    the snapshot store's keyed change feed (read_changes), not by
+    re-diffing the corpora. The oracle recomputes the same release
+    notes relationally from the fixture definition, so the CDF's
+    classification, image pairing, and the signed token arithmetic all
+    hash-check. At 100 TB this is the whole point of CDF for data
+    curation: release notes cost the CHURN between two corpus versions
+    (the rewritten file footprint), never two full corpus scans."""
+    store = _cached_build(
+        "corpusrel", sf_dir, lambda: _corpus_release_store(spark, sf_dir)
+    )
+    feed = store.read_changes(spark, 1, 2, key_cols=["doc_id"])
+    signed = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"),
+        F.col("n_tokens"),
+    ).otherwise(-F.col("n_tokens"))
+    return (
+        feed.groupBy("source")
+        .agg(
+            F.count(F.when(F.col("_change_type") == "insert", 1)).alias("n_added"),
+            F.count(F.when(F.col("_change_type") == "delete", 1)).alias("n_removed"),
+            F.count(
+                F.when(F.col("_change_type") == "update_postimage", 1)
+            ).alias("n_changed"),
+            F.sum(signed).alias("token_delta"),
+        )
+        .orderBy("source")
+    )
+
+
 @query(
     "store_pruned_merge_narrow",
     oracle="""
