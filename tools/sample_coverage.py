@@ -55,6 +55,14 @@ def main() -> int:
         "sampled_but_no_longer_registered": stale,
     }
     out = os.path.join(_REPO, "tools", "sample_coverage.json")
+    # Carry the hand-written vacuity audit (round 9: disposition of every
+    # <=2-row-at-sf0.01 query) forward across regenerations.
+    try:
+        prev = json.load(open(out))
+        if "vacuity_audit" in prev:
+            report["vacuity_audit"] = prev["vacuity_audit"]
+    except (OSError, json.JSONDecodeError):
+        pass
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print(
