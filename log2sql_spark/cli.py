@@ -86,7 +86,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-K", "--no-primary-key", dest="no_pk", action="store_true", default=False)
     p.add_argument("-B", "--flashback", action="store_true", default=False)
     p.add_argument("--stop-never", dest="stop_never", action="store_true", default=False,
-                   help="online mode: keep processing new files (requires --watch-dir)")
+                   help="online mode: keep processing new files FOREVER "
+                        "(processing-time trigger, paced by --back-interval, "
+                        "default 1.0s like the reference's back_interval; pass "
+                        "--drain to process existing dumps then exit; "
+                        "requires --watch-dir)")
+    p.add_argument("--drain", action="store_true", default=False,
+                   help="with --stop-never: drain-and-stop (availableNow "
+                        "trigger) — process everything currently in "
+                        "--watch-dir, then exit instead of running forever")
     p.add_argument("--out", default=None, help="output parquet dir (default: print to stdout)")
     p.add_argument("--apply-store", dest="apply_store", default=None,
                    help="apply changes into a snapshot store (MERGE semantics, "
@@ -98,7 +106,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--back-interval", dest="back_interval", type=float, default=None,
                    help="seconds between micro-batches on --stop-never "
                         "(reference main.py:82-83's declared-but-unused rollback "
-                        "throttle, honored here as the processing-time trigger)")
+                        "throttle, honored here as the processing-time trigger; "
+                        "default 1.0 when --stop-never is on without --drain)")
     p.add_argument("--max-files-per-trigger", dest="max_files_per_trigger",
                    type=int, default=None,
                    help="cap dump files per micro-batch on --stop-never")
@@ -117,6 +126,13 @@ def validate(args: argparse.Namespace) -> None:
         )
     if args.apply_store and args.flashback:
         raise ValueError("--apply-store applies forward changes; drop -B")
+    if args.drain and not args.stop_never:
+        raise ValueError("--drain only modifies --stop-never")
+    if args.stop_never and args.raw and not args.start_file:
+        raise ValueError(
+            "--stop-never --raw (live remote tail) needs --start-file: the "
+            "binlog file name to start tailing from (e.g. mysql-bin.000001)"
+        )
     if not args.stop_never and not args.start_file:
         raise ValueError("Lack of parameter: start_file")  # main.py:24-25
     from datetime import datetime
@@ -129,17 +145,41 @@ def validate(args: argparse.Namespace) -> None:
                 raise ValueError("Incorrect datetime argument") from exc  # main.py:30-34
 
 
-def resolve_password(args: argparse.Namespace) -> str:
-    """Reference getpass fallback (main.py:35-38): bare ``-p`` (empty
-    nargs list) prompts; ``-p secret`` takes the first token; no ``-p``
-    at all means empty password (only consulted in live-catalog mode)."""
-    if args.password == "" or args.password is None:
+def resolve_trigger_interval(args: argparse.Namespace) -> float | None:
+    """--stop-never means NEVER stop (the reference contract:
+    continuously parse, main.py:26-27) — so without --drain the stream
+    runs on a processing-time trigger paced by --back-interval,
+    defaulting to 1.0 s (the reference's back_interval default,
+    main.py:82-83). --drain opts into the availableNow drain-and-stop
+    trigger (returned as None)."""
+    if args.drain:
+        return None
+    if args.back_interval is not None:
+        return args.back_interval
+    return 1.0
+
+
+def resolve_password(args: argparse.Namespace, live: bool = False) -> str:
+    """Reference getpass fallback (main.py:35-38): the reference prompts
+    whenever the password is EMPTY — both bare ``-p`` and absent ``-p``
+    (``if not args.password: getpass.getpass()``). Matched here on the
+    live-catalog path (``live=True``) when stdin is a tty; in a
+    non-interactive run an absent ``-p`` sends the empty password
+    instead of blocking on a prompt that nobody will answer (the one
+    deliberate divergence, so CI/pipeline invocations stay hangproof).
+    ``-p secret`` takes the first token."""
+    if args.password == "" or args.password is None or (
+        isinstance(args.password, list) and not args.password
+    ):
+        bare_p = isinstance(args.password, list)
+        if bare_p or live:
+            import getpass
+            import sys
+
+            if bare_p or sys.stdin.isatty():
+                return getpass.getpass()
         return ""
     if isinstance(args.password, list):
-        if not args.password:
-            import getpass
-
-            return getpass.getpass()
         return args.password[0]
     return str(args.password)
 
@@ -155,16 +195,24 @@ def load_catalog(args: argparse.Namespace, spark):
     if args.catalog:
         return catalog_from_json(spark, args.catalog)
     url = f"jdbc:mysql://{args.host}:{args.port}"
-    properties = {"user": args.user, "password": resolve_password(args)}
+    properties = {"user": args.user, "password": resolve_password(args, live=True)}
     try:
         return catalog_from_jdbc(spark, url, properties)
     except Exception as exc:  # noqa: BLE001 — env gate, driver jar absent
+        # Narrow match: only the exact missing-driver signatures get the
+        # actionable rewrite. Auth/TLS/connect failures that merely
+        # *mention* a driver class propagate untouched so the real cause
+        # stays visible.
         msg = str(exc)
-        if "No suitable driver" in msg or "ClassNotFound" in msg or "driver" in msg.lower():
+        if (
+            "No suitable driver" in msg
+            or "ClassNotFoundException: com.mysql" in msg
+            or "Failed to find data source: jdbc" in msg
+        ):
             raise SystemExit(
                 f"live catalog load from {args.host}:{args.port} needs the MySQL "
                 "JDBC driver on Spark's classpath (spark.jars); pass --catalog "
-                "catalog.json to run without a live server"
+                f"catalog.json to run without a live server [cause: {msg.splitlines()[0][:200]}]"
             ) from exc
         raise
 
@@ -456,6 +504,43 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if args.stop_never:
+        interval = resolve_trigger_interval(args)
+        tail_stop = None
+        if args.raw:
+            # Live remote tail (reference main.py:88-105 made online):
+            # a producer thread invokes mysqlbinlog
+            # --read-from-remote-server per rotation and lands rotating
+            # dumps in --watch-dir; the stream below consumes them
+            # through the normal checkpointed file source.
+            import shutil as _shutil
+            from threading import Event, Thread
+
+            from log2sql_spark.sources.binlog_remote import tail_remote_binlog
+
+            if _shutil.which(args.mysqlbinlog_bin) is None:
+                raise SystemExit(
+                    f"{args.mysqlbinlog_bin!r} not found on PATH — "
+                    "--stop-never --raw tails the server live via "
+                    "mysqlbinlog --read-from-remote-server; install the "
+                    "MySQL client tools or point --mysqlbinlog-bin at the "
+                    "binary (offline alternative: drop text dumps into "
+                    "--watch-dir and omit --raw)"
+                )
+            tail_stop = Event()
+            Thread(
+                target=tail_remote_binlog,
+                args=(args.watch_dir, args.start_file),
+                kwargs=dict(
+                    binary=args.mysqlbinlog_bin,
+                    host=args.host,
+                    port=args.port,
+                    user=args.user,
+                    password=resolve_password(args, live=True),
+                    poll_interval=interval or 1.0,
+                    stop_event=tail_stop,
+                ),
+                daemon=True,
+            ).start()
         if args.apply_store:
             from log2sql_spark.streaming.cdc_stream import (
                 apply_changes_to_snapshot_store,
@@ -465,7 +550,7 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.watch_dir, catalog, args.apply_store,
                 args.checkpoint, key_col=args.key_column,
                 max_files_per_trigger=args.max_files_per_trigger,
-                trigger_interval=args.back_interval,
+                trigger_interval=interval,
             )
         else:
             from log2sql_spark.streaming.cdc_stream import stream_binlog_to_sql
@@ -474,9 +559,13 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.watch_dir, catalog, args.out, args.checkpoint,
                 flashback=args.flashback,
                 max_files_per_trigger=args.max_files_per_trigger,
-                trigger_interval=args.back_interval,
+                trigger_interval=interval,
             )
-        q.awaitTermination()
+        try:
+            q.awaitTermination()
+        finally:
+            if tail_stop is not None:
+                tail_stop.set()
         return 0
 
     from log2sql_spark.operators.cdc_codegen import with_sql_text

@@ -72,6 +72,12 @@ from log2sql_spark.operators.merge import merge_into
 
 _JSONABLE = (int, float, str, bool)
 
+# read_changes truncates the accumulated feed's lineage every this-many
+# commit steps (lazy localCheckpoint) so Catalyst analysis cost stays
+# bounded on long histories; 32 keeps checkpoint overhead negligible
+# while capping plan depth.
+_CDF_CHECKPOINT_EVERY = 32
+
 
 class ConflictError(RuntimeError):
     """Another writer published a commit for the same parent version."""
@@ -1785,7 +1791,7 @@ class SnapshotStore:
             )
         out: DataFrame | None = None
         prev = from_version
-        for v in steps:
+        for i, v in enumerate(steps):
             d = self.diff(spark, prev, v)
             data_cols = [c for c in d.columns if c != "change_type"]
             non_keys = [c for c in data_cols if c not in keys]
@@ -1823,6 +1829,20 @@ class SnapshotStore:
             )
             out = step if out is None else out.unionByName(step)
             prev = v
+            # Bound driver-side plan growth on long histories: the
+            # per-commit union nests one join+explode subtree per step,
+            # and Catalyst analysis cost grows superlinearly with plan
+            # depth. Every _CDF_CHECKPOINT_EVERY commits the accumulated
+            # feed's lineage is truncated with a LAZY localCheckpoint —
+            # no computation happens here; on first action the prefix
+            # materializes once to executor-local blocks and the
+            # downstream plan re-roots on a compact leaf. A 500-commit
+            # feed then analyzes as ~16 shallow plans instead of one
+            # 500-deep tree.
+            if len(steps) > _CDF_CHECKPOINT_EVERY and (
+                i + 1
+            ) % _CDF_CHECKPOINT_EVERY == 0:
+                out = out.localCheckpoint(eager=False)
         return out
 
     def flashback_to(

@@ -1,0 +1,181 @@
+"""Live remote binlog tail (reference main.py:88-105 made ONLINE).
+
+``mysqlbinlog`` is absent in this container, so a FAKE binary plays the
+server: it answers ``--read-from-remote-server`` dumps per
+(file, --start-position) deterministically, including a mid-stream
+rotation to the next log — proving the per-rotation re-invocation loop,
+the incremental position pushdown, and the hand-off into the existing
+watch-dir → checkpointed-stream path.
+"""
+
+from __future__ import annotations
+
+import os
+import stat
+
+import pytest
+
+from log2sql_spark.sources.binlog_remote import (
+    TailState,
+    last_end_pos,
+    remote_argv,
+    rotate_target,
+    tail_remote_binlog,
+)
+
+# The fake server's timeline (all inserts into shop.orders):
+#   bin.000001: ev1 (id=1,'a') @4..200, ev2 (id=2,'b') @200..300,
+#               then ev3 (id=3,'c') @300..400 + Rotate to bin.000002
+#   bin.000002: ev4 (id=4,'d') @4..250, then quiet.
+_FAKE = r'''#!/usr/bin/env python3
+import sys
+
+args = sys.argv[1:]
+start = 4
+logf = args[-1]
+for a in args:
+    if a.startswith("--start-position="):
+        start = int(a.split("=", 1)[1])
+
+
+def ev(pos, end, rid, status):
+    return "\n".join([
+        "# at %d" % pos,
+        "#240501 12:00:07 server id 1  end_log_pos %d CRC32 0x1234abcd \tWrite_rows: table id 108 flags: STMT_END_F" % end,
+        "### INSERT INTO `shop`.`orders`",
+        "### SET",
+        "###   @1=%d /* INT meta=0 nullable=0 is_null=0 */" % rid,
+        "###   @2='%s' /* VARSTRING(255) meta=255 nullable=1 is_null=0 */" % status,
+    ])
+
+
+out = ["/*!50530 SET @@SESSION.PSEUDO_SLAVE_MODE=1*/;"]
+if logf == "bin.000001":
+    if start <= 4:
+        out += [ev(4, 200, 1, "a"), ev(200, 300, 2, "b")]
+    elif start <= 300:
+        out += [
+            ev(300, 400, 3, "c"),
+            "#240501 12:00:07 server id 1  end_log_pos 443 CRC32 0xfeedbeef \tRotate to bin.000002  pos: 4",
+        ]
+elif logf == "bin.000002":
+    if start <= 4:
+        out += [ev(4, 250, 4, "d")]
+out.append("# End of log file")
+print("\n".join(out))
+'''
+
+
+@pytest.fixture()
+def fake_remote_mysqlbinlog(tmp_path, monkeypatch):
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    script = bindir / "mysqlbinlog"
+    script.write_text(_FAKE)
+    script.chmod(script.stat().st_mode | stat.S_IXUSR | stat.S_IXGRP | stat.S_IXOTH)
+    monkeypatch.setenv("PATH", str(bindir) + os.pathsep + os.environ["PATH"])
+    return str(script)
+
+
+def test_remote_argv_surface():
+    assert remote_argv("bin.000001", host="db", port=3307, user="repl",
+                       password="pw", start_position=300) == [
+        "mysqlbinlog", "--read-from-remote-server", "--host=db",
+        "--port=3307", "--user=repl", "--password=pw",
+        "--start-position=300", "--base64-output=decode-rows", "-vv",
+        "bin.000001",
+    ]
+    # magic position (4) and empty password are omitted, like the
+    # reference's skip-empty rule (main.py:95)
+    assert remote_argv("f", start_position=4) == [
+        "mysqlbinlog", "--read-from-remote-server", "--host=127.0.0.1",
+        "--port=3306", "--user=root", "--base64-output=decode-rows",
+        "-vv", "f",
+    ]
+
+
+def test_dump_cursor_parsing():
+    text = (
+        "# at 4\n"
+        "#240501 12:00:07 server id 1  end_log_pos 200 CRC32 0x1 \tWrite_rows: table id 108\n"
+        "#240501 12:00:07 server id 1  end_log_pos 443 CRC32 0x2 \tRotate to bin.000002  pos: 4\n"
+    )
+    assert last_end_pos(text) == 443
+    assert rotate_target(text) == ("bin.000002", 4)
+    assert last_end_pos("no events") is None
+    assert rotate_target("no events") is None
+
+
+def test_missing_binary_is_actionable(tmp_path):
+    with pytest.raises(FileNotFoundError, match="read-from-remote-server"):
+        tail_remote_binlog(str(tmp_path), "bin.000001",
+                           binary="definitely-not-a-real-binary-xyz")
+
+
+def test_tail_rotates_and_lands_incremental_dumps(fake_remote_mysqlbinlog, tmp_path):
+    """Four polls against the fake server: two incremental dumps of
+    bin.000001 (position pushdown — the second starts at 300), one
+    rotation into bin.000002, one empty poll. Every landed file is
+    complete (atomic rename) and named by (log, from-position), so a
+    tail RESTARTED from the checkpointed cursor re-lands identical
+    names and the streaming file source never reprocesses."""
+    watch = tmp_path / "watch"
+    state = tail_remote_binlog(
+        str(watch), "bin.000001", poll_interval=0.01, max_iterations=4,
+    )
+    assert isinstance(state, TailState)
+    assert state.files_written == 3
+    assert state.rotations == 1
+    assert (state.log_file, state.position) == ("bin.000002", 250)
+    names = sorted(os.listdir(watch))
+    assert names == [
+        "bin.000001.from300.txt",
+        "bin.000001.from4.txt",
+        "bin.000002.from4.txt",
+    ]
+    # the from-300 dump holds ONLY the new window (ev3), not history —
+    # the server did the filtering (position pushdown), we never re-read
+    tail2 = (watch / "bin.000001.from300.txt").read_text()
+    assert "@1=3" in tail2 and "@1=1" not in tail2
+    first = (watch / "bin.000001.from4.txt").read_text()
+    assert "@1=1" in first and "@1=2" in first and "@1=3" not in first
+
+
+def test_tail_feeds_the_stop_never_stream(spark, fake_remote_mysqlbinlog, tmp_path):
+    """E2E: fake-server tail → watch-dir → the SAME checkpointed
+    --stop-never stream path → rendered replay SQL, across a rotation."""
+    from log2sql_spark.sources.catalog import catalog_from_dict
+    from log2sql_spark.streaming.cdc_stream import stream_binlog_to_sql
+
+    watch, out, ckpt = tmp_path / "watch", tmp_path / "out", tmp_path / "ckpt"
+    tail_remote_binlog(str(watch), "bin.000001", poll_interval=0.01,
+                       max_iterations=4)
+    cat = catalog_from_dict(
+        spark, {"shop.orders": {"columns": ["id", "status"], "key_columns": ["id"]}}
+    )
+    q = stream_binlog_to_sql(spark, str(watch), cat, str(out), str(ckpt))
+    q.awaitTermination(120)
+    got = {r["sql_text"] for r in spark.read.parquet(str(out)).collect()}
+    assert got == {
+        "INSERT INTO `shop`.`orders`(`id`, `status`) VALUES (1, 'a');",
+        "INSERT INTO `shop`.`orders`(`id`, `status`) VALUES (2, 'b');",
+        "INSERT INTO `shop`.`orders`(`id`, `status`) VALUES (3, 'c');",
+        "INSERT INTO `shop`.`orders`(`id`, `status`) VALUES (4, 'd');",
+    }
+
+
+def test_cli_stop_never_raw_validation(tmp_path):
+    from log2sql_spark.cli import build_parser, validate
+
+    p = build_parser()
+    with pytest.raises(ValueError, match="live remote tail"):
+        validate(p.parse_args([
+            "--stop-never", "--raw", "--watch-dir", "w", "--out", "o",
+            "--checkpoint", "c", "--catalog", "cat.json",
+        ]))
+    # with --start-file it validates
+    validate(p.parse_args([
+        "--stop-never", "--raw", "--watch-dir", "w", "--out", "o",
+        "--checkpoint", "c", "--catalog", "cat.json",
+        "--start-file", "mysql-bin.000001",
+    ]))

@@ -66,6 +66,26 @@ def test_cli_validation_errors(dump_and_catalog):
                                "--start-datetime", "2024/05/01"]))
     with pytest.raises(ValueError, match="stop-never"):
         validate(p.parse_args(["--catalog", cat, "--stop-never"]))
+    with pytest.raises(ValueError, match="drain"):
+        validate(p.parse_args(["--start-file", dump, "--catalog", cat, "--drain"]))
+
+
+def test_stop_never_trigger_resolution():
+    """--stop-never honors its reference contract (continuously parse):
+    default is a 1.0 s processing-time trigger, --back-interval re-paces
+    it, and only an explicit --drain yields the availableNow
+    drain-and-stop trigger."""
+    from log2sql_spark.cli import resolve_trigger_interval
+
+    p = build_parser()
+    base = ["--watch-dir", "w", "--stop-never", "--out", "o", "--checkpoint", "c"]
+    assert resolve_trigger_interval(p.parse_args(base)) == 1.0
+    assert resolve_trigger_interval(p.parse_args(base + ["--back-interval", "2.5"])) == 2.5
+    assert resolve_trigger_interval(p.parse_args(base + ["--drain"])) is None
+    # --drain wins even alongside --back-interval
+    assert resolve_trigger_interval(
+        p.parse_args(base + ["--drain", "--back-interval", "2.5"])
+    ) is None
 
 
 def test_cli_apply_store(spark, dump_and_catalog, tmp_path, capsys):
@@ -343,6 +363,81 @@ def test_cli_password_getpass_fallback(monkeypatch):
     assert resolve_password(p.parse_args(["--start-file", "x"])) == ""
 
 
+def test_cli_password_live_path_prompts_on_empty(monkeypatch):
+    """Reference parity (main.py:35-38): getpass prompts whenever the
+    password is EMPTY, including when -p is absent — matched on the
+    live-catalog path when stdin is a tty; non-tty sends the empty
+    password instead of blocking (documented divergence)."""
+    import getpass as getpass_mod
+    import sys as sys_mod
+
+    from log2sql_spark.cli import resolve_password
+
+    p = build_parser()
+    monkeypatch.setattr(getpass_mod, "getpass", lambda: "prompted")
+
+    class _Tty:
+        def isatty(self):
+            return True
+
+    class _Pipe:
+        def isatty(self):
+            return False
+
+    args = p.parse_args(["--start-file", "x"])  # -p absent
+    monkeypatch.setattr(sys_mod, "stdin", _Tty())
+    assert resolve_password(args, live=True) == "prompted"
+    monkeypatch.setattr(sys_mod, "stdin", _Pipe())
+    assert resolve_password(args, live=True) == ""
+    # bare -p still always prompts, tty or not
+    args_bare = p.parse_args(["--start-file", "x", "-p"])
+    assert resolve_password(args_bare, live=True) == "prompted"
+    assert resolve_password(args_bare) == "prompted"
+    # explicit password never prompts on the live path
+    args_pw = p.parse_args(["--start-file", "x", "-p", "s3cret"])
+    assert resolve_password(args_pw, live=True) == "s3cret"
+
+
+def test_cli_jdbc_driver_gate_is_narrow(monkeypatch):
+    """Only the exact missing-driver signatures get rewritten into the
+    actionable SystemExit; an auth failure that merely MENTIONS a
+    driver class propagates untouched (advice r9: substring 'driver'
+    match hid real causes)."""
+    import pytest
+
+    from log2sql_spark import cli as cli_mod
+
+    p = build_parser()
+    args = p.parse_args(["--start-file", "x"])
+
+    def _raise(msg):
+        def _f(*a, **k):
+            raise RuntimeError(msg)
+
+        return _f
+
+    # missing-driver signature -> actionable SystemExit carrying the cause
+    monkeypatch.setattr(
+        "log2sql_spark.sources.catalog.catalog_from_jdbc",
+        _raise("java.sql.SQLException: No suitable driver"),
+    )
+    with pytest.raises(SystemExit, match="No suitable driver"):
+        cli_mod.load_catalog(args, spark=None)
+    monkeypatch.setattr(
+        "log2sql_spark.sources.catalog.catalog_from_jdbc",
+        _raise("java.lang.ClassNotFoundException: com.mysql.cj.jdbc.Driver"),
+    )
+    with pytest.raises(SystemExit, match="JDBC driver"):
+        cli_mod.load_catalog(args, spark=None)
+    # auth error mentioning a driver class -> original exception, not SystemExit
+    monkeypatch.setattr(
+        "log2sql_spark.sources.catalog.catalog_from_jdbc",
+        _raise("Access denied for user 'root' (using driver com.mysql.cj.jdbc.Driver)"),
+    )
+    with pytest.raises(RuntimeError, match="Access denied"):
+        cli_mod.load_catalog(args, spark=None)
+
+
 def test_cli_live_catalog_routes_to_jdbc(monkeypatch):
     """Without --catalog, load_catalog builds the JDBC URL from
     -h/-u/-p/-P and calls catalog_from_jdbc (one-shot information_schema
@@ -417,10 +512,11 @@ def test_cli_store_cdf_and_flashback(spark, tmp_path, capsys):
 
 def test_cli_stop_never_drains_watch_dir(spark, dump_and_catalog, tmp_path):
     """The --stop-never ONLINE branch of main() end-to-end: watch-dir ->
-    streaming parse -> rendered SQL parquet. Default trigger is
-    availableNow (drain-and-stop), so the call terminates once the
-    existing dumps are processed — the always-on variant is the same
-    path with --back-interval (covered by the paced-stream test)."""
+    streaming parse -> rendered SQL parquet. --drain switches the
+    default always-on processing-time trigger to availableNow
+    (drain-and-stop), so the call terminates once the existing dumps
+    are processed — the always-on default is the same path with a
+    processing-time trigger (covered by the paced-stream test)."""
     dump, cat = dump_and_catalog
     import shutil
 
@@ -429,7 +525,7 @@ def test_cli_stop_never_drains_watch_dir(spark, dump_and_catalog, tmp_path):
     shutil.copy(dump, watch / "bin.000001.txt")
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     rc = main([
-        "--watch-dir", str(watch), "--stop-never", "--catalog", cat,
+        "--watch-dir", str(watch), "--stop-never", "--drain", "--catalog", cat,
         "--out", out, "--checkpoint", ckpt,
         "--max-files-per-trigger", "1",
     ])
