@@ -530,6 +530,96 @@ def store_merge_bench(spark, sf_dir: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def store_lifecycle_linearity(spark) -> dict:
+    """Scale proof for the table-format lifecycle (r9 verdict item #6):
+    merge, read_changes, and flashback_to measured at 1x vs 10x churn
+    (table scaled 10x alongside), PLUS read_changes at 10x TABLE with
+    churn held FIXED — the direct measurement of the CDF claim "cost
+    tracks churn, never table size".
+
+    Shapes: base = sf0.1 orders (150k) vs sf1 orders (1.5M), clustered
+    32 range files; churn = 4 merge commits over a contiguous key band
+    (1% of keys per commit at both scales). Ratios <= ~12 are linear;
+    the churn-fixed CDF ratio should sit near 1 (per-job constants),
+    nowhere near 10."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from log2sql_spark.store import SnapshotStore
+
+    sf1 = ensure_sf1_dir()
+
+    def load(sf_dir: str):
+        return spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+
+    def run(base, churn_keys: int, tmp: str) -> dict:
+        store = SnapshotStore(tmp)
+        store.commit(base, mode="overwrite", cluster_by="k", target_files=32)
+        t0 = time.time()
+        for c in range(4):
+            changes = base.filter(
+                (F.col("k") >= c * churn_keys) & (F.col("k") < (c + 1) * churn_keys)
+            ).select(
+                "k",
+                F.lit(f"U{c}").alias("status"),
+                (F.col("cents") + c).alias("cents"),
+                F.lit("update").alias("op"),
+                F.lit(c + 1).alias("seq"),
+            )
+            store.merge(spark, changes, key_cols="k", version_cols="seq")
+        t_merge = time.time() - t0
+        head = store.head_version()
+        t0 = time.time()
+        n_feed = store.read_changes(spark, 1, head, key_cols="k").count()
+        t_cdf = time.time() - t0
+        t0 = time.time()
+        store.flashback_to(spark, 1)
+        t_fb = time.time() - t0
+        return {
+            "merge_4commits_sec": round(t_merge, 3),
+            "read_changes_sec": round(t_cdf, 3),
+            "feed_rows": n_feed,
+            "flashback_sec": round(t_fb, 3),
+        }
+
+    tmp = tempfile.mkdtemp(prefix="bench_lifecycle_")
+    try:
+        small_base = load(SF_DIR)
+        big_base = load(sf1)
+        run(small_base, 1_500, os.path.join(tmp, "warm"))  # JIT/codegen warm
+        small = run(small_base, 1_500, os.path.join(tmp, "small"))
+        big = run(big_base, 15_000, os.path.join(tmp, "big"))
+        churn_fixed = run(big_base, 1_500, os.path.join(tmp, "fixed"))
+        ratios = {
+            f"{m}_ratio": round(big[m] / max(small[m], 1e-3), 2)
+            for m in ("merge_4commits_sec", "read_changes_sec", "flashback_sec")
+        }
+        return {
+            "small": small,
+            "big": big,
+            "churn_fixed_on_big_table": churn_fixed,
+            **ratios,
+            # the tracks-churn claim: same churn, 10x table
+            "cdf_churn_fixed_ratio": round(
+                churn_fixed["read_changes_sec"]
+                / max(small["read_changes_sec"], 1e-3),
+                2,
+            ),
+            "linear_at_12x": all(
+                big[m] / max(small[m], 1e-3) <= 12.0
+                for m in ("merge_4commits_sec", "read_changes_sec", "flashback_sec")
+            ),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def sf1_section(spark) -> dict:
     """Run the scale-sensitive headline subset at sf1 (10x bench data),
     plus the AQE skew demo and the uncapped MinHash dedup on the sf1
@@ -812,6 +902,7 @@ def main() -> None:
     cdc_stream = cdc_stream_throughput(spark)
     cdc_lin = cdc_replay_linearity(spark)
     dedup = dedup_scale(spark)
+    lifecycle = store_lifecycle_linearity(spark)
     sf1 = sf1_section(spark)
     sf10 = (
         None
@@ -836,6 +927,7 @@ def main() -> None:
         "cdc_stream": cdc_stream,
         "cdc_replay_linearity": cdc_lin,
         "dedup_scale": dedup,
+        "store_lifecycle_linearity": lifecycle,
         "sf1": sf1,
         "sf10_linearity": sf10,
         "sf": sf_val,
@@ -873,6 +965,8 @@ def main() -> None:
             "dedup_docs_per_sec": sf1["dedup"]["docs_per_sec"],
         },
         "cdc_stream_events_per_sec": cdc_stream["events_per_sec"],
+        "lifecycle_linear_at_12x": lifecycle["linear_at_12x"],
+        "cdf_churn_fixed_ratio": lifecycle["cdf_churn_fixed_ratio"],
         "machine_calib_sec": machine_start["cpu_calib_sec"],
         "detail": "BENCH.json",
     }
