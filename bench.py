@@ -781,10 +781,17 @@ def sf10_linearity(spark, sf1: str) -> dict:
     for name in SF10_QUERIES:
         qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()  # JIT warm
         spark.catalog.clearCache()
-        t0 = time.time()
-        qs[name](spark, sf1).write.mode("overwrite").format("noop").save()
-        t_sf1 = time.time() - t0
-        spark.catalog.clearCache()
+        # Best-of-2 on the sf1 DENOMINATOR only: a single cold-ish sf1
+        # run swung market_basket_pairs' recorded ratio 6.65x..11.01x
+        # across two otherwise-idle r10 runs while its sf10 numerator
+        # held within 1.5% — the ratio metric inherits all the small
+        # side's variance, so damp the small side.
+        t_sf1 = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf1).write.mode("overwrite").format("noop").save()
+            t_sf1 = min(t_sf1, time.time() - t0)
+            spark.catalog.clearCache()
         t0 = time.time()
         qs[name](spark, SF10_DIR).write.mode("overwrite").format("noop").save()
         t_sf10 = time.time() - t0

@@ -1137,6 +1137,7 @@ class SnapshotStore:
         op_col: str = "op",
         delete_op: str = "delete",
         merge_schema: bool = False,
+        max_retries: int = 0,
     ) -> int:
         """Apply CDC changes (MERGE INTO semantics) as one new snapshot.
 
@@ -1145,19 +1146,47 @@ class SnapshotStore:
         range overlaps the change batch's key bounds are read, merged,
         and rewritten; every other file carries into the new manifest
         by reference. Unclustered stores fall back to a full rewrite.
-        Returns the new version either way."""
+        Returns the new version either way.
+
+        ``max_retries`` > 0 turns on optimistic concurrency control
+        (Delta-style conflict resolution): when another writer publishes
+        first, the loser does NOT immediately fail. On the pruned
+        (range/zorder) path it first attempts a manifest-level REBASE —
+        if the winner's commits are provably disjoint (our rewritten
+        files all survive untouched in the new head, no winner-added
+        file's key range overlaps our change batch, and
+        schema/layout/governance are unchanged), the already-written
+        merge output republishes on top of the new head with ZERO
+        recomputation and zero extra data I/O. Non-disjoint (or
+        non-pruned-path) conflicts fall back to recomputing the merge
+        against the new head, up to ``max_retries`` times total. A lost
+        attempt's data directory stays orphaned until ``vacuum``/
+        ``fsck`` (the same contract racing committers already have).
+        Default 0 preserves the historical fail-fast behavior."""
         keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
         self._fold_pending_deletes(spark)
         parent = self.head_version()
         if parent is None:
             raise ValueError("merge requires an existing snapshot; commit first")
         snap = self.snapshot(parent)
+        def _recompute_on_conflict(attempt):
+            try:
+                return attempt()
+            except ConflictError:
+                if max_retries <= 0:
+                    raise
+                return self.merge(
+                    spark, changes, key_cols, version_cols, op_col,
+                    delete_op, merge_schema=merge_schema,
+                    max_retries=max_retries - 1,
+                )
+
         key_matches = snap.cluster_by is not None and keys == [snap.cluster_by]
         if key_matches and snap.layout == "hash" and snap.has_buckets and snap.n_buckets:
-            return self._merge_hash(
+            return _recompute_on_conflict(lambda: self._merge_hash(
                 spark, snap, changes, keys[0], version_cols, op_col, delete_op,
                 merge_schema=merge_schema,
-            )
+            ))
         # A zorder store prunes merges on its LEADING dimension (its
         # entries carry per-dimension stats instead of flat min/max).
         zorder_keyed = (
@@ -1178,7 +1207,7 @@ class SnapshotStore:
             # and CHECK constraints must survive (and be enforced — the
             # commit validates against the dicts passed here) exactly as
             # they do on the pruned/hash paths via _inherited.
-            return self.commit(
+            return _recompute_on_conflict(lambda: self.commit(
                 merged,
                 mode="overwrite",
                 cluster_by=snap.cluster_by,
@@ -1187,7 +1216,7 @@ class SnapshotStore:
                 generated=snap.generated,
                 policies=snap.policies,
                 constraints=snap.constraints,
-            )
+            ))
 
         key = keys[0]
 
@@ -1239,21 +1268,172 @@ class SnapshotStore:
             new_entries = self._write_data(
                 merged, version, snap.cluster_by, max(1, len(touched))
             )
-        self._publish(
-            {
-                "version": version,
-                "parent": parent,
-                "mode": "merge",
-                "entries": untouched + new_entries,
-                "cluster_by": snap.cluster_by,
-                "schema": merged.schema.json(),
-                "layout": snap.layout,
-                "n_buckets": snap.n_buckets,
-                # carried (untouched) files still hold physical names
-                **_inherited(snap),
-            }
-        )
-        return version
+        try:
+            self._publish(
+                {
+                    "version": version,
+                    "parent": parent,
+                    "mode": "merge",
+                    "entries": untouched + new_entries,
+                    "cluster_by": snap.cluster_by,
+                    "schema": merged.schema.json(),
+                    "layout": snap.layout,
+                    "n_buckets": snap.n_buckets,
+                    # carried (untouched) files still hold physical names
+                    **_inherited(snap),
+                }
+            )
+            return version
+        except ConflictError:
+            if max_retries <= 0:
+                raise
+            if lo is not None:
+                rebased = self._rebase_merge(
+                    snap,
+                    {e["path"] for e in touched},
+                    new_entries,
+                    merged.schema.json(),
+                    key,
+                    lo,
+                    hi,
+                    zorder_keyed,
+                    max_retries,
+                )
+                if rebased is not None:
+                    return rebased
+            return self.merge(
+                spark, changes, key_cols, version_cols, op_col,
+                delete_op, merge_schema=merge_schema,
+                max_retries=max_retries - 1,
+            )
+
+    @staticmethod
+    def _schema_core(schema_json: str | None):
+        """Schema identity modulo nullability and metadata: merge_into
+        legally relaxes `nullable` on untouched columns, which must not
+        veto a rebase (the parquet bytes are unchanged); a name/type/
+        structure difference still must."""
+        if schema_json is None:
+            return None
+
+        def strip(node):
+            if isinstance(node, dict):
+                return {
+                    k: strip(v)
+                    for k, v in node.items()
+                    if k not in ("nullable", "metadata", "containsNull",
+                                 "valueContainsNull")
+                }
+            if isinstance(node, list):
+                return [strip(x) for x in node]
+            return node
+
+        return strip(json.loads(schema_json))
+
+    def _rebase_safe(
+        self,
+        parent: Snapshot,
+        head: Snapshot,
+        touched_paths: set,
+        merged_schema_json: str,
+        key: str,
+        lo,
+        hi,
+        zorder_keyed: bool,
+    ) -> bool:
+        """True iff a lost pruned merge can republish on ``head``
+        without recomputation. Disjointness is decided manifest-only:
+
+        - every file we read+rewrote must survive IDENTICALLY in head
+          (a winner compacting/rewriting any of them means our merge
+          output is stale — its rows may now live elsewhere too);
+        - no winner-ADDED file's key range may overlap our change
+          batch's [lo, hi] (the merge should have read those rows);
+          any parent file overlapping [lo, hi] was in our touched set,
+          so a winner modifying our range necessarily trips one of
+          these two checks;
+        - schema, layout, clustering, and every inherited governance
+          key (renames/generated/dropped/policies/constraints/
+          tombstones) must be unchanged — a concurrent evolution or a
+          new merge-on-read tombstone always forces recompute.
+        """
+        if (head.cluster_by, head.layout, head.n_buckets) != (
+            parent.cluster_by, parent.layout, parent.n_buckets
+        ):
+            return False
+        head_core = self._schema_core(head.schema_json)
+        if head_core != self._schema_core(parent.schema_json):
+            return False
+        if head_core is not None and self._schema_core(merged_schema_json) != head_core:
+            return False
+        if _inherited(head) != _inherited(parent):
+            return False
+        head_paths = {e["path"] for e in head.entries}
+        if not touched_paths <= head_paths:
+            return False
+        parent_paths = {e["path"] for e in parent.entries}
+        for e in head.entries:
+            if e["path"] in parent_paths:
+                continue
+            if zorder_keyed:
+                b = (e.get("stats") or {}).get(key)
+            else:
+                b = (e.get("min"), e.get("max"))
+                if b[0] is None or b[1] is None:
+                    b = None
+            if b is None or not (b[1] < lo or b[0] > hi):
+                return False
+        return True
+
+    def _rebase_merge(
+        self,
+        parent: Snapshot,
+        touched_paths: set,
+        new_entries: list,
+        merged_schema_json: str,
+        key: str,
+        lo,
+        hi,
+        zorder_keyed: bool,
+        attempts: int,
+    ) -> int | None:
+        """Republish an already-written pruned merge on top of the
+        current head (optimistic-concurrency winner path). Pure
+        manifest surgery: head's entries minus the files we rewrote,
+        plus our freshly-written replacements — no Spark job. Returns
+        the new version, or None when the conflict is not provably
+        disjoint (caller recomputes)."""
+        for _ in range(max(1, attempts)):
+            head_v = self.head_version()
+            head = self.snapshot(head_v)
+            if not self._rebase_safe(
+                parent, head, touched_paths, merged_schema_json,
+                key, lo, hi, zorder_keyed,
+            ):
+                return None
+            version = head_v + 1
+            try:
+                self._publish(
+                    {
+                        "version": version,
+                        "parent": head_v,
+                        "mode": "merge",
+                        "entries": [
+                            e for e in head.entries
+                            if e["path"] not in touched_paths
+                        ] + new_entries,
+                        "cluster_by": head.cluster_by,
+                        "schema": head.schema_json or merged_schema_json,
+                        "layout": head.layout,
+                        "n_buckets": head.n_buckets,
+                        "meta": {"rebased_from": parent.version},
+                        **_inherited(head),
+                    }
+                )
+                return version
+            except ConflictError:
+                continue  # lost again — re-check disjointness vs newer head
+        return None
 
     def _merge_hash(
         self,

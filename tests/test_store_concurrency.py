@@ -1,0 +1,191 @@
+"""Optimistic concurrency control on the snapshot store.
+
+Two writers race `merge(..., max_retries=N)` into the same table; the
+publish step (atomic manifest create) picks the winner. The loser:
+
+- REBASES manifest-only when the winner's commit is provably disjoint
+  (none of the loser's rewritten files were touched, no winner-added
+  file overlaps the loser's key range, no schema/governance drift) —
+  zero recomputation, the already-written merge output republishes on
+  the new head; this is Delta's conflict-resolution matrix applied to
+  the range-clustered layout, decided entirely from per-file stats;
+- RECOMPUTES against the new head when the footprints overlap;
+- and with the default max_retries=0 keeps the historical fail-fast
+  ConflictError.
+
+The race is injected deterministically: the loser's `_publish` is
+wrapped so a competitor lands a commit immediately before the loser's
+first publish attempt.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from log2sql_spark.store import ConflictError, SnapshotStore
+
+
+def _base_store(spark, tmp_path, n=10_000, files=16):
+    store = SnapshotStore(str(tmp_path / "t"))
+    base = spark.range(n).select(
+        F.col("id").cast("int").alias("k"),
+        F.lit("base").alias("status"),
+        (F.col("id") * 10).cast("long").alias("cents"),
+    )
+    store.commit(base, mode="overwrite", cluster_by="k", target_files=files)
+    return store
+
+
+def _changes(spark, keys, status, seq=1):
+    return spark.createDataFrame(
+        [(k, status, k * 10 + seq, "update", seq) for k in keys],
+        "k int, status string, cents long, op string, seq int",
+    )
+
+
+def _inject_race(store, competitor_action):
+    """Make `competitor_action()` land a commit right before the
+    store's next publish attempt (then restore normal publishing)."""
+    orig = store._publish
+    state = {"fired": False}
+
+    def racing(manifest):
+        if not state["fired"]:
+            state["fired"] = True
+            competitor_action()
+        return orig(manifest)
+
+    store._publish = racing
+    return state
+
+
+def test_disjoint_conflict_rebases_without_recompute(spark, tmp_path):
+    store = _base_store(spark, tmp_path)
+    competitor = SnapshotStore(store.path)  # second writer, same table
+
+    state = _inject_race(
+        store,
+        lambda: competitor.merge(
+            spark, _changes(spark, range(9_000, 9_050), "theirs"),
+            key_cols="k", version_cols="seq",
+        ),
+    )
+    v = store.merge(
+        spark, _changes(spark, range(0, 50), "ours"),
+        key_cols="k", version_cols="seq", max_retries=2,
+    )
+    assert state["fired"]
+    snap = store.snapshot(v)
+    # rebase, not recompute: the manifest says so, and the parent is
+    # the competitor's commit
+    assert snap.meta.get("rebased_from") == 1
+    assert snap.parent == 2 and v == 3
+    # both writers' updates are live; everything else untouched
+    rows = {r.k: (r.status, r.cents) for r in store.read(spark).collect()}
+    assert all(rows[k] == ("ours", k * 10 + 1) for k in range(0, 50))
+    assert all(rows[k] == ("theirs", k * 10 + 1) for k in range(9_000, 9_050))
+    assert rows[5_000] == ("base", 50_000)
+    assert len(rows) == 10_000
+    # the competitor's data files are carried into the rebased manifest
+    theirs = {e["path"] for e in store.snapshot(2).entries}
+    assert {e["path"] for e in snap.entries} & theirs
+
+
+def test_overlapping_conflict_recomputes(spark, tmp_path):
+    store = _base_store(spark, tmp_path)
+    competitor = SnapshotStore(store.path)
+
+    # same key band: the winner rewrites the very files the loser read
+    _inject_race(
+        store,
+        lambda: competitor.merge(
+            spark, _changes(spark, range(0, 60), "theirs", seq=1),
+            key_cols="k", version_cols="seq",
+        ),
+    )
+    v = store.merge(
+        spark, _changes(spark, range(0, 50), "ours", seq=2),
+        key_cols="k", version_cols="seq", max_retries=2,
+    )
+    snap = store.snapshot(v)
+    assert snap.meta.get("rebased_from") is None  # recomputed, not rebased
+    assert snap.parent == 2 and v == 3
+    rows = {r.k: (r.status, r.cents) for r in store.read(spark).collect()}
+    # recompute re-merged on top of the competitor: ours (seq 2) wins
+    # on 0..49, theirs survives on 50..59
+    assert all(rows[k] == ("ours", k * 10 + 2) for k in range(0, 50))
+    assert all(rows[k] == ("theirs", k * 10 + 1) for k in range(50, 60))
+    assert len(rows) == 10_000
+
+
+def test_governance_drift_forces_recompute(spark, tmp_path):
+    """A concurrent governance commit (here: a new CHECK constraint) is
+    never rebased onto — even with a disjoint key range the loser
+    recomputes, so its rows are validated against the constraint that
+    landed mid-flight."""
+    store = _base_store(spark, tmp_path, n=2_000, files=4)
+    competitor = SnapshotStore(store.path)
+
+    _inject_race(
+        store,
+        lambda: competitor.add_constraint(spark, "cents_nonneg", "cents >= 0"),
+    )
+    v = store.merge(
+        spark, _changes(spark, range(0, 10), "ours"),
+        key_cols="k", version_cols="seq", max_retries=2,
+    )
+    snap = store.snapshot(v)
+    assert snap.meta.get("rebased_from") is None  # recomputed, not rebased
+    assert snap.constraints == {"cents_nonneg": "cents >= 0"}
+    got = {r.k for r in store.read(spark).filter(F.col("status") == "ours").collect()}
+    assert got == set(range(0, 10))
+
+
+def test_default_is_fail_fast(spark, tmp_path):
+    store = _base_store(spark, tmp_path, n=2_000, files=4)
+    competitor = SnapshotStore(store.path)
+    _inject_race(
+        store,
+        lambda: competitor.merge(
+            spark, _changes(spark, range(1_900, 1_910), "theirs"),
+            key_cols="k", version_cols="seq",
+        ),
+    )
+    with pytest.raises(ConflictError):
+        store.merge(
+            spark, _changes(spark, range(0, 10), "ours"),
+            key_cols="k", version_cols="seq",
+        )
+
+
+def test_rebased_history_stays_consistent(spark, tmp_path):
+    """After a rebase: time travel, diff, CDF, and flashback all see a
+    linear history — the rebased commit is a normal merge commit."""
+    store = _base_store(spark, tmp_path, n=2_000, files=4)
+    competitor = SnapshotStore(store.path)
+    _inject_race(
+        store,
+        lambda: competitor.merge(
+            spark, _changes(spark, range(1_900, 1_910), "theirs"),
+            key_cols="k", version_cols="seq",
+        ),
+    )
+    v = store.merge(
+        spark, _changes(spark, range(0, 10), "ours"),
+        key_cols="k", version_cols="seq", max_retries=2,
+    )
+    assert store.snapshot(v).meta.get("rebased_from") == 1
+
+    feed = store.read_changes(spark, 1, v, key_cols="k")
+    by_version = {
+        (r.k, r._change_type, r._commit_version)
+        for r in feed.select("k", "_change_type", "_commit_version").collect()
+    }
+    # competitor's churn attributed to v2, ours to the rebased v3
+    assert (1_900, "update_postimage", 2) in by_version
+    assert (0, "update_postimage", 3) in by_version
+    # flashback to v1 restores the base everywhere
+    fb = store.flashback_to(spark, 1)
+    rows = {r.k: r.status for r in store.read(spark, fb).collect()}
+    assert set(rows.values()) == {"base"} and len(rows) == 2_000

@@ -54,7 +54,7 @@ DISPOSITIONS = {
     "llm_semdedup": "broadcast-centroid argmax + within-cluster-only prune; runtime collapses to 3 stages — the assignment subtree is fully reused (static 8 -> runtime 3).",
     "store_cdf_keyed_commits": "keyed CDF over a 2-commit range: per commit step, diff()'s two exceptAll legs + one full-outer classification join — every exchange carries only the REWRITTEN file footprint of that commit (carried files cancel before any shuffle), so cost tracks churn, never table size; 2 steps x ~4 = 9 static, union-only between steps.",
     "llm_corpus_release_diff": "release notes over the keyed CDF: one commit step (two exceptAll legs + the classification join, all bounded by the curation pass's churn) + the per-source rollup; 6 static exchanges carry changed docs only, never the corpus.",
-    "market_basket_pairs": "pair combinatorics after ONE basket groupBy + broadcast 1-row denominator; basket subtree reused at runtime (14 refs -> 7 distinct). CLOSED r10: idle-box (loadavg<1 at start, calib 0.118) sf10/sf1 ratio = 6.65x in the bench single-shot (BENCH.json r10: 8.50s -> 56.5s) and 6.2-8.8x across 3 warm same-session repeats (sf10 34.1-37.1s, sf1 3.9-6.0s) -- linear at 10x rows with the run-to-run band recorded; every prior superlinear reading (r8 14.91x, r9 8.64x vs 10.62x disagreement, the old 10.4x note) was co-tenant contention, plan unchanged throughout.",
+    "market_basket_pairs": "pair combinatorics after ONE basket groupBy + broadcast 1-row denominator; basket subtree reused at runtime (14 refs -> 7 distinct). CLOSED r10, measured as a DISTRIBUTION on an idle box (calib 0.117-0.118): the sf10 single-shot is STABLE at 55.8-56.5s (warm same-session repeats 34.1-37.1s), while the sf1 denominator swings 3.9-8.5s cold/warm -- so the recorded RATIO ranged 6.65 (first r10 run) to 11.01 (committed BENCH.json), entirely denominator noise, all under the 12x gate; bench.py now takes best-of-2 on the sf1 side to damp it. Warm-over-warm the ratio is 6.2-8.8x at 10x rows = linear. Every prior superlinear reading (r8 14.91x, r9 8.64x vs 10.62x disagreement, the old 10.4x note) was co-tenant contention; plan unchanged throughout.",
     "mv_incremental_distinct": "distinct-count IVM: delta dedup + re-count of touched groups + merge; exchanges over |delta| + |dirty groups| only (runtime 6).",
     "mv_incremental_minmax": "the non-distributive IVM case: monotone insert fold UNION delete-touched-extremum recompute UNION dirty-flag audit — three branch plans each 2-4 exchanges over |delta|/|dirty groups|; 35 static collapse to 14 runtime stages; at scale the cost is the semi-join-pruned base read, not stage count.",
     "quality_expectations_orders": "one aggregate per expectation rule unioned into the report: exchange count scales with #rules (fixed), each over the shared scan (runtime 6).",
