@@ -417,8 +417,19 @@ class SnapshotStore:
         policies: dict | None = None,
         constraints: dict | None = None,
         audit: bool = False,
+        max_retries: int = 0,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version.
+
+        ``max_retries`` > 0 enables optimistic concurrency for APPENDS
+        (the common multi-writer case): an append that loses the
+        publish race rebases manifest-only onto the winner — appends
+        are disjoint by construction (they only add files), so the
+        rebase is always sound unless the winner changed schema,
+        layout, clustering, or governance (including landing new
+        merge-on-read tombstones), in which case the whole commit
+        recomputes against the new head. Non-append modes recompute
+        directly. Default 0 keeps fail-fast ``ConflictError``.
 
         ``generated`` maps column name -> SQL expression (Delta
         generated-columns analog): a column ABSENT from ``df`` is
@@ -467,6 +478,16 @@ class SnapshotStore:
         like Delta ``overwriteSchema``."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        # Originals for a possible conflict-recompute retry: several
+        # locals below are rebound (cluster_by joins, generated/policy
+        # inheritance resolves) and must NOT leak into a retry that
+        # should re-inherit from the NEW head.
+        _retry_args = dict(
+            mode=mode, cluster_by=cluster_by, target_files=target_files,
+            meta=meta, layout=layout, expect=expect,
+            merge_schema=merge_schema, generated=generated,
+            policies=policies, constraints=constraints, audit=audit,
+        )
         if mode == "append":
             # pending merge-on-read deletes fold before any new data
             # lands: appended entries join a manifest whose tombstones
@@ -587,6 +608,7 @@ class SnapshotStore:
             # with no version published — the reader-visible store is
             # untouched.
             self._audit_written(df.sparkSession, entries, expect, constraints)
+        new_entries = list(entries)
         if mode == "append" and parent is not None:
             prev = self.snapshot(parent)
             entries = prev.entries + entries
@@ -595,25 +617,39 @@ class SnapshotStore:
             ):
                 cluster_by = None  # mixed layouts: pruning no longer sound
                 n_buckets = None
-        self._publish(
-            {
-                "version": version,
-                "parent": parent,
-                "mode": mode,
-                "entries": entries,
-                "cluster_by": cluster_by,
-                "schema": schema_json,
-                "meta": meta or {},
-                "layout": layout,
-                "n_buckets": n_buckets,
-                "renames": renames,
-                "generated": generated,
-                "dropped": dropped,
-                "policies": policies,
-                "constraints": constraints,
-            }
-        )
-        return version
+        try:
+            self._publish(
+                {
+                    "version": version,
+                    "parent": parent,
+                    "mode": mode,
+                    "entries": entries,
+                    "cluster_by": cluster_by,
+                    "schema": schema_json,
+                    "meta": meta or {},
+                    "layout": layout,
+                    "n_buckets": n_buckets,
+                    "renames": renames,
+                    "generated": generated,
+                    "dropped": dropped,
+                    "policies": policies,
+                    "constraints": constraints,
+                }
+            )
+            return version
+        except ConflictError:
+            if max_retries <= 0:
+                raise
+            if mode == "append" and parent is not None:
+                rebased = self._rebase_append(
+                    self.snapshot(parent), new_entries, schema_json,
+                    meta, (cluster_by, layout, n_buckets), max_retries,
+                )
+                if rebased is not None:
+                    return rebased
+            return self.commit(
+                df, max_retries=max_retries - 1, **_retry_args
+            )
 
     def _audit_written(
         self,
@@ -1433,6 +1469,64 @@ class SnapshotStore:
                 return version
             except ConflictError:
                 continue  # lost again — re-check disjointness vs newer head
+        return None
+
+    def _rebase_append(
+        self,
+        parent: Snapshot,
+        new_entries: list,
+        schema_json: str,
+        meta: dict | None,
+        our_shape: tuple,
+        attempts: int,
+    ) -> int | None:
+        """Republish a lost append on the current head. Appends only
+        ADD files, so two racing appends are disjoint by construction;
+        the rebase is vetoed only when the winner changed the table's
+        shape — schema (modulo nullability), clustering/layout, or any
+        inherited governance key including tombstones (a winner's
+        merge-on-read delete must see our rows, so we recompute through
+        the normal fold-first path instead). ``our_shape`` is the
+        (cluster_by, layout, n_buckets) OUR append computed vs the
+        parent — a head that already took the same mixed-layout
+        downgrade (e.g. both racers appended unclustered files) is
+        compatible, not a conflict."""
+        for _ in range(max(1, attempts)):
+            head_v = self.head_version()
+            head = self.snapshot(head_v)
+            head_shape = (head.cluster_by, head.layout, head.n_buckets)
+            parent_shape = (parent.cluster_by, parent.layout, parent.n_buckets)
+            if head_shape == parent_shape:
+                publish_shape = our_shape
+            elif head_shape == our_shape:
+                publish_shape = our_shape
+            else:
+                return None
+            if self._schema_core(head.schema_json) != self._schema_core(
+                parent.schema_json
+            ):
+                return None
+            if _inherited(head) != _inherited(parent):
+                return None
+            version = head_v + 1
+            try:
+                self._publish(
+                    {
+                        "version": version,
+                        "parent": head_v,
+                        "mode": "append",
+                        "entries": head.entries + new_entries,
+                        "cluster_by": publish_shape[0],
+                        "schema": schema_json,
+                        "meta": {**(meta or {}), "rebased_from": parent.version},
+                        "layout": publish_shape[1],
+                        "n_buckets": publish_shape[2],
+                        **_inherited(head),
+                    }
+                )
+                return version
+            except ConflictError:
+                continue
         return None
 
     def _merge_hash(

@@ -189,3 +189,52 @@ def test_rebased_history_stays_consistent(spark, tmp_path):
     fb = store.flashback_to(spark, 1)
     rows = {r.k: r.status for r in store.read(spark, fb).collect()}
     assert set(rows.values()) == {"base"} and len(rows) == 2_000
+
+
+def test_concurrent_appends_rebase(spark, tmp_path):
+    """Two racing appenders both land: appends are disjoint by
+    construction, so the loser rebases manifest-only and every row
+    from both writers is visible, with no recomputation."""
+    store = _base_store(spark, tmp_path, n=1_000, files=4)
+    competitor = SnapshotStore(store.path)
+
+    theirs = spark.createDataFrame(
+        [(20_000 + i, "theirs", i * 10) for i in range(50)],
+        "k int, status string, cents long",
+    )
+    ours = spark.createDataFrame(
+        [(10_000 + i, "ours", i * 10) for i in range(50)],
+        "k int, status string, cents long",
+    )
+    state = _inject_race(
+        store, lambda: competitor.commit(theirs, mode="append", target_files=1)
+    )
+    v = store.commit(ours, mode="append", target_files=1, max_retries=2)
+    assert state["fired"]
+    snap = store.snapshot(v)
+    assert snap.meta.get("rebased_from") == 1
+    assert snap.parent == 2 and v == 3
+    rows = {r.k for r in store.read(spark).collect()}
+    assert len(rows) == 1_100
+    assert 10_000 in rows and 20_000 in rows and 500 in rows
+
+
+def test_append_racing_mor_delete_recomputes(spark, tmp_path):
+    """A winner landing a merge-on-read tombstone changes governance
+    state (pending deletes) — the losing append recomputes through the
+    fold-first path instead of rebasing past the tombstone."""
+    store = _base_store(spark, tmp_path, n=1_000, files=4)
+    competitor = SnapshotStore(store.path)
+    _inject_race(
+        store, lambda: competitor.delete_where_mor(spark, "k < 10")
+    )
+    ours = spark.createDataFrame(
+        [(10_000, "ours", 0)], "k int, status string, cents long",
+    )
+    v = store.commit(ours, mode="append", target_files=1, max_retries=2)
+    snap = store.snapshot(v)
+    assert snap.meta.get("rebased_from") is None  # recomputed
+    rows = {r.k for r in store.read(spark).collect()}
+    assert 10_000 in rows
+    assert not (rows & set(range(10)))  # the MOR delete is honored
+    assert len(rows) == 991
