@@ -201,6 +201,7 @@ def apply_changes_to_snapshot_store(
     transport: str = "binlog",
     max_files_per_trigger: int | None = None,
     trigger_interval: float | None = None,
+    merge_max_retries: int = 2,
 ) -> StreamingQuery:
     """The production apply path end-to-end: ``foreachBatch → MERGE INTO``
     a transactional snapshot store (SURVEY.md §1.1's named target, with
@@ -293,11 +294,18 @@ def apply_changes_to_snapshot_store(
                 cluster_by="key" if clustered else None,
                 layout="hash" if clustered else "range",
             )
+        # merge_max_retries: the streaming sink survives a concurrent
+        # writer (an OPTIMIZE/compaction job, a second pipeline, an ad
+        # hoc backfill) via the store's optimistic concurrency -- a
+        # disjoint winner costs a manifest-only rebase, an overlapping
+        # one a bounded recompute; without it one maintenance commit
+        # mid-batch would fail the whole stream.
         store.merge(
             spark,
             changes,
             key_cols="key",
             version_cols=["file", "start_pos", "event_seq"],
+            max_retries=merge_max_retries,
         )
         if auto_compact_files and store.file_count() > auto_compact_files:
             store.compact(spark)
