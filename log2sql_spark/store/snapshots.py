@@ -428,8 +428,14 @@ class SnapshotStore:
         rebase is always sound unless the winner changed schema,
         layout, clustering, or governance (including landing new
         merge-on-read tombstones), in which case the whole commit
-        recomputes against the new head. Non-append modes recompute
-        directly. Default 0 keeps fail-fast ``ConflictError``.
+        recomputes against the new head. Non-append modes retry by
+        re-committing the SAME DataFrame — correct only when the
+        content is state-independent (a true overwrite whose rows do
+        not derive from the current head); a DERIVED rewrite (compact,
+        zorder, delete_where) must re-derive from the new head instead,
+        so those paths keep their own retry loops and this parameter
+        must stay 0 for them. Default 0 keeps fail-fast
+        ``ConflictError``.
 
         ``generated`` maps column name -> SQL expression (Delta
         generated-columns analog): a column ABSENT from ``df`` is
@@ -2578,7 +2584,9 @@ class SnapshotStore:
         )
         return dest
 
-    def compact(self, spark: SparkSession, target_files: int = 8) -> int:
+    def compact(
+        self, spark: SparkSession, target_files: int = 8, max_retries: int = 0,
+    ) -> int:
         """Rewrite the head snapshot into ``target_files`` files (keeping
         the cluster layout if any) — the small-file compaction every
         streaming-ingest table needs; appears as a normal overwrite
@@ -2586,27 +2594,40 @@ class SnapshotStore:
 
         Also the explicit way to fold pending merge-on-read deletes
         (it rewrites from read(), which applies them; the fresh
-        manifest carries no tombstones)."""
-        snap = self.snapshot(self.head_version())
-        df = self.read(spark, apply_policies=False)
-        if snap.cluster_by is None:
-            # unclustered writes inherit input partitioning (right for
-            # normal commits); compaction's whole point is the file
-            # count, so coalesce explicitly here
-            df = df.repartition(target_files)
-        return self.commit(
-            df,
-            mode="overwrite",
-            cluster_by=snap.cluster_by,
-            layout=snap.layout,
-            # hash layout: the bucket count is the store's contract, so
-            # compaction merges the per-bucket small files but never
-            # changes the bucketing
-            target_files=snap.n_buckets if snap.layout == "hash" and snap.n_buckets else target_files,
-            generated=snap.generated,  # the spec survives compaction
-            policies=snap.policies,  # governance survives compaction
-            constraints=snap.constraints,
-        )
+        manifest carries no tombstones).
+
+        ``max_retries`` > 0: optimistic concurrency for OPTIMIZE racing
+        live writers. A compaction is a DERIVED rewrite, so a lost race
+        must never blind-retry the stale DataFrame (that would erase
+        the winner's rows) — each retry RE-DERIVES from the new head
+        and rewrites again; the loser pays another rewrite, never
+        correctness."""
+        last_exc: ConflictError | None = None
+        for _ in range(max_retries + 1):
+            snap = self.snapshot(self.head_version())
+            df = self.read(spark, apply_policies=False)
+            if snap.cluster_by is None:
+                # unclustered writes inherit input partitioning (right
+                # for normal commits); compaction's whole point is the
+                # file count, so coalesce explicitly here
+                df = df.repartition(target_files)
+            try:
+                return self.commit(
+                    df,
+                    mode="overwrite",
+                    cluster_by=snap.cluster_by,
+                    layout=snap.layout,
+                    # hash layout: the bucket count is the store's
+                    # contract, so compaction merges the per-bucket
+                    # small files but never changes the bucketing
+                    target_files=snap.n_buckets if snap.layout == "hash" and snap.n_buckets else target_files,
+                    generated=snap.generated,  # the spec survives compaction
+                    policies=snap.policies,  # governance survives compaction
+                    constraints=snap.constraints,
+                )
+            except ConflictError as exc:
+                last_exc = exc
+        raise last_exc
 
     def compact_small(
         self,

@@ -238,3 +238,25 @@ def test_append_racing_mor_delete_recomputes(spark, tmp_path):
     assert 10_000 in rows
     assert not (rows & set(range(10)))  # the MOR delete is honored
     assert len(rows) == 991
+
+
+def test_compact_rederives_on_conflict(spark, tmp_path):
+    """OPTIMIZE racing a live writer: a derived rewrite must never
+    blind-retry its stale DataFrame — compact(max_retries=1) re-derives
+    from the new head, so the winner's mid-flight merge survives the
+    compaction instead of being erased."""
+    store = _base_store(spark, tmp_path, n=2_000, files=4)
+    competitor = SnapshotStore(store.path)
+    _inject_race(
+        store,
+        lambda: competitor.merge(
+            spark, _changes(spark, range(0, 10), "theirs"),
+            key_cols="k", version_cols="seq",
+        ),
+    )
+    v = store.compact(spark, target_files=2, max_retries=1)
+    assert store.head_version() == v
+    rows = {r.k: r.status for r in store.read(spark).collect()}
+    assert all(rows[k] == "theirs" for k in range(0, 10))  # winner survived
+    assert len(rows) == 2_000
+    assert len(store.snapshot(v).entries) <= 2  # and it DID compact
