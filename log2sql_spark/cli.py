@@ -613,6 +613,9 @@ def main(argv: list[str] | None = None) -> int:
         version = store.merge(
             spark, changes, key_cols="key",
             version_cols=["file", "start_pos", "event_seq"],
+            # same OCC default as the streaming apply: a concurrent
+            # maintenance commit costs a retry, not the whole run
+            max_retries=2,
         )
         n = store.read(spark).count()
         print(f"applied: store={args.apply_store} version={version} rows={n}")

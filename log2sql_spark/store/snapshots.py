@@ -130,6 +130,9 @@ class Snapshot:
     # KEY rows. Reads anti-join them; the next data write folds them
     # into a materialized rewrite (see delete_where_mor).
     tombstones: dict = field(default_factory=dict)
+    # Operation metrics (Delta operationMetrics analog), stamped at
+    # publish: files added/removed/carried + bytes physically written.
+    metrics: dict = field(default_factory=dict)
 
     @property
     def dirs(self) -> list[str]:
@@ -236,6 +239,7 @@ class SnapshotStore:
             policies=m.get("policies") or {},
             constraints=m.get("constraints") or {},
             tombstones=m.get("tombstones") or {},
+            metrics=m.get("metrics") or {},
         )
 
     # ---- commits ------------------------------------------------------
@@ -714,8 +718,46 @@ class SnapshotStore:
             ]
             raise ExpectationError(failures)
 
+    def _operation_metrics(self, manifest: dict) -> dict:
+        """Delta operationMetrics analog, computed at publish time from
+        the parent's entry list (driver-side manifest diff + a stat per
+        ADDED file — never a data read): how many files this commit
+        added/removed/carried and the bytes it physically wrote. The
+        write-amplification ledger that makes pruned-vs-full merges and
+        rebase-vs-recompute visible in DESCRIBE HISTORY."""
+        parent_v = manifest.get("parent")
+        cur = {e["path"] for e in manifest.get("entries", [])}
+        if parent_v is None:
+            prev: set = set()
+        else:
+            try:
+                prev = {e["path"] for e in self.snapshot(parent_v).entries}
+            except OSError:
+                return {}
+        added = cur - prev
+        bytes_added = 0
+        for p in added:
+            fp = p if os.path.isabs(p) else os.path.join(self.path, p)
+            try:
+                if os.path.isdir(fp):
+                    for root, _, files in os.walk(fp):
+                        bytes_added += sum(
+                            os.path.getsize(os.path.join(root, f)) for f in files
+                        )
+                else:
+                    bytes_added += os.path.getsize(fp)
+            except OSError:
+                pass  # borrowed/raced file: size best-effort
+        return {
+            "files_added": len(added),
+            "files_removed": len(prev - cur),
+            "files_carried": len(cur & prev),
+            "bytes_added": bytes_added,
+        }
+
     def _publish(self, manifest: dict) -> None:
         manifest.setdefault("created_at", time.time())
+        manifest.setdefault("metrics", self._operation_metrics(manifest))
         final = os.path.join(self._manifest_dir, f"v{manifest['version']}.json")
         if os.path.exists(final):
             raise ConflictError(
@@ -822,6 +864,7 @@ class SnapshotStore:
                     "n_files": len(snap.entries),
                     "created_at": snap.created_at,
                     "meta": snap.meta,
+                    "metrics": snap.metrics,
                 }
             )
         return out

@@ -253,3 +253,32 @@ def test_vacuum_dry_run_touches_nothing(spark, tmp_path, capsys):
     # the real run deletes exactly what the dry run reported
     assert store.vacuum(keep_last=1) == would
     assert store.versions() == [2]
+
+
+def test_history_carries_operation_metrics(spark, tmp_path):
+    """Delta operationMetrics parity: every publish stamps files
+    added/removed/carried + bytes written, making write amplification
+    visible in DESCRIBE HISTORY — a pruned merge shows mostly-carried
+    files; a full overwrite shows zero carried."""
+    from pyspark.sql import functions as F
+
+    from log2sql_spark.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "m"))
+    base = spark.range(1_000).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 10).cast("long").alias("cents"),
+    )
+    store.commit(base, mode="overwrite", cluster_by="k", target_files=8)
+    changes = spark.createDataFrame(
+        [(5, 51, "update", 1)], "k int, cents long, op string, seq int"
+    )
+    store.merge(spark, changes, key_cols="k", version_cols="seq")
+
+    h = {e["version"]: e["metrics"] for e in store.history()}
+    assert h[1]["files_added"] == 8 and h[1]["files_removed"] == 0
+    assert h[1]["files_carried"] == 0 and h[1]["bytes_added"] > 0
+    # pruned merge: ONE file rewritten, seven carried by reference
+    assert h[2]["files_added"] == 1 and h[2]["files_removed"] == 1
+    assert h[2]["files_carried"] == 7
+    assert 0 < h[2]["bytes_added"] < h[1]["bytes_added"]
