@@ -112,6 +112,7 @@ class TailState:
     position: int = BINLOG_MAGIC_POS
     files_written: int = 0
     rotations: int = 0
+    dump_failures: int = 0  # transient mysqlbinlog failures retried
 
 
 def _land_atomic(watch_dir: str, name: str, text: str) -> str:
@@ -180,6 +181,7 @@ def tail_remote_binlog(
     poll_interval: float = 1.0,
     max_iterations: int | None = None,
     stop_event=None,
+    max_consecutive_failures: int = 30,
 ) -> TailState:
     """Producer loop: tail the server's binlog into ``watch_dir``.
 
@@ -188,6 +190,15 @@ def tail_remote_binlog(
     EMPTY polls only — a growing log is drained as fast as the binary
     streams it. Returns the final cursor so a caller can persist and
     resume it.
+
+    Transient dump failures (server restart, dropped replication
+    connection — ``mysqlbinlog`` exits non-zero) do NOT kill the tail:
+    the iteration is treated as an empty poll and retried from the SAME
+    checkpointed (file, position) cursor, which is exactly what makes
+    per-rotation re-invocation resumable. ``max_consecutive_failures``
+    bounds a hard outage — after that many back-to-back failures the
+    last error re-raises so the operator sees it instead of a silent
+    forever-retry.
 
     Binary-gated up front: absent ``mysqlbinlog`` raises immediately
     with the actionable message, not after the stream is already up.
@@ -203,10 +214,19 @@ def tail_remote_binlog(
     state = TailState(log_file=start_file)
     conn = dict(host=host, port=port, user=user, password=password)
     n = 0
+    failures = 0
     while True:
         if stop_event is not None and stop_event.is_set():
             return state
-        landed = tail_once(state, watch_dir, binary=binary, **conn)
+        try:
+            landed = tail_once(state, watch_dir, binary=binary, **conn)
+            failures = 0
+        except subprocess.CalledProcessError:
+            failures += 1
+            state.dump_failures += 1
+            if failures >= max_consecutive_failures:
+                raise
+            landed = False  # transient: wait, then retry the same cursor
         n += 1
         if max_iterations is not None and n >= max_iterations:
             return state

@@ -179,3 +179,56 @@ def test_cli_stop_never_raw_validation(tmp_path):
         "--checkpoint", "c", "--catalog", "cat.json",
         "--start-file", "mysql-bin.000001",
     ]))
+
+
+def test_tail_retries_transient_dump_failures(tmp_path, monkeypatch):
+    """A mysqlbinlog non-zero exit (server restart, dropped replication
+    connection) is an empty poll, not a dead tail: the SAME cursor
+    retries and the next successful dump resumes exactly where the
+    failure left off. A hard outage (max_consecutive_failures
+    back-to-back) re-raises for the operator."""
+    import stat as stat_mod
+    import subprocess
+
+    import pytest as _pytest
+
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    marker = tmp_path / "fail_once"
+    marker.write_text("")  # present -> the fake fails, then removes it
+    script = bindir / "mysqlbinlog"
+    script.write_text(
+        "#!/usr/bin/env python3\n"
+        "import os, sys\n"
+        f"m = {str(marker)!r}\n"
+        "if os.path.exists(m):\n"
+        "    os.unlink(m)\n"
+        "    sys.stderr.write('ERROR: Failed on connect\\n'); sys.exit(1)\n"
+        "print('# at 4')\n"
+        "print('#240501 12:00:07 server id 1  end_log_pos 200 CRC32 0x1 "
+        "\\tWrite_rows: table id 108 flags: STMT_END_F')\n"
+        "print('### INSERT INTO `shop`.`orders`')\n"
+        "print('### SET')\n"
+        "print('###   @1=1')\n"
+        "print('# End of log file')\n"
+    )
+    script.chmod(script.stat().st_mode | stat_mod.S_IXUSR)
+    monkeypatch.setenv("PATH", str(bindir) + os.pathsep + os.environ["PATH"])
+
+    watch = tmp_path / "watch"
+    state = tail_remote_binlog(
+        str(watch), "bin.000001", poll_interval=0.01, max_iterations=2,
+    )
+    assert state.dump_failures == 1  # first poll failed, second landed
+    assert state.files_written == 1 and state.position == 200
+    assert os.listdir(watch) == ["bin.000001.from4.txt"]
+
+    # hard outage: every poll fails -> bounded re-raise
+    always = bindir / "mysqlbinlog"
+    always.write_text("#!/bin/sh\nexit 1\n")
+    always.chmod(always.stat().st_mode | stat_mod.S_IXUSR)
+    with _pytest.raises(subprocess.CalledProcessError):
+        tail_remote_binlog(
+            str(watch), "bin.000001", poll_interval=0.01,
+            max_consecutive_failures=3,
+        )
