@@ -1905,3 +1905,74 @@ def agg_within_group_ordered_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY w.o_orderpriority
         """
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             count(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS from_total
+      FROM pairs GROUP BY 1
+    )
+    SELECT p.from_type AS from_type, p.to_type AS to_type,
+           n_transitions, from_total,
+           CAST(n_transitions * 10000 // from_total AS BIGINT) AS prob_bp
+    FROM pairs p JOIN tot USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix (first-order Markov chain over
+    event types): per user, each event's predecessor via ONE lag window
+    keyed (user_id, ts, event_id), then (from, to) counts and the
+    per-source transition probability in integer basis points
+    (truncating: Spark ``DIV`` == DuckDB ``//`` on positives, the
+    cross-engine-safe division).
+
+    Scale shape: the lag shuffle is the only |events|-sized exchange
+    (same key a sessionize/funnel pipeline already partitions by, so it
+    co-schedules with them); everything after operates on at most
+    |event_types|^2 rows. The from-side totals come from a window over
+    the tiny pair table — no second pass over events, no join back.
+    At 100 TB this is one shuffle plus arithmetic on a ~dozens-row
+    matrix. Product-analytics parity: the journey/flow graph behind
+    Sankey views (Amplitude Pathfinder / GA4 path exploration)."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts", "event_id")
+    seq = ev.withColumn(
+        "prev_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn(
+            "from_total", F.sum("n_transitions").over(w_from).cast("long")
+        )
+        .withColumn(
+            "prob_bp", F.expr("n_transitions * 10000 DIV from_total").cast("long")
+        )
+        .select("from_type", "to_type", "n_transitions", "from_total", "prob_bp")
+        .orderBy("from_type", "to_type")
+    )
