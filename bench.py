@@ -270,28 +270,35 @@ def cdc_replay_linearity(spark) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def dedup_scale(spark) -> dict:
-    """Full-corpus MinHash+LSH dedup throughput at $SF_DIR (no oracle
-    cap): every document plus exact copies of every 10th one, hot-bucket
-    guard on — the flagship LLM op measured at the scale factor rather
-    than the oracle-bounded 750-doc corpus."""
+def dedup_scale(spark, sf_dir: str | None = None, best_of: int = 1) -> dict:
+    """Full-corpus MinHash+LSH dedup throughput at ``sf_dir`` (default
+    $SF_DIR; no oracle cap): every document plus exact copies of every
+    10th one, hot-bucket guard on — the flagship LLM op measured at the
+    scale factor rather than the oracle-bounded 750-doc corpus. The same
+    recipe at two scale factors gives the LSH linearity ratio (see
+    ``dedup_linearity`` in main)."""
     from pyspark.sql import functions as F
 
     from log2sql_spark.operators.dedup import minhash_dedup_pairs
     from log2sql_spark.sources.tables import load_table
 
-    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    docs = load_table(spark, "documents", sf_dir or SF_DIR).select(
+        "doc_id", "text"
+    )
     corpus = docs.unionByName(
         docs.filter(F.col("doc_id") % 10 == 0).select(
             (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
         )
     ).persist()
     n_docs = corpus.count()
-    t0 = time.time()
-    n_pairs = minhash_dedup_pairs(
-        corpus, threshold=0.6, num_hashes=64, bands=32, max_bucket_size=256
-    ).count()
-    dt = time.time() - t0
+    dt = float("inf")
+    n_pairs = 0
+    for _ in range(best_of):
+        t0 = time.time()
+        n_pairs = minhash_dedup_pairs(
+            corpus, threshold=0.6, num_hashes=64, bands=32, max_bucket_size=256
+        ).count()
+        dt = min(dt, time.time() - t0)
     corpus.unpersist()
     return {
         "docs": n_docs,
@@ -755,8 +762,10 @@ def sf10_linearity(spark, sf1: str) -> dict:
     ratios flag a stage whose cost curve bends (all-pairs growth,
     per-group state, a broadcast that stopped fitting). Each query is
     warmed once at sf0.1 so codegen JIT is paid outside both measured
-    runs; sf1 and sf10 are each single-run — the RATIO is the metric
-    here, and both sides ride the same machine state."""
+    runs; sf1 and sf10 are each best-of-2 with raw samples recorded —
+    the RATIO is the metric here, both sides ride the same machine
+    state, and the protocol is symmetric so the gate's inputs are never
+    conditioned on the outcome."""
     import importlib.util
 
     marker = os.path.join(SF10_DIR, "documents.parquet")
@@ -781,34 +790,31 @@ def sf10_linearity(spark, sf1: str) -> dict:
     for name in SF10_QUERIES:
         qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()  # JIT warm
         spark.catalog.clearCache()
-        # Best-of-2 on the sf1 DENOMINATOR only: a single cold-ish sf1
-        # run swung market_basket_pairs' recorded ratio 6.65x..11.01x
-        # across two otherwise-idle r10 runs while its sf10 numerator
-        # held within 1.5% — the ratio metric inherits all the small
-        # side's variance, so damp the small side.
-        t_sf1 = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            qs[name](spark, sf1).write.mode("overwrite").format("noop").save()
-            t_sf1 = min(t_sf1, time.time() - t0)
-            spark.catalog.clearCache()
-        t0 = time.time()
-        qs[name](spark, SF10_DIR).write.mode("overwrite").format("noop").save()
-        t_sf10 = time.time() - t0
-        spark.catalog.clearCache()
-        # A ratio past the gate earns ONE numerator re-measure: a real
-        # superlinear plan is over on every run; a first read against a
-        # page cache the preceding bench sections just churned is not
-        # (observed: market_basket sf10 34s warm / 56s semi-warm / 87s
-        # cold — same plan, same data). Cost only on flagged runs.
-        if t_sf10 / t_sf1 > 12.0:
-            t0 = time.time()
-            qs[name](spark, SF10_DIR).write.mode("overwrite").format("noop").save()
-            t_sf10 = min(t_sf10, time.time() - t0)
-            spark.catalog.clearCache()
+        # SYMMETRIC protocol — best-of-2 on BOTH sides, unconditionally,
+        # with every raw sample recorded. (The r10 protocol damped only
+        # the sf1 denominator and re-measured the sf10 numerator only
+        # when the ratio exceeded the gate, keeping the min — a
+        # one-sided rule that conditions the gate's inputs on the
+        # outcome and could mask a marginal superlinear regression that
+        # intermittently measures under 12x. Cache-state variance is
+        # real on both sides: market_basket sf1 swung 6.65x..11.01x of
+        # ratio on the small side in r10, and its sf10 side measures
+        # 34 s warm / 87 s cold for the same plan.) Best-of-2 damps both
+        # sides identically; the raw samples let a reviewer reconstruct
+        # any other statistic.
+        samples: dict[str, list[float]] = {"sf1": [], "sf10": []}
+        for side, d in (("sf1", sf1), ("sf10", SF10_DIR)):
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, d).write.mode("overwrite").format("noop").save()
+                samples[side].append(round(time.time() - t0, 3))
+                spark.catalog.clearCache()
+        t_sf1, t_sf10 = min(samples["sf1"]), min(samples["sf10"])
         out["queries"][name] = {
-            "sf1_sec": round(t_sf1, 3),
-            "sf10_sec": round(t_sf10, 3),
+            "sf1_sec": t_sf1,
+            "sf10_sec": t_sf10,
+            "sf1_samples": samples["sf1"],
+            "sf10_samples": samples["sf10"],
             "ratio": round(t_sf10 / t_sf1, 2),
         }
     ratios = [v["ratio"] for v in out["queries"].values()]
@@ -887,6 +893,16 @@ def machine_state() -> dict:
     return state
 
 
+# Idle-box calibration reference: the round-10 judge-adjudicated idle
+# run measured cpu_calib_sec = 0.1157 on this host class. value *
+# (_CALIB_REF_SEC / measured_calib) is the headline normalized to that
+# reference machine state — the number to compare ROUND-OVER-ROUND, so
+# a loaded box no longer reads as a 10% code regression (the r10
+# driver's end-of-round run recorded 10.909 s raw on a calib 7% slower
+# than the committed 9.778 s idle run; normalized they agree).
+_CALIB_REF_SEC = 0.1157
+
+
 def main() -> None:
     machine_start = machine_state()
     spark = get_spark("log2sql_spark_bench")
@@ -918,7 +934,23 @@ def main() -> None:
     cdc_parse = cdc_parse_throughput(spark)
     cdc_stream = cdc_stream_throughput(spark)
     cdc_lin = cdc_replay_linearity(spark)
-    dedup = dedup_scale(spark)
+    dedup = dedup_scale(spark, best_of=2)
+    # LSH linearity: the SAME corpus recipe (docs + every-10th
+    # duplicated) at 10x the documents — banded LSH is bucketed, never
+    # all-pairs, so seconds should track docs. This is the one LLM
+    # family whose linearity was previously asserted by design but not
+    # measured per-round; throughput at the larger scale should be flat
+    # or better (fixed overhead amortizes).
+    dedup_10x = dedup_scale(spark, ensure_sf1_dir(), best_of=2)
+    docs_ratio = dedup_10x["docs"] / max(dedup["docs"], 1)
+    sec_ratio = dedup_10x["sec"] / max(dedup["sec"], 1e-9)
+    dedup_lin = {
+        "base": dedup,
+        "at_10x_docs": dedup_10x,
+        "docs_ratio": round(docs_ratio, 2),
+        "sec_ratio": round(sec_ratio, 2),
+        "linear": sec_ratio <= 1.2 * docs_ratio,
+    }
     lifecycle = store_lifecycle_linearity(spark)
     sf1 = sf1_section(spark)
     sf10 = (
@@ -933,9 +965,16 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    calib_mid = (
+        machine_start["cpu_calib_sec"] + machine_end["cpu_calib_sec"]
+    ) / 2
     full = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(times.values()), 3),
+        "value_calib_norm": round(
+            sum(times.values()) * _CALIB_REF_SEC / calib_mid, 3
+        ),
+        "calib_ref_sec": _CALIB_REF_SEC,
         "unit": "sec",
         "queries": times,
         "build": build_times,
@@ -944,6 +983,7 @@ def main() -> None:
         "cdc_stream": cdc_stream,
         "cdc_replay_linearity": cdc_lin,
         "dedup_scale": dedup,
+        "dedup_linearity": dedup_lin,
         "store_lifecycle_linearity": lifecycle,
         "sf1": sf1,
         "sf10_linearity": sf10,
@@ -969,6 +1009,7 @@ def main() -> None:
     compact = {
         "metric": full["metric"],
         "value": full["value"],
+        "value_calib_norm": full["value_calib_norm"],
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in times.items()},
         "build_total": full["build_total"],
@@ -982,6 +1023,7 @@ def main() -> None:
             "dedup_docs_per_sec": sf1["dedup"]["docs_per_sec"],
         },
         "cdc_stream_events_per_sec": cdc_stream["events_per_sec"],
+        "dedup_lsh_sec_ratio_at_10x_docs": dedup_lin["sec_ratio"],
         "lifecycle_linear_at_12x": lifecycle["linear_at_12x"],
         "cdf_churn_fixed_ratio": lifecycle["cdf_churn_fixed_ratio"],
         "machine_calib_sec": machine_start["cpu_calib_sec"],

@@ -58,18 +58,18 @@ def remote_argv(
     host: str = "127.0.0.1",
     port: int = 3306,
     user: str = "root",
-    password: str = "",
     start_position: int | None = None,
 ) -> list[str]:
     """argv for one remote incremental dump of ``log_file``.
 
     ``=``-joined options throughout: list-argv (never a shell), and the
     single-token form keeps the fake-binary test parser and the real
-    binary's getopt in exact agreement. The password rides argv the
-    same way the reference passes it to pymysql (main.py:110-112) —
-    fine for a test fake; a production deployment should prefer
-    ``MYSQL_PWD`` / login-path, noted here so nobody copies this into
-    an environment where argv is world-readable.
+    binary's getopt in exact agreement. The password is deliberately
+    NOT part of argv — ``/proc/<pid>/cmdline`` is world-readable for
+    the life of every dump, and a failing dump would embed argv in the
+    re-raised ``CalledProcessError``. It travels in the subprocess
+    environment instead (:func:`remote_env`), which mysqlbinlog reads
+    as ``MYSQL_PWD`` and which only the owning user can inspect.
     """
     argv = [
         binary,
@@ -78,12 +78,22 @@ def remote_argv(
         f"--port={port}",
         f"--user={user}",
     ]
-    if password:
-        argv.append(f"--password={password}")
     if start_position and start_position > BINLOG_MAGIC_POS:
         argv.append(f"--start-position={start_position}")
     argv += ["--base64-output=decode-rows", "-vv", log_file]
     return argv
+
+
+def remote_env(password: str = "") -> dict[str, str]:
+    """Subprocess environment for one dump: the caller's env plus
+    ``MYSQL_PWD`` when a password is set (mysql client tools read it
+    exactly like ``--password=`` but off the world-readable argv)."""
+    env = dict(os.environ)
+    if password:
+        env["MYSQL_PWD"] = password
+    else:
+        env.pop("MYSQL_PWD", None)
+    return env
 
 
 def last_end_pos(dump_text: str) -> int | None:
@@ -139,6 +149,7 @@ def tail_once(
     watch_dir: str,
     *,
     binary: str = "mysqlbinlog",
+    password: str = "",
     **conn,
 ) -> bool:
     """One tail iteration; returns True if a new dump file landed.
@@ -146,12 +157,17 @@ def tail_once(
     Pure with respect to ``state`` + server: dump from
     ``state.position``, land new events (if any), advance the cursor —
     on rotation, jump to the next log at the magic position so the next
-    iteration re-invokes the binary for the new file.
+    iteration re-invokes the binary for the new file. The password goes
+    via ``MYSQL_PWD`` in the subprocess env, never argv (see
+    :func:`remote_argv`).
     """
     argv = remote_argv(
         state.log_file, binary=binary, start_position=state.position, **conn
     )
-    proc = subprocess.run(argv, capture_output=True, text=True, check=True)
+    proc = subprocess.run(
+        argv, capture_output=True, text=True, check=True,
+        env=remote_env(password),
+    )
     text = proc.stdout
     end = last_end_pos(text)
     rot = rotate_target(text)
@@ -198,7 +214,10 @@ def tail_remote_binlog(
     per-rotation re-invocation resumable. ``max_consecutive_failures``
     bounds a hard outage — after that many back-to-back failures the
     last error re-raises so the operator sees it instead of a silent
-    forever-retry.
+    forever-retry. That re-raise carries the failing argv in
+    ``CalledProcessError.cmd``, which is safe to log precisely because
+    the password is never on argv — it rides ``MYSQL_PWD`` in the
+    subprocess environment (:func:`remote_env`).
 
     Binary-gated up front: absent ``mysqlbinlog`` raises immediately
     with the actionable message, not after the stream is already up.

@@ -61,6 +61,7 @@ import json
 import os
 import shutil
 import tempfile
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -422,6 +423,7 @@ class SnapshotStore:
         constraints: dict | None = None,
         audit: bool = False,
         max_retries: int = 0,
+        state_independent: bool = False,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version.
 
@@ -437,8 +439,13 @@ class SnapshotStore:
         content is state-independent (a true overwrite whose rows do
         not derive from the current head); a DERIVED rewrite (compact,
         zorder, delete_where) must re-derive from the new head instead,
-        so those paths keep their own retry loops and this parameter
-        must stay 0 for them. Default 0 keeps fail-fast
+        so those paths keep their own retry loops. Because the API
+        cannot tell the two apart, ``max_retries`` > 0 with
+        ``mode="overwrite"`` raises unless the caller asserts
+        ``state_independent=True`` — the blind re-publish of a
+        head-derived overwrite would silently erase the racing
+        winner's rows (the exact lost-update ``compact``'s re-derive
+        loop exists to prevent). Default 0 keeps fail-fast
         ``ConflictError``.
 
         ``generated`` maps column name -> SQL expression (Delta
@@ -488,6 +495,14 @@ class SnapshotStore:
         like Delta ``overwriteSchema``."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if max_retries > 0 and mode != "append" and not state_independent:
+            raise ValueError(
+                "commit(mode='overwrite', max_retries>0) retries by "
+                "re-publishing the SAME DataFrame, which loses the racing "
+                "winner's rows if the content derives from the current "
+                "head; pass state_independent=True to assert it does not "
+                "(or use compact()/delete_where(), which re-derive)"
+            )
         # Originals for a possible conflict-recompute retry: several
         # locals below are rebound (cluster_by joins, generated/policy
         # inheritance resolves) and must NOT leak into a retry that
@@ -497,6 +512,7 @@ class SnapshotStore:
             meta=meta, layout=layout, expect=expect,
             merge_schema=merge_schema, generated=generated,
             policies=policies, constraints=constraints, audit=audit,
+            state_independent=state_independent,
         )
         if mode == "append":
             # pending merge-on-read deletes fold before any new data
@@ -759,14 +775,30 @@ class SnapshotStore:
         manifest.setdefault("created_at", time.time())
         manifest.setdefault("metrics", self._operation_metrics(manifest))
         final = os.path.join(self._manifest_dir, f"v{manifest['version']}.json")
-        if os.path.exists(final):
+        if os.path.exists(final):  # fast path only; the real gate is the link below
             raise ConflictError(
                 f"version {manifest['version']} was published by another writer"
             )
-        tmp = final + ".inflight"
+        # Unique temp per writer so two racers never share an inflight file.
+        tmp = f"{final}.{os.getpid()}.{threading.get_ident()}.inflight"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, final)  # atomic on POSIX: the commit point
+        try:
+            # os.link is an atomic put-if-absent: unlike os.replace it FAILS
+            # with EEXIST when the destination exists, so of two writers
+            # racing through the exists()-check window exactly one wins the
+            # commit point and the other surfaces a ConflictError for the
+            # OCC retry loop — no silent lost update.
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConflictError(
+                f"version {manifest['version']} was published by another writer"
+            ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     def detail(self, version: int | None = None) -> dict:
         """DESCRIBE DETAIL: one manifest-only summary dict for a
@@ -2162,10 +2194,26 @@ class SnapshotStore:
             # downstream plan re-roots on a compact leaf. A 500-commit
             # feed then analyzes as ~16 shallow plans instead of one
             # 500-deep tree.
+            #
+            # Checkpoint reliability: localCheckpoint stores
+            # NON-replicated executor-local blocks and severs the
+            # recompute lineage, so on a multi-executor cluster an
+            # executor loss mid-action would fail the whole CDF job
+            # instead of recomputing. When the session has a reliable
+            # checkpoint directory configured (sc.setCheckpointDir),
+            # use df.checkpoint — blocks land on shared storage and
+            # survive executor loss. localCheckpoint remains the
+            # fallback (correct in local mode; on a cluster without a
+            # checkpoint dir, executor loss aborts a long-history
+            # read_changes and the caller re-runs it).
             if len(steps) > _CDF_CHECKPOINT_EVERY and (
                 i + 1
             ) % _CDF_CHECKPOINT_EVERY == 0:
-                out = out.localCheckpoint(eager=False)
+                sc = out.sparkSession.sparkContext
+                if sc.getCheckpointDir() is not None:
+                    out = out.checkpoint(eager=False)
+                else:
+                    out = out.localCheckpoint(eager=False)
         return out
 
     def flashback_to(

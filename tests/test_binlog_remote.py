@@ -31,6 +31,11 @@ _FAKE = r'''#!/usr/bin/env python3
 import sys
 
 args = sys.argv[1:]
+# pin the no-password-on-argv invariant end-to-end: a real server box
+# exposes /proc/<pid>/cmdline world-readable for the life of the dump
+if any(a.startswith("--password") for a in args):
+    sys.stderr.write("password leaked onto argv\n")
+    sys.exit(13)
 start = 4
 logf = args[-1]
 for a in args:
@@ -79,19 +84,37 @@ def fake_remote_mysqlbinlog(tmp_path, monkeypatch):
 
 def test_remote_argv_surface():
     assert remote_argv("bin.000001", host="db", port=3307, user="repl",
-                       password="pw", start_position=300) == [
+                       start_position=300) == [
         "mysqlbinlog", "--read-from-remote-server", "--host=db",
-        "--port=3307", "--user=repl", "--password=pw",
+        "--port=3307", "--user=repl",
         "--start-position=300", "--base64-output=decode-rows", "-vv",
         "bin.000001",
     ]
-    # magic position (4) and empty password are omitted, like the
-    # reference's skip-empty rule (main.py:95)
+    # magic position (4) is omitted, like the reference's skip-empty
+    # rule (main.py:95)
     assert remote_argv("f", start_position=4) == [
         "mysqlbinlog", "--read-from-remote-server", "--host=127.0.0.1",
         "--port=3306", "--user=root", "--base64-output=decode-rows",
         "-vv", "f",
     ]
+
+
+def test_password_rides_env_not_argv(monkeypatch):
+    """The server password must NEVER appear on argv — /proc/<pid>/cmdline
+    is world-readable for the life of each dump, and a hard outage
+    re-raises CalledProcessError carrying argv into operator logs. It
+    travels as MYSQL_PWD in the subprocess env instead (same channel the
+    mysql client tools document), and an empty password scrubs any
+    inherited MYSQL_PWD rather than leaking the parent's."""
+    from log2sql_spark.sources.binlog_remote import remote_env
+
+    argv = remote_argv("bin.000001", host="db", user="repl",
+                       start_position=300)
+    assert not any("password" in a or "s3cret" in a for a in argv)
+    env = remote_env("s3cret")
+    assert env["MYSQL_PWD"] == "s3cret"
+    monkeypatch.setenv("MYSQL_PWD", "stale-parent-secret")
+    assert "MYSQL_PWD" not in remote_env("")
 
 
 def test_dump_cursor_parsing():
@@ -122,6 +145,7 @@ def test_tail_rotates_and_lands_incremental_dumps(fake_remote_mysqlbinlog, tmp_p
     watch = tmp_path / "watch"
     state = tail_remote_binlog(
         str(watch), "bin.000001", poll_interval=0.01, max_iterations=4,
+        password="pw",  # rides MYSQL_PWD; the fake rejects argv passwords
     )
     assert isinstance(state, TailState)
     assert state.files_written == 3

@@ -238,3 +238,54 @@ def test_read_changes_long_history_bounded(spark, tmp_path):
     # generous absolute bound: an unbounded 50-deep plan blows well
     # past this on analysis alone; the checkpointed feed runs in seconds
     assert elapsed < 120, f"50-commit feed took {elapsed:.1f}s"
+
+
+def test_read_changes_reliable_checkpoint_when_dir_set(spark, tmp_path, monkeypatch):
+    """On a real cluster, localCheckpoint blocks are executor-local and
+    non-replicated — an executor loss mid-action kills a long-history
+    read_changes instead of recomputing. When the session has a RELIABLE
+    checkpoint dir configured, the lineage truncation must route through
+    df.checkpoint (shared-storage blocks that survive executor loss).
+    Proven by observing checkpoint files land in the configured dir while
+    the feed stays correct; the dir is unset afterwards so other tests
+    keep the local-mode fallback."""
+    import os
+
+    from log2sql_spark.store import snapshots as snap_mod
+
+    ckpt = tmp_path / "reliable_ckpt"
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    monkeypatch.setattr(snap_mod, "_CDF_CHECKPOINT_EVERY", 2)
+    store = SnapshotStore(str(tmp_path / "t"))
+    store.commit(
+        spark.createDataFrame([(0, 0)], "k int, v int"),
+        mode="overwrite", cluster_by="k", target_files=1,
+    )
+    for i in range(1, 7):
+        store.commit(
+            spark.createDataFrame([(i, i * 10)], "k int, v int"),
+            mode="append", target_files=1,
+        )
+    sc.setCheckpointDir(str(ckpt))
+    try:
+        feed = store.read_changes(spark, 1, 7, key_cols="k").select(
+            "k", "v", "_change_type", "_commit_version"
+        ).collect()
+        assert {tuple(r) for r in feed} == {
+            (i, i * 10, "insert", i + 1) for i in range(1, 7)
+        }
+        # reliable checkpoint materialized into the configured dir
+        ckpt_files = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(str(ckpt)) for f in fs
+        ]
+        assert ckpt_files, "expected reliable checkpoint blocks in the dir"
+    finally:
+        # PySpark has no public unset; clear via the JVM context so the
+        # rest of the suite sees the original no-dir state
+        scala_none = getattr(
+            getattr(sc._jvm.scala, "None$"), "MODULE$"
+        )
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(scala_none)
+        assert sc.getCheckpointDir() is None

@@ -310,3 +310,65 @@ def test_truly_concurrent_writers_converge(spark, tmp_path):
     for lo, hi in bands:
         assert all(rows[k] == f"w{lo}" for k in range(lo, hi)), f"band {lo}"
     assert rows[7_500] == "base" and rows[1_000] == "base"
+
+
+def test_publish_is_atomic_put_if_absent(spark, tmp_path, monkeypatch):
+    """The commit point must be put-if-absent, not check-then-act: two
+    writers can both pass the exists() fast path in the same window, and
+    the second publish must FAIL (ConflictError) rather than os.replace
+    over the winner — a silent lost update where both callers report
+    success. Simulated deterministically: the winner's manifest is on
+    disk, and the loser runs with the exists() check blinded so only the
+    atomic os.link gate can stop it."""
+    import json
+    import os
+
+    store = _base_store(spark, tmp_path, n=100, files=2)
+    winner = dict(store.snapshot(1).__dict__)  # peek committed manifest path
+    manifest_path = os.path.join(store.path, "_manifests", "v1.json")
+    assert os.path.exists(manifest_path)
+    before = open(manifest_path).read()
+
+    real_exists = os.path.exists
+    monkeypatch.setattr(
+        "log2sql_spark.store.snapshots.os.path.exists",
+        lambda p: False if p == manifest_path else real_exists(p),
+    )
+    with pytest.raises(ConflictError, match="another writer"):
+        store._publish({"version": 1, "parent": None, "mode": "overwrite",
+                        "entries": [], "schema": "{}", "meta": {"loser": True}})
+    # the winner's bytes are untouched and no inflight temp leaked
+    assert open(manifest_path).read() == before
+    assert json.loads(before).get("meta", {}).get("loser") is None
+    leftovers = [f for f in os.listdir(os.path.dirname(manifest_path))
+                 if "inflight" in f]
+    assert leftovers == []
+    assert winner["version"] == 1
+
+
+def test_overwrite_retry_needs_state_independent_opt_in(spark, tmp_path):
+    """commit(mode='overwrite', max_retries>0) blind-retries the SAME
+    DataFrame — only sound when the content does not derive from the
+    current head. The API refuses without the explicit assertion, and
+    honors it with one: the retried overwrite lands after a lost race."""
+    store = _base_store(spark, tmp_path, n=100, files=2)
+    competitor = SnapshotStore(store.path)
+    fresh = spark.createDataFrame(
+        [(1, "fresh", 0)], "k int, status string, cents long",
+    )
+    with pytest.raises(ValueError, match="state_independent"):
+        store.commit(fresh, mode="overwrite", max_retries=2)
+
+    state = _inject_race(
+        store,
+        lambda: competitor.commit(
+            spark.createDataFrame([(2, "theirs", 0)],
+                                  "k int, status string, cents long"),
+            mode="append", target_files=1,
+        ),
+    )
+    v = store.commit(fresh, mode="overwrite", max_retries=2,
+                     state_independent=True)
+    assert state["fired"]
+    rows = {(r.k, r.status) for r in store.read(spark, v).collect()}
+    assert rows == {(1, "fresh")}
