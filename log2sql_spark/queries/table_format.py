@@ -1675,3 +1675,98 @@ def store_analyze_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mon")
     )
+
+
+@query(
+    "store_branch_wap_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 1000
+    ),
+    merged AS (
+      -- branch staged: update k%10=5 (status 'U', +100 cents) via MERGE,
+      -- append k%100=7 clones as new keys; fast-forward = branch head
+      SELECT k, status, cents FROM base WHERE k % 10 <> 5
+      UNION ALL
+      SELECT k, 'U' AS status, cents + 100 AS cents FROM base WHERE k % 10 = 5
+      UNION ALL
+      SELECT k + 100000 AS k, 'N' AS status, CAST(42 AS BIGINT) AS cents
+      FROM base WHERE k % 100 = 7
+    )
+    SELECT 'pre_merge_tag' AS stage,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(count(*) FILTER (WHERE status = 'U') AS BIGINT) AS n_updated
+    FROM base
+    UNION ALL
+    SELECT 'post_merge' AS stage,
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT),
+           CAST(count(*) FILTER (WHERE status = 'U') AS BIGINT)
+    FROM merged
+    ORDER BY stage
+    """,
+)
+def store_branch_wap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch-based write-audit-publish (Iceberg refs; the multi-commit
+    generalization of commit(audit=True)): tag the released version,
+    fork a staging branch, stage a MERGE (updates on k%10=5) and an
+    append (inserts from k%100=7) as two separate branch commits —
+    main's readers see neither — then ``merge_branch`` fast-forwards
+    main to the branch head in ONE atomic zero-copy commit (borrowed
+    entries rewrite to relative paths, branch-owned files hard-link).
+    The query reads the pre-merge state THROUGH THE TAG and the merged
+    head, aggregating both; the oracle recomputes them relationally, so
+    the hash match proves branch isolation, exact staged-MERGE
+    semantics, and that the published commit equals the branch head
+    bit-for-bit. Refs are manifest-level surface: at 100 TB the fork,
+    tag, and merge are all O(manifest), zero data bytes moved."""
+    from log2sql_spark.store import SnapshotStore
+
+    def build():
+        store = SnapshotStore(scratch_dir("log2sql_brstore_"))
+        base = (
+            load_table(spark, "orders", sf_dir)
+            .filter(F.col("o_orderkey") < 1000)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("status"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            )
+        )
+        store.commit(base, mode="overwrite", cluster_by="k", target_files=4)
+        store.create_tag("release", version=1)
+        br = store.create_branch("staging")
+        updates = base.filter(F.col("k") % 10 == 5).select(
+            "k",
+            F.lit("U").alias("status"),
+            (F.col("cents") + 100).alias("cents"),
+            F.lit("update").alias("op"),
+            F.lit(1).alias("seq"),
+        )
+        br.merge(spark, updates, key_cols="k", version_cols="seq")
+        inserts = base.filter(F.col("k") % 100 == 7).select(
+            (F.col("k") + 100000).alias("k"),
+            F.lit("N").alias("status"),
+            F.lit(42).cast("bigint").alias("cents"),
+        )
+        br.commit(inserts, mode="append", target_files=1)
+        store.merge_branch(spark, "staging", drop=True)
+        return store
+
+    store = _cached_build("branch_wap", sf_dir, build)
+
+    def agg(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+            F.count(F.when(F.col("status") == "U", 1)).alias("n_updated"),
+        )
+
+    return (
+        agg(store.read_tag(spark, "release"), "pre_merge_tag")
+        .unionByName(agg(store.read(spark), "post_merge"))
+        .orderBy("stage")
+    )

@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
 import threading
@@ -2822,6 +2823,13 @@ class SnapshotStore:
         head = self.head_version()
         if head is None:
             raise ValueError("forget on an empty store")
+        pins = self._pinned_versions()
+        if pins:
+            raise ValueError(
+                "forget cannot guarantee physical erasure while refs pin "
+                f"history ({', '.join(f'v{v}: {r}' for v, r in sorted(pins.items()))}); "
+                "drop the tags/branches first"
+            )
         snap = self.snapshot(head)
         key_col = key_col or (
             snap.zorder_cols[0] if snap.layout == "zorder" else snap.cluster_by
@@ -2896,7 +2904,14 @@ class SnapshotStore:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
-        drop, keep = vs[:-keep_last], vs[-keep_last:]
+        # Tags and live branch fork-points PIN their versions (Iceberg
+        # ref retention): a tagged release stays time-travelable and a
+        # branch's borrowed base files stay on disk, whatever keep_last
+        # says. drop_tag / drop_branch releases the pin.
+        pinned = set(self._pinned_versions()) & set(vs)
+        keep_set = set(vs[-keep_last:]) | pinned
+        drop = [v for v in vs if v not in keep_set]
+        keep = [v for v in vs if v in keep_set]
         referenced = {d for v in keep for d in self.snapshot(v).dirs}
         deleted = []
         for v in drop:
@@ -2919,6 +2934,331 @@ class SnapshotStore:
                             shutil.rmtree(os.path.join(data_root, name))
                         deleted.append(rel)
         return deleted
+
+    # ---- refs: tags and branches ------------------------------------
+    #
+    # Iceberg-style named refs over the same manifest log. A TAG is an
+    # immutable named pointer to a version — it PINS that version
+    # against vacuum (release/audit retention). A BRANCH is an
+    # independent line of development: physically a shallow clone
+    # under <store>/_branches/<name> whose v1 borrows the fork-point
+    # files by absolute path (zero bytes copied), so EVERY store
+    # operation — merge, delete_where, constraints, WAP audit, OCC —
+    # works on a branch unchanged. merge_branch publishes the branch's
+    # state back onto main: hard-links branch-owned files into main's
+    # data dir (same-filesystem, zero-copy) and rewrites borrowed
+    # entries to main-relative paths, as a single atomic commit. This
+    # is the multi-commit generalization of commit(audit=True)'s
+    # write-audit-publish: stage ANY number of commits on a branch,
+    # validate the branch head, then land main in one step.
+
+    def _refs_dir(self, kind: str) -> str:
+        d = os.path.join(self.path, "_refs", kind)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    @staticmethod
+    def _check_ref_name(name: str) -> None:
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}", name):
+            raise ValueError(
+                f"invalid ref name {name!r}: alnum start, then "
+                "[A-Za-z0-9._-], max 64 chars"
+            )
+
+    def _publish_ref(self, kind: str, name: str, payload: dict) -> None:
+        """Atomic put-if-absent, same discipline as _publish: two
+        clients racing to create the same ref resolve to one winner."""
+        final = os.path.join(self._refs_dir(kind), f"{name}.json")
+        tmp = f"{final}.{os.getpid()}.{threading.get_ident()}.inflight"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConflictError(
+                f"{kind[:-1]} {name!r} already exists"
+            ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Immutable named pointer to a version (Iceberg tag / git tag):
+        ``read(spark, store.tag_version(name))`` time-travels to it
+        forever, and ``vacuum`` retains the tagged version's manifest
+        and files regardless of ``keep_last`` — the release-pinning
+        retention Iceberg calls a tag's max-ref-age, here unbounded
+        until ``drop_tag``."""
+        self._check_ref_name(name)
+        v = self.head_version() if version is None else version
+        if v is None or v not in self.versions():
+            raise ValueError(f"cannot tag nonexistent version {version!r}")
+        self._publish_ref("tags", name, {"version": v, "created_at": time.time()})
+        return v
+
+    def tags(self) -> dict[str, int]:
+        d = os.path.join(self.path, "_refs", "tags")
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    out[f[:-5]] = json.load(fh)["version"]
+        return out
+
+    def tag_version(self, name: str) -> int:
+        try:
+            return self.tags()[name]
+        except KeyError:
+            raise ValueError(f"no tag {name!r}") from None
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        return self.read(spark, self.tag_version(name))
+
+    def drop_tag(self, name: str) -> None:
+        p = os.path.join(self.path, "_refs", "tags", f"{name}.json")
+        if not os.path.exists(p):
+            raise ValueError(f"no tag {name!r}")
+        os.remove(p)
+
+    def _branch_root(self, name: str) -> str:
+        return os.path.join(self.path, "_branches", name)
+
+    def create_branch(
+        self, name: str, version: int | None = None
+    ) -> "SnapshotStore":
+        """Fork an independent line of development at ``version``
+        (default head). The branch is a shallow clone — v1 borrows the
+        fork-point files by absolute path, zero bytes copied — so every
+        store operation works on it unchanged, isolated from main's
+        readers. The fork-point version is PINNED against main's vacuum
+        for the branch's lifetime (a vacuumed base would dangle the
+        borrow). Iceberg branch / Delta has no analog; the WAP workflow
+        is create_branch → any commits/merges → validate → merge_branch.
+        """
+        self._check_ref_name(name)
+        v = self.head_version() if version is None else version
+        if v is None:
+            raise ValueError("cannot branch an empty store")
+        self._publish_ref(
+            "branches", name, {"base_version": v, "created_at": time.time()}
+        )
+        try:
+            return self.clone_to(self._branch_root(name), v)
+        except BaseException:
+            os.remove(
+                os.path.join(self.path, "_refs", "branches", f"{name}.json")
+            )
+            raise
+
+    def branch(self, name: str) -> "SnapshotStore":
+        if name not in self.branch_refs():
+            raise ValueError(f"no branch {name!r}")
+        return SnapshotStore(self._branch_root(name))
+
+    def branch_refs(self) -> dict[str, dict]:
+        d = os.path.join(self.path, "_refs", "branches")
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    out[f[:-5]] = json.load(fh)
+        return out
+
+    def drop_branch(self, name: str) -> None:
+        """Delete the branch line and its owned data. Main-owned files
+        the branch borrowed are absolute references, never touched;
+        files already merge_branch'd into main are hard links, so the
+        branch-side unlink leaves main's inodes intact."""
+        ref = os.path.join(self.path, "_refs", "branches", f"{name}.json")
+        if not os.path.exists(ref):
+            raise ValueError(f"no branch {name!r}")
+        root = self._branch_root(name)
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+        os.remove(ref)
+
+    def _pinned_versions(self) -> dict[int, str]:
+        """version -> reason, for every version a tag or live branch
+        base pins against vacuum."""
+        pins: dict[int, str] = {}
+        for t, v in self.tags().items():
+            pins.setdefault(v, f"tag {t!r}")
+        for b, ref in self.branch_refs().items():
+            pins.setdefault(ref["base_version"], f"branch {b!r} base")
+        return pins
+
+    def merge_branch(
+        self,
+        spark: SparkSession,
+        name: str,
+        drop: bool = False,
+        max_retries: int = 0,
+    ) -> int:
+        """Land the branch's current state on main as ONE atomic commit.
+
+        Fast-forward (main unmoved since the fork): main becomes the
+        branch head wholesale — entries, schema, layout, governance.
+        Main moved: the merge still lands WITHOUT recomputation when
+        the branch is provably disjoint from main's drift — every
+        branch commit after the fork is an append, and neither side
+        changed schema, layout, clustering, or governance — by
+        publishing main's head entries plus the branch-added files
+        (the append-rebase rule OCC uses, applied across a whole
+        branch). Anything else raises ConflictError: re-fork and
+        replay, exactly like a git rebase the fast path can't prove.
+
+        Zero-copy either way: branch-owned files HARD-LINK into main's
+        data directory (same filesystem by construction); entries the
+        branch borrowed from main rewrite back to main-relative paths.
+        The link step happens before the manifest publish, so a lost
+        publish race leaves only an orphan directory for vacuum, never
+        a dangling manifest. ``drop=True`` removes the branch after a
+        successful merge (its links stay alive in main)."""
+        if name not in self.branch_refs():
+            raise ValueError(f"no branch {name!r}")
+        b = self.branch(name)
+        b._fold_pending_deletes(spark)
+        bhead_v = b.head_version()
+        bsnap = b.snapshot(bhead_v)
+        base_v = self.branch_refs()[name]["base_version"]
+        base_snap = self.snapshot(base_v)
+        main_root = os.path.abspath(self.path)
+        branch_root = os.path.abspath(b.path)
+
+        last_exc: ConflictError | None = None
+        for _ in range(max_retries + 1):
+            head_v = self.head_version()
+            fast_forward = head_v == base_v
+            if not fast_forward:
+                head = self.snapshot(head_v)
+                appends_only = all(
+                    b.snapshot(v).mode == "append"
+                    for v in b.versions() if v > 1
+                ) and all(
+                    # main's drift must be append-only too: an
+                    # overwrite/merge/delete on main means the branch's
+                    # borrowed base is stale — publishing base+branch
+                    # files over it would resurrect replaced rows
+                    self.snapshot(v).mode == "append"
+                    for v in self.versions() if base_v < v <= head_v
+                )
+                same_schema = (
+                    self._schema_core(bsnap.schema_json)
+                    == self._schema_core(base_snap.schema_json)
+                    == self._schema_core(head.schema_json)
+                )
+                same_governance = (
+                    _inherited(head) == _inherited(base_snap)
+                    and {
+                        k: v for k, v in _inherited(bsnap).items()
+                        if k != "tombstones"
+                    } == {
+                        k: v for k, v in _inherited(base_snap).items()
+                        if k != "tombstones"
+                    }
+                    and not (bsnap.tombstones.get("entries"))
+                )
+                if not (appends_only and same_schema and same_governance):
+                    raise ConflictError(
+                        f"cannot merge branch {name!r}: main moved "
+                        f"(v{base_v} -> v{head_v}) and the branch is not "
+                        "provably disjoint (append-only, no schema/"
+                        "governance drift on either side); re-fork and "
+                        "replay"
+                    )
+
+            new_v = head_v + 1
+            data_root = os.path.join(self.path, "data")
+            os.makedirs(data_root, exist_ok=True)
+            import_dir = tempfile.mkdtemp(prefix=f"v{new_v}-", dir=data_root)
+            import_rel = os.path.join("data", os.path.basename(import_dir))
+
+            def _import(e: dict) -> dict:
+                p = e["path"]
+                if os.path.isabs(p):
+                    ap = os.path.abspath(p)
+                    if ap.startswith(main_root + os.sep) and not ap.startswith(
+                        branch_root + os.sep
+                    ):
+                        # borrowed main file: back to a relative entry
+                        return {**e, "path": os.path.relpath(ap, main_root)}
+                    return e  # external borrow (branch of a clone): keep
+                # branch-owned: hard-link the file/dir tree into main
+                src = os.path.join(branch_root, p)
+                sub = p[5:] if p.startswith("data" + os.sep) else p
+                dst = os.path.join(import_dir, sub)
+                if os.path.isdir(src):
+                    for root, _dirs, files in os.walk(src):
+                        rel = os.path.relpath(root, src)
+                        tgt = dst if rel == "." else os.path.join(dst, rel)
+                        os.makedirs(tgt, exist_ok=True)
+                        for fn in files:
+                            dp = os.path.join(tgt, fn)
+                            if not os.path.exists(dp):
+                                os.link(os.path.join(root, fn), dp)
+                else:
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    if not os.path.exists(dst):
+                        os.link(src, dst)
+                return {**e, "path": os.path.join(import_rel, sub)}
+
+            if fast_forward:
+                entries = [_import(e) for e in bsnap.entries]
+                manifest = {
+                    "version": new_v,
+                    "parent": head_v,
+                    "mode": "branch_merge",
+                    "entries": entries,
+                    "cluster_by": bsnap.cluster_by,
+                    "schema": bsnap.schema_json,
+                    "layout": bsnap.layout,
+                    "n_buckets": bsnap.n_buckets,
+                    **_inherited(bsnap),
+                }
+            else:
+                base_paths = {e["path"] for e in b.snapshot(1).entries}
+                added = [
+                    _import(e) for e in bsnap.entries
+                    if e["path"] not in base_paths
+                ]
+                entries = self.snapshot(head_v).entries + added
+                # Clustering survives only when both lines kept the
+                # SAME layout (mixed layouts make pruning unsound —
+                # same degradation rule as commit(mode='append')).
+                same_layout = (
+                    head.cluster_by, head.layout, head.n_buckets,
+                ) == (bsnap.cluster_by, bsnap.layout, bsnap.n_buckets)
+                manifest = {
+                    "version": new_v,
+                    "parent": head_v,
+                    "mode": "branch_merge",
+                    "entries": entries,
+                    "cluster_by": head.cluster_by if same_layout else None,
+                    "schema": head.schema_json,
+                    "layout": head.layout if same_layout else "range",
+                    "n_buckets": head.n_buckets if same_layout else None,
+                    **_inherited(head),
+                }
+            manifest["meta"] = {
+                "merged_branch": name,
+                "branch_head": bhead_v,
+                "base_version": base_v,
+                "fast_forward": fast_forward,
+            }
+            try:
+                self._publish(manifest)
+                if drop:
+                    self.drop_branch(name)
+                return new_v
+            except ConflictError as exc:
+                last_exc = exc  # loser's import_dir stays for vacuum
+        raise last_exc
 
 
 def invert_changes(cdf: DataFrame, key_cols: list[str] | str) -> DataFrame:
