@@ -1101,3 +1101,188 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_small_qty_parts"))
         .orderBy("p_brand")
     )
+
+
+@query(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, c.c_custkey AS cust,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT nation, CAST(sum(cents) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_customers
+      FROM rev GROUP BY 1
+    )
+    SELECT r.nation,
+           t.n_customers,
+           CAST(sum((r.cents * 10000 // t.total)
+                  * (r.cents * 10000 // t.total)) AS BIGINT) AS hhi,
+           CAST(max(r.cents * 10000 // t.total) AS BIGINT) AS top_share_bp
+    FROM rev r JOIN tot t ON r.nation = t.nation
+    GROUP BY r.nation, t.n_customers
+    ORDER BY r.nation
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index per nation over
+    customer order revenue: each customer's revenue share in basis
+    points (integer floor division — all terms positive, so Spark's
+    ``div`` and DuckDB's ``//`` agree), HHI = Σ share_bp² (10^8 = pure
+    monopoly). The antitrust-screening rollup, and a useful data-skew
+    diagnostic: a nation whose HHI is high concentrates its key range
+    on few customers. Two shuffles (customer rollup, nation rollup) +
+    a broadcast of the 25-row per-nation totals back onto the
+    customer-level shares — the total never funnels through a single
+    task, so the shape holds at any customer count."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        orders.join(customer, customer.c_custkey == orders.o_custkey)
+        .join(F.broadcast(nation), nation.n_nationkey == customer.c_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_custkey").alias("cust"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n_customers")
+    )
+    share = rev.join(F.broadcast(tot), "nation").withColumn(
+        "share_bp", F.expr("cents * 10000 div total")
+    )
+    return (
+        share.groupBy("nation", "n_customers")
+        .agg(
+            F.sum(F.col("share_bp") * F.col("share_bp")).alias("hhi"),
+            F.max("share_bp").alias("top_share_bp"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "join_relational_division",
+    oracle="""
+    WITH divisor AS (
+      SELECT DISTINCT o_orderpriority AS pri FROM orders
+    ),
+    needed AS (SELECT CAST(count(*) AS BIGINT) AS n_needed FROM divisor),
+    cover AS (
+      SELECT o_custkey AS cust,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_covered,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders
+      GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_full_coverage_customers,
+           CAST(sum(v.n_orders) AS BIGINT) AS n_orders
+    FROM cover v
+    JOIN needed n ON v.n_covered = n.n_needed
+    JOIN customer c ON c.c_custkey = v.cust
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION (Codd's eighth operator — 'customers who
+    have placed orders at EVERY priority level'), the for-all query
+    SQL lacks a keyword for. Expressed as the count-cover reduction:
+    per-customer distinct-priority count equals the divisor's size —
+    one aggregate instead of the textbook double NOT EXISTS, which
+    Catalyst would plan as a correlated anti-join re-scanning orders
+    per candidate. The divisor size arrives as a broadcast single-row
+    join, never a collect; the divisor itself is a 5-row distinct off
+    the same scan. Scales: orders shuffles once on custkey, segment
+    rollup map-side combines."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    needed = orders.select("o_orderpriority").distinct().agg(
+        F.count(F.lit(1)).alias("n_needed")
+    )
+    cover = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.countDistinct("o_orderpriority").alias("n_covered"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        cover.join(F.broadcast(needed), cover.n_covered == needed.n_needed)
+        .join(customer, customer.c_custkey == cover.cust)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_full_coverage_customers"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "window_percent_rank_bp",
+    oracle="""
+    WITH acct AS (
+      SELECT c_nationkey AS nation, c_custkey AS cust,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    ranked AS (
+      SELECT nation, cust, cents,
+             rank() OVER (PARTITION BY nation ORDER BY cents, cust) AS r,
+             count(*) OVER (PARTITION BY nation) AS n,
+             row_number() OVER (
+               PARTITION BY nation ORDER BY cents, cust
+             ) AS n_le
+      FROM acct
+    )
+    SELECT nation,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum((r - 1) * 10000 // (n - 1)) AS BIGINT) AS sum_pr_bp,
+           CAST(sum(n_le * 10000 // n) AS BIGINT) AS sum_cd_bp,
+           CAST(max((r - 1) * 10000 // (n - 1)) AS BIGINT) AS max_pr_bp
+    FROM ranked
+    GROUP BY nation
+    ORDER BY nation
+    """,
+)
+def window_percent_rank_bp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank and cume_dist restated as EXACT basis points —
+    (rank-1)·10000/(n-1) and |rows ≤ current|·10000/n (row_number ==
+    the peer-inclusive count because the (cents, cust) tie-break makes
+    the ordering unique) via integer
+    floor division (all terms non-negative, so Spark ``div`` ==
+    DuckDB ``//``) — instead of the built-ins' doubles, whose
+    rank/n division is IEEE-identical cross-engine but whose hash
+    stability we refuse to gamble on. The (cents, cust) tie-break
+    makes ranks unique, so both engines' window picks agree. ONE
+    shuffle on nation feeds all three window statistics (same
+    partition key, same ordering → one window stage), then the
+    rollup is map-side combined."""
+    customer = _t(spark, sf_dir, "customer")
+    acct = customer.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_custkey").alias("cust"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    wo = W.partitionBy("nation").orderBy("cents", "cust")
+    wp = W.partitionBy("nation")
+    ranked = acct.select(
+        "nation",
+        F.rank().over(wo).alias("r"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.row_number().over(wo).alias("n_le"),
+    )
+    return (
+        ranked.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.expr("(r - 1) * 10000 div (n - 1)")).alias("sum_pr_bp"),
+            F.sum(F.expr("n_le * 10000 div n")).alias("sum_cd_bp"),
+            F.max(F.expr("(r - 1) * 10000 div (n - 1)")).alias("max_pr_bp"),
+        )
+        .orderBy("nation")
+    )

@@ -2210,3 +2210,259 @@ def ts_window_tvf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "win_start")
     )
+
+
+@query(
+    "ts_twap_time_weighted",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS t_ms,
+             CAST(round(value * 100) AS BIGINT) AS cents, event_id
+      FROM events WHERE user_id < 200
+    ),
+    seg AS (
+      SELECT user_id, event_type, cents,
+             lead(t_ms) OVER (
+               PARTITION BY user_id, event_type ORDER BY t_ms, event_id
+             ) - t_ms AS dt_ms
+      FROM pts
+    ),
+    per_user AS (
+      SELECT user_id, event_type,
+             CAST(sum(cents * dt_ms) // sum(dt_ms) AS BIGINT) AS twap_cents
+      FROM seg WHERE dt_ms IS NOT NULL AND dt_ms > 0
+      GROUP BY user_id, event_type
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(twap_cents) AS BIGINT) AS sum_twap_cents,
+           CAST(min(twap_cents) AS BIGINT) AS min_twap_cents,
+           CAST(max(twap_cents) AS BIGINT) AS max_twap_cents
+    FROM per_user
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ts_twap_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TimescaleDB ``time_weight('LOCF', ...)``
+    analog): each observation's value holds until the key's next
+    observation, so the average weights every value by how long it was
+    current — the correct mean for irregularly-sampled signals, where a
+    plain avg() overweights chatty periods. Exact integer arithmetic
+    end-to-end (epoch-millisecond deltas x integer cents; floor
+    division — all terms non-negative so Spark's ``div`` and DuckDB's
+    ``//`` agree), so the hash matches cross-engine. ONE shuffle on the
+    (user, type) key feeds both the lead() window and the per-user
+    aggregate; keys are narrow, so the windows parallelize across the
+    key space at any scale — nothing accumulates per-partition state
+    beyond a single lookahead row."""
+    events = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id", "event_type").orderBy("t_ms", "event_id")
+    seg = events.select(
+        "user_id",
+        "event_type",
+        # ts is TIMESTAMP_NTZ; session TZ is pinned UTC (load_table), so
+        # the cast is a lossless reinterpretation for unix_millis
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        _CENTS("value").alias("cents"),
+        "event_id",
+    ).withColumn("dt_ms", F.lead("t_ms").over(w) - F.col("t_ms"))
+    per_user = (
+        seg.filter(F.col("dt_ms").isNotNull() & (F.col("dt_ms") > 0))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.expr("sum(cents * dt_ms) div sum(dt_ms)")
+            .cast("bigint")
+            .alias("twap_cents")
+        )
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("twap_cents").alias("sum_twap_cents"),
+            F.min("twap_cents").alias("min_twap_cents"),
+            F.max("twap_cents").alias("max_twap_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ts_ols_trend_by_type",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1992-01-01', CAST(date_trunc('day', ts) AS DATE))
+               AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den,
+           CAST(sum(y) * sum(x * x) - sum(x) * sum(x * y) AS BIGINT)
+             AS intercept_num
+    FROM daily
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ts_ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend over the daily event
+    series, as EXACT integer rationals: slope = slope_num/slope_den and
+    intercept = intercept_num/slope_den from the closed-form normal
+    equations (n·Σxy − Σx·Σy over n·Σx² − (Σx)²). Emitting numerator
+    and denominator instead of regr_slope()'s double keeps the result
+    hash-identical cross-engine AND avoids the negative-slope
+    floor-vs-truncate divergence between the engines' integer
+    divisions. Two map-side-combined aggregates (day rollup, then the
+    five OLS sums per group) — the same one-pass sufficient-statistics
+    shape regr_slope uses internally, so it scales like any count(*)
+    rollup."""
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    n, sx, sy = F.count(F.lit(1)), F.sum("x"), F.sum("y")
+    sxy, sxx = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            n.alias("n_days"),
+            (n * sxy - sx * sy).cast("bigint").alias("slope_num"),
+            (n * sxx - sx * sx).cast("bigint").alias("slope_den"),
+            (sy * sxx - sx * sxy).cast("bigint").alias("intercept_num"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_threshold_crossing",
+    oracle="""
+    WITH cum AS (
+      SELECT user_id, ts, event_id,
+             sum(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS cum_cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    first_cross AS (
+      SELECT user_id, ts, cum_cents,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM cum WHERE cum_cents >= 50000
+    )
+    SELECT date_trunc('day', ts) AS cross_day,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(cum_cents) AS BIGINT) AS sum_cents_at_cross
+    FROM first_cross WHERE rn = 1
+    GROUP BY 1
+    ORDER BY cross_day
+    """,
+)
+def events_threshold_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-crossing analysis: the first moment each user's
+    cumulative purchase value crosses $500, rolled up by crossing day —
+    the LTV-milestone / paywall-trigger query. A running-sum window and
+    a row_number pick over the SAME (user_id, ts, event_id) ordering,
+    so Catalyst evaluates both in one window stage after ONE shuffle on
+    user_id; the event_id tie-break makes the first-crossing row unique
+    under same-timestamp purchases, keeping both engines' pick
+    identical. Integer cents keep the running sum exact. Per-user
+    window state is a single accumulator — nothing grows with history
+    length, so the shape holds on years of events."""
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = events.select(
+        "user_id", "ts", "event_id",
+        F.sum(_CENTS("value")).over(w).alias("cum_cents"),
+    )
+    first_cross = (
+        cum.filter(F.col("cum_cents") >= 50000)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        first_cross.groupBy(
+            F.date_trunc("day", "ts").alias("cross_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cum_cents").alias("sum_cents_at_cross"),
+        )
+        .orderBy("cross_day")
+    )
+
+
+@query(
+    "ts_interval_union_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_ms(ts) AS s, epoch_ms(ts) + 600000 AS e, event_id
+      FROM events WHERE user_id < 100
+    ),
+    swept AS (
+      SELECT user_id, s, e,
+             max(e) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_max_e
+      FROM iv
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(greatest(0, e - greatest(s, coalesce(prev_max_e, s))))
+                AS BIGINT) AS covered_ms
+    FROM swept
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def ts_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union length per user (total ACTIVE time, overlaps
+    counted once): every event opens a 10-minute activity interval;
+    the union's measure is computed by the sweep-line identity —
+    contribution = max(0, end − max(start, latest end seen so far)) —
+    with 'seen so far' as a running-max window, NOT a self-join (the
+    textbook overlap join is O(n²) per user). ONE shuffle on user_id
+    feeds the sweep and the rollup; per-row state is a single running
+    maximum, so the shape is as scalable as a cumulative sum. Exact
+    epoch-millisecond integers end-to-end."""
+    events = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 100)
+    iv = events.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("s"),
+        (F.unix_millis(F.col("ts").cast("timestamp")) + 600000).alias("e"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = iv.withColumn("prev_max_e", F.max("e").over(w))
+    return (
+        swept.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.col("e") - F.greatest(
+                        F.col("s"), F.coalesce(F.col("prev_max_e"), F.col("s"))
+                    ),
+                )
+            ).alias("covered_ms"),
+        )
+        .orderBy("user_id")
+    )

@@ -840,6 +840,10 @@ class SnapshotStore:
             "masked_columns": sorted((snap.policies.get("masks") or {})),
             "has_row_filter": bool(snap.policies.get("row_filter")),
             "pending_delete_files": len(snap.tombstones.get("entries") or []),
+            "tags": self.tags(),
+            "branches": {
+                b: ref["base_version"] for b, ref in self.branch_refs().items()
+            },
         }
 
     def fsck(self, version: int | None = None) -> list[str]:

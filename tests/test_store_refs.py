@@ -265,3 +265,45 @@ def test_merge_branch_occ_retry_on_publish_race(spark, tmp_path):
     rows = {r.k: r.status for r in store.read(spark, v).collect()}
     assert rows[8_000] == "branch" and rows[8_500] == "competitor"
     assert len(rows) == 102
+
+
+def test_streaming_wap_into_branch_then_merge(spark, tmp_path):
+    """Streaming write-audit-publish: the production CDC apply stream
+    targets a BRANCH of the serving table (a branch is a full store, so
+    apply_changes_to_snapshot_store needs zero changes), the branch head
+    is validated, then merge_branch publishes the whole ingest to main
+    atomically — readers of main never see a half-applied stream."""
+    from log2sql_spark.sources.catalog import catalog_from_dict
+    from log2sql_spark.streaming.cdc_stream import apply_changes_to_snapshot_store
+    from tests.test_streaming import CATALOG, TS, _dump
+
+    main = SnapshotStore(str(tmp_path / "serving"))
+    seed = spark.createDataFrame(
+        [("0", {"id": "0", "status": "'seed'"})], "key string, after map<string,string>",
+    )
+    main.commit(seed, mode="overwrite", cluster_by="key", target_files=1)
+    br = main.create_branch("ingest")
+
+    in_dir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    in_dir.mkdir()
+    _dump(in_dir / "bin.000001.txt", [
+        {"op": "insert", "db": "shop", "table": "orders", "ts": TS,
+         "values": [(1, "1"), (2, "'new'")]},
+        {"op": "update", "db": "shop", "table": "orders", "ts": TS,
+         "before": [(1, "1"), (2, "'new'")],
+         "after": [(1, "1"), (2, "'shipped'")]},
+    ])
+    cat = catalog_from_dict(spark, CATALOG)
+    q = apply_changes_to_snapshot_store(
+        spark, str(in_dir), cat, br.path, str(ckpt), key_col="id",
+    )
+    q.awaitTermination(120)
+
+    # main untouched during the whole ingest; branch holds the applied state
+    assert {r.key for r in main.read(spark).collect()} == {"0"}
+    staged = {r.key: r.after for r in br.read(spark).collect()}
+    assert staged["1"]["status"] == "'shipped'" and "0" in staged
+
+    v = main.merge_branch(spark, "ingest", drop=True)
+    published = {r.key: r.after for r in main.read(spark, v).collect()}
+    assert published == staged

@@ -37,6 +37,7 @@ DISPOSITIONS = {
     "events_funnel_latency_quantiles": "3-stage funnel needs one min-agg per stage by definition + exact-quantile cum window over |distinct latencies|; every aggregate map-side combined over |users|, raw events scanned once (runtime 5).",
     "events_markov_prediction_eval": "train/eval harness: transition counts, per-state argmax, next-event join, accuracy rollup — each stage over |state pairs| << events (runtime 6).",
     "graph_pagerank_trade": "unrolled rank iterations: one exchange per iteration over 16-byte (node, rank) pairs; the iteration count is the algorithm, not a data re-read (runtime 6).",
+    "join_relational_division": "count-cover division: per-customer count(DISTINCT priority) expands to Spark's two-phase distinct aggregate, plus the 5-row divisor distinct and its 1-row broadcast count — static 8 is those expansions, all keyed on custkey or broadcast; the alternative double-NOT-EXISTS plan re-scans orders per candidate.",
     "llm_ann_ivfpq_adc": "eval harness re-deriving exact top-k to grade the ADC approximation; the production op is the manifest-pruned probe at 2-3 exchanges; stages carry k-bounded candidates (static 9 -> runtime 5).",
     "llm_ann_ivfpq_recall": "recall eval computes exact AND approximate top-k plus their join — the exact baseline exists only to grade the index (static 14 -> runtime 7 via reuse).",
     "llm_ann_recall_eval": "same eval family: brute-force baseline vs IVF candidates; stages carry (query, id, dist) triples bounded by k*|queries| (runtime 9).",
