@@ -588,11 +588,27 @@ def store_lifecycle_linearity(spark) -> dict:
         t0 = time.time()
         store.flashback_to(spark, 1)
         t_fb = time.time() - t0
+        # Refs are manifest-level: fork a branch, stage one append on
+        # it, fast-forward-merge it back. The whole cycle should be
+        # FLAT between the 1x and 10x stores (O(manifest), zero data
+        # bytes moved — borrows + hard links), which the ratio below
+        # proves with a number instead of a docstring.
+        t0 = time.time()
+        br = store.create_branch("bench")
+        br.commit(
+            base.limit(1).select(
+                (F.col("k") + 100_000_000).alias("k"), "status", "cents"
+            ),
+            mode="append", target_files=1,
+        )
+        store.merge_branch(spark, "bench", drop=True)
+        t_branch = time.time() - t0
         return {
             "merge_4commits_sec": round(t_merge, 3),
             "read_changes_sec": round(t_cdf, 3),
             "feed_rows": n_feed,
             "flashback_sec": round(t_fb, 3),
+            "branch_fork_merge_sec": round(t_branch, 3),
         }
 
     tmp = tempfile.mkdtemp(prefix="bench_lifecycle_")
@@ -605,7 +621,10 @@ def store_lifecycle_linearity(spark) -> dict:
         churn_fixed = run(big_base, 1_500, os.path.join(tmp, "fixed"))
         ratios = {
             f"{m}_ratio": round(big[m] / max(small[m], 1e-3), 2)
-            for m in ("merge_4commits_sec", "read_changes_sec", "flashback_sec")
+            for m in (
+                "merge_4commits_sec", "read_changes_sec", "flashback_sec",
+                "branch_fork_merge_sec",
+            )
         }
         return {
             "small": small,

@@ -2504,3 +2504,65 @@ def llm_ann_indexed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_to_index(spark, idx, emb.filter(F.col("vec_id") % 2 == 1))
     out = ivf_topk_indexed(spark, idx, emb.filter(F.col("vec_id") < 20), k=5, nprobe=3)
     return out.withColumn("cos_sim", F.round("cos_sim", 6)).orderBy("query_id", "rank")
+
+
+@query(
+    "llm_tokenizer_fertility",
+    oracle=r"""
+    WITH per_doc AS (
+      SELECT doc_id, lang,
+             CAST(length(regexp_split_to_array(trim(text), '\s+'))
+                  AS BIGINT) AS n_words,
+             CAST(length(regexp_extract_all(
+                    text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r]')) AS BIGINT)
+               AS n_tokens
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_tokens) * 1000 // sum(n_words) AS BIGINT)
+             AS fertility_milli
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — tokens emitted per whitespace
+    word (milli-units, integer floor division) under a BPE-ish
+    pre-tokenization: a token is an alphanumeric run or a single
+    non-alphanumeric non-space character (match-counting, not
+    splitting — RE2 on the oracle side has no lookahead). The standard multilingual-tokenizer
+    health metric: a language whose fertility is far above the corpus
+    median pays proportionally more sequence length per word, which
+    directly prices its training cost and flags under-represented
+    scripts before a training run. Map-only per-doc counting (both
+    counts from ONE regex split each, no explode of token rows) into a
+    map-side-combined rollup over |languages| groups — the 100 TB shape
+    is a single scan. Both counts are computed from the raw text column
+    in one projection; nothing explodes to token rows."""
+    docs = load_table(spark, "documents", sf_dir)
+    trimmed = F.trim(F.col("text"))
+    per_doc = docs.filter(F.length(trimmed) > 0).select(
+        "lang",
+        F.size(F.split(trimmed, r"\s+")).cast("bigint").alias("n_words"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r]"), F.lit(0)
+            )
+        ).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.expr("sum(n_tokens) * 1000 div sum(n_words)").alias(
+                "fertility_milli"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -2466,3 +2466,112 @@ def ts_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "ts_gapfill_interpolate_linear",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      WHERE event_type = 'purchase' AND user_id < 20
+      GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM purchases GROUP BY 1
+    ),
+    dense AS (
+      SELECT s.user_id, gs.day AS day
+      FROM spans s, LATERAL (
+        SELECT unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS day
+      ) gs
+    ),
+    anchored AS (
+      SELECT d.user_id, d.day, p.cents,
+             last_value(p.cents IGNORE NULLS) OVER wback AS prev_c,
+             last_value(CASE WHEN p.cents IS NOT NULL THEN d.day END
+                        IGNORE NULLS) OVER wback AS prev_d,
+             first_value(p.cents IGNORE NULLS) OVER wfwd AS next_c,
+             first_value(CASE WHEN p.cents IS NOT NULL THEN d.day END
+                         IGNORE NULLS) OVER wfwd AS next_d
+      FROM dense d LEFT JOIN purchases p USING (user_id, day)
+      WINDOW
+        wback AS (PARTITION BY d.user_id ORDER BY d.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wfwd AS (PARTITION BY d.user_id ORDER BY d.day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day,
+           CAST(CASE WHEN cents IS NOT NULL THEN cents
+                ELSE prev_c + (
+                  (next_c - prev_c) * date_diff('day', prev_d, day)
+                  - ((((next_c - prev_c) * date_diff('day', prev_d, day))
+                      % date_diff('day', prev_d, next_d)
+                      + date_diff('day', prev_d, next_d))
+                     % date_diff('day', prev_d, next_d))
+                ) / date_diff('day', prev_d, next_d)
+           END AS BIGINT) AS cents_interp
+    FROM anchored
+    ORDER BY user_id, day
+    """,
+)
+def ts_gapfill_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling with LINEAR interpolation (TimescaleDB
+    ``interpolate()``, the pair of ts_gapfill_locf): densify each
+    user's daily purchase series, then fill each gap day from its two
+    anchor observations — prev + (next−prev)·Δdays/gap. The division
+    is an explicit FLOOR division built from the shared truncating %
+    ((a%b+b)%b, b>0), because the numerator goes negative on downward
+    slopes and Spark's ``div`` truncates where DuckDB's ``//`` floors —
+    the one integer-arithmetic divergence between the engines, papered
+    over once here so every value hashes identically. Same scalable
+    shape as LOCF: per-user sequence+explode (no global calendar cross
+    join), one shuffle for the agg, one window stage computing all four
+    anchors (two frame directions over the same ordering)."""
+    events = load_table(spark, "events", sf_dir)
+    purchases = (
+        events.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 20))
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(_CENTS("value")).alias("cents"))
+    )
+    dense = (
+        purchases.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    wback = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wfwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("cents").isNotNull(), F.col("day"))
+    anchored = (
+        dense.join(purchases, ["user_id", "day"], "left")
+        .select(
+            "user_id", "day", "cents",
+            F.last("cents", ignorenulls=True).over(wback).alias("prev_c"),
+            F.last(obs_day, ignorenulls=True).over(wback).alias("prev_d"),
+            F.first("cents", ignorenulls=True).over(wfwd).alias("next_c"),
+            F.first(obs_day, ignorenulls=True).over(wfwd).alias("next_d"),
+        )
+    )
+    num = (F.col("next_c") - F.col("prev_c")) * F.expr("datediff(day, prev_d)")
+    den = F.expr("datediff(next_d, prev_d)")
+    floor_div = (num - ((num % den + den) % den)) / den
+    return anchored.select(
+        "user_id",
+        "day",
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .otherwise(F.col("prev_c") + floor_div)
+        .cast("bigint")
+        .alias("cents_interp"),
+    ).orderBy("user_id", "day")
