@@ -225,7 +225,10 @@ def store_main(argv: list[str]) -> int:
     and ``clone`` are manifest-only (no Spark startup); ``compact``,
     ``zorder``, and ``replace-where`` run a rewrite commit;
     ``delete-mor`` commits a merge-on-read delete (tombstone only, no
-    rewrite) and ``materialize-deletes`` folds pending tombstones."""
+    rewrite) and ``materialize-deletes`` folds pending tombstones.
+    ``tag`` / ``branch`` manage named refs (create/list/drop;
+    manifest-only, no Spark startup) and ``merge-branch`` lands a
+    branch on main (fast-forward or append-rebase, zero-copy)."""
     import json as _json
 
     p = argparse.ArgumentParser(prog="log2sql_spark store")
@@ -237,6 +240,7 @@ def store_main(argv: list[str]) -> int:
         "add-constraint", "drop-constraint", "replace-where",
         "delete-mor", "materialize-deletes", "analyze",
         "cdf", "flashback",
+        "tag", "branch", "merge-branch",
     ):
         sp = sub.add_parser(name)
         sp.add_argument("path", help="snapshot store directory")
@@ -306,8 +310,23 @@ def store_main(argv: list[str]) -> int:
             sp.add_argument("--to-version", dest="to_version", type=int, required=True)
             sp.add_argument("--key", default=None,
                             help="comma-separated key columns (default: cluster key)")
+        if name in ("tag", "branch"):
+            g = sp.add_mutually_exclusive_group()
+            g.add_argument("--create", default=None, metavar="NAME")
+            g.add_argument("--drop", dest="drop_ref", default=None,
+                           metavar="NAME")
+            sp.add_argument("--at-version", type=int, default=None,
+                            help="with --create: pin/fork this version "
+                                 "(default: head)")
+        if name == "merge-branch":
+            sp.add_argument("--name", required=True)
+            sp.add_argument("--drop", action="store_true", default=False,
+                            help="remove the branch after a successful merge")
+            sp.add_argument("--max-retries", type=int, default=0,
+                            help="re-derive and retry on a lost publish race")
         if name in ("compact", "zorder", "add-constraint", "replace-where",
-                    "delete-mor", "materialize-deletes", "cdf", "flashback"):
+                    "delete-mor", "materialize-deletes", "cdf", "flashback",
+                    "merge-branch"):
             sp.add_argument("--cpus", default=None)
     args = p.parse_args(argv)
 
@@ -365,6 +384,33 @@ def store_main(argv: list[str]) -> int:
     if args.cmd == "analyze":  # footer reads only — no Spark startup
         print(f"v{store.analyze(args.columns.split(','))}")
         return 0
+    if args.cmd == "tag":  # manifest-only, no Spark startup
+        if args.create:
+            print(f"v{store.create_tag(args.create, version=args.at_version)}")
+        elif args.drop_ref:
+            store.drop_tag(args.drop_ref)
+            print(args.drop_ref)
+        else:
+            for name_, v in store.tags().items():
+                print(_json.dumps({"tag": name_, "version": v}))
+        return 0
+    if args.cmd == "branch":  # fork = manifest-only shallow clone
+        if args.create:
+            br = store.create_branch(args.create, version=args.at_version)
+            print(br.path)
+        elif args.drop_ref:
+            store.drop_branch(args.drop_ref)
+            print(args.drop_ref)
+        else:
+            for name_, ref in store.branch_refs().items():
+                print(_json.dumps({
+                    "branch": name_,
+                    "base_version": ref["base_version"],
+                    "head": SnapshotStore(
+                        store._branch_root(name_)
+                    ).head_version(),
+                }))
+        return 0
 
     from log2sql_spark.session import get_spark
 
@@ -395,6 +441,9 @@ def store_main(argv: list[str]) -> int:
     if args.cmd == "flashback":
         keys = args.key.split(",") if args.key else None
         print(f"v{store.flashback_to(spark, args.to_version, key_cols=keys)}")
+        return 0
+    if args.cmd == "merge-branch":
+        print(f"v{store.merge_branch(spark, args.name, drop=args.drop, max_retries=args.max_retries)}")
         return 0
     if args.cmd == "replace-where":
         bounds = None

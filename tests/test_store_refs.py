@@ -307,3 +307,42 @@ def test_streaming_wap_into_branch_then_merge(spark, tmp_path):
     v = main.merge_branch(spark, "ingest", drop=True)
     published = {r.key: r.after for r in main.read(spark, v).collect()}
     assert published == staged
+
+
+def test_cli_tag_branch_merge(spark, tmp_path, capsys):
+    """The lakehouse-CLI surface for refs: tag create/list/drop and
+    branch create/list are manifest-only (no Spark startup);
+    merge-branch runs the zero-copy publish. Round-trips the whole WAP
+    flow through store_main."""
+    import json
+
+    from log2sql_spark.cli import store_main
+
+    store = _store(spark, tmp_path, n=50)
+    path = store.path
+
+    assert store_main(["tag", path, "--create", "rel-1", "--at-version", "1"]) == 0
+    assert capsys.readouterr().out.strip() == "v1"
+    assert store_main(["tag", path]) == 0
+    assert json.loads(capsys.readouterr().out) == {"tag": "rel-1", "version": 1}
+
+    assert store_main(["branch", path, "--create", "wap"]) == 0
+    br_path = capsys.readouterr().out.strip()
+    assert os.path.isdir(br_path)
+    SnapshotStore(br_path).commit(
+        spark.createDataFrame([(9_999, "staged", 0)],
+                              "k int, status string, cents long"),
+        mode="append", target_files=1,
+    )
+    assert store_main(["branch", path]) == 0
+    listed = json.loads(capsys.readouterr().out)
+    assert listed == {"branch": "wap", "base_version": 1, "head": 2}
+
+    assert store_main(["merge-branch", path, "--name", "wap", "--drop"]) == 0
+    assert capsys.readouterr().out.strip() == "v2"
+    assert {r.k for r in store.read(spark).collect()} >= {9_999}
+    assert store.branch_refs() == {}
+
+    assert store_main(["tag", path, "--drop", "rel-1"]) == 0
+    assert capsys.readouterr().out.strip() == "rel-1"
+    assert store.tags() == {}
