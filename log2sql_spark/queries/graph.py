@@ -696,3 +696,100 @@ def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("closeness_bp"), "nation")
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH raw AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+      FROM raw WHERE src <> dst
+    ), und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM ranked WHERE rn <= 3
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und
+      ) ends GROUP BY node
+    ), both_dirs AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM und e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+      UNION ALL
+      SELECT dv.d AS x, du.d AS y
+      FROM und e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    )
+    SELECT CAST(count(*) AS BIGINT) AS m2,
+           CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(x * x) AS BIGINT) AS sum_x2
+    FROM both_dirs
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the sparsified trade graph — Newman's
+    r = (m⁻¹Σxy − (m⁻¹Σ(x+y)/2)²) / (m⁻¹Σ(x²+y²)/2 − (...)²) over edge
+    endpoint degrees, emitted as its EXACT integer sufficient
+    statistics (both edge orientations, so Σx = Σy and one x-moment
+    set suffices): the Pearson numerator/denominator reconstruct
+    exactly, no cross-engine float hashing. Assortativity tells you
+    whether hubs trade with hubs (r>0) or hubs with spokes (r<0) —
+    the skew-planning signal for graph partitioning. Shape: degree
+    count over the edge ends, one broadcast join back onto edges,
+    one scalar aggregate — at a billion edges the degree table
+    shuffles on node and the moment aggregate stays map-side."""
+    from pyspark.sql import Window as W
+
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+
+    raw = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    wr = W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    und = (
+        raw.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds degree AND the edge join
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    joined = und.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    both = joined.select(
+        F.col("du").alias("x"), F.col("dv").alias("y")
+    ).unionByName(
+        joined.select(F.col("dv").alias("x"), F.col("du").alias("y"))
+    )
+    return both.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+        F.sum("x").alias("sum_x"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_x2"),
+    )

@@ -1,164 +1,129 @@
-"""Stream-stream join: watermarked, time-bounded inner join of two file
-streams (the Structured Streaming capability the offline reference's
-architecture cannot express)."""
+"""Stream-stream interval join (streaming/joins.py): two live file
+streams joined on key + event-time band, across micro-batch boundaries.
+
+maxFilesPerTrigger=1 guarantees the impression and its click arrive in
+DIFFERENT micro-batches, so a correct result REQUIRES the join to
+buffer state between batches and match through it — the property that
+separates a stream-stream join from per-batch joins.
+"""
 
 from __future__ import annotations
 
-import os
-import time
-from datetime import datetime, timedelta
-
 import pandas as pd
-from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
-def test_stream_stream_time_bounded_join(spark, tmp_path):
-    clicks_dir, buys_dir = tmp_path / "clicks", tmp_path / "buys"
-    click_schema = T.StructType(
-        [T.StructField("click_ts", T.TimestampType()), T.StructField("user_id", T.LongType())]
-    )
-    buy_schema = T.StructType(
-        [
-            T.StructField("buy_ts", T.TimestampType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("amount", T.DoubleType()),
-        ]
-    )
-    t = lambda m: datetime(2024, 5, 1, 10, m)  # noqa: E731
+def _write(df_dict, path):
+    pd.DataFrame(df_dict).to_parquet(path, coerce_timestamps="us")
 
-    def write(d, schema, cols, rows):
-        pdf = pd.DataFrame(rows, columns=cols)
-        spark.createDataFrame(pdf, schema).coalesce(1).write.mode("append").json(str(d))
-        now = time.time()
-        for p in d.iterdir():
-            os.utime(p, (now, now))
 
-    write(clicks_dir, click_schema, ["click_ts", "user_id"], [
-        (t(0), 1),   # followed by a buy at 10:05 -> join
-        (t(2), 2),   # followed by a buy at 10:20 -> outside 10-minute bound
-        (t(4), 3),   # no buy
-    ])
-    write(buys_dir, buy_schema, ["buy_ts", "user_id", "amount"], [
-        (t(5), 1, 9.99),
-        (t(20), 2, 5.00),
-        (t(50), 99, 1.00),  # advances the buys watermark so state closes
-    ])
+def test_stream_stream_interval_join_across_batches(spark, tmp_path):
+    from log2sql_spark.streaming.joins import attribution_interval_join
 
-    clicks = (
-        spark.readStream.schema(click_schema).json(str(clicks_dir)).withWatermark("click_ts", "5 minutes")
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(); clk_dir.mkdir()
+    # batch 1: impressions only
+    _write({
+        "ad_id": [1, 2, 3],
+        "imp_ts": pd.to_datetime([
+            "2024-05-01 12:00:00", "2024-05-01 12:01:00", "2024-05-01 12:02:00",
+        ]),
+    }, imp_dir / "i0.parquet")
+    # clicks arrive in a LATER micro-batch: ad 1 inside the 10-minute
+    # window, ad 2 outside it (25 min later), ad 3 never clicks
+    _write({
+        "c_ad_id": [1, 2],
+        "clk_ts": pd.to_datetime([
+            "2024-05-01 12:05:00", "2024-05-01 12:26:00",
+        ]),
+    }, clk_dir / "c0.parquet")
+
+    imp = (
+        spark.readStream.schema("ad_id long, imp_ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(str(imp_dir))
     )
-    buys = (
-        spark.readStream.schema(buy_schema).json(str(buys_dir)).withWatermark("buy_ts", "5 minutes")
+    clk = (
+        spark.readStream.schema("c_ad_id long, clk_ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(str(clk_dir))
     )
-    joined = clicks.join(
-        buys,
-        (clicks["user_id"] == buys["user_id"])
-        & (buys["buy_ts"] >= clicks["click_ts"])
-        & (buys["buy_ts"] <= clicks["click_ts"] + F.expr("INTERVAL 10 MINUTES")),
-        "inner",
-    )
+    joined = attribution_interval_join(imp, clk)
     q = (
-        joined.select(clicks["user_id"], "click_ts", "buy_ts", "amount")
-        .writeStream.format("memory")
-        .queryName("ssj")
-        .outputMode("append")
+        joined.writeStream.format("memory").queryName("attrib_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(120)
-    rows = spark.sql("select * from ssj").collect()
-    assert [(r["user_id"], r["amount"]) for r in rows] == [(1, 9.99)]
-
-
-def test_stream_stream_left_outer_join_emits_after_watermark(spark, tmp_path):
-    """LEFT OUTER stream-stream join: unmatched clicks must emit
-    null-extended — but only once the watermark passes the join bound
-    (the outer row cannot be produced while a matching buy could still
-    arrive). Two checkpointed runs: run 1 ingests clicks+buys; run 2
-    ingests a far-future buy that advances the watermark, flushing the
-    outer rows for the unmatched clicks."""
-    clicks_dir, buys_dir = tmp_path / "lclicks", tmp_path / "lbuys"
-    ckpt = str(tmp_path / "lckpt")
-    out_dir = str(tmp_path / "lout")
-    click_schema = T.StructType(
-        [T.StructField("click_ts", T.TimestampType()), T.StructField("user_id", T.LongType())]
+    rows = spark.sql("SELECT ad_id, c_ad_id FROM attrib_out").collect()
+    # only ad 1: inside the band; ad 2's click is out of band; ad 3 unmatched
+    assert [(r.ad_id, r.c_ad_id) for r in rows] == [(1, 1)]
+    # the join ran as a real stream-stream join with buffered state
+    progress = q.recentProgress
+    assert any(
+        op.get("operatorName") == "symmetricHashJoin"
+        and op.get("numRowsTotal", 0) > 0
+        for p in progress for op in p.get("stateOperators", [])
     )
-    buy_schema = T.StructType(
-        [
-            T.StructField("buy_ts", T.TimestampType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("amount", T.DoubleType()),
-        ]
-    )
-    t = lambda m: datetime(2024, 5, 1, 10, 0) + timedelta(minutes=m)  # noqa: E731
 
-    def write(d, schema, cols, rows):
-        pdf = pd.DataFrame(rows, columns=cols)
-        spark.createDataFrame(pdf, schema).coalesce(1).write.mode("append").json(str(d))
-        now = time.time()
-        for p in d.iterdir():
-            os.utime(p, (now, now))
 
-    def run_once():
-        clicks = (
-            spark.readStream.schema(click_schema)
-            .json(str(clicks_dir))
-            .withWatermark("click_ts", "5 minutes")
-        )
-        buys = (
-            spark.readStream.schema(buy_schema)
-            .json(str(buys_dir))
-            .withWatermark("buy_ts", "5 minutes")
-        )
-        joined = clicks.join(
-            buys,
-            (clicks["user_id"] == buys["user_id"])
-            & (buys["buy_ts"] >= clicks["click_ts"])
-            & (buys["buy_ts"] <= clicks["click_ts"] + F.expr("INTERVAL 10 MINUTES")),
-            "leftOuter",
-        ).select(clicks["user_id"], "click_ts", "buy_ts", "amount")
-        q = (
-            joined.writeStream.format("json")
-            .option("path", out_dir)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Outer results may only surface once the watermark PROVES no
+    match can arrive: a late second file advances event time far past
+    every impression's band, after which the unmatched impressions (ads
+    2, 3) emit with NULL click columns."""
+    from log2sql_spark.streaming.joins import attribution_interval_join
 
-    write(clicks_dir, click_schema, ["click_ts", "user_id"], [
-        (t(0), 1),   # matched by the buy at 10:05
-        (t(2), 2),   # buy at 10:20 is outside the 10-minute bound -> outer
-        (t(4), 3),   # no buy at all -> outer
-    ])
-    write(buys_dir, buy_schema, ["buy_ts", "user_id", "amount"], [
-        (t(5), 1, 9.99),
-        (t(20), 2, 5.00),
-    ])
-    run_once()
-    # Advance both watermarks far past every click's join bound.
-    write(clicks_dir, click_schema, ["click_ts", "user_id"], [(t(120), 98)])
-    write(buys_dir, buy_schema, ["buy_ts", "user_id", "amount"], [(t(120), 99, 1.0)])
-    run_once()
-    out_schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("click_ts", T.TimestampType()),
-            T.StructField("buy_ts", T.TimestampType()),
-            T.StructField("amount", T.DoubleType()),
-        ]
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(); clk_dir.mkdir()
+    _write({
+        "ad_id": [1, 2, 3],
+        "imp_ts": pd.to_datetime([
+            "2024-05-01 12:00:00", "2024-05-01 12:01:00", "2024-05-01 12:02:00",
+        ]),
+    }, imp_dir / "i0.parquet")
+    _write({
+        "c_ad_id": [1],
+        "clk_ts": pd.to_datetime(["2024-05-01 12:05:00"]),
+    }, clk_dir / "c0.parquet")
+    # watermark-advancing traffic on BOTH sides (event time >> any band)
+    _write({
+        "ad_id": [99],
+        "imp_ts": pd.to_datetime(["2024-05-01 14:00:00"]),
+    }, imp_dir / "i1.parquet")
+    _write({
+        "c_ad_id": [99],
+        "clk_ts": pd.to_datetime(["2024-05-01 14:00:01"]),
+    }, clk_dir / "c1.parquet")
+
+    imp = (
+        spark.readStream.schema("ad_id long, imp_ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(str(imp_dir))
     )
-    rows = (
-        spark.read.schema(out_schema)
-        .json(out_dir)
-        .filter("user_id < 90")
-        .orderBy("user_id")
-        .collect()
+    clk = (
+        spark.readStream.schema("c_ad_id long, clk_ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(str(clk_dir))
     )
-    assert [(r["user_id"], r["amount"]) for r in rows] == [
-        (1, 9.99),
-        (2, None),
-        (3, None),
-    ]
+    joined = attribution_interval_join(imp, clk, how="left_outer")
+    q = (
+        joined.writeStream.format("memory").queryName("attrib_outer")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.ad_id, r.c_ad_id)
+        for r in spark.sql("SELECT ad_id, c_ad_id FROM attrib_outer").collect()
+    }
+    assert (1, 1) in got and (99, 99) in got      # matched pairs
+    assert (2, None) in got and (3, None) in got  # proven-unmatched emit
+
+
+def test_interval_join_rejects_unknown_how(spark):
+    import pytest
+
+    from log2sql_spark.streaming.joins import attribution_interval_join
+
+    df = spark.createDataFrame([], "ad_id long, imp_ts timestamp")
+    clk = spark.createDataFrame([], "c_ad_id long, clk_ts timestamp")
+    with pytest.raises(ValueError, match="inner|left_outer"):
+        attribution_interval_join(df, clk, how="full_outer")

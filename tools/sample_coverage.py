@@ -76,6 +76,7 @@ VACUITY_AUDIT = {
         "q8_market_share": "TPC-H Q8: one row per o_year in the 2-year window - 2 by spec",
         "source_csv_json_roundtrip": "one checksum row per round-tripped format (csv, json), 2 by design",
         "store_pruned_merge_narrow": "per-segment totals over the 2 segments the narrow merge touches by construction",
+        "graph_degree_assortativity": "one scalar row of exact Pearson sufficient statistics (m2/sum_xy/sum_x/sum_x2) over the whole sparsified graph, 1 by design; all four moments hash-checked",
         "store_branch_wap_merge": "one summary row per WAP stage (tagged pre-merge state, merged branch head), 2 by design; n_rows/sum_cents/n_updated hash-checked",
         "store_snapshot_time_travel": "one summary row per time-travelled version (2 versions committed), 2 by design",
         "ts_anomaly_mad": "rows exceeding the MAD threshold: the 2 synthetic spikes planted in the series; day+magnitude hash-checked",
