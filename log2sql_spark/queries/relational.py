@@ -1286,3 +1286,54 @@ def window_percent_rank_bp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "window_topk_with_ties",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_nationkey AS nation,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             rank() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC
+             ) AS r
+      FROM customer
+    )
+    SELECT nation,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS kth_cents
+    FROM ranked WHERE r <= 3
+    GROUP BY nation
+    ORDER BY nation
+    """,
+)
+def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES per group (SQL's FETCH FIRST k WITH TIES /
+    rank()<=k), the semantics row_number-based top-k silently breaks:
+    every row tied with the k-th survives, so n_kept can exceed k and
+    the result needs NO tie-break column to be deterministic — tie
+    inclusion itself is what makes both engines agree. The complement
+    of window_topk_per_group (row_number, tie-broken). One shuffle on
+    the group key; rank's state is a counter, and the k-filter prunes
+    before the rollup, so the post-window width is O(k·|groups|)."""
+    customer = _t(spark, sf_dir, "customer")
+    wr = W.partitionBy("c_nationkey").orderBy(
+        F.round(F.col("c_acctbal") * 100).cast("bigint").desc()
+    )
+    ranked = customer.select(
+        F.col("c_nationkey").alias("nation"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        F.rank().over(wr).alias("r"),
+    )
+    return (
+        ranked.filter(F.col("r") <= 3)
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("kth_cents"),
+        )
+        .orderBy("nation")
+    )

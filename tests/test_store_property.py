@@ -77,3 +77,60 @@ def test_merge_matches_model(spark, tmp_path_factory, history, split, layout):
 
     got = {r.k: r.val for r in store.read(spark).collect()}
     assert got == _model(base, history)
+
+
+@pytest.mark.slow
+@pytest.mark.filterwarnings("ignore::hypothesis.errors.HypothesisWarning")
+@given(history=HISTORY, split=SPLITS, layout=st.sampled_from(["none", "range"]))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_branch_merge_matches_direct_apply(
+    spark, tmp_path_factory, history, split, layout
+):
+    """Refs property: staging an arbitrary CDC history on a BRANCH
+    (split into arbitrary micro-batches) and fast-forward-merging must
+    leave main byte-equal to applying the same history directly — i.e.
+    merge_branch is transparent: fork + stage + publish composes to the
+    identity on table state, whatever the history. Catches borrowed-
+    entry rewrite bugs, hard-link path bugs, and manifest-inheritance
+    drift under every layout."""
+    base = {0: "base0", 5: "base5"}
+    root = tmp_path_factory.mktemp("refprop")
+    schema = "k bigint, val string"
+    base_df = spark.createDataFrame(list(base.items()), schema)
+
+    def to_df(changes_with_seq):
+        return spark.createDataFrame(
+            [(k, v, op, seq) for seq, (k, v, op) in changes_with_seq],
+            "k bigint, val string, op string, seq int",
+        )
+
+    def apply_history(store):
+        indexed = list(enumerate(history))
+        cut = min(split, len(indexed))
+        for batch in (indexed[:cut], indexed[cut:]):
+            if batch:
+                store.merge(spark, to_df(batch), key_cols="k", version_cols="seq")
+
+    kw = dict(
+        mode="overwrite",
+        cluster_by=None if layout == "none" else "k",
+        target_files=3,
+    )
+    direct = SnapshotStore(str(root / "direct"))
+    direct.commit(base_df, **kw)
+    apply_history(direct)
+
+    staged = SnapshotStore(str(root / "staged"))
+    staged.commit(base_df, **kw)
+    br = staged.create_branch("wap")
+    apply_history(br)
+    v = staged.merge_branch(spark, "wap", drop=True)
+
+    got_direct = {r.k: r.val for r in direct.read(spark).collect()}
+    got_staged = {r.k: r.val for r in staged.read(spark, v).collect()}
+    assert got_staged == got_direct == _model(base, history)
+    assert staged.fsck(v) == []  # every merged entry physically present
