@@ -2941,7 +2941,9 @@ class SnapshotStore:
 
     # ---- refs: tags and branches ------------------------------------
     #
-    # Iceberg-style named refs over the same manifest log. A TAG is an
+    # Reference analog: none — table-format extension surface
+    # (SURVEY.md §2.2, the Delta/Iceberg stand-in the CDC apply path
+    # targets). Iceberg-style named refs over the same manifest log. A TAG is an
     # immutable named pointer to a version — it PINS that version
     # against vacuum (release/audit retention). A BRANCH is an
     # independent line of development: physically a shallow clone
@@ -3027,6 +3029,32 @@ class SnapshotStore:
         if not os.path.exists(p):
             raise ValueError(f"no tag {name!r}")
         os.remove(p)
+
+    def expire_tags(
+        self, older_than_secs: float, now: float | None = None
+    ) -> list[str]:
+        """Iceberg's tag max-ref-age: drop every tag created more than
+        ``older_than_secs`` ago, returning the dropped names — the
+        retention sweep that keeps nightly release tags from pinning
+        the whole manifest history forever (run it before ``vacuum``
+        so the newly unpinned versions reap in the same pass).
+        Branches never auto-expire: a branch holds un-published WORK,
+        and silently dropping one loses data — expiry is only sound
+        for the immutable pointers."""
+        now = time.time() if now is None else now
+        d = os.path.join(self.path, "_refs", "tags")
+        dropped: list[str] = []
+        if not os.path.isdir(d):
+            return dropped
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".json"):
+                continue
+            with open(os.path.join(d, f)) as fh:
+                created = json.load(fh).get("created_at", now)
+            if now - created > older_than_secs:
+                os.remove(os.path.join(d, f))
+                dropped.append(f[:-5])
+        return dropped
 
     def _branch_root(self, name: str) -> str:
         return os.path.join(self.path, "_branches", name)

@@ -346,3 +346,35 @@ def test_cli_tag_branch_merge(spark, tmp_path, capsys):
     assert store_main(["tag", path, "--drop", "rel-1"]) == 0
     assert capsys.readouterr().out.strip() == "rel-1"
     assert store.tags() == {}
+
+
+def test_expire_tags_max_ref_age(spark, tmp_path):
+    """Iceberg max-ref-age: expire_tags drops only tags older than the
+    horizon (branches never auto-expire — they hold unpublished work),
+    and the next vacuum reaps the newly unpinned version."""
+    import json as _json
+    import os as _os
+
+    store = _store(spark, tmp_path, n=100)
+    store.create_tag("nightly-old", version=1)
+    store.create_tag("nightly-new", version=1)
+    # age the first tag on disk deterministically
+    p = _os.path.join(store.path, "_refs", "tags", "nightly-old.json")
+    ref = _json.load(open(p))
+    ref["created_at"] -= 10_000
+    _json.dump(ref, open(p, "w"))
+
+    dropped = store.expire_tags(older_than_secs=5_000)
+    assert dropped == ["nightly-old"]
+    assert set(store.tags()) == {"nightly-new"}
+
+    store.commit(
+        spark.createDataFrame([(1, "v2", 0)],
+                              "k int, status string, cents long"),
+        mode="overwrite", cluster_by="k", target_files=1,
+    )
+    store.vacuum(keep_last=1)
+    assert store.versions() == [1, 2]  # still pinned by nightly-new
+    store.expire_tags(older_than_secs=-1)  # everything is now "old"
+    store.vacuum(keep_last=1)
+    assert store.versions() == [2]
