@@ -47,6 +47,13 @@ from dataclasses import dataclass
 _END_POS_RE = re.compile(r"\bend_log_pos\s+(\d+)\b")
 # A Rotate event closes the file: `Rotate to mysql-bin.000002  pos: 4`.
 _ROTATE_RE = re.compile(r"\bRotate to\s+(\S+)\s+pos:\s*(\d+)")
+# Event-start marker (`# at N`) and the transaction framing the binlog
+# parser keys on (sources/binlog.py): a GTID preamble opens a
+# transaction, COMMIT / GTID_NEXT='AUTOMATIC' closes it.
+_AT_RE = re.compile(r"^#\s*at\s+(\d+)\s*$")
+_GTID_NEXT_RE = re.compile(
+    r"SET\s+@@SESSION\.GTID_NEXT\s*=\s*'([^']*)'", re.IGNORECASE
+)
 
 BINLOG_MAGIC_POS = 4  # events start after the 4-byte magic header
 
@@ -114,6 +121,55 @@ def rotate_target(dump_text: str) -> tuple[str, int] | None:
     return last
 
 
+def trim_incomplete_txn(dump_text: str) -> tuple[str, int | None]:
+    """Cut a trailing transaction the dump left OPEN; return
+    ``(whole_txns_text, open_txn_start_pos | None)``.
+
+    A connection that dies mid-transaction can leave ``mysqlbinlog``'s
+    flushed output ending inside a GTID block (preamble/BEGIN with no
+    COMMIT before EOF). Landing that partial window is how a split
+    transaction happens downstream: the GTID dedup keeps each
+    transaction's FIRST delivery (operators/cdc_filters.dedup_by_gtid)
+    and the cross-batch GTID store drops every later one
+    (streaming/gtid_stream.py), so a partial first copy would win and
+    the complete re-dump would be discarded — the transaction's tail
+    rows would never apply. The tail therefore lands WHOLE transactions
+    only: the trailing open transaction is trimmed at its ``# at``
+    event-start marker, and the resume cursor points at that marker so
+    the retry re-dumps the transaction from its GTID preamble onward.
+
+    Dumps without transaction framing (servers running without
+    gtid_mode / binlogs of autocommit statements) pass through
+    untouched — every event is its own implicit transaction and there
+    is nothing safe to cut.
+    """
+    lines = dump_text.splitlines(keepends=True)
+    last_at: tuple[int, int] | None = None  # (pos, line index)
+    open_start: tuple[int, int] | None = None
+    for i, raw in enumerate(lines):
+        stripped = raw.strip()
+        m = _AT_RE.match(stripped)
+        if m:
+            last_at = (int(m.group(1)), i)
+            continue
+        g = _GTID_NEXT_RE.search(stripped)
+        if g:
+            if g.group(1).upper() == "AUTOMATIC":
+                open_start = None
+            elif open_start is None:
+                open_start = last_at
+            continue
+        if stripped == "BEGIN" and open_start is None:
+            open_start = last_at
+            continue
+        if stripped.startswith("COMMIT") or stripped.startswith("ROLLBACK"):
+            open_start = None
+    if open_start is None:
+        return dump_text, None
+    pos, line_idx = open_start
+    return "".join(lines[:line_idx]), pos
+
+
 @dataclass
 class TailState:
     """Resumable cursor: which log, and how far into it we've landed."""
@@ -168,7 +224,14 @@ def tail_once(
         argv, capture_output=True, text=True, check=True,
         env=remote_env(password),
     )
-    text = proc.stdout
+    # Whole transactions only: a dump cut mid-transaction (connection
+    # died inside a GTID block) is trimmed back to the last transaction
+    # boundary, so the GTID dedup downstream never sees a partial first
+    # delivery (see trim_incomplete_txn). The trimmed cursor naturally
+    # resumes at the open transaction's start: its `# at` equals the
+    # previous event's end_log_pos, which is last_end_pos of the
+    # trimmed text.
+    text, _open_txn = trim_incomplete_txn(proc.stdout)
     end = last_end_pos(text)
     rot = rotate_target(text)
     grew = end is not None and end > state.position

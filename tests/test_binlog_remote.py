@@ -256,3 +256,233 @@ def test_tail_retries_transient_dump_failures(tmp_path, monkeypatch):
             str(watch), "bin.000001", poll_interval=0.01,
             max_consecutive_failures=3,
         )
+
+
+# ---------------------------------------------------------------------------
+# GTID continuity across rotations: whole-transactions-only landing
+# ---------------------------------------------------------------------------
+
+def test_trim_incomplete_txn():
+    """A dump cut inside a GTID block is trimmed back to the open
+    transaction's `# at` marker (the resume cursor); whole dumps and
+    framing-less dumps pass through untouched."""
+    from log2sql_spark.sources.binlog_remote import trim_incomplete_txn
+
+    whole = (
+        "# at 4\n"
+        "#240501 12:00:07 server id 1  end_log_pos 60 CRC32 0x1 \tGTID\n"
+        "SET @@SESSION.GTID_NEXT= 'aaaa:1'/*!*/;\n"
+        "# at 60\n"
+        "#240501 12:00:07 server id 1  end_log_pos 120 CRC32 0x1 \tQuery\n"
+        "BEGIN\n"
+        "# at 120\n"
+        "#240501 12:00:07 server id 1  end_log_pos 200 CRC32 0x1 \tWrite_rows: table id 108 flags: STMT_END_F\n"
+        "### INSERT INTO `shop`.`orders`\n"
+        "### SET\n"
+        "###   @1=1\n"
+        "# at 200\n"
+        "#240501 12:00:07 server id 1  end_log_pos 300 CRC32 0x1 \tXid = 5\n"
+        "COMMIT/*!*/;\n"
+    )
+    text, resume = trim_incomplete_txn(whole)
+    assert text == whole and resume is None
+
+    partial = whole + (
+        "# at 300\n"
+        "#240501 12:00:07 server id 1  end_log_pos 330 CRC32 0x1 \tGTID\n"
+        "SET @@SESSION.GTID_NEXT= 'aaaa:2'/*!*/;\n"
+        "# at 330\n"
+        "#240501 12:00:07 server id 1  end_log_pos 360 CRC32 0x1 \tQuery\n"
+        "BEGIN\n"
+        "# at 360\n"
+        "#240501 12:00:07 server id 1  end_log_pos 400 CRC32 0x1 \tWrite_rows: table id 108 flags: STMT_END_F\n"
+        "### INSERT INTO `shop`.`orders`\n"
+        "### SET\n"
+        "###   @1=3\n"
+    )  # connection died before the COMMIT
+    text, resume = trim_incomplete_txn(partial)
+    assert text == whole
+    assert resume == 300  # retry re-dumps the txn WITH its GTID preamble
+
+    # GTID_NEXT='AUTOMATIC' closes like COMMIT (between-txn state)
+    auto = whole + "SET @@SESSION.GTID_NEXT= 'AUTOMATIC'/*!*/;\n"
+    assert trim_incomplete_txn(auto) == (auto, None)
+
+    # no transaction framing at all (gtid-less autocommit server):
+    # nothing safe to cut, pass through
+    bare = (
+        "# at 4\n"
+        "#240501 12:00:07 server id 1  end_log_pos 200 CRC32 0x1 \tWrite_rows: table id 108 flags: STMT_END_F\n"
+        "### INSERT INTO `shop`.`orders`\n"
+        "### SET\n"
+        "###   @1=1\n"
+    )
+    assert trim_incomplete_txn(bare) == (bare, None)
+
+
+# Fake server with GTID framing. Timeline of bin.000001:
+#   g1 = aaaa:1 -> rows (1,'a'), (2,'b'), COMMIT @300
+#   g2 = aaaa:2 -> rows (3,'c'), (4,'d'), COMMIT @470, Rotate to bin.000002
+# bin.000002: g3 = aaaa:3 -> row (5,'e').
+# While the crash marker exists, a from-4 dump of bin.000001 DIES
+# mid-g2 (flushed output ends after row 3, exit 0 — the worst case: a
+# partial transaction that LOOKS like a clean dump). Any mid-g2
+# start-position snaps back to 300: GTID auto-position re-delivers an
+# interrupted transaction whole, which is what makes duplicate delivery
+# (not gaps) the failure mode the GTID dedup must absorb.
+_FAKE_GTID = r'''#!/usr/bin/env python3
+import os, sys
+
+args = sys.argv[1:]
+if any(a.startswith("--password") for a in args):
+    sys.stderr.write("password leaked onto argv\n")
+    sys.exit(13)
+start = 4
+logf = args[-1]
+for a in args:
+    if a.startswith("--start-position="):
+        start = int(a.split("=", 1)[1])
+
+H = "#240501 12:00:07 server id 1  end_log_pos %d CRC32 0x1234abcd \t%s"
+
+
+def gtid(pos, end, g):
+    return ["# at %d" % pos, H % (end, "GTID"),
+            "SET @@SESSION.GTID_NEXT= '%s'/*!*/;" % g]
+
+
+def begin(pos, end):
+    return ["# at %d" % pos, H % (end, "Query"), "BEGIN"]
+
+
+def ins(pos, end, rid, status):
+    return ["# at %d" % pos,
+            H % (end, "Write_rows: table id 108 flags: STMT_END_F"),
+            "### INSERT INTO `shop`.`orders`",
+            "### SET",
+            "###   @1=%d /* INT meta=0 nullable=0 is_null=0 */" % rid,
+            "###   @2='%s' /* VARSTRING(255) meta=255 nullable=1 is_null=0 */" % status]
+
+
+def commit(pos, end):
+    return ["# at %d" % pos, H % (end, "Xid = 9"), "COMMIT/*!*/;"]
+
+
+G1 = (gtid(4, 60, "aaaa:1") + begin(60, 120) + ins(120, 200, 1, "a")
+      + ins(200, 260, 2, "b") + commit(260, 300))
+G2 = (gtid(300, 330, "aaaa:2") + begin(330, 360) + ins(360, 400, 3, "c")
+      + ins(400, 450, 4, "d") + commit(450, 470))
+G2_PARTIAL = G2[:len(gtid(0, 0, "x")) + len(begin(0, 0)) + len(ins(0, 0, 0, "x"))]
+ROT = [H % (513, "Rotate to bin.000002  pos: 4")]
+G3 = (gtid(4, 60, "aaaa:3") + begin(60, 100) + ins(100, 180, 5, "e")
+      + commit(180, 210))
+
+out = ["/*!50530 SET @@SESSION.PSEUDO_SLAVE_MODE=1*/;"]
+marker = os.environ.get("FAKE_CRASH_MARKER", "")
+if logf == "bin.000001":
+    if start <= 4:
+        if marker and os.path.exists(marker):
+            os.unlink(marker)
+            # died mid-g2: flushed partial output, clean exit code
+            print("\n".join(out + G1 + G2_PARTIAL))
+            sys.exit(0)
+        out += G1 + G2 + ROT
+    elif start <= 470:
+        out += G2 + ROT  # auto-position: interrupted txn re-dumps WHOLE
+elif logf == "bin.000002":
+    if start <= 4:
+        out += G3
+out.append("# End of log file")
+print("\n".join(out))
+'''
+
+
+@pytest.fixture()
+def fake_gtid_server(tmp_path, monkeypatch):
+    bindir = tmp_path / "gbin"
+    bindir.mkdir()
+    script = bindir / "mysqlbinlog"
+    script.write_text(_FAKE_GTID)
+    script.chmod(script.stat().st_mode | stat.S_IXUSR | stat.S_IXGRP | stat.S_IXOTH)
+    marker = tmp_path / "crash_once"
+    marker.write_text("")
+    monkeypatch.setenv("FAKE_CRASH_MARKER", str(marker))
+    monkeypatch.setenv("PATH", str(bindir) + os.pathsep + os.environ["PATH"])
+    return str(script)
+
+
+def test_mid_txn_crash_at_rotation_is_exactly_once(
+    spark, fake_gtid_server, tmp_path
+):
+    """VERDICT r10 #4: the server dies MID-TRANSACTION right before the
+    rotation boundary; the GTID-grouped replay neither splits nor
+    re-applies the transaction.
+
+    The dangerous half is the split: dedup keeps each GTID's FIRST
+    delivery and the cross-batch store drops later ones, so if the tail
+    landed the crash-truncated window (g2 preamble + row 3, no COMMIT),
+    that partial copy would win and row 4 would never apply. The tail's
+    whole-transactions-only trim is what forbids it. The re-apply half
+    is then driven explicitly: a stale mid-g2 cursor (as a pre-trim
+    checkpoint would hold) re-dumps g2 whole into a SECOND file, and
+    the streaming GTID store must collapse the duplicate."""
+    from log2sql_spark.sources.binlog_remote import tail_once
+    from log2sql_spark.sources.catalog import catalog_from_dict
+    from log2sql_spark.streaming.gtid_stream import (
+        replayed_sql,
+        stream_binlog_exactly_once,
+    )
+
+    watch = tmp_path / "watch"
+    state = tail_remote_binlog(
+        str(watch), "bin.000001", poll_interval=0.01, max_iterations=3,
+    )
+    # poll 1 crashed mid-g2: ONLY the complete g1 landed, trimmed at
+    # g2's `# at 300`, and the cursor resumed exactly there
+    first = (watch / "bin.000001.from4.txt").read_text()
+    assert "@1=1" in first and "@1=2" in first
+    assert "@1=3" not in first and "aaaa:2" not in first
+    # poll 2 re-dumped g2 WHOLE (with its GTID preamble) + the rotation;
+    # poll 3 landed g3 from the next log
+    assert state.rotations == 1
+    assert (state.log_file, state.position) == ("bin.000002", 210)
+    assert sorted(os.listdir(watch)) == [
+        "bin.000001.from300.txt",
+        "bin.000001.from4.txt",
+        "bin.000002.from4.txt",
+    ]
+    resumed = (watch / "bin.000001.from300.txt").read_text()
+    assert "aaaa:2" in resumed and "@1=3" in resumed and "@1=4" in resumed
+
+    # duplicate delivery: a STALE mid-g2 cursor (what a pre-trim
+    # checkpoint could persist) re-dumps the whole transaction into a
+    # second, differently-named file
+    stale = TailState(log_file="bin.000001", position=350)
+    assert tail_once(stale, str(watch))
+    dup = (watch / "bin.000001.from350.txt").read_text()
+    assert "aaaa:2" in dup and "@1=3" in dup and "@1=4" in dup
+
+    # drive the watch dir through the exactly-once stream, one file per
+    # micro-batch, so the duplicate g2 arrives in a LATER batch and the
+    # persisted GTID store (not in-batch dedup) must absorb it
+    cat = catalog_from_dict(
+        spark,
+        {"shop.orders": {"columns": ["id", "status"], "key_columns": ["id"]}},
+    )
+    out, ckpt, gstore = (
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), str(tmp_path / "gtids")
+    )
+    q = stream_binlog_exactly_once(
+        spark, str(watch), cat, out, ckpt, gstore, max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+    got = sorted(r.sql_text for r in replayed_sql(spark, out).collect())
+    # five rows, each applied exactly once: g2 is WHOLE (3 and 4 both
+    # present — not split) and SINGLE (not re-applied from the dup file)
+    assert got == [
+        "INSERT INTO `shop`.`orders`(`id`, `status`) VALUES (1, 'a');",
+        "INSERT INTO `shop`.`orders`(`id`, `status`) VALUES (2, 'b');",
+        "INSERT INTO `shop`.`orders`(`id`, `status`) VALUES (3, 'c');",
+        "INSERT INTO `shop`.`orders`(`id`, `status`) VALUES (4, 'd');",
+        "INSERT INTO `shop`.`orders`(`id`, `status`) VALUES (5, 'e');",
+    ]

@@ -372,3 +372,62 @@ def test_overwrite_retry_needs_state_independent_opt_in(spark, tmp_path):
     assert state["fired"]
     rows = {(r.k, r.status) for r in store.read(spark, v).collect()}
     assert rows == {(1, "fresh")}
+
+
+def test_rebase_proof_is_manifest_only_on_wide_head(spark, tmp_path, monkeypatch):
+    """VERDICT r10 #8: the disjointness proof and the republish must be
+    manifest-only — ZERO Spark work, zero parquet reads — even on a
+    100-file head. Enforced at the strongest observable boundary: every
+    Python→JVM interaction goes through py4j's
+    ``GatewayClient.send_command`` (both gateway modes inherit it), so
+    an empty capture during ``_rebase_merge`` (which runs the
+    ``_rebase_safe`` proof inside it) means the whole rebase — head
+    re-read, per-file key-range checks against the winner's added
+    files, and the manifest surgery — never touched the JVM, let alone
+    a data file. This turns the "zero data I/O rebase" claim from
+    implemented into plan-enforced."""
+    import py4j.java_gateway as jg
+
+    store = _base_store(spark, tmp_path, n=100_000, files=100)
+    assert len(store.snapshot(store.head_version()).entries) >= 100
+    competitor = SnapshotStore(store.path)
+    state = _inject_race(
+        store,
+        lambda: competitor.merge(
+            spark, _changes(spark, range(90_000, 90_050), "theirs"),
+            key_cols="k", version_cols="seq",
+        ),
+    )
+
+    jvm_commands: list = []
+    orig_rebase = SnapshotStore._rebase_merge
+    orig_send = jg.GatewayClient.send_command
+
+    def guarded(self, *a, **k):
+        def spy(client_self, command, *sa, **sk):
+            jvm_commands.append(command)
+            return orig_send(client_self, command, *sa, **sk)
+
+        jg.GatewayClient.send_command = spy
+        try:
+            return orig_rebase(self, *a, **k)
+        finally:
+            jg.GatewayClient.send_command = orig_send
+
+    monkeypatch.setattr(SnapshotStore, "_rebase_merge", guarded)
+    v = store.merge(
+        spark, _changes(spark, range(0, 50), "ours"),
+        key_cols="k", version_cols="seq", max_retries=2,
+    )
+    assert state["fired"]
+    snap = store.snapshot(v)
+    assert snap.meta.get("rebased_from") == 1  # rebase path, not recompute
+    assert jvm_commands == [], (
+        f"rebase touched the JVM ({len(jvm_commands)} py4j commands) — "
+        "the disjointness proof must stay manifest-only"
+    )
+    # and the rebased table is still right
+    rows = {r.k: r.status for r in store.read(spark).collect()}
+    assert all(rows[k] == "ours" for k in range(0, 50))
+    assert all(rows[k] == "theirs" for k in range(90_000, 90_050))
+    assert len(rows) == 100_000
