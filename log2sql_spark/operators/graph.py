@@ -69,3 +69,55 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 40) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node has degree ≥ k, computed by parallel peeling — each
+    round drops ALL nodes whose degree among survivors is < k, and a
+    drop can cascade (removing a node lowers its neighbors' degrees).
+    ``edges`` needs bigint ``src``/``dst`` (any orientation; the first
+    step symmetrizes). Returns (node, core_degree) for the surviving
+    nodes, where core_degree is the node's degree WITHIN the core —
+    the fraud-ring / community-nucleus primitive (k-cores survive the
+    tree-like periphery that dominates real bipartite activity graphs).
+
+    Round shape: one shuffle join of the (shrinking) survivor set to
+    the static symmetrized edge list, one count aggregate, one HAVING
+    filter. The survivor set only shrinks, so the fixed point is
+    detected by comparing counts between rounds (an order-free
+    integer, no row diff); lineage is truncated per round with an
+    eager localCheckpoint like every iterative operator here. At
+    100 TB the loop holds: edges shuffle on their endpoint key, the
+    survivor side is the small one after the first cascades, and the
+    peel is O(rounds · |E|) with rounds bounded by the degeneracy
+    ordering depth, not |V|.
+    """
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    alive = und.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    n_alive = alive.count()
+    for _ in range(max_rounds):
+        deg = (
+            alive.join(und, alive.node == und.src)
+            .join(
+                alive.select(F.col("node").alias("other")),
+                F.col("dst") == F.col("other"),
+            )
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+        survivors = deg.filter(F.col("core_degree") >= k).localCheckpoint(
+            eager=True
+        )
+        n_next = survivors.count()
+        alive = survivors.select("node")
+        if n_next == n_alive:  # nothing peeled: fixed point
+            return survivors
+        n_alive = n_next
+        if n_next == 0:
+            return survivors
+    return survivors

@@ -1976,3 +1976,166 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("from_type", "to_type", "n_transitions", "from_total", "prob_bp")
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "agg_apportionment_largest_remainder",
+    oracle="""
+    WITH counts AS (
+      SELECT n.n_name AS nation,
+             CAST(count(*) AS BIGINT) AS n_customers
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    ), quotas AS (
+      SELECT nation, n_customers,
+             (n_customers * 100) // sum(n_customers) OVER () AS floor_seats,
+             (n_customers * 100) % sum(n_customers) OVER () AS remainder_units
+      FROM counts
+    ), ranked AS (
+      SELECT nation, n_customers, floor_seats, remainder_units,
+             rank() OVER (ORDER BY remainder_units DESC, nation) AS rem_rank,
+             100 - sum(floor_seats) OVER () AS seats_left
+      FROM quotas
+    )
+    SELECT nation, n_customers,
+           CAST(floor_seats AS BIGINT) AS floor_seats,
+           CAST(rem_rank <= seats_left AS BIGINT) AS extra_seat,
+           CAST(floor_seats + CAST(rem_rank <= seats_left AS BIGINT) AS BIGINT)
+             AS seats
+    FROM ranked
+    ORDER BY nation
+    """,
+)
+def agg_apportionment_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: allocate 100 seats
+    to nations proportionally to customer count — the shard/budget/
+    quota allocation primitive (same math assigns executor slots to
+    tenants or sampling budgets to sources). Exact integer arithmetic:
+    floor quotas via truncating division, leftover seats to the largest
+    remainders with a (remainder DESC, nation) tie-break that makes the
+    allocation unique, so both engines pick identical winners. Shape:
+    one groupBy to 25 rows, then windows over those 25 — the unbounded
+    windows never see raw rows, so the pattern holds at any fact-table
+    scale."""
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    counts = (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    all_w = Window.partitionBy(F.lit(1))
+    quotas = counts.select(
+        "nation",
+        "n_customers",
+        F.expr("n_customers * 100").alias("units"),
+        F.sum("n_customers").over(all_w).alias("total"),
+    ).select(
+        "nation",
+        "n_customers",
+        F.expr("units DIV total").alias("floor_seats"),
+        (F.col("units") % F.col("total")).alias("remainder_units"),
+    )
+    ranked = quotas.select(
+        "nation",
+        "n_customers",
+        "floor_seats",
+        F.rank()
+        .over(Window.orderBy(F.col("remainder_units").desc(), F.col("nation")))
+        .alias("rem_rank"),
+        (F.lit(100) - F.sum("floor_seats").over(all_w)).alias("seats_left"),
+    )
+    return ranked.select(
+        "nation",
+        "n_customers",
+        F.col("floor_seats").cast("long").alias("floor_seats"),
+        (F.col("rem_rank") <= F.col("seats_left")).cast("long").alias("extra_seat"),
+        (
+            F.col("floor_seats")
+            + (F.col("rem_rank") <= F.col("seats_left")).cast("long")
+        )
+        .cast("long")
+        .alias("seats"),
+    ).orderBy("nation")
+
+
+def _morton_interleave(tx, ty, bits: int):
+    """Morton (Z-order) code as a column expression: interleave the low
+    ``bits`` of tx (even positions) and ty (odd positions) — pure
+    shifts and masks, runs entirely in whole-stage codegen."""
+    code = F.lit(0)
+    for i in range(bits):
+        code = (
+            code
+            + F.shiftleft(F.shiftright(tx, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(ty, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return code
+
+
+@query(
+    "geo_morton_tile_agg",
+    oracle="""
+    WITH pts AS (
+      SELECT (o_orderkey % 251) // 16 AS tx,
+             (o_custkey % 241) // 16 AS ty,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), coded AS (
+      SELECT tx, ty,
+             ((tx >> 0) & 1) * 1 + ((ty >> 0) & 1) * 2
+             + ((tx >> 1) & 1) * 4 + ((ty >> 1) & 1) * 8
+             + ((tx >> 2) & 1) * 16 + ((ty >> 2) & 1) * 32
+             + ((tx >> 3) & 1) * 64 + ((ty >> 3) & 1) * 128 AS morton,
+             cents
+      FROM pts
+    )
+    SELECT CAST(morton AS BIGINT) AS morton,
+           CAST(min(tx) AS BIGINT) AS tile_x,
+           CAST(min(ty) AS BIGINT) AS tile_y,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM coded
+    GROUP BY morton
+    ORDER BY morton
+    """,
+)
+def geo_morton_tile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) tile aggregation — the locality-preserving geo
+    partitioning key (GeoMesa/Uber-H3 family): interleaving the tile
+    coordinates' bits makes lexicographically-adjacent keys spatially
+    adjacent, so range scans over the code touch contiguous tiles and
+    a 100 TB point table clustered by it prunes 2-D box queries with a
+    1-D key (same property the store's zorder layout exploits,
+    store/zorder.py). Coordinates derive deterministically from order
+    keys (no geo columns in the fixture); the interleave is 8 bits of
+    shifts/masks — all whole-stage codegen, one groupBy on the code.
+    min(tx)=tx per group (the code determines the tile), kept so the
+    oracle proves the decode round-trips."""
+    orders = load_table(spark, "orders", sf_dir)
+    pts = orders.select(
+        F.expr("(o_orderkey % 251) DIV 16").cast("int").alias("tx"),
+        F.expr("(o_custkey % 241) DIV 16").cast("int").alias("ty"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    coded = pts.select(
+        _morton_interleave(F.col("tx"), F.col("ty"), 4).alias("morton"),
+        "tx", "ty", "cents",
+    )
+    return (
+        coded.groupBy("morton")
+        .agg(
+            F.min("tx").cast("long").alias("tile_x"),
+            F.min("ty").cast("long").alias("tile_y"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .select(
+            F.col("morton").cast("long").alias("morton"),
+            "tile_x", "tile_y", "n_orders", "total_cents",
+        )
+        .orderBy("morton")
+    )

@@ -793,3 +793,103 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").alias("sum_x"),
         F.sum(F.col("x") * F.col("x")).alias("sum_x2"),
     )
+
+
+_KCORE_ROUNDS = 14  # peeling converges in 8 rounds at sf0.01; margin on top
+
+
+def _kcore_round_sql(prev: str, cur: str) -> str:
+    # survivors = nodes of `prev` with >= 2 surviving neighbors; a
+    # no-op once converged, so extra unrolled rounds are harmless
+    return f"""
+    , {cur} AS MATERIALIZED (
+      SELECT a.node FROM {prev} a
+      JOIN und ON und.u = a.node
+      JOIN {prev} b ON b.node = und.v
+      GROUP BY a.node HAVING count(*) >= 2
+    )"""
+
+
+@query(
+    "graph_kcore_decomposition",
+    oracle="""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_quantity >= 49 AND l.l_discount >= 0.08
+    ), und AS MATERIALIZED (
+      SELECT c AS u, s AS v FROM e0
+      UNION ALL
+      SELECT s AS u, c AS v FROM e0
+    ), r0 AS (SELECT DISTINCT u AS node FROM und)
+    """
+    + "".join(
+        _kcore_round_sql(f"r{i}", f"r{i + 1}") for i in range(_KCORE_ROUNDS)
+    )
+    + f"""
+    SELECT CAST(CASE WHEN a.node >= 1000000 THEN a.node - 1000000
+                     ELSE a.node END AS BIGINT) AS entity_key,
+           CASE WHEN a.node >= 1000000 THEN 'supplier'
+                ELSE 'customer' END AS entity_type,
+           CAST(count(*) AS BIGINT) AS core_degree
+    FROM r{_KCORE_ROUNDS} a
+    JOIN und ON und.u = a.node
+    JOIN r{_KCORE_ROUNDS} b ON b.node = und.v
+    GROUP BY a.node
+    ORDER BY entity_type, entity_key
+    """,
+)
+def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the high-quantity deep-discount customer–supplier
+    bipartite graph: peel away every node with fewer than 2 surviving
+    neighbors until stable (8 cascading rounds at sf0.01 — removing a
+    leaf strips its neighbor down to a leaf, and so on), leaving the
+    cyclic nucleus (104 of ~700 nodes). The k-core is the fraud-ring /
+    community-nucleus primitive: tree-like periphery — which dominates
+    real activity graphs — can never fake its way in, because
+    membership requires k *mutually surviving* neighbors.
+
+    Spark side is a true fixed-point loop (operators/graph.py::kcore):
+    per round one shuffle join of the shrinking survivor set against
+    the static symmetrized edge list + a count aggregate, lineage
+    truncated per round, convergence detected by the survivor COUNT
+    (monotone, order-free). The DuckDB oracle unrolls 14 parallel-peel
+    rounds (idempotent once converged) and must agree on every
+    (entity, core_degree) row.
+
+    Reference analog: none (305-LoC CDC parser); extension surface
+    alongside components/PageRank/BFS/triangles/assortativity.
+    """
+    from log2sql_spark.operators.graph import kcore
+
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    flt = lineitem.filter(
+        (F.col("l_quantity") >= 49) & (F.col("l_discount") >= 0.08)
+    ).select(
+        F.col("l_orderkey").alias("lo"),
+        (F.col("l_suppkey").cast("bigint") + 1000000).alias("s"),
+    )
+    e = (
+        F.broadcast(flt)
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("lo") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").cast("bigint").alias("src"), F.col("s").alias("dst"))
+        .distinct()
+    )
+    core = kcore(e, k=2)
+    return (
+        core.select(
+            F.when(F.col("node") >= 1000000, F.col("node") - 1000000)
+            .otherwise(F.col("node"))
+            .cast("bigint")
+            .alias("entity_key"),
+            F.when(F.col("node") >= 1000000, F.lit("supplier"))
+            .otherwise(F.lit("customer"))
+            .alias("entity_type"),
+            F.col("core_degree").cast("long").alias("core_degree"),
+        )
+        .orderBy("entity_type", "entity_key")
+    )

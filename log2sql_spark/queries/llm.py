@@ -2566,3 +2566,119 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "llm_ppjoin_prefix_filter",
+    oracle=_CORPUS_SQL
+    + r"""
+    , toks AS (
+      SELECT doc_id AS id, unnest(list_distinct(g.grams)) AS tok
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+                 i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                      regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                      regexp_split_to_array(trim(text), '\s+')[i+2]
+               ) AS grams
+        FROM corpus
+      ) g(doc_id, grams)
+    ), sizes AS (
+      SELECT id, count(*) AS n FROM toks GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM toks a JOIN toks b USING (tok)
+      WHERE a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(n_inter * 10000 // (sa.n + sb.n - n_inter) AS BIGINT) AS jacc_bp
+    FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+    WHERE 10 * n_inter >= 7 * (sa.n + sb.n - n_inter)
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join with PREFIX FILTERING (PPJoin family,
+    Xiao et al., WWW'08): exact word-3-gram-set Jaccard ≥ 0.7 pairs, found
+    WITHOUT the all-pairs token join the brute oracle runs. Order every
+    document's distinct tokens by global rarity (document frequency
+    asc, token asc — one broadcastable df table), keep only the first
+    p = n − ⌈0.7·n⌉ + 1 tokens as the doc's PREFIX: any pair with
+    Jaccard ≥ 0.7 must share a prefix token under a consistent global
+    order, so candidates come from a self-join on the tiny prefix
+    relation plus the length filter 10·min(n) ≥ 7·max(n) — lossless by
+    the prefix-filtering theorem, so the verified output EQUALS the
+    exact all-pairs result. The rarity ordering is what makes prefixes
+    selective: common tokens (which generate quadratic candidates)
+    never appear in a short prefix. Complements MinHash-LSH: this is
+    the exact-threshold variant (no recall loss) at the cost of a df
+    pass — the right tool when the dedup policy is contractual.
+    Verification joins full token sets ONLY for candidates; integer
+    basis points and the cross-multiplied threshold avoid float
+    boundary drift."""
+    from log2sql_spark.operators.dedup import word_ngrams
+
+    toks = _corpus(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.explode(word_ngrams(F.col("text"), 3)).alias("tok"),
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    df_tbl = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        toks.join(df_tbl, "tok")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.asc("df"), F.asc("tok"))
+            ),
+        )
+        .join(sizes, "id")
+        # p = n - ceil(0.7 n) + 1, all-integer ceil
+        .filter(F.col("rnk") <= F.col("n") - F.expr("(7 * n + 9) DIV 10") + 1)
+        .select("id", "tok", "n")
+    )
+    cand = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), "tok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        # length filter: Jaccard >= 0.7 forces 10*min >= 7*max
+        .filter(
+            F.lit(10) * F.least("a.n", "b.n")
+            >= F.lit(7) * F.greatest("a.n", "b.n")
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("id_a"), "tok")
+    tb = toks.select(F.col("id").alias("id_b"), "tok")
+    verified = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(
+            F.lit(10) * F.col("n_inter")
+            >= F.lit(7) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+    )
+    return verified.select(
+        "id_a", "id_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.expr("n_inter * 10000 DIV (n_a + n_b - n_inter)")
+        .cast("long")
+        .alias("jacc_bp"),
+    ).orderBy("id_a", "id_b")

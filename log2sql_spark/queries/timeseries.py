@@ -2575,3 +2575,144 @@ def ts_gapfill_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("cents_interp"),
     ).orderBy("user_id", "day")
+
+
+@query(
+    "ts_max_drawdown",
+    oracle="""
+    WITH flows AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE -CAST(round(value * 100) AS BIGINT) END AS cents
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ), curve AS (
+      SELECT user_id, ts, event_id,
+             sum(cents) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS cum
+      FROM flows
+    ), dd AS (
+      SELECT user_id, cum,
+             max(cum) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) - cum AS drawdown
+      FROM curve
+    )
+    SELECT user_id,
+           CAST(max(drawdown) AS BIGINT) AS max_drawdown_cents,
+           CAST(max(cum) AS BIGINT) AS peak_cents,
+           CAST(count(*) AS BIGINT) AS n_flows
+    FROM dd
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over a signed cash-flow curve
+    (purchases credit, errors debit — the refund/chargeback model):
+    the classic peak-to-trough risk metric. Two stacked window
+    functions — running sum, then running max — share the SAME
+    (user_id, ts, event_id) window spec, so Catalyst plans ONE shuffle
+    on user_id and evaluates both in a single window stage; the final
+    per-user aggregate reuses that partitioning. Integer cents
+    throughout (drawdowns subtract exactly). Scale shape: per-user
+    window state is two accumulators regardless of history length, and
+    users partition freely across executors — no global ordering
+    anywhere."""
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    flows = events.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "purchase", _CENTS("value"))
+        .otherwise(-_CENTS("value"))
+        .alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    curve = flows.select(
+        "user_id", "ts", "event_id", F.sum("cents").over(w).alias("cum")
+    )
+    dd = curve.select(
+        "user_id", "cum", (F.max("cum").over(w) - F.col("cum")).alias("drawdown")
+    )
+    return (
+        dd.groupBy("user_id")
+        .agg(
+            F.max("drawdown").alias("max_drawdown_cents"),
+            F.max("cum").alias("peak_cents"),
+            F.count(F.lit(1)).alias("n_flows"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_did_estimator",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(user_id % 2 = 0 AS INT) AS treated,
+             CAST(ts >= TIMESTAMP '2024-01-16' AS INT) AS post,
+             CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ), means AS (
+      SELECT treated, post, n_purchases, sum_cents,
+             sum_cents * 10000 // n_purchases AS mean_cents_e4
+      FROM cells
+    )
+    SELECT treated, post, n_purchases, sum_cents, mean_cents_e4,
+           CAST(sum(
+             CASE WHEN treated = post THEN mean_cents_e4
+                  ELSE -mean_cents_e4 END
+           ) OVER () AS BIGINT) AS did_cents_e4
+    FROM means
+    ORDER BY treated, post
+    """,
+)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator over the purchase stream:
+    treatment = even user_id, post = second half of the month; the DiD
+    effect on mean purchase value is (T_post − T_pre) − (C_post −
+    C_pre), which is exactly sum(sign · mean) with sign = +1 when
+    treated == post. Per-cell means are integer 1e-4-cents via
+    truncating division (both engines truncate identically on positive
+    operands), so the estimator is an exact integer — no float means,
+    no cross-engine rounding drift. One aggregate over 4 groups plus a
+    4-row window: the heavy work is a single map-side-combinable
+    groupBy; the window runs on 4 rows. The 2×2 cell layout (not one
+    collapsed row) keeps each cell's n/sum auditable."""
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    cells = (
+        events.groupBy(
+            (F.col("user_id") % 2 == 0).cast("int").alias("treated"),
+            (F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+            .cast("int")
+            .alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(_CENTS("value")).alias("sum_cents"),
+        )
+        .withColumn(
+            "mean_cents_e4",
+            F.expr("sum_cents * 10000 DIV n_purchases"),
+        )
+    )
+    sign = F.when(F.col("treated") == F.col("post"), F.col("mean_cents_e4")).otherwise(
+        -F.col("mean_cents_e4")
+    )
+    return (
+        cells.withColumn(
+            "did_cents_e4",
+            F.sum(sign).over(Window.partitionBy(F.lit(1))).cast("long"),
+        )
+        .select(
+            "treated", "post", "n_purchases", "sum_cents",
+            "mean_cents_e4", "did_cents_e4",
+        )
+        .orderBy("treated", "post")
+    )
