@@ -240,7 +240,7 @@ def store_main(argv: list[str]) -> int:
         "add-constraint", "drop-constraint", "replace-where",
         "delete-mor", "materialize-deletes", "analyze",
         "cdf", "flashback",
-        "tag", "branch", "merge-branch",
+        "tag", "branch", "merge-branch", "files",
     ):
         sp = sub.add_parser(name)
         sp.add_argument("path", help="snapshot store directory")
@@ -254,6 +254,10 @@ def store_main(argv: list[str]) -> int:
             sp.add_argument("--min-file-mb", type=float, default=None,
                             help="partial OPTIMIZE: rewrite only files "
                                  "smaller than this; others carry by reference")
+            sp.add_argument("--where", default=None, metavar="LO,HI",
+                            help="OPTIMIZE WHERE: rewrite only files whose "
+                                 "cluster-key range overlaps [lo, hi]; the "
+                                 "rest carry by reference")
         if name == "restore":
             sp.add_argument("--to-version", type=int, required=True)
         if name == "zorder":
@@ -281,6 +285,9 @@ def store_main(argv: list[str]) -> int:
             sp.add_argument("--predicate", required=True)
         if name == "detail":
             sp.add_argument("--at-version", type=int, default=None)
+        if name == "files":
+            sp.add_argument("--at-version", type=int, default=None,
+                            help="list that snapshot's files (default: head)")
         if name == "analyze":
             sp.add_argument("--columns", required=True,
                             help="comma-separated columns to record per-file "
@@ -381,6 +388,27 @@ def store_main(argv: list[str]) -> int:
     if args.cmd == "detail":
         print(_json.dumps(store.detail(args.at_version)))
         return 0
+    if args.cmd == "files":  # manifest + stat calls only, no Spark startup
+        import os as _os
+
+        v = args.at_version
+        v = store.head_version() if v is None else v
+        for e in store.snapshot(v).entries:
+            p = _os.path.join(store.path, e["path"])
+            if _os.path.isdir(p):
+                size = sum(
+                    _os.path.getsize(_os.path.join(root, f))
+                    for root, _, fs in _os.walk(p)
+                    for f in fs
+                )
+            else:
+                size = _os.path.getsize(p) if _os.path.exists(p) else None
+            print(_json.dumps({
+                "path": e["path"], "size_bytes": size,
+                "min": e.get("min"), "max": e.get("max"),
+                "bucket": e.get("bucket"),
+            }))
+        return 0
     if args.cmd == "analyze":  # footer reads only — no Spark startup
         print(f"v{store.analyze(args.columns.split(','))}")
         return 0
@@ -454,6 +482,15 @@ def store_main(argv: list[str]) -> int:
         print(f"v{store.replace_where(spark, df, args.predicate, key_bounds=bounds)}")
         return 0
     if args.cmd == "compact":
+        if args.where is not None:
+            lo, hi = args.where.split(",", 1)
+            lo = int(lo) if lo.lstrip("-").isdigit() else lo
+            hi = int(hi) if hi.lstrip("-").isdigit() else hi
+            v = store.compact_where(
+                spark, lo, hi, target_files=args.target_files
+            )
+            print("noop" if v is None else f"v{v}")
+            return 0
         if args.min_file_mb is not None:
             v = store.compact_small(
                 spark, min_file_mb=args.min_file_mb, target_files=args.target_files

@@ -1770,3 +1770,67 @@ def store_branch_wap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(store.read(spark), "post_merge"))
         .orderBy("stage")
     )
+
+
+@query(
+    "store_compact_where_read",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 2000
+    ), hot AS (
+      SELECT k, 'H' AS status, cents + (k // 40) AS cents
+      FROM base WHERE k < 200
+    )
+    SELECT k, status, cents FROM base
+    UNION ALL
+    SELECT k, status, cents FROM hot
+    ORDER BY k, status, cents
+    """,
+)
+def store_compact_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``OPTIMIZE ... WHERE`` on the snapshot store: five
+    streaming-style appends fragment the hot band k < 200 (each lands
+    its own small file), then ``compact_where(0, 199)`` merges ONLY the
+    band's files — selected manifest-only from per-file key stats —
+    while the cold 90% of the table carries by reference. The oracle
+    pins that the maintenance op is content-transparent: the post-
+    compaction read equals base ∪ hot rows exactly (a compaction that
+    dropped, duplicated, or cross-contaminated band rows fails the
+    hash). File-level mechanics (which paths carried, band file count,
+    stats and pruning after) are pinned in
+    tests/test_snapshot_store.py::test_compact_where_band_rewrite.
+    Reference analog: none — the reference's output is append-only
+    .sql text (log2sql.py:161-185); maintenance surface is Delta
+    OPTIMIZE WHERE / Iceberg rewrite_data_files(filter)."""
+    from log2sql_spark.store import SnapshotStore
+
+    def build():
+        s = SnapshotStore(scratch_dir("log2sql_cmpwhere_"))
+        base = (
+            load_table(spark, "orders", sf_dir)
+            .filter(F.col("o_orderkey") < 2000)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("status"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            )
+        )
+        s.commit(base, mode="overwrite", cluster_by="k", target_files=8)
+        for i in range(5):  # hot-band ingest: k in [i*40, i*40+39]
+            batch = base.filter(
+                F.col("k").between(i * 40, i * 40 + 39)
+            ).select(
+                "k", F.lit("H").alias("status"),
+                (F.col("cents") + F.lit(i)).alias("cents"),
+            )
+            s.commit(batch, mode="append", cluster_by="k", target_files=1)
+        v = s.compact_where(spark, 0, 199, target_files=1)
+        assert v is not None
+        return s
+
+    store = _cached_build("cmpwhere_orders", sf_dir, build)
+    return store.read(spark).select("k", "status", "cents").orderBy(
+        "k", "status", "cents"
+    )

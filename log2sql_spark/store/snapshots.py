@@ -885,6 +885,48 @@ class SnapshotStore:
                 n += 1
         return n
 
+    def files(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Iceberg's ``.files`` metadata table (Delta: the add-file side
+        of DESCRIBE DETAIL): one row per LIVE data file of the given
+        snapshot — relative path, on-disk bytes, per-file key bounds
+        (stringified: key types vary per table, like Iceberg's
+        readable_metrics), hash bucket if any. Built from the manifest
+        plus driver-side stat calls — O(|files|) metadata rows, zero
+        data I/O, no Spark job until the caller acts on it. This is the
+        observable surface maintenance planning reads: compact_where
+        picks its band from exactly these bounds, skew shows up as one
+        oversized row, and a vacuum dry-run diffs this table across
+        versions."""
+        v = self.head_version() if version is None else version
+        if v is None:
+            raise ValueError("files() on an empty store")
+        snap = self.snapshot(v)
+        rows = []
+        for e in snap.entries:
+            p = os.path.join(self.path, e["path"])
+            if os.path.isdir(p):
+                size = sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for root, _, fs in os.walk(p)
+                    for f in fs
+                )
+            else:
+                size = os.path.getsize(p) if os.path.exists(p) else None
+            rows.append(
+                (
+                    e["path"],
+                    size,
+                    None if e.get("min") is None else str(e["min"]),
+                    None if e.get("max") is None else str(e["max"]),
+                    e.get("bucket"),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "path string, size_bytes bigint, min_key string, "
+            "max_key string, bucket int",
+        )
+
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY: one dict per retained version, oldest
         first — version, parent, mode, layout, file count, publish
@@ -2798,6 +2840,84 @@ class SnapshotStore:
                 "meta": {
                     "compacted_files": len(small),
                     "carried_files": len(carried),
+                },
+                "layout": snap.layout,
+                "n_buckets": snap.n_buckets,
+                **_inherited(snap),
+            }
+        )
+        return version
+
+    def compact_where(
+        self,
+        spark: SparkSession,
+        lo,
+        hi,
+        target_files: int = 1,
+    ) -> int | None:
+        """Key-range-filtered compaction (Delta ``OPTIMIZE ... WHERE``):
+        rewrite ONLY the files whose [min, max] key stats overlap
+        [``lo``, ``hi``] into ``target_files`` fresh clustered files;
+        everything outside the band carries into the new manifest by
+        reference. This is the maintenance primitive for hot-band
+        ingest (a stream of small merges fragments ONE key region while
+        the cold history stays perfectly sized): cost tracks the band's
+        file backlog, never the table. Selection is manifest-only —
+        per-file stats decide overlap, no data is read to plan the
+        rewrite. Files without key stats (mixed-layout unclustered
+        appends) are conservatively INCLUDED: without bounds they
+        cannot be proven outside the band, and rewriting them restores
+        their stats. Range layout only — hash buckets are already
+        key-partitioned (use ``compact()``: it preserves the bucket
+        contract) and zorder files carry multi-dim stats a plain range
+        write cannot reproduce. Returns the new version, or None when
+        the band holds <= ``target_files`` files (nothing to merge).
+        Delta analog: OPTIMIZE <t> WHERE <partition predicate>."""
+        self._fold_pending_deletes(spark)
+        head = self.head_version()
+        if head is None:
+            raise ValueError("compact_where on an empty store")
+        snap = self.snapshot(head)
+        if snap.layout != "range" or not snap.cluster_by:
+            raise ValueError(
+                "compact_where needs the range-clustered layout (hash "
+                "buckets are already key-partitioned and zorder carries "
+                "multi-dim stats; use compact() for those)"
+            )
+
+        def in_band(e: dict) -> bool:
+            mn, mx = e.get("min"), e.get("max")
+            if mn is None or mx is None:
+                return True  # no stats: cannot prove it outside the band
+            return not (mx < lo or mn > hi)
+
+        touched = [e for e in snap.entries if in_band(e)]
+        if len(touched) <= target_files:
+            return None
+        carried = [e for e in snap.entries if not in_band(e)]
+        df = self._apply_renames(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, e["path"]) for e in touched]
+            ),
+            snap.renames,
+            snap.dropped,
+        )
+        if "_bucket" in df.columns:
+            df = df.drop("_bucket")
+        version = head + 1
+        new_entries = self._write_data(df, version, snap.cluster_by, target_files)
+        self._publish(
+            {
+                "version": version,
+                "parent": head,
+                "mode": "compact",
+                "entries": carried + new_entries,
+                "cluster_by": snap.cluster_by,
+                "schema": snap.schema_json,
+                "meta": {
+                    "compacted_files": len(touched),
+                    "carried_files": len(carried),
+                    "where": [lo, hi],
                 },
                 "layout": snap.layout,
                 "n_buckets": snap.n_buckets,

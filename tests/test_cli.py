@@ -532,3 +532,44 @@ def test_cli_stop_never_drains_watch_dir(spark, dump_and_catalog, tmp_path):
     assert rc == 0
     got = {r["sql_text"] for r in __import__("pyspark").sql.SparkSession.active().read.parquet(out).collect()}
     assert "INSERT INTO `shop`.`orders`(`id`, `status`) VALUES (1, 'a');" in got
+
+
+def test_cli_store_files_and_compact_where(spark, tmp_path, capsys):
+    """`store files` lists the live manifest entries (manifest-only, no
+    Spark startup); `store compact --where lo,hi` runs the filtered
+    OPTIMIZE and the files listing shrinks by exactly the band."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from log2sql_spark.cli import main
+    from log2sql_spark.store import SnapshotStore
+
+    path = str(tmp_path / "fstore")
+    store = SnapshotStore(path)
+    store.commit(
+        spark.range(10_000).select(F.col("id").alias("k"), F.lit("v").alias("val")),
+        cluster_by="k",
+        target_files=4,
+    )
+    for i in range(3):  # fragment the hot band k < 100
+        store.commit(
+            spark.createDataFrame([(i * 10 + j, "hot") for j in range(10)],
+                                  "k long, val string"),
+            mode="append", cluster_by="k", target_files=1,
+        )
+
+    assert main(["store", "files", path]) == 0
+    rows = [_json.loads(line) for line in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 7
+    assert all(r["size_bytes"] > 0 for r in rows)
+    assert sum(1 for r in rows if r["max"] is not None and r["max"] < 100) == 3
+
+    assert main(["store", "compact", path, "--where", "0,99",
+                 "--target-files", "1", "--cpus", "4"]) == 0
+    assert capsys.readouterr().out.strip() == "v5"
+    assert main(["store", "files", path]) == 0
+    after = [_json.loads(line) for line in capsys.readouterr().out.splitlines()]
+    # 4 files: 3 cold base files carried + the merged band file
+    assert len(after) == 4
+    assert store.read(spark).count() == 10_030

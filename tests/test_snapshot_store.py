@@ -875,3 +875,87 @@ def test_analyze_any_column_stats_prune(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="masked"):
         store.analyze(["cents"])
+
+
+def test_compact_where_band_rewrite(spark, store, tmp_path):
+    """compact_where (Delta OPTIMIZE ... WHERE): hot-band ingest
+    fragments ONE key region; the filtered compaction rewrites only the
+    band's files (selected manifest-only from per-file stats), carries
+    the cold majority by reference, keeps pruning and time travel."""
+    base = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("val")
+    )
+    store.commit(base, cluster_by="k", target_files=8)
+    for i in range(5):  # streaming-style small merges, all in k < 1000
+        store.commit(
+            spark.createDataFrame(
+                [(i * 100 + j, "hot") for j in range(10)],
+                "k long, val string",
+            ),
+            mode="append",
+            cluster_by="k",
+            target_files=1,
+        )
+    before = store.snapshot(store.head_version()).entries
+    assert len(before) == 13
+    total_before = store.read(spark).count()
+    cold_paths = {
+        e["path"] for e in before if e.get("min") is not None and e["min"] >= 1000
+    }
+    assert len(cold_paths) == 7  # 7 of the 8 base files are cold
+
+    v = store.compact_where(spark, 0, 999, target_files=1)
+    head = store.snapshot(v)
+    assert head.mode == "compact"
+    assert head.meta["where"] == [0, 999]
+    after_paths = {e["path"] for e in head.entries}
+    # every cold file carried BY REFERENCE; the 6 band files merged to 1
+    assert cold_paths <= after_paths
+    assert len(head.entries) == 8
+    assert head.meta["compacted_files"] == 6
+    assert store.read(spark).count() == total_before
+    assert head.has_stats
+    # pruning still works on both sides of the band
+    assert store.read_pruned(spark, [5]).filter("k = 5").count() == 2
+    assert store.read_pruned(spark, [50_000]).filter("k = 50000").count() == 1
+    # time travel: the fragmented pre-compact version is intact
+    assert store.read(spark, version=v - 1).count() == total_before
+    # band already shaped: second run is a no-op
+    assert store.compact_where(spark, 0, 999, target_files=1) is None
+
+
+def test_compact_where_requires_range_layout(spark, tmp_path):
+    s = SnapshotStore(str(tmp_path / "hashstore"))
+    s.commit(
+        spark.createDataFrame([(str(i), "v") for i in range(100)], "k string, val string"),
+        cluster_by="k",
+        layout="hash",
+        target_files=4,
+    )
+    with pytest.raises(ValueError, match="range-clustered"):
+        s.compact_where(spark, "0", "9")
+
+
+def test_files_metadata_table(spark, store):
+    """files() — Iceberg's .files metadata table: one row per live data
+    file with size + stringified key bounds, manifest-only, version-
+    addressable, and consistent with what compact_where then does."""
+    store.commit(
+        spark.range(1000).select(F.col("id").alias("k"), F.lit("v").alias("val")),
+        cluster_by="k",
+        target_files=4,
+    )
+    meta = store.files(spark)
+    rows = meta.collect()
+    assert len(rows) == 4
+    assert all(r.size_bytes > 0 for r in rows)
+    # bounds stringified, cover the key space, usable for band planning
+    bounds = sorted((int(r.min_key), int(r.max_key)) for r in rows)
+    assert bounds[0][0] == 0 and bounds[-1][1] == 999
+    assert all(r.bucket is None for r in rows)
+    # version-addressable: after compaction the head table shrinks but
+    # the old version's files() is unchanged
+    v1 = store.head_version()
+    store.compact(spark, target_files=1)
+    assert store.files(spark).count() == 1
+    assert store.files(spark, version=v1).count() == 4
