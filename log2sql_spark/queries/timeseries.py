@@ -2716,3 +2716,311 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("treated", "post")
     )
+
+
+@query(
+    "events_ab_bootstrap_ci",
+    oracle="""
+    WITH weighted AS (
+      SELECT b.b,
+             CAST(user_id % 2 = 0 AS INT) AS treated,
+             ((event_id * 2654435761 + b.b * 1013904223) % 4294967296) % 3
+               AS w,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events, (SELECT unnest(range(64)) AS b) b
+      WHERE event_type = 'purchase'
+    ), cells AS (
+      SELECT b, treated,
+             CAST(sum(w) AS BIGINT) AS n_eff,
+             CAST(sum(w * cents) AS BIGINT) AS sum_cents
+      FROM weighted GROUP BY b, treated
+    ), diffs AS (
+      SELECT t.b,
+             t.n_eff AS n_t, c.n_eff AS n_c,
+             (t.sum_cents * 1000000 // t.n_eff)
+               - (c.sum_cents * 1000000 // c.n_eff) AS diff_micro
+      FROM cells t JOIN cells c ON t.b = c.b
+      WHERE t.treated = 1 AND c.treated = 0
+    ), ranked AS (
+      SELECT b, n_t, n_c, diff_micro,
+             row_number() OVER (ORDER BY diff_micro, b) AS rnk
+      FROM diffs
+    )
+    SELECT b, n_t, n_c, diff_micro,
+           CAST(max(CASE WHEN rnk = 2 THEN diff_micro END) OVER ()
+                AS BIGINT) AS ci_lo_micro,
+           CAST(max(CASE WHEN rnk = 63 THEN diff_micro END) OVER ()
+                AS BIGINT) AS ci_hi_micro
+    FROM ranked
+    ORDER BY b
+    """,
+)
+def events_ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for a treatment effect, the
+    MapReduce way (Poisson/multiplier bootstrap): instead of B physical
+    resamples, every purchase gets B=64 deterministic integer weights
+    in {0,1,2} (mean 1) from a mixed-congruential hash of
+    (event_id, replicate) — so all 64 'resamples' aggregate in ONE
+    map-side-combinable groupBy whose shuffle carries 128 cell rows,
+    never events, and the same pipeline runs unchanged on 100 TB. The
+    effect per replicate is the treated-minus-control mean difference
+    in integer micro-cents (truncating division); the 95% CI is a rank
+    pick (2nd / 63rd order statistic) over the 64 replicate effects
+    with a (diff, b) tie-break. Every value integer-exact cross-engine;
+    the hash constants are chosen coprime to the modulus AND to 3 so
+    the replicate term actually permutes the weight residues. True
+    Poisson(1) weights differ only in tail probabilities; uniform{0,1,2}
+    is the standard multiplier-bootstrap variant and keeps the weights
+    derivable in pure SQL on both engines."""
+    events = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    b = spark.range(64).select(F.col("id").alias("b"))
+    weighted = events.crossJoin(F.broadcast(b)).select(
+        "b",
+        (F.col("user_id") % 2 == 0).cast("int").alias("treated"),
+        (
+            (F.col("event_id") * F.lit(2654435761) + F.col("b") * F.lit(1013904223))
+            % F.lit(4294967296)
+            % F.lit(3)
+        ).alias("w"),
+        _CENTS("value").alias("cents"),
+    )
+    cells = weighted.groupBy("b", "treated").agg(
+        F.sum("w").alias("n_eff"),
+        F.sum(F.col("w") * F.col("cents")).alias("sum_cents"),
+    )
+    t = cells.filter(F.col("treated") == 1).select(
+        "b", F.col("n_eff").alias("n_t"), F.col("sum_cents").alias("s_t")
+    )
+    c = cells.filter(F.col("treated") == 0).select(
+        "b", F.col("n_eff").alias("n_c"), F.col("sum_cents").alias("s_c")
+    )
+    diffs = t.join(c, "b").select(
+        "b", "n_t", "n_c",
+        (
+            F.expr("s_t * 1000000 DIV n_t") - F.expr("s_c * 1000000 DIV n_c")
+        ).alias("diff_micro"),
+    )
+    ranked = diffs.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("diff_micro", "b"))
+    )
+    all_w = Window.partitionBy(F.lit(1))
+    return (
+        ranked.select(
+            "b", "n_t", "n_c", "diff_micro",
+            F.max(F.when(F.col("rnk") == 2, F.col("diff_micro")))
+            .over(all_w)
+            .cast("long")
+            .alias("ci_lo_micro"),
+            F.max(F.when(F.col("rnk") == 63, F.col("diff_micro")))
+            .over(all_w)
+            .cast("long")
+            .alias("ci_hi_micro"),
+        )
+        .orderBy("b")
+    )
+
+
+@query(
+    "ts_sax_symbolic",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      GROUP BY 1, 2
+    ), paa AS (
+      SELECT event_type,
+             (day(d) - 1) // 5 AS seg,
+             CAST(sum(cents) AS BIGINT) AS paa_cents
+      FROM daily
+      GROUP BY 1, 2
+    ), tiled AS (
+      SELECT event_type, seg, paa_cents,
+             ntile(4) OVER (ORDER BY paa_cents, event_type, seg) AS tile
+      FROM paa
+    )
+    SELECT event_type, seg, paa_cents,
+           chr(CAST(96 + tile AS INT)) AS symbol,
+           string_agg(chr(CAST(96 + tile AS INT)), '')
+             OVER (PARTITION BY event_type ORDER BY seg
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING) AS sax_word
+    FROM tiled
+    ORDER BY event_type, seg
+    """,
+)
+def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin et al.'s Symbolic Aggregate approXimation,
+    the equi-depth variant): each event type's 30-day revenue series is
+    PAA-compressed into six 5-day segments (integer sums — no float
+    means), then every segment value maps to a 4-letter alphabet by
+    GLOBAL equi-depth binning (ntile over all segments with a
+    (value, type, seg) tie-break, making tile assignment unique), and
+    the per-type symbols concatenate in segment order into the SAX word
+    — the index key for motif discovery / similarity search over
+    time-series at scale (words are tiny; series never pairwise-join).
+    Classic SAX derives breakpoints from the Gaussian over z-normalized
+    values (floats); the equi-depth variant keeps the whole pipeline
+    integer-exact cross-engine and adapts to the actual distribution.
+    Shape: two map-side-combinable aggregates + one 30-row window."""
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.sum(_CENTS("value")).alias("cents"))
+    paa = daily.groupBy(
+        "event_type",
+        F.expr("(day(d) - 1) DIV 5").alias("seg"),
+    ).agg(F.sum("cents").alias("paa_cents"))
+    tiled = paa.withColumn(
+        "tile",
+        F.ntile(4).over(Window.orderBy("paa_cents", "event_type", "seg")),
+    )
+    wtype = (
+        Window.partitionBy("event_type")
+        .orderBy("seg")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    sym = F.char(F.lit(96) + F.col("tile"))
+    return (
+        tiled.select(
+            "event_type", "seg", "paa_cents",
+            sym.alias("symbol"),
+            F.concat_ws("", F.collect_list(sym).over(wtype)).alias("sax_word"),
+        )
+        .orderBy("event_type", "seg")
+    )
+
+
+@query(
+    "ts_allen_interval_relations",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_ms(ts) AS s,
+             epoch_ms(ts) + CAST(round(value * 100) AS BIGINT) * 1000 AS e
+      FROM events
+    ), pairs AS (
+      SELECT a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+      FROM iv a JOIN iv b
+        ON a.user_id = b.user_id
+       AND (a.s, a.e, a.event_id) < (b.s, b.e, b.event_id)
+       AND b.s - a.s < 3600000
+    )
+    SELECT CASE
+             WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+             WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+             WHEN s1 = s2 THEN 'started_by'
+             WHEN e1 < s2 THEN 'before'
+             WHEN e1 = s2 THEN 'meets'
+             WHEN e1 < e2 THEN 'overlaps'
+             WHEN e1 = e2 THEN 'finished_by'
+             ELSE 'contains'
+           END AS relation,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    GROUP BY 1
+    ORDER BY relation
+    """,
+)
+def ts_allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra over event intervals (start = event
+    time, duration proportional to value): classify every same-user
+    pair within a 1-hour start band into the thirteen Allen relations
+    — under the canonical (s, e, id) lexicographic pair ordering only
+    eight can appear; the other five are the excluded inverses. This is
+    the temporal-reasoning primitive behind conflict detection,
+    scheduling, and overlap semantics that a plain 'do they overlap'
+    join (join_interval_self) flattens away. Scale shape: the pair join
+    is DOUBLY bounded — equi-key on user_id plus the start band — so
+    cost is per-user-window pairs, never |events|²; the classification
+    itself is a branch-free CASE over four integer comparisons in
+    whole-stage codegen. Integer epoch-ms endpoints keep every boundary
+    case (meets vs overlaps, finished_by vs contains — equality tests!)
+    exact on both engines. The endpoint-equality relations (equals/
+    meets/starts/...) are structurally absent here — microsecond
+    timestamps never coincide in the fixture — but the classifier is
+    total, and the CASE order makes each pair's label unique."""
+    iv = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            + _CENTS("value") * 1000
+        ).alias("e"),
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (
+            F.struct("a.s", "a.e", "a.event_id")
+            < F.struct("b.s", "b.e", "b.event_id")
+        )
+        & (F.col("b.s") - F.col("a.s") < 3600000),
+    ).select(
+        F.col("a.s").alias("s1"), F.col("a.e").alias("e1"),
+        F.col("b.s").alias("s2"), F.col("b.e").alias("e2"),
+    )
+    relation = (
+        F.when((F.col("s1") == F.col("s2")) & (F.col("e1") == F.col("e2")), "equals")
+        .when((F.col("s1") == F.col("s2")) & (F.col("e1") < F.col("e2")), "starts")
+        .when(F.col("s1") == F.col("s2"), "started_by")
+        .when(F.col("e1") < F.col("s2"), "before")
+        .when(F.col("e1") == F.col("s2"), "meets")
+        .when(F.col("e1") < F.col("e2"), "overlaps")
+        .when(F.col("e1") == F.col("e2"), "finished_by")
+        .otherwise("contains")
+    )
+    return (
+        pairs.groupBy(relation.alias("relation"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("relation")
+    )
+
+
+@query(
+    "ts_cumulative_unique_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             min(date_trunc('hour', ts)) AS first_day
+      FROM events
+      GROUP BY user_id
+    ), per_day AS (
+      SELECT first_day AS d, CAST(count(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT d, new_users,
+           CAST(sum(new_users) OVER (
+             ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_unique
+    FROM per_day
+    ORDER BY d
+    """,
+)
+def ts_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by hour — the growth-curve query. The
+    naive form (count(DISTINCT user) over an expanding window) re-scans
+    the prefix per bucket and holds per-bucket distinct state; the
+    first-seen reduction computes min(hour) per user ONCE (one
+    map-side-combinable aggregate over |users|), turning the running
+    distinct into a plain running SUM over |buckets| rows — the only
+    shape that survives years of history, since the window runs over
+    the tiny per-bucket relation, never the events. Exact, no
+    sketches; complements the sketched ts_rolling_wau_hll."""
+    events = load_table(spark, "events", sf_dir)
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("hour", "ts")).alias("first_day")
+    )
+    per_day = first_seen.groupBy(F.col("first_day").alias("d")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        "d", "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_unique"),
+    ).orderBy("d")
