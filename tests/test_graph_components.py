@@ -64,3 +64,66 @@ def test_random_graphs_match_union_find(spark):
         if not edges:
             continue
         _check(spark, edges)
+
+
+# ---------------------------------------------------------------------------
+# kcore (operators/graph.py) vs a pure-Python parallel-peel reference
+# ---------------------------------------------------------------------------
+
+def _peel_ref(edges, k):
+    """Reference parallel peel: drop ALL deg<k nodes per round until
+    stable; return {node: core_degree} for survivors."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {v: len(adj[v] & alive) for v in alive}
+
+
+def _check_kcore(spark, edges, k):
+    from log2sql_spark.operators.graph import kcore
+
+    expect = _peel_ref(edges, k)
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.core_degree for r in kcore(df, k=k).collect()}
+    assert got == expect
+
+
+def test_kcore_tree_has_no_2core(spark):
+    # a tree peels to nothing at k=2 (no cycles), over many rounds
+    _check_kcore(spark, [(i, (i - 1) // 2) for i in range(1, 32)], 2)
+
+
+def test_kcore_cycle_plus_pendants(spark):
+    # the cycle survives k=2 exactly; every pendant chain peels away
+    cycle = [(i, (i + 1) % 6) for i in range(6)]
+    pendants = [(i, 100 + i) for i in range(6)] + [(100 + i, 200 + i) for i in range(6)]
+    _check_kcore(spark, cycle + pendants, 2)
+
+
+def test_kcore_clique_keeps_full_degree(spark):
+    # K5 is its own 4-core; also check k above the max degree empties it
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    _check_kcore(spark, k5, 4)
+    _check_kcore(spark, k5, 5)
+
+
+def test_kcore_random_graphs_match_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        nodes = list(range(trial * 500, trial * 500 + 40))
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(70)]
+        edges = [(a, b) for a, b in edges if a != b]
+        for k in (2, 3):
+            _check_kcore(spark, edges, k)
