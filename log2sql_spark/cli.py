@@ -249,6 +249,10 @@ def store_main(argv: list[str]) -> int:
             sp.add_argument("--include-orphans", action="store_true", default=False)
             sp.add_argument("--dry-run", action="store_true", default=False,
                             help="report what would be deleted; touch nothing")
+            sp.add_argument("--older-than-hours", type=float, default=None,
+                            help="time-based retention: only drop versions "
+                                 "published more than this many hours ago "
+                                 "(composes with --keep-last)")
         if name == "compact":
             sp.add_argument("--target-files", type=int, default=8)
             sp.add_argument("--min-file-mb", type=float, default=None,
@@ -345,8 +349,16 @@ def store_main(argv: list[str]) -> int:
             print(_json.dumps(h))
         return 0
     if args.cmd == "vacuum":
+        import time as _time
+
+        cutoff = (
+            None
+            if args.older_than_hours is None
+            else _time.time() - args.older_than_hours * 3600
+        )
         for d in store.vacuum(
             args.keep_last,
+            older_than=cutoff,
             include_orphans=args.include_orphans,
             dry_run=args.dry_run,
         ):

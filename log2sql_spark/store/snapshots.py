@@ -3003,11 +3003,20 @@ class SnapshotStore:
         keep_last: int = 1,
         include_orphans: bool = False,
         dry_run: bool = False,
+        older_than: float | None = None,
     ) -> list[str]:
         """Drop manifests older than the last ``keep_last`` and delete
         data directories no retained snapshot references. Returns the
         deleted directories. The only destructive operation, and it
         never touches the head.
+
+        ``older_than`` (epoch seconds) is the TIME-based retention axis
+        (Iceberg ``expire_snapshots(older_than=)``, Delta's
+        ``delta.logRetentionDuration``): a version is dropped only when
+        it is BOTH outside ``keep_last`` AND published before the
+        cutoff — so the two knobs compose as "keep at least N, and
+        everything newer than T", the standard production policy. The
+        head, pinned tags, and live branch fork-points always survive.
 
         Granularity is the top-level commit directory: a directory is
         deleted only when NO retained snapshot references any file
@@ -3034,6 +3043,11 @@ class SnapshotStore:
         # says. drop_tag / drop_branch releases the pin.
         pinned = set(self._pinned_versions()) & set(vs)
         keep_set = set(vs[-keep_last:]) | pinned
+        if older_than is not None:
+            # time axis: anything published at/after the cutoff survives
+            keep_set |= {
+                v for v in vs if (self.snapshot(v).created_at or 0) >= older_than
+            }
         drop = [v for v in vs if v not in keep_set]
         keep = [v for v in vs if v in keep_set]
         referenced = {d for v in keep for d in self.snapshot(v).dirs}

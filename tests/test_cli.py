@@ -573,3 +573,26 @@ def test_cli_store_files_and_compact_where(spark, tmp_path, capsys):
     # 4 files: 3 cold base files carried + the merged band file
     assert len(after) == 4
     assert store.read(spark).count() == 10_030
+
+
+def test_cli_store_vacuum_older_than(spark, tmp_path, capsys):
+    """--older-than-hours: recent versions survive an aggressive
+    --keep-last (time axis composes as keep-at-least-N AND newer-than-T)."""
+    from log2sql_spark.cli import main
+    from log2sql_spark.store import SnapshotStore
+
+    path = str(tmp_path / "tstore")
+    store = SnapshotStore(path)
+    for i in range(3):
+        store.commit(
+            spark.createDataFrame([(i, "x")], "k long, val string"),
+            mode="overwrite",
+        )
+    # everything is seconds old: a 1-hour retention drops nothing
+    assert main(["store", "vacuum", path, "--keep-last", "1",
+                 "--older-than-hours", "1"]) == 0
+    assert capsys.readouterr().out.strip() == ""
+    assert store.versions() == [1, 2, 3]
+    # without the time axis the same keep-last drops two versions
+    assert main(["store", "vacuum", path, "--keep-last", "1"]) == 0
+    assert store.versions() == [3]

@@ -959,3 +959,37 @@ def test_files_metadata_table(spark, store):
     store.compact(spark, target_files=1)
     assert store.files(spark).count() == 1
     assert store.files(spark, version=v1).count() == 4
+
+
+def test_vacuum_older_than_time_axis(spark, store, monkeypatch):
+    """vacuum(older_than=): the time-based retention axis composes with
+    keep_last as 'keep at least N AND everything newer than T' —
+    Iceberg expire_snapshots(older_than) / Delta logRetentionDuration
+    semantics. Head and recent versions survive an aggressive
+    keep_last; dry-run first, then the real sweep."""
+    import time as _time
+
+    base = _time.time()
+    # three commits with controlled publish times: v1 old, v2 old, v3 new
+    for i, age_s in enumerate([7200, 7100, 60]):  # seconds ago
+        monkeypatch.setattr(_time, "time", lambda a=age_s: base - a)
+        store.commit(_df(spark, [(i, f"v{i}")]), mode="overwrite")
+    monkeypatch.undo()
+    assert store.versions() == [1, 2, 3]
+    cutoff = base - 3600  # drop only versions older than 1 hour
+
+    # keep_last=1 alone would drop v1 AND v2; the time axis keeps
+    # nothing extra here (both are older than the cutoff)...
+    dry = store.vacuum(keep_last=1, older_than=cutoff, dry_run=True)
+    assert store.versions() == [1, 2, 3]  # dry-run touched nothing
+    assert len(dry) == 2
+
+    # ...but a cutoff of 2 hours ago protects v2 (7100s < 7200s old)
+    protected = store.vacuum(
+        keep_last=1, older_than=base - 7150, dry_run=True
+    )
+    assert len(protected) == 1  # only v1 is both outside keep AND too old
+
+    store.vacuum(keep_last=1, older_than=cutoff)
+    assert store.versions() == [3]
+    assert [r.k for r in store.read(spark).collect()] == [2]
