@@ -758,6 +758,7 @@ def oph_vs_classic(spark, sf_dir: str) -> dict:
 SF10_QUERIES = [
     "market_basket_pairs",
     "graph_connected_components",
+    "graph_kcore_decomposition",
     "llm_decontaminate_bloom",
     "join_spatial_grid_radius",
     "quality_json_schema_validate",

@@ -684,3 +684,99 @@ def oph_signatures(
         .cast("long")
         .alias("filled_bins"),
     )
+
+
+def ppjoin_pairs(
+    docs: DataFrame,
+    threshold: tuple[int, int] = (7, 10),
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-threshold set-similarity self-join via PREFIX FILTERING
+    (PPJoin family, Xiao et al., WWW'08): all pairs with word-n-gram-set
+    Jaccard ≥ num/den, found WITHOUT the all-pairs token join — and with
+    NO recall loss, unlike MinHash-LSH.
+
+    The filter: order every document's distinct grams by global rarity
+    (document frequency asc, gram asc — one broadcastable df table) and
+    keep only the first ``p = |x| − ⌈t·|x|⌉ + 1`` as the doc's PREFIX.
+    Under a consistent global order, any pair with Jaccard ≥ t must
+    share a prefix token (if two sets disagree on all of both prefixes,
+    their overlap is too small to reach t) — so candidates come from a
+    self-join on the small prefix relation plus the length filter
+    ``den·min(|x|,|y|) ≥ num·max(|x|,|y|)``, both lossless. The rarity
+    ordering is what makes prefixes selective: stopword grams (which
+    generate quadratic candidates) never appear in a short prefix.
+    Verification joins full gram sets ONLY for candidates. The
+    threshold is an integer fraction and every comparison is
+    cross-multiplied, so boundary pairs (Jaccard == t exactly) are
+    decided identically everywhere — no float drift.
+
+    Returns (id_a, id_b, n_a, n_b, n_inter, jacc_bp) with id_a < id_b,
+    jacc_bp the truncated basis-point Jaccard. Scale: the df pass and
+    the verify are linear in corpus grams; the candidate join is
+    bounded by Σ_g df_prefix(g)², with the rarity order pushing
+    df_prefix far below raw df."""
+    num, den = threshold
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("tok"),
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    df_tbl = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    ranked = (
+        toks.join(df_tbl, "tok")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.asc("df"), F.asc("tok"))
+            ),
+        )
+        .join(sizes, "id")
+        # p = n - ceil(t*n) + 1, all-integer ceil
+        .filter(
+            F.col("rnk")
+            <= F.col("n") - F.expr(f"({num} * n + {den - 1}) DIV {den}") + 1
+        )
+        .select("id", "tok", "n")
+    )
+    cand = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), "tok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            F.lit(den) * F.least("a.n", "b.n")
+            >= F.lit(num) * F.greatest("a.n", "b.n")
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("id_a"), "tok")
+    tb = toks.select(F.col("id").alias("id_b"), "tok")
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(
+            F.lit(den) * F.col("n_inter")
+            >= F.lit(num) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+        .select(
+            "id_a", "id_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.expr("n_inter * 10000 DIV (n_a + n_b - n_inter)")
+            .cast("long")
+            .alias("jacc_bp"),
+        )
+    )

@@ -2622,63 +2622,10 @@ def llm_ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass — the right tool when the dedup policy is contractual.
     Verification joins full token sets ONLY for candidates; integer
     basis points and the cross-multiplied threshold avoid float
-    boundary drift."""
-    from log2sql_spark.operators.dedup import word_ngrams
+    boundary drift. Implementation: operators/dedup.py::ppjoin_pairs
+    (property-tested lossless vs brute force on random corpora)."""
+    from log2sql_spark.operators.dedup import ppjoin_pairs
 
-    toks = _corpus(spark, sf_dir).select(
-        F.col("doc_id").alias("id"),
-        F.explode(word_ngrams(F.col("text"), 3)).alias("tok"),
-    )
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    df_tbl = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        toks.join(df_tbl, "tok")
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("id").orderBy(F.asc("df"), F.asc("tok"))
-            ),
-        )
-        .join(sizes, "id")
-        # p = n - ceil(0.7 n) + 1, all-integer ceil
-        .filter(F.col("rnk") <= F.col("n") - F.expr("(7 * n + 9) DIV 10") + 1)
-        .select("id", "tok", "n")
-    )
-    cand = (
-        ranked.alias("a")
-        .join(ranked.alias("b"), "tok")
-        .filter(F.col("a.id") < F.col("b.id"))
-        # length filter: Jaccard >= 0.7 forces 10*min >= 7*max
-        .filter(
-            F.lit(10) * F.least("a.n", "b.n")
-            >= F.lit(7) * F.greatest("a.n", "b.n")
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n").alias("n_a"),
-            F.col("b.n").alias("n_b"),
-        )
-        .distinct()
-    )
-    ta = toks.select(F.col("id").alias("id_a"), "tok")
-    tb = toks.select(F.col("id").alias("id_b"), "tok")
-    verified = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-        .filter(
-            F.lit(10) * F.col("n_inter")
-            >= F.lit(7) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-        )
-    )
-    return verified.select(
-        "id_a", "id_b",
-        F.col("n_a").cast("long").alias("n_a"),
-        F.col("n_b").cast("long").alias("n_b"),
-        F.col("n_inter").cast("long").alias("n_inter"),
-        F.expr("n_inter * 10000 DIV (n_a + n_b - n_inter)")
-        .cast("long")
-        .alias("jacc_bp"),
+    return ppjoin_pairs(
+        _corpus(spark, sf_dir), threshold=(7, 10), n=3
     ).orderBy("id_a", "id_b")

@@ -32,6 +32,21 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructField, StructType, IntegerType, StringType
 
 
+def _local_path(path: str | None) -> str | None:
+    """Normalize a `file:` URI to a plain local path. The SQL surface
+    (CREATE TABLE ... USING snapshot OPTIONS (path '...')) qualifies
+    the option through Hadoop's path resolution, so the Python side
+    receives file:/abs/dir while the DataFrame API passes the raw
+    string — both must address the same store directory."""
+    if path and path.startswith("file:"):
+        stripped = path[5:]
+        # file:///x and file:/x both mean local /x
+        while stripped.startswith("//"):
+            stripped = stripped[1:]
+        return stripped
+    return path
+
+
 def _store_schema(path: str) -> StructType:
     from log2sql_spark.store import SnapshotStore
 
@@ -48,7 +63,7 @@ class SnapshotCdfDataSource(DataSource):
         return "snapshot_cdf"
 
     def schema(self) -> StructType:
-        base = _store_schema(self.options.get("path"))
+        base = _store_schema(_local_path(self.options.get("path")))
         return StructType(
             list(base.fields)
             + [
@@ -75,7 +90,7 @@ class SnapshotCdfStreamReader(SimpleDataSourceStreamReader):
     the version and change type."""
 
     def __init__(self, schema: StructType, options):
-        self.path = options.get("path")
+        self.path = _local_path(options.get("path"))
         if not self.path:
             raise ValueError("snapshot_cdf requires a path: .load('/store')")
         self.fields = [f.name for f in schema.fields[:-2]]
@@ -333,7 +348,7 @@ class SnapshotReader(DataSourceReader):
     as usual. ``option("version", N)`` time-travels the scan."""
 
     def __init__(self, options):
-        self.path = options.get("path")
+        self.path = _local_path(options.get("path"))
         if not self.path:
             raise ValueError("snapshot source requires a path: .load('/store')")
         self.version = (
@@ -484,7 +499,7 @@ class SnapshotDataSource(DataSource):
         return "snapshot"
 
     def schema(self) -> StructType:
-        store_path = self.options.get("path")
+        store_path = _local_path(self.options.get("path"))
         version = self.options.get("version")
         ts = self.options.get("timestampAsOf")
         if version is None and ts is not None:
@@ -531,7 +546,7 @@ class SnapshotWriter(DataSourceWriter):
     def __init__(self, options, schema: StructType, overwrite: bool):
         import uuid
 
-        self.path = options.get("path")
+        self.path = _local_path(options.get("path"))
         if not self.path:
             raise ValueError("snapshot sink requires a path: .save('/store')")
         self.schema_json = schema.json()
