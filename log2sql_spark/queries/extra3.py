@@ -2139,3 +2139,188 @@ def geo_morton_tile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("morton")
     )
+
+
+@query(
+    "date_business_days_lead_time",
+    oracle="""
+    WITH first_ship AS (
+      SELECT l_orderkey, min(l_shipdate) AS ship
+      FROM lineitem GROUP BY l_orderkey
+    ), lead_times AS (
+      SELECT o.o_orderpriority AS priority,
+             -- business days in [orderdate, ship): f(b) - f(a) with
+             -- f(x) = 5*(x//7) + least(x%7, 5), x = days since a
+             -- Monday anchor BEFORE every date (divisions stay on
+             -- non-negative operands, so // and DIV agree)
+             (5 * (datediff('day', DATE '1994-12-26', s.ship) // 7)
+              + least(datediff('day', DATE '1994-12-26', s.ship) % 7, 5))
+             - (5 * (datediff('day', DATE '1994-12-26', o.o_orderdate) // 7)
+                + least(datediff('day', DATE '1994-12-26', o.o_orderdate) % 7, 5))
+               AS bdays
+      FROM orders o JOIN first_ship s ON o.o_orderkey = s.l_orderkey
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(bdays) AS BIGINT) AS min_bdays,
+           CAST(max(bdays) AS BIGINT) AS max_bdays,
+           CAST(sum(bdays) * 100 // count(*) AS BIGINT) AS avg_bdays_e2
+    FROM lead_times
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def date_business_days_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day (Mon–Fri) lead time from order to first shipment,
+    by priority — calendar arithmetic no engine builds in. The
+    closed form counts business days from a fixed MONDAY anchor:
+    f(x) = 5·(x div 7) + min(x mod 7, 5), so bdays[a, b) = f(b) − f(a)
+    — pure integer ops on the datediff, no per-day explode, no
+    calendar table join, O(1) per row in whole-stage codegen (the
+    naive sequence-explode form materializes |span| rows per order and
+    dies at scale). The anchor predates every date in the data, so
+    div/mod run on non-negative operands where Spark's truncating DIV
+    and DuckDB's flooring // agree — the same cross-engine division
+    trap the gapfill family documents. Weekday-convention-free by
+    construction: both engines only compute day differences."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    first_ship = lineitem.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("ship")
+    )
+
+    def bd(col):
+        x = F.datediff(F.col(col).cast("date"), F.lit("1994-12-26").cast("date"))
+        return F.lit(5) * F.floor(x / 7).cast("long") + F.least(
+            x % 7, F.lit(5)
+        ).cast("long")
+
+    lead = orders.join(
+        first_ship, orders.o_orderkey == first_ship.l_orderkey
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        (bd("ship") - bd("o_orderdate")).alias("bdays"),
+    )
+    return (
+        lead.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("bdays").alias("min_bdays"),
+            F.max("bdays").alias("max_bdays"),
+            F.expr("sum(bdays) * 100 DIV count(*)").cast("long").alias("avg_bdays_e2"),
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
+    "ts_peak_detection_prominence",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), nbr AS (
+      SELECT event_type, d, cents,
+             lag(cents) OVER (PARTITION BY event_type ORDER BY d) AS prev,
+             lead(cents) OVER (PARTITION BY event_type ORDER BY d) AS nxt
+      FROM daily
+    )
+    SELECT event_type, d, cents,
+           CAST(cents - greatest(prev, nxt) AS BIGINT) AS prominence_cents
+    FROM nbr
+    WHERE prev IS NOT NULL AND nxt IS NOT NULL
+      AND cents > prev AND cents > nxt
+    ORDER BY event_type, d
+    """,
+)
+def ts_peak_detection_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum (peak) detection with neighbor prominence over
+    each event type's daily revenue — the alerting/spike-triage shape.
+    A peak is STRICTLY above both neighbors (ties are not peaks, so
+    the predicate is deterministic without a tie-break); prominence is
+    the height over the taller neighbor. One lag + one lead over the
+    same (type, day) window spec = a single window stage after one
+    shuffle on event_type; series boundaries are excluded explicitly
+    (NULL neighbors), not silently treated as -inf. Runs on the tiny
+    per-day rollup, never raw events."""
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    nbr = daily.select(
+        "event_type", "d", "cents",
+        F.lag("cents").over(w).alias("prev"),
+        F.lead("cents").over(w).alias("nxt"),
+    )
+    return (
+        nbr.filter(
+            F.col("prev").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("cents") > F.col("prev"))
+            & (F.col("cents") > F.col("nxt"))
+        )
+        .select(
+            "event_type", "d", "cents",
+            (F.col("cents") - F.greatest("prev", "nxt"))
+            .cast("long")
+            .alias("prominence_cents"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+@query(
+    "events_rate_anomaly_poisson",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), rates AS (
+      SELECT event_type, d, x,
+             CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS days
+      FROM hourly
+    )
+    SELECT event_type, d, x, total, days,
+           CAST((x * days - total) * (x * days - total)
+                > 9 * total * days AS BIGINT) AS is_anomaly
+    FROM rates
+    WHERE (x * days - total) * (x * days - total) > 9 * total * days
+    ORDER BY event_type, d
+    """,
+)
+def events_rate_anomaly_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson rate anomalies (statistical process control): flag hours
+    where a type's event count leaves the 3-sigma band around its mean
+    hourly rate λ = total/hours (hourly buckets: enough variance for
+    the band to bite — daily counts in this fixture never breach 3σ). The test |x − λ| > 3·√λ is irrational as
+    written; cross-multiplying by days² makes it EXACT INTEGER:
+    (x·days − total)² > 9·total·days — no square roots, no float CDFs,
+    bit-identical across engines (the same trick as the KS and
+    chi-square screens). One aggregate to |type × day| rows, one
+    unbounded window per type for (total, days) — the scan never feeds
+    the window. The λ here is in events/day, so the band is the
+    classic c-chart control limit."""
+    events = load_table(spark, "events", sf_dir)
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wt = Window.partitionBy("event_type")
+    rates = hourly.select(
+        "event_type", "d", "x",
+        F.sum("x").over(wt).alias("total"),
+        F.count(F.lit(1)).over(wt).alias("days"),
+    )
+    dev = F.col("x") * F.col("days") - F.col("total")
+    breach = (dev * dev) > F.lit(9) * F.col("total") * F.col("days")
+    return (
+        rates.filter(breach)
+        .select(
+            "event_type", "d", "x", "total", "days",
+            breach.cast("long").alias("is_anomaly"),
+        )
+        .orderBy("event_type", "d")
+    )
