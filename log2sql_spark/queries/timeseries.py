@@ -3024,3 +3024,145 @@ def ts_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d", "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_unique"),
     ).orderBy("d")
+
+
+@query(
+    "events_cohort_ltv_curve",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), rev AS (
+      SELECT f.cohort_day,
+             datediff('day', f.cohort_day, date_trunc('day', e.ts)) AS age_days,
+             CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events e JOIN first_seen f USING (user_id)
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ), sized AS (
+      SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM first_seen GROUP BY cohort_day
+    )
+    SELECT r.cohort_day, r.age_days, s.cohort_users, r.cents,
+           CAST(sum(r.cents) OVER (
+             PARTITION BY r.cohort_day ORDER BY r.age_days
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_cents,
+           CAST(sum(r.cents) OVER (
+             PARTITION BY r.cohort_day ORDER BY r.age_days
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) * 100 // s.cohort_users AS BIGINT) AS ltv_per_user_e2
+    FROM rev r JOIN sized s USING (cohort_day)
+    WHERE r.age_days < 14
+    ORDER BY r.cohort_day, r.age_days
+    """,
+)
+def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves — cumulative revenue per acquisition cohort by
+    account age, normalized per cohort user (integer 1e-2 cents) — the
+    payback-period query marketing actually runs. Same first-seen
+    reduction as the retention triangle, but revenue-weighted with a
+    running-sum window per cohort; the window runs over |cohorts × age
+    days| rows, never events, and the per-user normalization divides
+    AFTER the cumulative sum so truncation composes identically on
+    both engines. The 14-day age cut keeps curves comparable across
+    cohorts of different observation lengths (right-censoring)."""
+    events = load_table(spark, "events", sf_dir)
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    rev = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")).alias(
+                "age_days"
+            ),
+        )
+        .agg(F.sum(_CENTS("value")).alias("cents"))
+    )
+    sized = first_seen.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("cents").over(w)
+    return (
+        rev.join(sized, "cohort_day")
+        .filter(F.col("age_days") < 14)
+        .select(
+            "cohort_day", "age_days", "cohort_users", "cents",
+            cum.cast("long").alias("cum_cents"),
+            F.expr(
+                "sum(cents) OVER (PARTITION BY cohort_day ORDER BY age_days "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                "* 100 DIV cohort_users"
+            )
+            .cast("long")
+            .alias("ltv_per_user_e2"),
+        )
+        .orderBy("cohort_day", "age_days")
+    )
+
+
+@query(
+    "ts_yoy_growth_bp",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(month(o_orderdate) AS BIGINT) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders
+      GROUP BY 1, 2
+    ), shifted AS (
+      SELECT y, m, cents,
+             lag(cents, 12) OVER (ORDER BY y, m) AS prior_year
+      FROM monthly
+    )
+    SELECT y, m, cents, prior_year,
+           CAST((cents - prior_year) * 10000 // prior_year AS BIGINT)
+             AS yoy_growth_bp
+    FROM shifted
+    WHERE prior_year IS NOT NULL
+    ORDER BY y, m
+    """,
+)
+def ts_yoy_growth_bp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per month in exact basis points — the BI
+    staple. lag(12) over the dense monthly rollup beats a self-join on
+    (y-1, m): one window over |months| rows instead of a second scan +
+    shuffle, and it is immune to the join's silent row loss when a
+    month is missing (lag over the ordered frame makes the gap
+    explicit as NULL). Growth lands in integer bp
+    via the engines' SHARED truncating integer division (DuckDB's
+    integer `//` and Spark's DIV both truncate a negative quotient
+    toward zero — the round-6 verified semantics), which matters here
+    because YoY growth is routinely negative; float division + floor
+    was the observed trap (one ULP below an exact quotient floors to
+    a different bp)."""
+    orders = load_table(spark, "orders", sf_dir)
+    monthly = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    w = Window.orderBy("y", "m")
+    shifted = monthly.select(
+        "y", "m", "cents", F.lag("cents", 12).over(w).alias("prior_year")
+    )
+    return (
+        shifted.filter(F.col("prior_year").isNotNull())
+        .select(
+            "y", "m", "cents", "prior_year",
+            F.expr("(cents - prior_year) * 10000 DIV prior_year")
+            .cast("long")
+            .alias("yoy_growth_bp"),
+        )
+        .orderBy("y", "m")
+    )

@@ -134,3 +134,58 @@ def test_production_lifecycle_composition(spark, tmp_path):
     # self-contained snapshot a new reader bootstraps from
     fresh = SnapshotStore(store_path)
     assert fresh.read(spark).count() == 5
+
+
+def test_online_pipeline_composition(spark, tmp_path, monkeypatch):
+    """The --stop-never production path end-to-end: live remote tail
+    (fake GTID server that DIES mid-transaction at the rotation
+    boundary) → watch dir → checkpointed streaming apply → MERGE into
+    the snapshot store. Composes the whole-transactions-only trim with
+    the store's last-writer-wins version ordering: the crash, the
+    rotation, AND a stale-cursor duplicate re-dump all collapse to the
+    same final state."""
+    import importlib.util
+    import os
+    import stat
+
+    spec = importlib.util.spec_from_file_location(
+        "tbr", os.path.join(os.path.dirname(__file__), "test_binlog_remote.py")
+    )
+    tbr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tbr)
+    from log2sql_spark.sources.binlog_remote import TailState, tail_once, tail_remote_binlog
+
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    script = bindir / "mysqlbinlog"
+    script.write_text(tbr._FAKE_GTID)
+    script.chmod(script.stat().st_mode | stat.S_IXUSR)
+    marker = tmp_path / "crash_once"
+    marker.write_text("")
+    monkeypatch.setenv("FAKE_CRASH_MARKER", str(marker))
+    monkeypatch.setenv("PATH", str(bindir) + os.pathsep + os.environ["PATH"])
+
+    watch = tmp_path / "watch"
+    state = tail_remote_binlog(
+        str(watch), "bin.000001", poll_interval=0.01, max_iterations=3
+    )
+    assert state.rotations == 1
+    # stale mid-transaction cursor: the server re-dumps g2 WHOLE into a
+    # second, differently-named file (duplicate delivery)
+    assert tail_once(TailState(log_file="bin.000001", position=350), str(watch))
+    assert len(os.listdir(watch)) == 4
+
+    cat = catalog_from_dict(spark, CATALOG)
+    store_path = str(tmp_path / "store")
+    q = apply_changes_to_snapshot_store(
+        spark, str(watch), cat, store_path, str(tmp_path / "ckpt"), key_col="id",
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    store = SnapshotStore(store_path)
+    assert _state(spark, store) == {
+        "1": "'a'", "2": "'b'", "3": "'c'", "4": "'d'", "5": "'e'",
+    }
+    assert store.read(spark).count() == 5  # dup delivery collapsed
+    assert store.fsck() == []

@@ -34,6 +34,7 @@ from log2sql_spark.plans.explain import (  # noqa: E402
 # reuse, the runtime number shows it. A flagged query with no entry here
 # fails the audit: every future flag must be adjudicated or fixed.
 DISPOSITIONS = {
+    "events_cohort_ltv_curve": "cohort LTV = first-seen agg + revenue join + (cohort, age) rollup + cohort-size agg + running window: the 6 static exchanges are those stages, and the first_seen subtree (referenced by both the revenue join and the size agg) reuses at runtime; every post-join stage runs over |cohorts x ages|, never events (sf1 1.47 s).",
     "events_funnel_latency_quantiles": "3-stage funnel needs one min-agg per stage by definition + exact-quantile cum window over |distinct latencies|; every aggregate map-side combined over |users|, raw events scanned once (runtime 5).",
     "events_markov_prediction_eval": "train/eval harness: transition counts, per-state argmax, next-event join, accuracy rollup — each stage over |state pairs| << events (runtime 6).",
     "graph_pagerank_trade": "unrolled rank iterations: one exchange per iteration over 16-byte (node, rank) pairs; the iteration count is the algorithm, not a data re-read (runtime 6).",
