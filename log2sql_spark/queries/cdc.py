@@ -1919,3 +1919,85 @@ def cdc_debezium_replay_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     return with_sql_text(resolved).select("sql_text").orderBy("sql_text")
+
+
+@query(
+    "cdc_quarantine_report",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= {_KEY_MAX}
+    )
+    SELECT 'legacy' AS db, 'ghost' AS tbl,
+           'unknown_table: no catalog entry for legacy.ghost' AS status,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM src WHERE k % 5 = 0
+    UNION ALL
+    SELECT 'shop', 'orders', 'resolved', CAST(count(*) AS BIGINT) FROM src
+    UNION ALL
+    SELECT 'shop', 'rogue_audit',
+           'unknown_table: no catalog entry for shop.rogue_audit',
+           CAST(count(*) AS BIGINT)
+    FROM src WHERE k % 3 = 0
+    UNION ALL
+    SELECT 'shop', NULL, 'resolved', CAST(1 AS BIGINT)
+    ORDER BY db, tbl NULLS FIRST, status
+    """,
+)
+def cdc_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter accounting for the CDC pipeline: one dump carrying
+    catalog-known orders events, two rogue tables the catalog has
+    never heard of, and a DDL statement — split by
+    ``split_catalog_misses`` (sources/catalog.py) into the resolvable
+    stream and the quarantine, then rolled up per (db, table, status).
+    Pins the full contract in one hash: known tables resolve, EVERY
+    rogue event is quarantined with its machine-readable reason (never
+    silently dropped, never flowed into replay with ``@N`` columns or
+    a NULL-derived store key), and DDL passes through untouched — a
+    catalog miss is not an error for db-scoped passthrough (reference
+    log2sql.py:13-14). The split is one broadcast anti/semi pair on
+    the tiny catalog; the report aggregate is map-side combinable.
+    Streaming twin (batch-keyed idempotent quarantine sink):
+    tests/test_streaming.py::test_stream_apply_quarantines_catalog_misses.
+    """
+    from log2sql_spark.sources.binlog import read_binlog
+    from log2sql_spark.sources.catalog import split_catalog_misses
+
+    rows = _orders_subset(spark, sf_dir)
+    events = []
+    for r in rows:
+        events.append(
+            {"op": "insert", "db": "shop", "table": "orders",
+             "ts": r["o_orderdate"], "values": _row_tokens(r)}
+        )
+        if r["o_orderkey"] % 3 == 0:
+            events.append(
+                {"op": "insert", "db": "shop", "table": "rogue_audit",
+                 "ts": r["o_orderdate"],
+                 "values": [(1, str(r["o_orderkey"])), (2, "'x'")]}
+            )
+        if r["o_orderkey"] % 5 == 0:
+            events.append(
+                {"op": "delete", "db": "legacy", "table": "ghost",
+                 "ts": r["o_orderdate"],
+                 "values": [(1, str(r["o_orderkey"]))]}
+            )
+    events.append(
+        {"op": "ddl", "db": "shop", "ts": rows[0]["o_orderdate"],
+         "statement": "ALTER TABLE audit_log ADD COLUMN note VARCHAR(64)"}
+    )
+    dump = _write_dump(events)
+    envelope = read_binlog(spark, dump)
+    cat = catalog_from_dict(spark, _CATALOG_SPEC)
+    resolvable, quarantined = split_catalog_misses(envelope, cat)
+    report = resolvable.withColumn("status", F.lit("resolved")).select(
+        "db", F.col("table").alias("tbl"), "status"
+    ).unionByName(
+        quarantined.select(
+            "db", F.col("table").alias("tbl"), F.col("reason").alias("status")
+        )
+    )
+    return (
+        report.groupBy("db", "tbl", "status")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("db"), F.col("tbl").asc_nulls_first(), F.col("status"))
+    )

@@ -185,3 +185,41 @@ def resolve_columns(envelope: DataFrame, catalog: DataFrame) -> DataFrame:
         )
         .drop("columns")
     )
+
+
+def split_catalog_misses(
+    envelope: DataFrame, catalog: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split: ``(resolvable, quarantined)``.
+
+    :func:`resolve_columns` deliberately never drops an event — an
+    unknown (db, table) keeps ordinal ``@N`` keys so nothing vanishes
+    silently. But LETTING those rows flow onward is its own failure
+    mode: replay codegen renders ``@1`` column names (SQL no target
+    accepts) and the keyed store apply derives a NULL key, merging
+    every rogue-table row into one phantom record. Production CDC
+    pipelines route them to a QUARANTINE instead (Debezium's
+    dead-letter topic, DLT's expectations): this split diverts
+    non-DDL events whose (db, table) misses the catalog into a reject
+    frame carrying a machine-readable ``reason``, and passes DDL
+    straight through (DDL is db-scoped passthrough by design,
+    reference log2sql.py:13-14 — a catalog miss is not an error for
+    it). One broadcast semi/anti-join pair on the tiny catalog; the
+    event stream is scanned once per side and never shuffled."""
+    keys = catalog.select("db", "table").distinct()
+    hit = F.broadcast(keys.withColumn("_cat_hit", F.lit(1)))
+    tagged = envelope.join(hit, ["db", "table"], "left")
+    ok = (F.col("_cat_hit").isNotNull()) | (F.col("op") == "ddl")
+    resolvable = tagged.filter(ok).drop("_cat_hit")
+    quarantined = (
+        tagged.filter(~ok)
+        .drop("_cat_hit")
+        .withColumn(
+            "reason",
+            F.concat(
+                F.lit("unknown_table: no catalog entry for "),
+                F.col("db"), F.lit("."), F.col("table"),
+            ),
+        )
+    )
+    return resolvable, quarantined

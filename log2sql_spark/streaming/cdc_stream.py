@@ -17,6 +17,8 @@ limit the reference parsed but never honored (``--back-interval``,
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -202,6 +204,7 @@ def apply_changes_to_snapshot_store(
     max_files_per_trigger: int | None = None,
     trigger_interval: float | None = None,
     merge_max_retries: int = 2,
+    quarantine_dir: str | None = None,
 ) -> StreamingQuery:
     """The production apply path end-to-end: ``foreachBatch → MERGE INTO``
     a transactional snapshot store (SURVEY.md §1.1's named target, with
@@ -235,6 +238,13 @@ def apply_changes_to_snapshot_store(
     cost flat under continuous ingest instead of degrading with every
     batch. Set None to disable.
 
+    ``quarantine_dir``: dead-letter sink. Non-DDL events whose
+    (db, table) has no catalog entry are diverted there per micro-batch
+    (batch-keyed parquet with a ``reason`` column) instead of flowing
+    into the merge with a NULL-derived key — Debezium's dead-letter
+    topic / DLT expectations analog. None (default) keeps the historic
+    never-drop behavior of resolve_columns.
+
     ``transport="debezium"`` swaps the source for a Kafka-shaped topic
     (`sources/debezium.py`); the merge, layout, auto-compaction and
     version ordering run unchanged — the Debezium envelope's (file,
@@ -254,6 +264,18 @@ def apply_changes_to_snapshot_store(
             resolved = debezium_to_envelope(batch_df, keep_key=(key_col is None))
         else:
             envelope = read_binlog_batch_files(spark, batch_df)
+            if quarantine_dir is not None:
+                # dead-letter split BEFORE resolution: rogue-table rows
+                # would otherwise derive a NULL store key and merge into
+                # one phantom record. Batch-keyed overwrite = replaying
+                # a crashed micro-batch rewrites, never double-appends
+                # (same idempotence protocol as the sink itself).
+                from log2sql_spark.sources.catalog import split_catalog_misses
+
+                envelope, rejected = split_catalog_misses(envelope, catalog)
+                rejected.write.mode("overwrite").parquet(
+                    os.path.join(quarantine_dir, f"batch_id={batch_id}")
+                )
             resolved = resolve_columns(envelope, catalog)
         img = F.coalesce("after", "before")
         if key_col is None:

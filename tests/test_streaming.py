@@ -775,3 +775,71 @@ def test_cli_back_interval_flag_parses():
     # default: no throttle -> drain-and-stop availableNow trigger
     args = p.parse_args(["--start-file", "x"])
     assert args.back_interval is None and args.max_files_per_trigger is None
+
+
+def test_stream_apply_quarantines_catalog_misses(spark, tmp_path):
+    """Dead-letter path: rogue-table events divert to the quarantine
+    (with a machine-readable reason) instead of merging into the store
+    under a NULL-derived key; good rows flow; a replayed batch
+    rewrites its quarantine partition rather than double-appending."""
+    from log2sql_spark.sources.binlog_fixture import render_binlog
+    from log2sql_spark.sources.catalog import catalog_from_dict
+    from log2sql_spark.store import SnapshotStore
+    from log2sql_spark.streaming.cdc_stream import apply_changes_to_snapshot_store
+
+    in_dir, ckpt, dlq = tmp_path / "in", tmp_path / "ckpt", tmp_path / "dlq"
+    in_dir.mkdir()
+    ts = datetime(2024, 5, 1, 12, 0, 7)
+    good = [
+        {"op": "insert", "db": "shop", "table": "orders", "ts": ts,
+         "values": [(1, str(i)), (2, f"'s{i}'")]}
+        for i in (1, 2)
+    ]
+    rogue = [
+        {"op": "insert", "db": "shop", "table": "rogue_tbl", "ts": ts,
+         "values": [(1, "99"), (2, "'x'")]},
+        {"op": "delete", "db": "legacy", "table": "ghost", "ts": ts,
+         "values": [(1, "7")]},
+    ]
+    (in_dir / "bin.000001.txt").write_text(render_binlog(good + rogue))
+    cat = catalog_from_dict(
+        spark, {"shop.orders": {"columns": ["id", "status"], "key_columns": ["id"]}}
+    )
+    store_path = str(tmp_path / "store")
+
+    q = apply_changes_to_snapshot_store(
+        spark, str(in_dir), cat, store_path, str(ckpt), key_col="id",
+        quarantine_dir=str(dlq),
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    store = SnapshotStore(store_path)
+    rows = {r.key: r.after for r in store.read(spark).collect()}
+    # ONLY the catalog-known rows merged; no NULL-key phantom record
+    assert set(rows) == {"1", "2"}
+    rejected = spark.read.parquet(str(dlq))
+    got = {(r.db, r.table, r.op, r.reason) for r in rejected.collect()}
+    assert got == {
+        ("shop", "rogue_tbl", "insert",
+         "unknown_table: no catalog entry for shop.rogue_tbl"),
+        ("legacy", "ghost", "delete",
+         "unknown_table: no catalog entry for legacy.ghost"),
+    }
+
+    # replay the micro-batch (crash before checkpoint commit): the
+    # batch-keyed overwrite leaves the quarantine byte-identical
+    import os as _os
+
+    _os.remove(ckpt / "commits" / "0")
+    crc = ckpt / "commits" / ".0.crc"
+    if crc.exists():
+        _os.remove(crc)
+    q = apply_changes_to_snapshot_store(
+        spark, str(in_dir), cat, store_path, str(ckpt), key_col="id",
+        quarantine_dir=str(dlq),
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert spark.read.parquet(str(dlq)).count() == 2  # not 4
+    assert {r.key for r in SnapshotStore(store_path).read(spark).collect()} == {"1", "2"}
