@@ -102,6 +102,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "rendering SQL")
     p.add_argument("--key-column", dest="key_column", default="id",
                    help="row-image key column for --apply-store (default: id)")
+    p.add_argument("--quarantine-dir", dest="quarantine_dir", default=None,
+                   help="dead-letter sink for --apply-store: events whose "
+                        "(db, table) has no catalog entry land here with a "
+                        "reason column instead of merging under a NULL key")
     p.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
     p.add_argument("--back-interval", dest="back_interval", type=float, default=None,
                    help="seconds between micro-batches on --stop-never "
@@ -649,6 +653,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.checkpoint, key_col=args.key_column,
                 max_files_per_trigger=args.max_files_per_trigger,
                 trigger_interval=interval,
+                quarantine_dir=args.quarantine_dir,
             )
         else:
             from log2sql_spark.streaming.cdc_stream import stream_binlog_to_sql
