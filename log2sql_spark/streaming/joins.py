@@ -45,10 +45,15 @@ def attribution_interval_join(
     ``how='left_outer'`` additionally emits unmatched impressions with
     NULL click columns — but only once the watermark PROVES no match
     can arrive, so outer results trail the watermark by design (Spark's
-    documented outer stream-stream semantics).
+    documented outer stream-stream semantics). ``how='full_outer'``
+    symmetrically also emits orphan clicks (a click with no qualifying
+    impression — bot traffic, attribution-window misses) with NULL
+    impression columns, under the same watermark-gated emission; both
+    sides' state stays evictable because the band bounds each side's
+    relevance window.
     """
-    if how not in ("inner", "left_outer"):
-        raise ValueError(f"how must be inner|left_outer, got {how!r}")
+    if how not in ("inner", "left_outer", "full_outer"):
+        raise ValueError(f"how must be inner|left_outer|full_outer, got {how!r}")
     imp = impressions.withWatermark("imp_ts", watermark)
     clk = clicks.withWatermark("clk_ts", watermark)
     cond = F.expr(

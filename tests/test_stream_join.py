@@ -125,5 +125,64 @@ def test_interval_join_rejects_unknown_how(spark):
 
     df = spark.createDataFrame([], "ad_id long, imp_ts timestamp")
     clk = spark.createDataFrame([], "c_ad_id long, clk_ts timestamp")
-    with pytest.raises(ValueError, match="inner|left_outer"):
-        attribution_interval_join(df, clk, how="full_outer")
+    with pytest.raises(ValueError, match="inner|left_outer|full_outer"):
+        attribution_interval_join(df, clk, how="cross")
+
+
+def test_stream_stream_full_outer_emits_both_orphans(spark, tmp_path):
+    """full_outer = left_outer + orphan CLICKS (a click with no
+    qualifying impression — bot traffic / window misses) with NULL
+    impression columns, still watermark-gated on both sides."""
+    from log2sql_spark.streaming.joins import attribution_interval_join
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(); clk_dir.mkdir()
+    _write({
+        "ad_id": [1, 2],
+        "imp_ts": pd.to_datetime([
+            "2024-05-01 12:00:00", "2024-05-01 12:01:00",
+        ]),
+    }, imp_dir / "i0.parquet")
+    _write({
+        # ad 1 clicks in-window; ad 7 never had an impression; ad 2's
+        # click lands an HOUR late (outside the 10-minute band)
+        "c_ad_id": [1, 7, 2],
+        "clk_ts": pd.to_datetime([
+            "2024-05-01 12:05:00", "2024-05-01 12:06:00",
+            "2024-05-01 13:30:00",
+        ]),
+    }, clk_dir / "c0.parquet")
+    # watermark-advancing traffic on both sides
+    _write({
+        "ad_id": [99],
+        "imp_ts": pd.to_datetime(["2024-05-01 15:00:00"]),
+    }, imp_dir / "i1.parquet")
+    _write({
+        "c_ad_id": [99],
+        "clk_ts": pd.to_datetime(["2024-05-01 15:00:01"]),
+    }, clk_dir / "c1.parquet")
+
+    imp = (
+        spark.readStream.schema("ad_id long, imp_ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(str(imp_dir))
+    )
+    clk = (
+        spark.readStream.schema("c_ad_id long, clk_ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(str(clk_dir))
+    )
+    joined = attribution_interval_join(imp, clk, how="full_outer")
+    q = (
+        joined.writeStream.format("memory").queryName("attrib_full")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.ad_id, r.c_ad_id)
+        for r in spark.sql("SELECT ad_id, c_ad_id FROM attrib_full").collect()
+    }
+    assert (1, 1) in got and (99, 99) in got  # matched
+    assert (2, None) in got                   # unmatched impression
+    assert (None, 7) in got                   # orphan click (no imp at all)
+    assert (None, 2) in got                   # out-of-band click is an orphan
