@@ -2324,3 +2324,80 @@ def events_rate_anomaly_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+@query(
+    "quality_candidate_key_discovery",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders)
+    SELECT 'o_orderkey' AS column_combo,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           n.n_rows,
+           CAST(count(DISTINCT o_orderkey) = n.n_rows AS BIGINT)
+             AS is_candidate_key
+    FROM orders, n GROUP BY n.n_rows
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(DISTINCT o_custkey) AS BIGINT), n.n_rows,
+           CAST(count(DISTINCT o_custkey) = n.n_rows AS BIGINT)
+    FROM orders, n GROUP BY n.n_rows
+    UNION ALL
+    SELECT 'o_custkey+o_orderdate',
+           CAST(count(DISTINCT o_custkey || '|' || CAST(o_orderdate AS VARCHAR))
+                AS BIGINT),
+           n.n_rows,
+           CAST(count(DISTINCT o_custkey || '|' || CAST(o_orderdate AS VARCHAR))
+                = n.n_rows AS BIGINT)
+    FROM orders, n GROUP BY n.n_rows
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           n.n_rows,
+           CAST(count(DISTINCT o_orderstatus) = n.n_rows AS BIGINT)
+    FROM orders, n GROUP BY n.n_rows
+    ORDER BY column_combo
+    """,
+)
+def quality_candidate_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery (profiling's PK suggester, the
+    uniqueness side of the FD screen quality_fd_violations): for each
+    proposed column combo, exact distinct count vs row count — a combo
+    is a candidate key iff they match. Every distinct-count is one
+    map-side-combinable aggregate over the projected columns; the
+    composite combo hashes a canonical string encoding (delimiter
+    chosen outside both columns' alphabets) so both engines count the
+    same value space. At 100 TB the same report runs per-partition
+    first (partial distincts) and the combos are a config list, not a
+    combinatorial sweep — the 2^n lattice search is the OFFLINE
+    profiler's job; the engine's job is exact verification of proposed
+    keys."""
+    orders = load_table(spark, "orders", sf_dir)
+    n_rows = orders.count()
+
+    def probe(combo_name: str, expr):
+        return (
+            orders.agg(F.countDistinct(expr).alias("n_distinct"))
+            .select(
+                F.lit(combo_name).alias("column_combo"),
+                F.col("n_distinct").cast("long"),
+                F.lit(n_rows).cast("long").alias("n_rows"),
+                (F.col("n_distinct") == n_rows).cast("long").alias(
+                    "is_candidate_key"
+                ),
+            )
+        )
+
+    out = (
+        probe("o_orderkey", F.col("o_orderkey"))
+        .unionByName(probe("o_custkey", F.col("o_custkey")))
+        .unionByName(
+            probe(
+                "o_custkey+o_orderdate",
+                F.concat_ws(
+                    "|",
+                    F.col("o_custkey"),
+                    F.col("o_orderdate").cast("string"),
+                ),
+            )
+        )
+        .unionByName(probe("o_orderstatus", F.col("o_orderstatus")))
+    )
+    return out.orderBy("column_combo")

@@ -3272,3 +3272,78 @@ def events_amount_tranches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return walked.orderBy("user_id", "tranche_idx")
+
+
+@query(
+    "ts_bollinger_breach",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), rolled AS (
+      SELECT event_type, d, cents,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(cents) OVER w AS BIGINT) AS s,
+             CAST(sum(cents * cents) OVER w AS BIGINT) AS ss
+      FROM daily
+      WINDOW w AS (
+        PARTITION BY event_type ORDER BY d
+        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT event_type, d, cents, n, s,
+           CAST(n * ss - s * s AS BIGINT) AS var_n2,
+           CAST(
+             (cents * n - s) * (cents * n - s) > 4 * (n * ss - s * s)
+             AS BIGINT
+           ) AS breach
+    FROM rolled
+    WHERE n = 7
+      AND (cents * n - s) * (cents * n - s) > 4 * (n * ss - s * s)
+    ORDER BY event_type, d
+    """,
+)
+def ts_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breaches over a trailing 7-day window — the
+    rolling twin of the Poisson c-chart screen. The classic test
+    |x − μ| > 2σ is irrational; multiplying through by n² turns it into
+    EXACT INTEGERS: (x·n − Σ)² > 4·(n·Σx² − Σ²) — the right side is n²
+    times the biased variance, the left n² times the squared deviation
+    — so the breach decision is bit-identical across engines with no
+    sqrt, no float variance (n·Σx² − Σ² is also how agg_stats keeps
+    exact moments). The window is strictly TRAILING (7 PRECEDING to 1
+    PRECEDING): today never contaminates its own band, the look-ahead
+    bug most rolling-band implementations ship with. Partial windows
+    (n < 7) are excluded explicitly. Σx² of integer cents stays well
+    inside int64 at these magnitudes; at larger scales the same shape
+    runs on DECIMAL(38,0)."""
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(_CENTS("value")).alias("cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-7, -1)
+    )
+    rolled = daily.select(
+        "event_type", "d", "cents",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cents").over(w).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("ss"),
+    )
+    dev = F.col("cents") * F.col("n") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    breach = (dev * dev) > F.lit(4) * var_n2
+    return (
+        rolled.filter((F.col("n") == 7) & breach)
+        .select(
+            "event_type", "d", "cents",
+            F.col("n").cast("long").alias("n"),
+            F.col("s").cast("long").alias("s"),
+            var_n2.cast("long").alias("var_n2"),
+            breach.cast("long").alias("breach"),
+        )
+        .orderBy("event_type", "d")
+    )

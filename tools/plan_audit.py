@@ -60,6 +60,7 @@ DISPOSITIONS = {
     "market_basket_pairs": "pair combinatorics after ONE basket groupBy + broadcast 1-row denominator; basket subtree reused at runtime (14 refs -> 7 distinct). CLOSED r10, measured as a DISTRIBUTION on an idle box (calib 0.117-0.118): the sf10 single-shot is STABLE at 55.8-56.5s (warm same-session repeats 34.1-37.1s), while the sf1 denominator swings 3.9-8.5s cold/warm -- so the recorded RATIO ranged 6.65 (first r10 run) to 11.01 (committed BENCH.json), entirely denominator noise, all under the 12x gate; bench.py now takes best-of-2 on the sf1 side to damp it. Warm-over-warm the ratio is 6.2-8.8x at 10x rows = linear. Every prior superlinear reading (r8 14.91x, r9 8.64x vs 10.62x disagreement, the old 10.4x note) was co-tenant contention; plan unchanged throughout.",
     "mv_incremental_distinct": "distinct-count IVM: delta dedup + re-count of touched groups + merge; exchanges over |delta| + |dirty groups| only (runtime 6).",
     "mv_incremental_minmax": "the non-distributive IVM case: monotone insert fold UNION delete-touched-extremum recompute UNION dirty-flag audit — three branch plans each 2-4 exchanges over |delta|/|dirty groups|; 35 static collapse to 14 runtime stages; at scale the cost is the semi-join-pruned base read, not stage count.",
+    "quality_candidate_key_discovery": "one exact two-phase distinct aggregate per proposed key combo (4 combos) unioned into the report, same family as quality_fd_violations' 8; each runs over the projected columns of the shared scan (sf1 1.37 s).",
     "quality_expectations_orders": "one aggregate per expectation rule unioned into the report: exchange count scales with #rules (fixed), each over the shared scan (runtime 6).",
     "quality_fd_violations": "one count-distinct check per candidate functional dependency (4 FDs) unioned; per-FD input is (lhs, rhs) pairs (runtime 8).",
     "quality_referential_orphans": "one anti-join per FK edge (4 edges) unioned into the orphan report; each anti-join shuffles keys only (runtime 8).",
