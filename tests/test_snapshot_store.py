@@ -1033,3 +1033,101 @@ def test_sql_table_over_python_datasource_is_pinned(spark, store):
         assert got.count() == 2
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_compact_where_randomized_content_transparency(spark, store):
+    """Property: for seeded random hot bands and fragment layouts,
+    compact_where is content-transparent (read-back multiset equal),
+    carries every provably-outside file by path, and keeps stats on
+    all entries. Three trials, one Spark fixture."""
+    import random
+
+    rng = random.Random(20240816)
+    base = spark.range(0, 30_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("string").alias("val")
+    )
+    store.commit(base, mode="overwrite", cluster_by="k", target_files=6)
+    for trial in range(3):
+        lo = rng.randint(0, 25_000)
+        hi = lo + rng.randint(500, 4_000)
+        for i in range(rng.randint(2, 4)):  # fragment the band
+            n = rng.randint(5, 40)
+            keys = [rng.randint(lo, hi) + 100_000 * (trial + 1) for _ in range(n)]
+            store.commit(
+                spark.createDataFrame(
+                    [(k, f"t{trial}") for k in keys], "k long, val string"
+                ),
+                mode="append",
+                cluster_by="k",
+                target_files=1,
+            )
+        head_before = store.snapshot(store.head_version())
+        before_counts = {
+            (r.k, r.val): r.n
+            for r in store.read(spark).groupBy("k", "val")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # appended keys were offset OUT of [lo, hi]; compact a band that
+        # still overlaps some base files AND the fresh fragments' range
+        band_lo, band_hi = lo, hi + 100_000 * (trial + 1)
+        outside = {
+            e["path"] for e in head_before.entries
+            if e.get("min") is not None and (e["max"] < band_lo or e["min"] > band_hi)
+        }
+        v = store.compact_where(spark, band_lo, band_hi, target_files=1)
+        if v is None:
+            continue  # band held <= 1 file this trial: legal no-op
+        head = store.snapshot(v)
+        after_paths = {e["path"] for e in head.entries}
+        assert outside <= after_paths  # every provably-cold file carried
+        assert head.has_stats
+        after_counts = {
+            (r.k, r.val): r.n
+            for r in store.read(spark).groupBy("k", "val")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert after_counts == before_counts  # content-transparent
+        assert store.fsck() == []
+
+
+def test_compact_where_race_fails_fast_and_clean(spark, store, monkeypatch):
+    """A writer landing between compact_where's head read and its
+    publish costs a clean ConflictError (compaction is a DERIVED
+    rewrite — blind retry could erase the winner, so fail-fast is the
+    contract, same as compact(max_retries=0)); the store is untouched
+    and the loser's data directory is vacuum-able, never referenced."""
+    store.commit(
+        spark.range(2_000).select(F.col("id").alias("k"), F.lit("v").alias("val")),
+        cluster_by="k",
+        target_files=4,
+    )
+    for i in range(2):
+        store.commit(
+            spark.createDataFrame([(i, "hot")], "k long, val string"),
+            mode="append", cluster_by="k", target_files=1,
+        )
+    competitor = SnapshotStore(store.path)
+    orig = store._publish
+    state = {"fired": False}
+
+    def racing(manifest):
+        if not state["fired"]:
+            state["fired"] = True
+            competitor.commit(
+                spark.createDataFrame([(9_999, "theirs")], "k long, val string"),
+                mode="append", cluster_by="k", target_files=1,
+            )
+        return orig(manifest)
+
+    store._publish = racing
+    head_before = store.head_version()
+    with pytest.raises(ConflictError):
+        store.compact_where(spark, 0, 500, target_files=1)
+    assert state["fired"]
+    # the winner's commit is head; content includes both writers' rows
+    store2 = SnapshotStore(store.path)
+    assert store2.head_version() == head_before + 1
+    rows = {r.k: r.val for r in store2.read(spark).collect()}
+    assert rows[9_999] == "theirs"
+    assert rows[0] == "hot" and rows[1] == "hot"
+    assert store2.fsck() == []
