@@ -2854,6 +2854,7 @@ class SnapshotStore:
         lo,
         hi,
         target_files: int = 1,
+        max_retries: int = 0,
     ) -> int | None:
         """Key-range-filtered compaction (Delta ``OPTIMIZE ... WHERE``):
         rewrite ONLY the files whose [min, max] key stats overlap
@@ -2872,59 +2873,74 @@ class SnapshotStore:
         contract) and zorder files carry multi-dim stats a plain range
         write cannot reproduce. Returns the new version, or None when
         the band holds <= ``target_files`` files (nothing to merge).
-        Delta analog: OPTIMIZE <t> WHERE <partition predicate>."""
-        self._fold_pending_deletes(spark)
-        head = self.head_version()
-        if head is None:
-            raise ValueError("compact_where on an empty store")
-        snap = self.snapshot(head)
-        if snap.layout != "range" or not snap.cluster_by:
-            raise ValueError(
-                "compact_where needs the range-clustered layout (hash "
-                "buckets are already key-partitioned and zorder carries "
-                "multi-dim stats; use compact() for those)"
+        Delta analog: OPTIMIZE <t> WHERE <partition predicate>.
+
+        ``max_retries`` > 0: optimistic concurrency for the filtered
+        OPTIMIZE racing live writers — same contract as ``compact()``:
+        a compaction is a DERIVED rewrite, so a lost race must never
+        blind-retry stale output (that would erase the winner's rows);
+        each retry RE-SELECTS the band from the NEW head's manifest and
+        rewrites again. The loser pays another band rewrite, never
+        correctness; the abandoned attempt directory is vacuum fodder.
+        """
+        last_exc: ConflictError | None = None
+        for _ in range(max_retries + 1):
+            self._fold_pending_deletes(spark)
+            head = self.head_version()
+            if head is None:
+                raise ValueError("compact_where on an empty store")
+            snap = self.snapshot(head)
+            if snap.layout != "range" or not snap.cluster_by:
+                raise ValueError(
+                    "compact_where needs the range-clustered layout (hash "
+                    "buckets are already key-partitioned and zorder carries "
+                    "multi-dim stats; use compact() for those)"
+                )
+
+            def in_band(e: dict) -> bool:
+                mn, mx = e.get("min"), e.get("max")
+                if mn is None or mx is None:
+                    return True  # no stats: cannot prove it outside the band
+                return not (mx < lo or mn > hi)
+
+            touched = [e for e in snap.entries if in_band(e)]
+            if len(touched) <= target_files:
+                return None
+            carried = [e for e in snap.entries if not in_band(e)]
+            df = self._apply_renames(
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, e["path"]) for e in touched]
+                ),
+                snap.renames,
+                snap.dropped,
             )
-
-        def in_band(e: dict) -> bool:
-            mn, mx = e.get("min"), e.get("max")
-            if mn is None or mx is None:
-                return True  # no stats: cannot prove it outside the band
-            return not (mx < lo or mn > hi)
-
-        touched = [e for e in snap.entries if in_band(e)]
-        if len(touched) <= target_files:
-            return None
-        carried = [e for e in snap.entries if not in_band(e)]
-        df = self._apply_renames(
-            spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, e["path"]) for e in touched]
-            ),
-            snap.renames,
-            snap.dropped,
-        )
-        if "_bucket" in df.columns:
-            df = df.drop("_bucket")
-        version = head + 1
-        new_entries = self._write_data(df, version, snap.cluster_by, target_files)
-        self._publish(
-            {
-                "version": version,
-                "parent": head,
-                "mode": "compact",
-                "entries": carried + new_entries,
-                "cluster_by": snap.cluster_by,
-                "schema": snap.schema_json,
-                "meta": {
-                    "compacted_files": len(touched),
-                    "carried_files": len(carried),
-                    "where": [lo, hi],
-                },
-                "layout": snap.layout,
-                "n_buckets": snap.n_buckets,
-                **_inherited(snap),
-            }
-        )
-        return version
+            if "_bucket" in df.columns:
+                df = df.drop("_bucket")
+            version = head + 1
+            new_entries = self._write_data(df, version, snap.cluster_by, target_files)
+            try:
+                self._publish(
+                    {
+                        "version": version,
+                        "parent": head,
+                        "mode": "compact",
+                        "entries": carried + new_entries,
+                        "cluster_by": snap.cluster_by,
+                        "schema": snap.schema_json,
+                        "meta": {
+                            "compacted_files": len(touched),
+                            "carried_files": len(carried),
+                            "where": [lo, hi],
+                        },
+                        "layout": snap.layout,
+                        "n_buckets": snap.n_buckets,
+                        **_inherited(snap),
+                    }
+                )
+                return version
+            except ConflictError as exc:
+                last_exc = exc
+        raise last_exc
 
     def forget(
         self,

@@ -1131,3 +1131,44 @@ def test_compact_where_race_fails_fast_and_clean(spark, store, monkeypatch):
     assert rows[9_999] == "theirs"
     assert rows[0] == "hot" and rows[1] == "hot"
     assert store2.fsck() == []
+
+
+def test_compact_where_retry_rederives_band_from_new_head(spark, store):
+    """compact_where(max_retries=1): a lost publish race RE-SELECTS the
+    band from the winner's head — the winner's in-band append is
+    included in the second rewrite, never erased by a stale republish."""
+    store.commit(
+        spark.range(2_000).select(F.col("id").alias("k"), F.lit("v").alias("val")),
+        cluster_by="k",
+        target_files=4,
+    )
+    for i in range(2):
+        store.commit(
+            spark.createDataFrame([(i, "hot")], "k long, val string"),
+            mode="append", cluster_by="k", target_files=1,
+        )
+    competitor = SnapshotStore(store.path)
+    orig = store._publish
+    state = {"fired": False}
+
+    def racing(manifest):
+        if manifest.get("mode") == "compact" and not state["fired"]:
+            state["fired"] = True
+            competitor.commit(  # IN-BAND append the stale attempt missed
+                spark.createDataFrame([(3, "theirs")], "k long, val string"),
+                mode="append", cluster_by="k", target_files=1,
+            )
+        return orig(manifest)
+
+    store._publish = racing
+    v = store.compact_where(spark, 0, 500, target_files=1, max_retries=1)
+    assert state["fired"] and v is not None
+    store2 = SnapshotStore(store.path)
+    vals: dict[int, set] = {}
+    for r in store2.read(spark).collect():
+        vals.setdefault(r.k, set()).add(r.val)
+    assert "theirs" in vals[3]  # the winner's in-band row survived
+    assert "hot" in vals[0] and "hot" in vals[1]
+    # 2000 base + 2 hot appends + the competitor's append
+    assert store2.read(spark).count() == 2_003
+    assert store2.fsck() == []
