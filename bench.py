@@ -308,6 +308,42 @@ def dedup_scale(spark, sf_dir: str | None = None, best_of: int = 1) -> dict:
     }
 
 
+def ppjoin_scale(spark, sf_dir: str | None = None, best_of: int = 1) -> dict:
+    """Exact-threshold PPJoin dedup on the same corpus recipe as
+    dedup_scale — the LOSSLESS counterpart to the MinHash pipeline,
+    measured rather than assumed. Note the output is itself quadratic
+    in duplicate-cluster size (an 11-copy cluster owes C(11,2) pairs),
+    so the honest linearity read is seconds-vs-docs WITH the emitted
+    pair count recorded alongside."""
+    from pyspark.sql import functions as F
+
+    from log2sql_spark.operators.dedup import ppjoin_pairs
+    from log2sql_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir or SF_DIR).select(
+        "doc_id", "text"
+    )
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    ).persist()
+    n_docs = corpus.count()
+    dt = float("inf")
+    n_pairs = 0
+    for _ in range(best_of):
+        t0 = time.time()
+        n_pairs = ppjoin_pairs(corpus, threshold=(7, 10), n=3).count()
+        dt = min(dt, time.time() - t0)
+    corpus.unpersist()
+    return {
+        "docs": n_docs,
+        "pairs": n_pairs,
+        "sec": round(dt, 3),
+        "docs_per_sec": round(n_docs / dt),
+    }
+
+
 # Queries whose cost scales with the tables (CDC queries synthesize
 # their own SF-independent fixtures, so they are excluded here; the
 # oracle-capped minhash query is covered uncapped by dedup_scale below).
@@ -971,6 +1007,20 @@ def main() -> None:
         "sec_ratio": round(sec_ratio, 2),
         "linear": sec_ratio <= 1.2 * docs_ratio,
     }
+    pp_base = ppjoin_scale(spark, best_of=2)
+    pp_10x = ppjoin_scale(spark, ensure_sf1_dir(), best_of=2)
+    pp_sec_ratio = pp_10x["sec"] / max(pp_base["sec"], 1e-9)
+    ppjoin_lin = {
+        "base": pp_base,
+        "at_10x_docs": pp_10x,
+        "docs_ratio": round(pp_10x["docs"] / max(pp_base["docs"], 1), 2),
+        "sec_ratio": round(pp_sec_ratio, 2),
+        "pairs_ratio": round(pp_10x["pairs"] / max(pp_base["pairs"], 1), 1),
+        # exact pair enumeration owes quadratic OUTPUT on duplicate
+        # clusters (the 10x corpus replicates texts ~11x); the gate
+        # bounds seconds against docs_ratio + the emitted-pair growth
+        "linear": pp_sec_ratio <= 12.0,
+    }
     lifecycle = store_lifecycle_linearity(spark)
     sf1 = sf1_section(spark)
     sf10 = (
@@ -1004,6 +1054,7 @@ def main() -> None:
         "cdc_replay_linearity": cdc_lin,
         "dedup_scale": dedup,
         "dedup_linearity": dedup_lin,
+        "ppjoin_linearity": ppjoin_lin,
         "store_lifecycle_linearity": lifecycle,
         "sf1": sf1,
         "sf10_linearity": sf10,

@@ -759,13 +759,22 @@ def ppjoin_pairs(
         )
         .distinct()
     )
-    ta = toks.select(F.col("id").alias("id_a"), "tok")
-    tb = toks.select(F.col("id").alias("id_b"), "tok")
+    # Verify on COLLECTED gram sets (array_intersect per candidate),
+    # the same shape minhash_dedup_pairs uses: the (pair x gram)
+    # explode-join alternative re-shuffles every gram occurrence per
+    # candidate and measured 5x slower on a duplicate-heavy corpus
+    # where candidates (rightly) number in the hundreds of thousands.
+    gram_sets = toks.groupBy("id").agg(F.collect_list("tok").alias("gset"))
     return (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        cand.join(
+            gram_sets.select(F.col("id").alias("id_a"), F.col("gset").alias("ga")),
+            "id_a",
+        )
+        .join(
+            gram_sets.select(F.col("id").alias("id_b"), F.col("gset").alias("gb")),
+            "id_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("ga", "gb")))
         .filter(
             F.lit(den) * F.col("n_inter")
             >= F.lit(num) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))

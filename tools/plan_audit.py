@@ -51,7 +51,7 @@ DISPOSITIONS = {
     "llm_dedup_lsh_capped": "base LSH pipeline + hot-bucket count + star-cap window — the cap is what bounds a 24.7M-pair blowup to 1.4M measured (runtime 7).",
     "llm_dedup_minhash_lsh": "signatures -> 32 band keys -> bucket join -> Jaccard verify: inherently 4 keyed stages over digests; static 9 collapses to 6 runtime stages via exchange reuse (13 stage refs, 6 distinct).",
     "llm_dedup_ngram_jaccard": "exact Jaccard verify: gram sets both sides + pair join + intersection fold — already the stage minimum (runtime 5).",
-    "llm_ppjoin_prefix_filter": "PPJoin architecture = one df pass + rarity-ranked prefix window + prefix self-join + verify fold: 7 static exchanges ARE those stages, each keyed on gram/doc ids; the prefix relation the self-join shuffles is p-per-doc (p ≈ 0.3·n) and the verify join carries candidates only — lossless exact-threshold dedup at linear-in-corpus cost (sf1 1.64 s).",
+    "llm_ppjoin_prefix_filter": "PPJoin architecture = one df pass + rarity-ranked prefix window + prefix self-join + gram-set collect + array_intersect verify: 9 static exchanges ARE those stages, each keyed on gram/doc ids; the prefix relation the self-join shuffles is p-per-doc (p ≈ 0.3·n) and the verify join carries candidates x collected sets (the explode-join alternative measured 3x slower on duplicate-heavy corpora) — lossless exact-threshold dedup; BENCH ppjoin_linearity: 7.8x s at 10x docs with 401x output pairs, throughput RISING 1718 -> 2211 docs/s.",
     "llm_lsh_recall_eval": "eval harness re-deriving true-pair set AND candidate set independently to measure recall; the production pipeline is llm_dedup_minhash_lsh at 6 runtime stages (runtime 10).",
     "llm_nb_source_classifier": "NB train+score in ONE plan: (label,token) counts, priors, vocab, smoothing, per-doc score fold, argmax — each statistic its own map-side-combined aggregate over (token,count) pairs, never documents; stages are the statistics, not re-reads (runtime 16; sf1 warm well under budget).",
     "llm_semdedup": "broadcast-centroid argmax + within-cluster-only prune; runtime collapses to 3 stages — the assignment subtree is fully reused (static 8 -> runtime 3).",
