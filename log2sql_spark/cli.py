@@ -221,6 +221,37 @@ def load_catalog(args: argparse.Namespace, spark):
         raise
 
 
+def _parse_where_bounds(store, raw: str):
+    """Parse ``store compact --where lo,hi`` into bounds typed to MATCH
+    the store's key stats, so compact_where's manifest band test never
+    mixes str/int comparisons (an opaque TypeError deep in in_band).
+    Bounds are whitespace-stripped ("0, 199" is accepted); when the
+    head manifest's key stats are numeric the bounds must parse as
+    numbers (clear error otherwise), and when they are strings the
+    bounds stay strings."""
+    if "," not in raw:
+        raise ValueError(f"--where needs 'lo,hi', got {raw!r}")
+    lo_s, hi_s = (part.strip() for part in raw.split(",", 1))
+    stat = None
+    head = store.head_version()
+    if head is not None:
+        for e in store.snapshot(head).entries:
+            if e.get("min") is not None:
+                stat = e["min"]
+                break
+    if isinstance(stat, (int, float)) and not isinstance(stat, bool):
+        caster = type(stat)
+        try:
+            return caster(lo_s), caster(hi_s)
+        except ValueError:
+            raise ValueError(
+                f"--where bounds {lo_s!r},{hi_s!r} do not parse as "
+                f"{caster.__name__}, but the store's key stats are "
+                f"{caster.__name__} (e.g. min={stat!r})"
+            ) from None
+    return lo_s, hi_s
+
+
 def store_main(argv: list[str]) -> int:
     """Table-maintenance subcommands over a snapshot store — the
     DESCRIBE HISTORY/DETAIL / VACUUM / OPTIMIZE [ZORDER BY] /
@@ -405,24 +436,17 @@ def store_main(argv: list[str]) -> int:
         print(_json.dumps(store.detail(args.at_version)))
         return 0
     if args.cmd == "files":  # manifest + stat calls only, no Spark startup
-        import os as _os
-
-        v = args.at_version
-        v = store.head_version() if v is None else v
-        for e in store.snapshot(v).entries:
-            p = _os.path.join(store.path, e["path"])
-            if _os.path.isdir(p):
-                size = sum(
-                    _os.path.getsize(_os.path.join(root, f))
-                    for root, _, fs in _os.walk(p)
-                    for f in fs
-                )
-            else:
-                size = _os.path.getsize(p) if _os.path.exists(p) else None
+        # same code path as SnapshotStore.files() minus the DataFrame,
+        # so the CLI listing can never drift; clean error on empty store
+        try:
+            entries = store.file_entries(args.at_version)
+        except ValueError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        for path, size, min_k, max_k, bucket in entries:
             print(_json.dumps({
-                "path": e["path"], "size_bytes": size,
-                "min": e.get("min"), "max": e.get("max"),
-                "bucket": e.get("bucket"),
+                "path": path, "size_bytes": size,
+                "min": min_k, "max": max_k, "bucket": bucket,
             }))
         return 0
     if args.cmd == "analyze":  # footer reads only — no Spark startup
@@ -499,9 +523,11 @@ def store_main(argv: list[str]) -> int:
         return 0
     if args.cmd == "compact":
         if args.where is not None:
-            lo, hi = args.where.split(",", 1)
-            lo = int(lo) if lo.lstrip("-").isdigit() else lo
-            hi = int(hi) if hi.lstrip("-").isdigit() else hi
+            try:
+                lo, hi = _parse_where_bounds(store, args.where)
+            except ValueError as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
             v = store.compact_where(
                 spark, lo, hi, target_files=args.target_files
             )

@@ -92,10 +92,22 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 40) -> DataFrame:
     survivor side is the small one after the first cascades, and the
     peel is O(rounds · |E|) with rounds bounded by the degeneracy
     ordering depth, not |V|.
+
+    Self-loops are dropped up front (standard k-core semantics — a
+    node is never its own neighbor), and non-convergence within
+    ``max_rounds`` RAISES rather than silently returning an
+    unconverged superset with inflated core_degree.
     """
-    und = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
+    if max_rounds < 1:
+        raise ValueError(f"kcore: max_rounds must be >= 1, got {max_rounds}")
+    fwd = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    und = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     alive = und.select(F.col("src").alias("node")).distinct().localCheckpoint(
         eager=True
     )
@@ -120,4 +132,8 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 40) -> DataFrame:
         n_alive = n_next
         if n_next == 0:
             return survivors
-    return survivors
+    raise RuntimeError(
+        f"kcore: peeling did not converge within max_rounds={max_rounds} "
+        f"({n_alive} nodes still changing); raise max_rounds — returning "
+        "the unconverged superset would silently inflate core_degree"
+    )

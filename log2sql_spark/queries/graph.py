@@ -879,7 +879,10 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").cast("bigint").alias("src"), F.col("s").alias("dst"))
         .distinct()
     )
-    core = kcore(e, k=2)
+    # Cap the Spark peel at the oracle's unroll depth: if a dataset
+    # ever needed more rounds, kcore RAISES (r12) instead of passing
+    # Spark-side while silently diverging from the 14-round oracle.
+    core = kcore(e, k=2, max_rounds=_KCORE_ROUNDS)
     return (
         core.select(
             F.when(F.col("node") >= 1000000, F.col("node") - 1000000)

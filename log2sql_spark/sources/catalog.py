@@ -215,10 +215,15 @@ def split_catalog_misses(
         tagged.filter(~ok)
         .drop("_cat_hit")
         .withColumn(
+            # coalesce each part: F.concat would yield NULL for a NULL
+            # db/table — exactly the most malformed events would lose
+            # their machine-readable reason in the dead-letter sink
             "reason",
             F.concat(
                 F.lit("unknown_table: no catalog entry for "),
-                F.col("db"), F.lit("."), F.col("table"),
+                F.coalesce(F.col("db"), F.lit("<null>")),
+                F.lit("."),
+                F.coalesce(F.col("table"), F.lit("<null>")),
             ),
         )
     )

@@ -8,21 +8,23 @@ jars exist in this container, so this module implements the part of a
 table format those engines provide and the apply path actually needs:
 
 * **Atomic, readable-or-invisible commits.** Every commit writes NEW
-  immutable data files first, then publishes a JSON manifest via
-  ``os.replace`` (atomic on POSIX). A crash mid-write leaves orphan
-  data files but no manifest — readers never observe a partial commit.
-  This is exactly the Iceberg snapshot contract, minus the catalog.
+  immutable data files first, then publishes a JSON manifest by
+  writing a writer-unique ``.inflight`` temp file and hard-linking it
+  onto ``v{N}.json`` — ``os.link`` is an atomic put-if-absent (fails
+  with EEXIST when the destination exists). A crash mid-write leaves
+  orphan data files but no manifest — readers never observe a partial
+  commit. This is the Iceberg snapshot contract, minus the catalog.
 * **Time travel.** Manifests are append-only (``_manifests/v{N}.json``
   with a parent pointer); ``read(spark, version=...)`` reconstructs any
   retained snapshot. Overwrites never delete prior data files —
   ``vacuum`` is the explicit, separate destructive step, like Delta's.
 * **Optimistic concurrency.** A commit records the parent version it
-  built on; publishing fails if that version is no longer the head
-  (``os.replace`` onto an existing next-version manifest is preceded by
-  an existence check, and the loser gets a ``ConflictError`` to retry
-  on the new head) — single-writer-wins semantics on any filesystem
-  with atomic rename; on object stores a real deployment swaps this
-  for a catalog conditional-put, same protocol.
+  built on; the ``os.link`` put-if-absent publish IS the commit point:
+  of two writers racing to the same next version exactly one link
+  succeeds, the loser gets ``ConflictError`` (EEXIST) and retries on
+  the new head — no check-then-act window, no silent lost update. On
+  object stores a real deployment swaps the link for a catalog
+  conditional-put (If-None-Match), same protocol.
 * **MERGE INTO with file-level pruning.** ``merge`` composes
   :func:`~log2sql_spark.operators.merge.merge_into` (latest-change-per-
   key window, delete/upsert semantics, idempotent under re-delivery)
@@ -897,6 +899,20 @@ class SnapshotStore:
         picks its band from exactly these bounds, skew shows up as one
         oversized row, and a vacuum dry-run diffs this table across
         versions."""
+        return spark.createDataFrame(
+            self.file_entries(version),
+            "path string, size_bytes bigint, min_key string, "
+            "max_key string, bucket int",
+        )
+
+    def file_entries(
+        self, version: int | None = None
+    ) -> list[tuple[str, int | None, str | None, str | None, int | None]]:
+        """Driver-side rows behind :meth:`files` — (path, size_bytes,
+        min_key, max_key, bucket) per live file. Shared by the CLI
+        ``store files`` command so the listing can never drift from
+        the DataFrame surface; raises the same clean ValueError on an
+        empty store."""
         v = self.head_version() if version is None else version
         if v is None:
             raise ValueError("files() on an empty store")
@@ -921,11 +937,7 @@ class SnapshotStore:
                     e.get("bucket"),
                 )
             )
-        return spark.createDataFrame(
-            rows,
-            "path string, size_bytes bigint, min_key string, "
-            "max_key string, bucket int",
-        )
+        return rows
 
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY: one dict per retained version, oldest

@@ -112,3 +112,36 @@ def test_resolves_ordinals_end_to_end(spark):
     out = resolve_columns(envelope, catalog).collect()[0]
     assert out["after"] == {"id": "7", "status": "'new'"}
     assert out["key_columns"] == ["id"]
+
+
+def test_quarantine_reason_survives_null_db_table(spark):
+    """split_catalog_misses must stamp a non-NULL reason even when db
+    or table is NULL (the most malformed events are exactly the ones
+    the dead-letter sink needs a machine-readable reason for)."""
+    from log2sql_spark.sources.catalog import split_catalog_misses
+
+    env_schema = (
+        "file string, event_seq long, op string, db string, table string, "
+        "start_pos long, stop_pos long, event_ts timestamp, "
+        "before map<string,string>, after map<string,string>, statement string"
+    )
+    envelope = spark.createDataFrame(
+        [
+            ("f", 0, "insert", None, "ghost", 4, 124, None, None, {"1": "7"}, None),
+            ("f", 1, "insert", "legacy", None, 4, 124, None, None, {"1": "8"}, None),
+            ("f", 2, "insert", None, None, 4, 124, None, None, {"1": "9"}, None),
+        ],
+        env_schema,
+    )
+    catalog = spark.createDataFrame(
+        [("shop", "orders", ["id"], ["id"])],
+        "db string, table string, columns array<string>, key_columns array<string>",
+    )
+    ok, rejected = split_catalog_misses(envelope, catalog)
+    assert ok.count() == 0
+    reasons = {r.event_seq: r.reason for r in rejected.collect()}
+    assert reasons == {
+        0: "unknown_table: no catalog entry for <null>.ghost",
+        1: "unknown_table: no catalog entry for legacy.<null>",
+        2: "unknown_table: no catalog entry for <null>.<null>",
+    }

@@ -563,7 +563,9 @@ def test_cli_store_files_and_compact_where(spark, tmp_path, capsys):
     rows = [_json.loads(line) for line in capsys.readouterr().out.splitlines()]
     assert len(rows) == 7
     assert all(r["size_bytes"] > 0 for r in rows)
-    assert sum(1 for r in rows if r["max"] is not None and r["max"] < 100) == 3
+    # bounds are stringified (shared code path with SnapshotStore.files(),
+    # whose min_key/max_key are strings because key types vary per table)
+    assert sum(1 for r in rows if r["max"] is not None and int(r["max"]) < 100) == 3
 
     assert main(["store", "compact", path, "--where", "0,99",
                  "--target-files", "1", "--cpus", "4"]) == 0
@@ -596,3 +598,66 @@ def test_cli_store_vacuum_older_than(spark, tmp_path, capsys):
     # without the time axis the same keep-last drops two versions
     assert main(["store", "vacuum", path, "--keep-last", "1"]) == 0
     assert store.versions() == [3]
+
+
+def test_cli_store_files_empty_store_clean_error(tmp_path, capsys):
+    """`store files` on an empty store exits 2 with a clean message
+    instead of crashing in snapshot(None)."""
+    from log2sql_spark.cli import main
+    from log2sql_spark.store import SnapshotStore
+
+    path = str(tmp_path / "estore")
+    SnapshotStore(path)  # initialized, zero commits
+    assert main(["store", "files", path]) == 2
+    err = capsys.readouterr().err
+    assert "empty store" in err
+
+
+def test_cli_compact_where_bounds_parsing(spark, tmp_path, capsys):
+    """--where bound parsing: whitespace is stripped ("0, 199"), string
+    cluster keys keep string bounds (no mixed str/int TypeError deep in
+    in_band), and a non-numeric bound against numeric key stats is a
+    clean exit-2 error."""
+    import pyspark.sql.functions as F
+
+    from log2sql_spark.cli import main
+    from log2sql_spark.store import SnapshotStore
+
+    # numeric keys: whitespace-y bounds parse; alpha bound is rejected
+    npath = str(tmp_path / "numstore")
+    nstore = SnapshotStore(npath)
+    nstore.commit(
+        spark.range(400).select(F.col("id").alias("k"), F.lit("v").alias("val")),
+        cluster_by="k", target_files=4,
+    )
+    nstore.commit(
+        spark.createDataFrame([(5, "hot")], "k long, val string"),
+        mode="append", cluster_by="k", target_files=1,
+    )
+    assert main(["store", "compact", npath, "--where", " 0 , 99 ",
+                 "--target-files", "1", "--cpus", "4"]) == 0
+    assert capsys.readouterr().out.strip() == "v3"
+    assert main(["store", "compact", npath, "--where", "a,z",
+                 "--target-files", "1", "--cpus", "4"]) == 2
+    assert "do not parse as int" in capsys.readouterr().err
+    assert main(["store", "compact", npath, "--where", "0",
+                 "--target-files", "1", "--cpus", "4"]) == 2
+    assert "needs 'lo,hi'" in capsys.readouterr().err
+
+    # string keys: digit-looking bounds must STAY strings
+    spath = str(tmp_path / "strstore")
+    sstore = SnapshotStore(spath)
+    sstore.commit(
+        spark.createDataFrame(
+            [(f"{i:04d}", "v") for i in range(200)], "k string, val string"
+        ),
+        cluster_by="k", target_files=4,
+    )
+    sstore.commit(
+        spark.createDataFrame([("0005", "hot")], "k string, val string"),
+        mode="append", cluster_by="k", target_files=1,
+    )
+    assert main(["store", "compact", spath, "--where", "0000,0099",
+                 "--target-files", "1", "--cpus", "4"]) == 0
+    assert capsys.readouterr().out.strip() == "v3"
+    assert sstore.read(spark).count() == 201

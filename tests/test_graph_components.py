@@ -127,3 +127,29 @@ def test_kcore_random_graphs_match_reference(spark):
         edges = [(a, b) for a, b in edges if a != b]
         for k in (2, 3):
             _check_kcore(spark, edges, k)
+
+
+def test_kcore_self_loops_do_not_inflate_degree(spark):
+    """A self-loop must not let a node count itself as a neighbor
+    (standard k-core semantics, matching _peel_ref's a != b strip):
+    a pendant with a self-loop still peels out of the 2-core."""
+    cycle = [(i, (i + 1) % 4) for i in range(4)]
+    edges = cycle + [(0, 100), (100, 100), (100, 100)]
+    _check_kcore(spark, edges, 2)  # _peel_ref strips a==b itself
+
+
+def test_kcore_raises_on_nonconvergence_and_bad_max_rounds(spark):
+    """Non-convergence within max_rounds raises instead of silently
+    returning an unconverged superset; max_rounds < 1 is rejected."""
+    import pytest
+
+    from log2sql_spark.operators.graph import kcore
+
+    # a 32-node path peels one layer per round from each end: needs
+    # ~16 rounds, so max_rounds=3 cannot converge
+    chain = [(i, i + 1) for i in range(31)]
+    df = spark.createDataFrame(chain, "src bigint, dst bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(df, k=2, max_rounds=3)
+    with pytest.raises(ValueError, match="max_rounds"):
+        kcore(df, k=2, max_rounds=0)

@@ -431,3 +431,101 @@ def test_rebase_proof_is_manifest_only_on_wide_head(spark, tmp_path, monkeypatch
     assert all(rows[k] == "ours" for k in range(0, 50))
     assert all(rows[k] == "theirs" for k in range(90_000, 90_050))
     assert len(rows) == 100_000
+
+
+_PROC_WORKER = r'''
+import os, sys
+
+sys.path.insert(0, os.environ["OCC_REPO"])
+os.environ["SPARK_GRAFT_CPUS"] = "2"
+os.environ["SPARK_GRAFT_DRIVER_MEM"] = "1500m"
+
+from pyspark.sql import SparkSession
+
+from log2sql_spark.store import SnapshotStore
+
+store_path = os.environ["OCC_STORE"]
+lo, hi = int(os.environ["OCC_LO"]), int(os.environ["OCC_HI"])
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName(f"occ_worker_{lo}")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
+    .config("spark.driver.memory", "1500m")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+changes = spark.createDataFrame(
+    [(k, f"w{lo}", k * 10 + 1, "update", 1) for k in range(lo, hi)],
+    "k int, status string, cents long, op string, seq int",
+)
+v = SnapshotStore(store_path).merge(
+    spark, changes, key_cols="k", version_cols="seq", max_retries=16
+)
+print(f"WORKER_OK lo={lo} landed_version={v}", flush=True)
+spark.stop()
+'''
+
+
+def test_cross_process_occ_race_converges(spark, tmp_path):
+    """The deployment shape of the OCC protocol: SEPARATE OS processes
+    (each its own JVM + SparkSession — no shared driver, no shared
+    Python state, only the store directory and the os.link commit
+    point) race merges of disjoint key bands into one store. Exactly
+    one writer wins each version, every loser resolves via
+    rebase/recompute within its retry budget, every band lands, the
+    final state is fsck-clean. This closes the gap the in-driver
+    thread/monkeypatch races (above) cannot cover: real process
+    isolation means the put-if-absent semantics come entirely from the
+    filesystem, not from any in-process lock."""
+    import subprocess
+    import sys as _sys
+
+    store_path = str(tmp_path / "t")
+    base_store = SnapshotStore(store_path)
+    base = spark.range(4_000).select(
+        F.col("id").cast("int").alias("k"),
+        F.lit("base").alias("status"),
+        (F.col("id") * 10).cast("long").alias("cents"),
+    )
+    base_store.commit(base, mode="overwrite", cluster_by="k", target_files=8)
+
+    bands = [(0, 60), (1_500, 1_560), (3_000, 3_060)]
+    import os as _os
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    procs = []
+    for lo, hi in bands:
+        env = dict(_os.environ)
+        env.update({
+            "OCC_REPO": repo, "OCC_STORE": store_path,
+            "OCC_LO": str(lo), "OCC_HI": str(hi),
+        })
+        procs.append((lo, subprocess.Popen(
+            [_sys.executable, "-c", _PROC_WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )))
+
+    results = {}
+    for lo, p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker {lo} failed:\n{out}\n{err[-3000:]}"
+        assert "WORKER_OK" in out, out
+        results[lo] = out
+
+    store = SnapshotStore(store_path)
+    # one winner per version: head advanced exactly once per writer,
+    # and the landed versions reported by the workers are all distinct
+    assert store.head_version() == 1 + len(bands)
+    landed = sorted(
+        int(results[lo].split("landed_version=")[1].split()[0]) for lo, _ in bands
+    )
+    assert landed == [2, 3, 4]
+    rows = {r.k: r.status for r in store.read(spark).collect()}
+    assert len(rows) == 4_000
+    for lo, hi in bands:
+        assert all(rows[k] == f"w{lo}" for k in range(lo, hi)), f"band {lo}"
+    assert rows[700] == "base" and rows[2_500] == "base"
+    assert store.fsck() == []
