@@ -83,11 +83,13 @@ def test_gate_fires_on_deoptimized_plan(spark):
     regs, _ = diff_fingerprints(old, {"q": fingerprint_df(smj)})
     assert any("broadcast joins shrank" in r for r in regs), regs
 
-    # 3) pushdown lost: filter applied after an aggregation barrier
-    #    (the scan no longer sees the predicate)
+    # 3) pushdown lost: the same predicate stuck behind a limit barrier
+    #    (Catalyst cannot push a filter through LIMIT, so the scan no
+    #    longer sees it — grouping-column filters DO push through
+    #    aggregates, which is why an agg barrier wouldn't demonstrate
+    #    this class)
     lost = (
-        nation.groupBy("n_regionkey", "n_nationkey", "n_name")
-        .count()
+        nation.limit(1_000)
         .filter(F.col("n_regionkey") >= 1)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
     )
