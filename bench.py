@@ -779,40 +779,89 @@ def oph_vs_classic(spark, sf_dir: str) -> dict:
     }
 
 
-# The 5 heaviest non-eval queries by sf1 budget (tools/sf1_budgets.json):
-# the linearity proof targets. Each reads only these tables, which are
-# the only ones generated at sf10 (a 600M-row lineitem for queries that
-# never read it would be wasted disk).
-# Only queries whose INPUT scales with sf_dir qualify — several
-# headline queries the round-8 verdict suggested (cdc_* replay/SCD2,
-# join_asof, llm_dedup_minhash_lsh, llm_curation_e2e) read fixtures
-# capped at a fixed key range (o_orderkey <= 2000 / doc_id < 600 /
-# event_id < 2000) so their sf10/sf1 ratio would measure per-job
-# constants, not scaling; their scale proofs live in dedicated
-# benches instead (cdc_replay_linearity below for the CDC pipeline,
-# dedup_sf10 for the MinHash pipeline at 500k docs).
-SF10_QUERIES = [
-    "market_basket_pairs",
-    "graph_connected_components",
-    "graph_kcore_decomposition",
-    "llm_decontaminate_bloom",
-    "join_spatial_grid_radius",
-    "quality_json_schema_validate",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "agg_rollup",
-    "events_funnel_steps",
-    "ts_cohort_retention",
-    "llm_bm25_search",
-]
-SF10_TABLES = ("lineitem", "orders", "customer", "supplier", "events", "documents")
+# sf10 linearity membership is SELF-SELECTING (r11 verdict #4): the
+# hand-curated list meant a heavy new operator could ship without a
+# scale ratio (kcore had to be added manually in r11). Membership is
+# now derived per bench run from tools/sf1_budgets.json: the TOP-N
+# ELIGIBLE queries by sf1 budget, plus every eligible query with NO
+# committed budget yet (new this round — it cannot dodge the ratio by
+# predating the sweep). Eligible = registered with an oracle that
+# reads at least one sf-scaling fact table, and not excluded below.
+# tests/test_sf1_budgets.py pins that every eligible budget above
+# SF10_BUDGET_PIN seconds is a member.
+SF10_TOP_N = 12
+SF10_BUDGET_PIN = 12.0
+_SF10_SCALING_TABLES = (
+    "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+)
+
+# Exclusions need a REASON visible in review — a new heavy query is a
+# member by default. Two classes:
+# * eval harnesses: the brute-force baseline inside exists only to
+#   grade an approximate op, so its cost curve is the baseline's, not
+#   the production op's (which is eligible under its own budget);
+# * fixture-capped prefixes: inputs are synthesized at a fixed key
+#   range (o_orderkey <= 2000 / doc_id < 600 / event_id < 2000), so an
+#   sf10/sf1 ratio would measure per-job constants — their scale
+#   proofs are the dedicated benches (cdc_replay_linearity,
+#   store_lifecycle_linearity, dedup_linearity/dedup_sf10).
+SF10_EXCLUDED = {
+    "llm_ann_ivfpq_recall": "eval: re-derives exact top-k brute-force to grade ADC",
+    "llm_ann_ivfpq_adc": "eval: exact baseline inside grades the ADC approximation",
+    "llm_ann_recall_eval": "eval: brute-force baseline vs IVF candidates",
+    "llm_lsh_recall_eval": "eval: re-derives the true pair set brute-force",
+    "llm_sim_topk_bruteforce": "the graded BASELINE op itself; production path is llm_sim_topk_vectorized/IVF",
+}
+SF10_EXCLUDED_PREFIXES = ("cdc_", "store_", "source_", "sink_")
+
+
+def sf10_membership() -> dict:
+    """Compute the sf10 suite membership + the rule that produced it
+    (recorded verbatim in BENCH.json so the selection is auditable)."""
+    import re as _re
+
+    budgets = json.load(open(os.path.join(_REPO, "tools", "sf1_budgets.json")))
+    oracles = registry.all_oracles()
+    pat = _re.compile(r"\b(" + "|".join(_SF10_SCALING_TABLES) + r")\b")
+
+    def eligible(name: str) -> bool:
+        if name in SF10_EXCLUDED or name.startswith(SF10_EXCLUDED_PREFIXES):
+            return False
+        sql = oracles.get(name)
+        return bool(sql and pat.search(sql))
+
+    elig = [n for n in registry.all_queries() if eligible(n)]
+    # deterministic: budget desc, then name (ties and missing budgets)
+    ranked = sorted(elig, key=lambda n: (-budgets.get(n, -1.0), n))
+    members = ranked[:SF10_TOP_N]
+    new_this_round = [n for n in elig if n not in budgets]
+    members = sorted(set(members) | set(new_this_round))
+    return {
+        "members": members,
+        "rule": (
+            f"top-{SF10_TOP_N} eligible by sf1 budget + any eligible query "
+            "with no committed budget (new this round); eligible = has an "
+            "oracle reading a scaling fact table, minus reasoned exclusions"
+        ),
+        "excluded": SF10_EXCLUDED,
+        "excluded_prefixes": list(SF10_EXCLUDED_PREFIXES),
+        "new_this_round": new_this_round,
+    }
+
+
+SF10_TABLES = (
+    "lineitem", "orders", "customer", "supplier", "events", "documents",
+    "embeddings", "part", "nation", "region",
+)
 SF10_DIR = os.environ.get(
     "SPARK_GRAFT_SF10_DIR", os.path.join(_REPO, ".bench_data", "sf10")
 )
 
 
 def sf10_linearity(spark, sf1: str) -> dict:
-    """Linearity proof: the 5 heaviest non-eval queries at sf1 AND sf10
+    """Linearity proof: the self-selected membership (sf10_membership —
+    top-N eligible by sf1 budget + new-this-round) at sf1 AND sf10
     (100x the driver's sf0.1), same session, ratio reported. A linear
     plan lands near 10x plus per-job constant (≤ ~12x); super-linear
     ratios flag a stage whose cost curve bends (all-pairs growth,
@@ -842,8 +891,9 @@ def sf10_linearity(spark, sf1: str) -> dict:
             "overwrite"
         ).format("noop").save()
 
-    out: dict = {"queries": {}}
-    for name in SF10_QUERIES:
+    membership = sf10_membership()
+    out: dict = {"queries": {}, "membership": membership}
+    for name in membership["members"]:
         qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()  # JIT warm
         spark.catalog.clearCache()
         # SYMMETRIC protocol — best-of-2 on BOTH sides, unconditionally,
