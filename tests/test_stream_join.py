@@ -16,7 +16,7 @@ def _write(df_dict, path):
     pd.DataFrame(df_dict).to_parquet(path, coerce_timestamps="us")
 
 
-def test_stream_stream_interval_join_across_batches(spark, tmp_path):
+def test_stream_stream_interval_join_across_batches(spark, tmp_path, state_provider):
     from log2sql_spark.streaming.joins import attribution_interval_join
 
     imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
@@ -65,7 +65,7 @@ def test_stream_stream_interval_join_across_batches(spark, tmp_path):
     )
 
 
-def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path, state_provider):
     """Outer results may only surface once the watermark PROVES no
     match can arrive: a late second file advances event time far past
     every impression's band, after which the unmatched impressions (ads
@@ -129,7 +129,7 @@ def test_interval_join_rejects_unknown_how(spark):
         attribution_interval_join(df, clk, how="cross")
 
 
-def test_stream_stream_full_outer_emits_both_orphans(spark, tmp_path):
+def test_stream_stream_full_outer_emits_both_orphans(spark, tmp_path, state_provider):
     """full_outer = left_outer + orphan CLICKS (a click with no
     qualifying impression — bot traffic / window misses) with NULL
     impression columns, still watermark-gated on both sides."""

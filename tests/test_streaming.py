@@ -68,7 +68,7 @@ def test_apply_changes_maintains_latest_state(spark, tmp_path):
     assert rows == {"1": {"id": "1", "status": "'shipped'"}}
 
 
-def test_watermark_drops_late_rows(spark, tmp_path):
+def test_watermark_drops_late_rows(spark, tmp_path, state_provider):
     """Append-mode windowed agg with watermark: a row older than the
     watermark arriving in a later micro-batch is dropped."""
     import pandas as pd
@@ -141,7 +141,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert all(et != "late" for (_, et) in out)
 
 
-def test_running_user_totals_accumulate_across_batches(spark, tmp_path):
+def test_running_user_totals_accumulate_across_batches(spark, tmp_path, state_provider):
     """applyInPandasWithState keeps per-user totals across micro-batches."""
     import os
 
@@ -335,7 +335,7 @@ def test_binlog_stream_datasource(spark, tmp_path):
     assert len(rows) == 3
 
 
-def test_drop_duplicates_within_watermark_stream(spark, tmp_path):
+def test_drop_duplicates_within_watermark_stream(spark, tmp_path, state_provider):
     """Real dropDuplicatesWithinWatermark run: duplicates of a key
     arriving within the watermark window are suppressed across
     micro-batches; the state for expired keys is dropped (the streaming
@@ -522,7 +522,7 @@ def test_stream_apply_auto_compacts(spark, tmp_path):
     assert any(h["mode"] == "overwrite" and h["version"] > 1 for h in store.history())
 
 
-def test_streaming_ohlc_bars(spark, tmp_path):
+def test_streaming_ohlc_bars(spark, tmp_path, state_provider):
     """The OHLC builder runs INCREMENTALLY: two micro-batches of ticks
     produce the same bars as one batch pass over all rows (min_by /
     max_by state merges across batches)."""
@@ -573,7 +573,7 @@ def test_streaming_ohlc_bars(spark, tmp_path):
     ) == (500, 900, 100, 700, 4)
 
 
-def test_timed_out_sessions_flush_and_evict(spark, tmp_path):
+def test_timed_out_sessions_flush_and_evict(spark, tmp_path, state_provider):
     """EventTimeTimeout sessionization: sessions emit only after the
     watermark passes last-activity+gap, state is evicted on flush, and
     the custom payload (purchase flag) rides out with the session."""
