@@ -1004,7 +1004,16 @@ def test_sql_table_over_python_datasource_is_pinned(spark, store):
     SQL surface cannot address the store. Readers use the DataFrame
     API (spark.read.format('snapshot').option('path', ...)) instead.
     If this SELECT starts working after a pyspark upgrade, replace the
-    pin with full SQL DML coverage."""
+    pin with full SQL DML coverage.
+
+    Attempted fallbacks (r12, pyspark 4.1.2 — all carry the path at
+    CREATE, none deliver it to reader construction at SELECT):
+    ``TBLPROPERTIES (path '...')``, ``LOCATION '...'``, and the
+    original ``OPTIONS (path '...')`` — each CREATE succeeds (schema
+    resolves), each SELECT fails with the same empty-options reader
+    init, so there is no property channel to smuggle the path through;
+    the pin below exercises OPTIONS and LOCATION explicitly so an
+    upgrade that fixes EITHER channel trips the assertion."""
     from log2sql_spark.sources.cdf_datasource import register
 
     store.commit(_df(spark, [(1, "a"), (2, "b")]))
@@ -1026,6 +1035,22 @@ def test_sql_table_over_python_datasource_is_pinned(spark, store):
             "coverage (SELECT/INSERT INTO over the store)"
         )
         assert "requires a path" in err
+        # LOCATION fallback: same CREATE-ok / SELECT-empty-options fate
+        loc = "pin_sqlsnap_loc"
+        spark.sql(f"DROP TABLE IF EXISTS {loc}")
+        spark.sql(f"CREATE TABLE {loc} USING snapshot LOCATION '{store.path}'")
+        try:
+            loc_err = None
+            try:
+                spark.sql(f"SELECT * FROM {loc}").collect()
+            except Exception as exc:  # noqa: BLE001
+                loc_err = str(exc)
+            assert loc_err is not None, (
+                "SQL SELECT via LOCATION now reaches the Python DSv2 "
+                "reader — replace this pin with SQL DML coverage"
+            )
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {loc}")
         # the DataFrame API remains the working surface
         got = (
             spark.read.format("snapshot").option("path", store.path).load()
