@@ -275,7 +275,7 @@ def store_main(argv: list[str]) -> int:
         "add-constraint", "drop-constraint", "replace-where",
         "delete-mor", "materialize-deletes", "analyze",
         "cdf", "flashback",
-        "tag", "branch", "merge-branch", "files",
+        "tag", "branch", "merge-branch", "files", "catalog",
     ):
         sp = sub.add_parser(name)
         sp.add_argument("path", help="snapshot store directory")
@@ -364,6 +364,17 @@ def store_main(argv: list[str]) -> int:
             sp.add_argument("--at-version", type=int, default=None,
                             help="with --create: pin/fork this version "
                                  "(default: head)")
+        if name == "catalog":
+            cg = sp.add_mutually_exclusive_group()
+            cg.add_argument("--register", nargs=2, default=None,
+                            metavar=("NAME", "STORE_PATH"),
+                            help="pin NAME at STORE_PATH's current head "
+                                 "(one atomic catalog commit)")
+            cg.add_argument("--expire-keep-last", type=int, default=None,
+                            help="drop catalog versions beyond the newest N "
+                                 "and release their store pins")
+            sp.add_argument("--at-version", type=int, default=None,
+                            help="resolve this catalog version (default: head)")
         if name == "merge-branch":
             sp.add_argument("--name", required=True)
             sp.add_argument("--drop", action="store_true", default=False,
@@ -377,6 +388,22 @@ def store_main(argv: list[str]) -> int:
     args = p.parse_args(argv)
 
     from log2sql_spark.store import SnapshotStore
+
+    if args.cmd == "catalog":  # manifest-only, no Spark startup
+        from log2sql_spark.store import StoreCatalog
+
+        cat = StoreCatalog(args.path)
+        if args.register is not None:
+            name, spath = args.register
+            print(f"v{cat.register(name, spath)}")
+            return 0
+        if args.expire_keep_last is not None:
+            for v in cat.expire(keep_last=args.expire_keep_last):
+                print(f"v{v}")
+            return 0
+        for tname, (tpath, tver) in cat.resolve(args.at_version).items():
+            print(_json.dumps({"table": tname, "path": tpath, "version": tver}))
+        return 0
 
     store = SnapshotStore(args.path)
     if args.cmd == "history":

@@ -1342,3 +1342,160 @@ def quality_impute_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pri")
     )
+
+
+@query(
+    "quality_classifier_auc",
+    oracle=r"""
+    WITH scored AS (
+      SELECT source,
+             CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS label,
+             len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS s
+      FROM documents
+    ), ranked AS (
+      SELECT source, label,
+             2 * rank() OVER (PARTITION BY source ORDER BY s)
+               + count(*) OVER (PARTITION BY source, s) - 1 AS r2
+      FROM scored
+    ), agg AS (
+      SELECT source,
+             sum(CASE WHEN label = 1 THEN r2 ELSE 0 END) AS sum_r2,
+             sum(label) AS n_pos,
+             sum(1 - label) AS n_neg
+      FROM ranked GROUP BY source
+    )
+    SELECT source,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE round((sum_r2 - n_pos * (n_pos + 1))
+                           / (2.0 * n_pos * n_neg), 6) END AS auc
+    FROM agg ORDER BY source
+    """,
+)
+def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROC-AUC of a ranking score against a binary label via
+    the Mann-Whitney U statistic — the quality-classifier eval a
+    curation pipeline runs before trusting a score to gate a 100 TB
+    corpus (does lexical diversity actually rank the target docs
+    higher, per source?). Tie-corrected with AVERAGE ranks kept exact:
+    2*avg_rank = 2*rank() + tie_count - 1 is an integer, so the AUC
+    numerator (sum_r2 - n_pos*(n_pos+1)) and denominator
+    (2*n_pos*n_neg) are integers and both engines divide the same
+    numbers — no float rank accumulation. One pass: score + label in
+    the scan projection, two window functions sharing one (source,
+    score) sort, one groupBy(source). Sources lacking either class
+    yield NULL (AUC undefined), never a division error.
+
+    Reference analog: none (305-LoC CDC parser); LLM-pipeline eval
+    surface alongside the lang-ID confusion matrix and LSH recall
+    evals. Degenerate-class behavior pinned in tests/test_eval_metrics.py.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        "source",
+        F.when(F.col("text").like("%spark%"), 1).otherwise(0).alias("label"),
+        F.size(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias("s"),
+    )
+    w_rank = Window.partitionBy("source").orderBy("s")
+    w_tie = Window.partitionBy("source", "s")
+    ranked = scored.select(
+        "source",
+        "label",
+        (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1).alias("r2"),
+    )
+    agg = ranked.groupBy("source").agg(
+        F.sum(F.when(F.col("label") == 1, F.col("r2")).otherwise(0)).alias("sum_r2"),
+        F.sum("label").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("label")).cast("long").alias("n_neg"),
+    )
+    return agg.select(
+        "source",
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") == 0) | (F.col("n_neg") == 0), F.lit(None)
+        )
+        .otherwise(
+            F.round(
+                (F.col("sum_r2") - F.col("n_pos") * (F.col("n_pos") + 1))
+                / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                6,
+            )
+        )
+        .alias("auc"),
+    ).orderBy("source")
+
+
+@query(
+    "quality_cohens_kappa",
+    oracle="""
+    WITH labeled AS (
+      SELECT source,
+             CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS a,
+             CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS b
+      FROM documents
+    ), counts AS (
+      SELECT source,
+             count(*) AS n,
+             sum(a * b) AS n11,
+             sum(a * (1 - b)) AS n10,
+             sum((1 - a) * b) AS n01,
+             sum((1 - a) * (1 - b)) AS n00
+      FROM labeled GROUP BY source
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n,
+           CAST(n11 AS BIGINT) AS n11,
+           CAST(n00 AS BIGINT) AS n00,
+           CASE WHEN n * n - ((n11 + n10) * (n11 + n01)
+                              + (n01 + n00) * (n10 + n00)) = 0 THEN NULL
+                ELSE round(
+                  CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01)
+                       + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                  / (n * n - ((n11 + n10) * (n11 + n01)
+                       + (n01 + n00) * (n10 + n00))), 6) END AS kappa
+    FROM counts ORDER BY source
+    """,
+)
+def quality_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic annotators per source —
+    the inter-annotator-agreement statistic a labeling pipeline reports
+    before trusting rule-based labels at corpus scale (agreement ABOVE
+    CHANCE: two rules that both fire on 90% of docs agree 81% by luck
+    alone). Kept exact end-to-end: kappa = (po - pe) / (1 - pe)
+    algebraically rearranged to the all-integer form
+    (n*(n11+n00) - S) / (n^2 - S) with S the chance-agreement cross
+    product, so the single rounded division is over identical integers
+    in both engines. One aggregate over one scan; the 2x2 confusion
+    cells are sum-of-products expressions, never a re-scan per cell.
+
+    Reference analog: none; eval surface beside quality_classifier_auc.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    labeled = docs.select(
+        "source",
+        F.when(F.col("text").like("%spark%"), 1).otherwise(0).alias("a"),
+        F.when(F.col("n_chars") >= 250, 1).otherwise(0).alias("b"),
+    )
+    c = labeled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    )
+    s_chance = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    denom = F.col("n") * F.col("n") - s_chance
+    num = F.col("n") * (F.col("n11") + F.col("n00")) - s_chance
+    return c.select(
+        "source",
+        "n",
+        "n11",
+        "n00",
+        F.when(denom == 0, F.lit(None))
+        .otherwise(F.round(num.cast("double") / denom, 6))
+        .alias("kappa"),
+    ).orderBy("source")

@@ -1834,3 +1834,110 @@ def store_compact_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read(spark).select("k", "status", "cents").orderBy(
         "k", "status", "cents"
     )
+
+
+@query(
+    "store_catalog_multi_table_txn",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 1000
+    ),
+    post_cur AS (
+      SELECT k, cents FROM base
+      UNION ALL
+      SELECT k + 200000 AS k, CAST(42 AS BIGINT) AS cents
+      FROM base WHERE k % 100 = 7
+    ),
+    post_hist AS (
+      SELECT k, cents FROM base
+      UNION ALL
+      SELECT k, cents + 1 AS cents FROM base WHERE k % 10 = 3
+    )
+    SELECT 'a_pre_cur' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents FROM base
+    UNION ALL
+    SELECT 'b_pre_hist', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM base
+    UNION ALL
+    SELECT 'c_post_cur', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM post_cur
+    UNION ALL
+    SELECT 'd_post_hist', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM post_hist
+    ORDER BY stage
+    """,
+)
+def store_catalog_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table atomic commit through the StoreCatalog
+    (store/txn_catalog.py — the snapshot-of-snapshots layer Iceberg
+    REST catalogs / Nessie add above single-table formats): two member
+    stores advance in ONE catalog transaction, and the old catalog
+    version still resolves the CONSISTENT pre-transaction vector of
+    both tables even though both store heads have moved. The query
+    reads all four (table x catalog-version) combinations through the
+    catalog and aggregates each; the oracle recomputes them
+    relationally, so the hash match proves (a) the txn landed on both
+    tables, (b) catalog time travel returns the exact pre-txn rows —
+    pinned against store vacuum by the manifest-recorded tags — and
+    (c) no cross-contamination between the members. O(manifest)
+    catalog cost: the txn moved two small appends, never the tables."""
+    import os as _os
+
+    from log2sql_spark.store import SnapshotStore, StoreCatalog
+
+    def build():
+        root = scratch_dir("log2sql_catstore_")
+        base = (
+            load_table(spark, "orders", sf_dir)
+            .filter(F.col("o_orderkey") < 1000)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            )
+        )
+        cur = SnapshotStore(_os.path.join(root, "cur"))
+        hist = SnapshotStore(_os.path.join(root, "hist"))
+        cur.commit(base, mode="overwrite", cluster_by="k", target_files=2)
+        hist.commit(base, mode="overwrite", cluster_by="k", target_files=2)
+        cat = StoreCatalog(root)
+        cat.register("cur", cur.path)
+        cat.register("hist", hist.path)
+        v_before = cat.head_version()
+        cat.commit_multi(
+            spark,
+            {
+                "cur": (
+                    base.filter(F.col("k") % 100 == 7).select(
+                        (F.col("k") + 200000).alias("k"),
+                        F.lit(42).cast("bigint").alias("cents"),
+                    ),
+                    {"mode": "append", "target_files": 1},
+                ),
+                "hist": (
+                    base.filter(F.col("k") % 10 == 3).select(
+                        "k", (F.col("cents") + 1).alias("cents")
+                    ),
+                    {"mode": "append", "target_files": 1},
+                ),
+            },
+        )
+        return cat, v_before
+
+    cat, v_before = _cached_build("txn_catalog", sf_dir, lambda: build())
+
+    def agg(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+
+    return (
+        agg(cat.read(spark, "cur", version=v_before), "a_pre_cur")
+        .unionByName(agg(cat.read(spark, "hist", version=v_before), "b_pre_hist"))
+        .unionByName(agg(cat.read(spark, "cur"), "c_post_cur"))
+        .unionByName(agg(cat.read(spark, "hist"), "d_post_hist"))
+        .orderBy("stage")
+    )

@@ -1,0 +1,244 @@
+"""StoreCatalog: multi-table atomic commits (snapshot-of-snapshots).
+
+The consistency claim under test: a reader resolving through the
+catalog sees the OLD vector of table versions or the NEW vector, never
+one-new/one-old — including across crashes between store commits and
+the catalog publish, concurrent catalog writers, and store-level
+vacuum racing the catalog's history."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from log2sql_spark.store import ConflictError, SnapshotStore, StoreCatalog
+
+
+def _mkstore(spark, path, rows, status="v1"):
+    store = SnapshotStore(str(path))
+    store.commit(
+        spark.createDataFrame([(k, status) for k in rows], "k long, status string"),
+        mode="overwrite",
+    )
+    return store
+
+
+def test_commit_multi_is_atomic_vector_swap(spark, tmp_path):
+    a = _mkstore(spark, tmp_path / "a", [1, 2])
+    b = _mkstore(spark, tmp_path / "b", [10, 20])
+    cat = StoreCatalog(str(tmp_path / "cat"))
+    cat.register("cur", a.path)
+    cat.register("hist", b.path)
+
+    v_before = cat.head_version()
+    pinned_before = cat.resolve()
+
+    cat.commit_multi(
+        spark,
+        {
+            "cur": (spark.createDataFrame([(3, "v2")], "k long, status string"),
+                    {"mode": "append"}),
+            "hist": (spark.createDataFrame([(30, "v2")], "k long, status string"),
+                     {"mode": "append"}),
+        },
+    )
+
+    # new vector: both tables advanced together
+    after = cat.resolve()
+    assert after["cur"][1] == pinned_before["cur"][1] + 1
+    assert after["hist"][1] == pinned_before["hist"][1] + 1
+    assert {r.k for r in cat.read(spark, "cur").collect()} == {1, 2, 3}
+    assert {r.k for r in cat.read(spark, "hist").collect()} == {10, 20, 30}
+    # old vector still resolvable: time travel is consistent too
+    assert {r.k for r in cat.read(spark, "cur", version=v_before).collect()} == {1, 2}
+    assert {r.k for r in cat.read(spark, "hist", version=v_before).collect()} == {10, 20}
+
+
+def test_reader_never_sees_mixed_vector_mid_commit(spark, tmp_path):
+    """Crash between the store commits and the catalog publish: the
+    store heads have MOVED, but the catalog still serves the old
+    consistent vector — the half-done transaction is invisible."""
+    a = _mkstore(spark, tmp_path / "a", [1])
+    b = _mkstore(spark, tmp_path / "b", [10])
+    cat = StoreCatalog(str(tmp_path / "cat"))
+    cat.register("cur", a.path)
+    cat.register("hist", b.path)
+
+    # simulate the crash: land the store commits, never publish
+    a.commit(spark.createDataFrame([(2, "x")], "k long, status string"), mode="append")
+    # reader through the catalog: still the old vector, both tables
+    assert {r.k for r in cat.read(spark, "cur").collect()} == {1}
+    assert {r.k for r in cat.read(spark, "hist").collect()} == {10}
+    # direct store readers see the new head — the catalog is the
+    # isolation boundary, not the store
+    assert {r.k for r in a.read(spark).collect()} == {1, 2}
+
+
+def test_catalog_pins_survive_store_vacuum(spark, tmp_path):
+    a = _mkstore(spark, tmp_path / "a", [1])
+    cat = StoreCatalog(str(tmp_path / "cat"))
+    cat.register("cur", a.path)
+    pinned_v = cat.resolve()["cur"][1]
+
+    for i in range(3):  # store moves on; catalog still pins v1
+        a.commit(
+            spark.createDataFrame([(100 + i, "n")], "k long, status string"),
+            mode="overwrite",
+        )
+    a.vacuum(keep_last=1)
+    assert pinned_v in a.versions()  # tag pinned it
+    assert {r.k for r in cat.read(spark, "cur").collect()} == {1}
+
+    # expire the catalog history -> pin released -> vacuum reclaims
+    cat.register("cur", a.path)  # advance catalog to store head
+    dropped = cat.expire(keep_last=1)
+    assert dropped
+    a.vacuum(keep_last=1)
+    assert pinned_v not in a.versions()
+
+
+def test_disjoint_catalog_writers_rebase(spark, tmp_path):
+    a = _mkstore(spark, tmp_path / "a", [1])
+    b = _mkstore(spark, tmp_path / "b", [10])
+    cat = StoreCatalog(str(tmp_path / "cat"))
+    cat.register("cur", a.path)
+    cat.register("hist", b.path)
+
+    # writer 1 advances `cur`; writer 2 (stale view) advances `hist`
+    a.commit(spark.createDataFrame([(2, "w1")], "k long, status string"), mode="append")
+    cat2 = StoreCatalog(str(tmp_path / "cat"))
+    base_seen_by_2 = cat2.snapshot()
+
+    cat._commit_pins({"cur": (a.path, a.head_version())})
+    # writer 2 publishes from its stale base: disjoint table -> rebases
+    b.commit(spark.createDataFrame([(20, "w2")], "k long, status string"), mode="append")
+    assert cat2.snapshot() != base_seen_by_2  # sanity: head moved under it
+    v = cat2._commit_pins({"hist": (b.path, b.head_version())}, base=base_seen_by_2, max_retries=2)
+
+    final = cat.resolve()
+    assert v == cat.head_version()
+    assert final["cur"][1] == 2 and final["hist"][1] == 2  # both updates landed
+
+
+def test_same_table_race_conflicts(spark, tmp_path):
+    a = _mkstore(spark, tmp_path / "a", [1])
+    cat = StoreCatalog(str(tmp_path / "cat"))
+    cat.register("cur", a.path)
+
+    a.commit(spark.createDataFrame([(2, "w1")], "k long, status string"), mode="append")
+    cat2 = StoreCatalog(str(tmp_path / "cat"))
+    stale = cat2.snapshot()
+    cat._commit_pins({"cur": (a.path, 2)})
+    # writer 2 tries to pin the SAME table from a stale base
+    with pytest.raises(ConflictError, match="moved by a concurrent writer"):
+        cat2._commit_pins({"cur": (a.path, 2)}, base=stale, max_retries=3)
+
+
+def test_commit_multi_requires_registration(spark, tmp_path):
+    cat = StoreCatalog(str(tmp_path / "cat"))
+    with pytest.raises(ValueError, match="not registered"):
+        cat.commit_multi(
+            spark,
+            {"ghost": (spark.range(1).select(F.col("id").alias("k")), {})},
+        )
+
+
+def test_lost_race_leaves_no_stale_tags(spark, tmp_path):
+    """The loser's pre-publish tags must be dropped on conflict —
+    otherwise every lost race permanently pins a store version."""
+    a = _mkstore(spark, tmp_path / "a", [1])
+    b = _mkstore(spark, tmp_path / "b", [10])
+    cat = StoreCatalog(str(tmp_path / "cat"))
+    cat.register("cur", a.path)
+    cat.register("hist", b.path)
+    n_tags_a = len(SnapshotStore(a.path).tags())
+
+    cat2 = StoreCatalog(str(tmp_path / "cat"))
+    stale = cat2.snapshot()
+    a.commit(spark.createDataFrame([(2, "w")], "k long, status string"), mode="append")
+    cat._commit_pins({"cur": (a.path, 2)})
+    with pytest.raises(ConflictError):
+        cat2._commit_pins({"cur": (a.path, 2)}, base=stale, max_retries=0)
+    # loser's inflight tag for the contested catalog version is gone:
+    # every catalog tag on the store maps to a LIVE catalog version
+    cat_tags = {
+        t for t in SnapshotStore(a.path).tags() if t.startswith("cat-")
+    }
+    expected = {cat.snapshot(v)["tag"] for v in cat.versions()}
+    assert cat_tags <= expected
+    assert len(cat_tags) >= n_tags_a
+
+
+def test_injected_publish_race_cleans_only_losers_tags(spark, tmp_path):
+    """Deterministic EEXIST race: the loser has already CREATED its
+    attempt tags when the winner steals the publish slot. The loser's
+    cleanup must drop exactly its own nonce-tags and leave the winner's
+    pins untouched (tag names are attempt-unique by design)."""
+    a = _mkstore(spark, tmp_path / "a", [1])
+    b = _mkstore(spark, tmp_path / "b", [10])
+    cat = StoreCatalog(str(tmp_path / "cat"))
+    cat.register("cur", a.path)
+    cat.register("hist", b.path)
+
+    winner = StoreCatalog(str(tmp_path / "cat"))
+    loser = StoreCatalog(str(tmp_path / "cat"))
+    b.commit(spark.createDataFrame([(20, "l")], "k long, status string"),
+             mode="append")
+
+    orig = loser._publish
+    fired = {"done": False}
+
+    def racing(manifest):
+        if not fired["done"]:
+            fired["done"] = True
+            # competitor lands the same next version first (disjoint table)
+            a.commit(
+                spark.createDataFrame([(2, "w")], "k long, status string"),
+                mode="append",
+            )
+            winner._commit_pins({"cur": (a.path, a.head_version())})
+        return orig(manifest)
+
+    loser._publish = racing
+    v = loser._commit_pins({"hist": (b.path, b.head_version())}, max_retries=2)
+
+    # both writers landed; every cat- tag on every store is recorded in
+    # a LIVE catalog manifest — no orphan pins from the lost attempt
+    final = cat.resolve()
+    assert final["cur"][1] == a.head_version()
+    assert final["hist"][1] == b.head_version()
+    assert v == cat.head_version()
+    live_tags = {cat.snapshot(x)["tag"] for x in cat.versions()}
+    for store_path in (a.path, b.path):
+        got = {t for t in SnapshotStore(store_path).tags() if t.startswith("cat-")}
+        assert got <= live_tags, (store_path, got, live_tags)
+
+
+def test_cli_catalog_register_resolve_expire(spark, tmp_path, capsys):
+    """`store catalog` CLI: register is one atomic catalog commit,
+    resolve prints the pinned vector (manifest-only, no Spark startup),
+    expire releases old pins."""
+    import json as _json
+
+    from log2sql_spark.cli import main
+
+    a = _mkstore(spark, tmp_path / "a", [1, 2])
+    cat_dir = str(tmp_path / "cat")
+    assert main(["store", "catalog", cat_dir, "--register", "cur", a.path]) == 0
+    assert capsys.readouterr().out.strip() == "v1"
+    a.commit(spark.createDataFrame([(3, "x")], "k long, status string"),
+             mode="append")
+    assert main(["store", "catalog", cat_dir, "--register", "cur", a.path]) == 0
+    assert capsys.readouterr().out.strip() == "v2"
+
+    assert main(["store", "catalog", cat_dir]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows == [{"table": "cur", "path": a.path, "version": 2}]
+    assert main(["store", "catalog", cat_dir, "--at-version", "1"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows[0]["version"] == 1
+
+    assert main(["store", "catalog", cat_dir, "--expire-keep-last", "1"]) == 0
+    assert capsys.readouterr().out.strip() == "v1"
+    cat = StoreCatalog(cat_dir)
+    assert cat.versions() == [2]
