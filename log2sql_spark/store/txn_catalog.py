@@ -183,6 +183,7 @@ class StoreCatalog:
         pins: dict[str, tuple[str, int]],
         base: dict | None = None,
         max_retries: int = 0,
+        meta: dict | None = None,
     ) -> int:
         """Publish a catalog version applying ``pins`` on top of
         ``base`` (the snapshot the caller's writes DERIVED from —
@@ -220,6 +221,7 @@ class StoreCatalog:
                         "parent": base["version"],
                         "tables": tables,
                         "tag": tag,
+                        "meta": meta or {},
                         "created_at": time.time(),
                     }
                 )

@@ -529,3 +529,112 @@ def maintain_minmax_mv_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_changes_to_catalog(
+    spark: SparkSession,
+    in_dir: str,
+    catalog: DataFrame,
+    root_dir: str,
+    checkpoint_dir: str,
+    tables: list[str],
+    trigger_interval: float | None = None,
+    merge_max_retries: int = 2,
+) -> StreamingQuery:
+    """Multi-table CDC apply with ATOMIC cross-table visibility: each
+    micro-batch routes a mixed dump's changes into one SnapshotStore
+    per ``db.table`` (under ``root_dir/<db>.<table>``) and then
+    publishes ONE StoreCatalog version pinning all the new store
+    versions. A reader resolving through the catalog sees every table
+    at the same micro-batch boundary — the one-new/one-old skew the
+    per-table apply paths (and per-table Delta/Iceberg sinks) expose
+    between their independent commits cannot happen here.
+
+    Exactly-once composes from both layers: the store merges are
+    row-idempotent under re-delivery (version ordering on (file,
+    start_pos, event_seq), same as apply_changes_to_snapshot_store),
+    and the applied batch_id rides in the CATALOG manifest meta — a
+    replayed micro-batch (crash before checkpoint commit) re-runs the
+    idempotent merges but publishes no second catalog version, so the
+    cross-table history stays one version per micro-batch. A crash
+    BETWEEN the store merges and the catalog publish leaves moved
+    store heads that the catalog does not serve; the replay re-merges
+    (no-op row-wise) and publishes the vector that crash dropped.
+
+    Tables with no changes in a batch carry their previous pin
+    unchanged into the new catalog version (the manifest copies them),
+    so resolve() is always the full consistent vector. At 100 TB: per
+    batch, each table's merge cost tracks that table's change
+    footprint (hash-bucket pruning), and the catalog adds O(tables)
+    JSON metadata — the atomicity is free at data scale.
+    """
+    from log2sql_spark.store import SnapshotStore, StoreCatalog
+
+    cat = StoreCatalog(root_dir)
+    stores: dict[str, SnapshotStore] = {}
+    for t in tables:
+        store = SnapshotStore(os.path.join(root_dir, t))
+        if store.head_version() is None:
+            store.commit(
+                spark.createDataFrame([], "key string, after map<string,string>"),
+                mode="overwrite",
+                cluster_by="key",
+                layout="hash",
+            )
+        stores[t] = store
+        if t not in cat.snapshot()["tables"]:
+            cat.register(t, store.path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        head = cat.snapshot()
+        if head.get("meta", {}).get("batch_id", -1) >= batch_id:
+            return  # replayed micro-batch: vector already published
+        envelope = read_binlog_batch_files(spark, batch_df)
+        resolved = resolve_columns(envelope, catalog)
+        img = F.coalesce("after", "before")
+        key_vals = F.transform(
+            "key_columns",
+            lambda c: F.coalesce(F.element_at(img, c), F.lit("")),
+        )
+        changes_all = resolved.select(
+            F.concat_ws(".", "db", "table").alias("_tbl"),
+            F.concat_ws("|", key_vals).alias("key"),
+            F.col("op"),
+            F.col("after"),
+            F.col("file"),
+            F.col("start_pos"),
+            F.col("event_seq"),
+        )
+        changes_all = changes_all.persist()
+        try:
+            # ONE pass decides which tables the batch touches (a
+            # bounded #tables-row collect), instead of a probe job per
+            # registered table per batch
+            touched = {
+                r._tbl for r in changes_all.select("_tbl").distinct().collect()
+            }
+            pins: dict[str, tuple[str, int]] = {}
+            for t, store in stores.items():
+                if t not in touched:
+                    continue  # untouched table: previous pin carries
+                v = store.merge(
+                    spark,
+                    changes_all.filter(F.col("_tbl") == t).drop("_tbl"),
+                    key_cols="key",
+                    version_cols=["file", "start_pos", "event_seq"],
+                    max_retries=merge_max_retries,
+                )
+                pins[t] = (store.path, v)
+        finally:
+            changes_all.unpersist()
+        # publish even when pins is empty: the batch_id watermark must
+        # advance or an empty replayed batch would re-publish later ones
+        cat._commit_pins(pins, base=head, meta={"batch_id": batch_id})
+
+    lines = read_binlog_line_stream(spark, in_dir)
+    return (
+        lines.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**_trigger_kwargs(trigger_interval))
+        .start()
+    )
