@@ -1941,3 +1941,58 @@ def store_catalog_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame
         .unionByName(agg(cat.read(spark, "hist"), "d_post_hist"))
         .orderBy("stage")
     )
+
+
+@query(
+    "layout_hilbert_box_read",
+    oracle="""
+    SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y,
+           CAST(l_orderkey AS BIGINT) AS k,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 60
+    ORDER BY x, y, k, cents
+    """,
+)
+def layout_hilbert_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering (operators/zorder.py::hilbert_key — the
+    locality-preserving successor to Z-order; Databricks liquid
+    clustering made the same switch) applied as a layout rewrite, then
+    a 2-D box predicate read back through ordinary parquet stats
+    pruning. The oracle reads the SAME box from the raw table, so the
+    hash match proves the layout rewrite is content-transparent —
+    clustering must never change results, only which files a box
+    touches (tests/test_hilbert.py measures that win: fewer
+    overlapping files than Z-order at equal file count, unit-step
+    curve adjacency proven against the canonical transform). At
+    100 TB: the rewrite is one repartitionByRange on the curve key
+    during (already shuffle-bound) compaction; read-side cost is zero."""
+    import os as _os
+
+    from log2sql_spark.operators.zorder import hilbert_key
+
+    def build():
+        path = _os.path.join(scratch_dir("log2sql_hilbert_"), "lineitem_h")
+        li = load_table(spark, "lineitem", sf_dir).select(
+            F.col("l_partkey").cast("bigint").alias("x"),
+            F.col("l_suppkey").cast("bigint").alias("y"),
+            F.col("l_orderkey").cast("bigint").alias("k"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        )
+        h = hilbert_key(li, ["x", "y"], bits=10)
+        (
+            li.withColumn("_h", h)
+            .repartitionByRange(16, "_h")
+            .sortWithinPartitions("_h")
+            .drop("_h")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return path
+
+    path = _cached_build("hilbert_lineitem", sf_dir, build)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("x").between(100, 400) & F.col("y").between(10, 60))
+        .orderBy("x", "y", "k", "cents")
+    )
