@@ -260,6 +260,38 @@ class StoreCatalog:
             )
         return SnapshotStore(entry["path"]).read(spark, version=entry["version"])
 
+    def fsck(self) -> list[str]:
+        """Catalog-level integrity check: every live catalog version
+        must resolve — each pinned (path, version) exists in its member
+        store, the version's pin tag is present at the right store
+        version, and each member store passes its own fsck at the
+        pinned version. Returns problems (empty = clean)."""
+        problems: list[str] = []
+        for v in self.versions():
+            snap = self.snapshot(v)
+            for name, entry in snap["tables"].items():
+                try:
+                    store = SnapshotStore(entry["path"])
+                except Exception as exc:  # noqa: BLE001
+                    problems.append(f"v{v}/{name}: store unreadable: {exc}")
+                    continue
+                if entry["version"] not in store.versions():
+                    problems.append(
+                        f"v{v}/{name}: pinned store version "
+                        f"{entry['version']} missing from {entry['path']}"
+                    )
+                    continue
+                tag_v = store.tags().get(snap["tag"])
+                if tag_v != entry["version"]:
+                    problems.append(
+                        f"v{v}/{name}: pin tag {snap['tag']!r} "
+                        f"points at {tag_v}, manifest pins {entry['version']}"
+                    )
+                problems.extend(
+                    f"v{v}/{name}: {m}" for m in store.fsck(entry["version"])
+                )
+        return problems
+
     # -- retention --------------------------------------------------------
     def expire(self, keep_last: int = 1) -> list[int]:
         """Drop catalog versions beyond the newest ``keep_last`` and

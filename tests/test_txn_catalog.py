@@ -242,3 +242,28 @@ def test_cli_catalog_register_resolve_expire(spark, tmp_path, capsys):
     assert capsys.readouterr().out.strip() == "v1"
     cat = StoreCatalog(cat_dir)
     assert cat.versions() == [2]
+
+
+def test_catalog_fsck_detects_damage(spark, tmp_path):
+    """fsck is clean on a healthy catalog, and names the exact problem
+    when a member's pinned version or its pin tag is destroyed."""
+    import os
+
+    a = _mkstore(spark, tmp_path / "a", [1])
+    cat = StoreCatalog(str(tmp_path / "cat"))
+    cat.register("cur", a.path)
+    a.commit(spark.createDataFrame([(2, "x")], "k long, status string"),
+             mode="append")
+    cat.register("cur", a.path)
+    assert cat.fsck() == []
+
+    # drop the pin tag of catalog v1 -> fsck names the missing tag
+    tag1 = cat.snapshot(1)["tag"]
+    SnapshotStore(a.path).drop_tag(tag1)
+    probs = cat.fsck()
+    assert any(tag1 in p and "points at None" in p for p in probs), probs
+
+    # destroy the pinned store manifest -> fsck names the version
+    os.remove(os.path.join(a.path, "_manifests", "v1.json"))
+    probs = cat.fsck()
+    assert any("pinned store version 1 missing" in p for p in probs), probs
