@@ -1836,6 +1836,53 @@ def store_compact_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_txn_catalog(spark, sf_dir):
+    """Shared fixture for the StoreCatalog queries: two member stores
+    seeded from orders k<1000, one commit_multi txn (cur appends
+    k%100==7 clones at k+200000/cents=42; hist appends k%10==3 rows at
+    cents+1). Returns (catalog, pre-txn catalog version)."""
+    import os as _os
+
+    from log2sql_spark.store import SnapshotStore, StoreCatalog
+
+    root = scratch_dir("log2sql_catstore_")
+    base = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    cur = SnapshotStore(_os.path.join(root, "cur"))
+    hist = SnapshotStore(_os.path.join(root, "hist"))
+    cur.commit(base, mode="overwrite", cluster_by="k", target_files=2)
+    hist.commit(base, mode="overwrite", cluster_by="k", target_files=2)
+    cat = StoreCatalog(root)
+    cat.register("cur", cur.path)
+    cat.register("hist", hist.path)
+    v_before = cat.head_version()
+    cat.commit_multi(
+        spark,
+        {
+            "cur": (
+                base.filter(F.col("k") % 100 == 7).select(
+                    (F.col("k") + 200000).alias("k"),
+                    F.lit(42).cast("bigint").alias("cents"),
+                ),
+                {"mode": "append", "target_files": 1},
+            ),
+            "hist": (
+                base.filter(F.col("k") % 10 == 3).select(
+                    "k", (F.col("cents") + 1).alias("cents")
+                ),
+                {"mode": "append", "target_files": 1},
+            ),
+        },
+    )
+    return cat, v_before
+
+
 @query(
     "store_catalog_multi_table_txn",
     oracle="""
@@ -1883,49 +1930,9 @@ def store_catalog_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame
     pinned against store vacuum by the manifest-recorded tags — and
     (c) no cross-contamination between the members. O(manifest)
     catalog cost: the txn moved two small appends, never the tables."""
-    import os as _os
-
-    from log2sql_spark.store import SnapshotStore, StoreCatalog
-
-    def build():
-        root = scratch_dir("log2sql_catstore_")
-        base = (
-            load_table(spark, "orders", sf_dir)
-            .filter(F.col("o_orderkey") < 1000)
-            .select(
-                F.col("o_orderkey").alias("k"),
-                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-            )
-        )
-        cur = SnapshotStore(_os.path.join(root, "cur"))
-        hist = SnapshotStore(_os.path.join(root, "hist"))
-        cur.commit(base, mode="overwrite", cluster_by="k", target_files=2)
-        hist.commit(base, mode="overwrite", cluster_by="k", target_files=2)
-        cat = StoreCatalog(root)
-        cat.register("cur", cur.path)
-        cat.register("hist", hist.path)
-        v_before = cat.head_version()
-        cat.commit_multi(
-            spark,
-            {
-                "cur": (
-                    base.filter(F.col("k") % 100 == 7).select(
-                        (F.col("k") + 200000).alias("k"),
-                        F.lit(42).cast("bigint").alias("cents"),
-                    ),
-                    {"mode": "append", "target_files": 1},
-                ),
-                "hist": (
-                    base.filter(F.col("k") % 10 == 3).select(
-                        "k", (F.col("cents") + 1).alias("cents")
-                    ),
-                    {"mode": "append", "target_files": 1},
-                ),
-            },
-        )
-        return cat, v_before
-
-    cat, v_before = _cached_build("txn_catalog", sf_dir, lambda: build())
+    cat, v_before = _cached_build(
+        "txn_catalog", sf_dir, lambda: _build_txn_catalog(spark, sf_dir)
+    )
 
     def agg(df: DataFrame, stage: str) -> DataFrame:
         return df.agg(
@@ -1996,3 +2003,52 @@ def layout_hilbert_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("x").between(100, 400) & F.col("y").between(10, 60))
         .orderBy("x", "y", "k", "cents")
     )
+
+
+@query(
+    "store_catalog_release_notes",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 1000
+    )
+    SELECT 'cur' AS tbl, 'insert' AS change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(42) AS BIGINT) AS sum_cents
+    FROM base WHERE k % 100 = 7
+    UNION ALL
+    SELECT 'hist', 'insert',
+           CAST(count(*) AS BIGINT), CAST(sum(cents + 1) AS BIGINT)
+    FROM base WHERE k % 10 = 3
+    ORDER BY tbl
+    """,
+)
+def store_catalog_release_notes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table-consistent CDF: the change feeds of BOTH member
+    tables between the same two CATALOG versions (the txn from
+    store_catalog_multi_table_txn), rolled into release notes. The
+    catalog version axis is what makes the two feeds cut at the SAME
+    transaction boundary — a per-store CDF's version axis is private
+    to each table, so N independent feeds can never be proven to
+    describe one transaction. The oracle recomputes both tables'
+    inserts relationally; the hash match proves the feeds carry
+    exactly the txn's rows, attributed to the right tables."""
+    from log2sql_spark.store import StoreCatalog  # noqa: F401  (cached build)
+
+    cat, v_before = _cached_build(
+        "txn_catalog", sf_dir, lambda: _build_txn_catalog(spark, sf_dir)
+    )
+    head = cat.head_version()
+
+    def notes(name: str, label: str) -> DataFrame:
+        return (
+            cat.read_changes(spark, name, v_before, head, key_cols="k")
+            .groupBy(F.lit(label).alias("tbl"), F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").alias("sum_cents"),
+            )
+        )
+
+    return notes("cur", "cur").unionByName(notes("hist", "hist")).orderBy("tbl")

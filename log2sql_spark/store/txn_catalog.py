@@ -260,6 +260,49 @@ class StoreCatalog:
             )
         return SnapshotStore(entry["path"]).read(spark, version=entry["version"])
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        name: str,
+        from_version: int,
+        to_version: int,
+        key_cols=None,
+    ) -> DataFrame:
+        """Cross-table-consistent CDF: the keyed change feed of ONE
+        member table between two CATALOG versions — i.e. between the
+        store versions the catalog pinned at those vectors, not
+        whatever the store head did in the meantime. Because every
+        table's changes are addressed by the same pair of catalog
+        versions, a consumer diffing N tables gets N feeds that all
+        cut at the SAME transaction boundaries — the cross-table
+        release-notes read a per-store CDF cannot give (its version
+        axis is private to each table). A table absent from either
+        vector raises; a table whose pin did not move returns an
+        empty feed (store CDF over a zero-length range)."""
+        lo = self.snapshot(from_version)["tables"].get(name)
+        hi = self.snapshot(to_version)["tables"].get(name)
+        if lo is None or hi is None:
+            raise ValueError(
+                f"table {name!r} not present in catalog versions "
+                f"{from_version}..{to_version}"
+            )
+        store = SnapshotStore(hi["path"])
+        if lo["version"] == hi["version"]:
+            # unmoved pin: an EMPTY feed with the real feed schema
+            # (table columns + _change_type + _commit_version), never
+            # the store-head drift the catalog did not publish
+            from pyspark.sql import functions as F
+
+            base = store.read(spark, version=hi["version"]).limit(0)
+            return base.select(
+                "*",
+                F.lit(None).cast("string").alias("_change_type"),
+                F.lit(None).cast("long").alias("_commit_version"),
+            )
+        return store.read_changes(
+            spark, lo["version"], hi["version"], key_cols=key_cols
+        )
+
     def fsck(self) -> list[str]:
         """Catalog-level integrity check: every live catalog version
         must resolve — each pinned (path, version) exists in its member

@@ -267,3 +267,134 @@ def test_catalog_fsck_detects_damage(spark, tmp_path):
     os.remove(os.path.join(a.path, "_manifests", "v1.json"))
     probs = cat.fsck()
     assert any("pinned store version 1 missing" in p for p in probs), probs
+
+
+_CAT_PROC_WORKER = r'''
+import os, sys
+
+sys.path.insert(0, os.environ["CATOCC_REPO"])
+os.environ["SPARK_GRAFT_CPUS"] = "2"
+os.environ["SPARK_GRAFT_DRIVER_MEM"] = "1500m"
+
+from pyspark.sql import SparkSession
+
+from log2sql_spark.store import SnapshotStore, StoreCatalog
+
+root = os.environ["CATOCC_ROOT"]
+table = os.environ["CATOCC_TABLE"]
+lo = int(os.environ["CATOCC_LO"])
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName(f"catocc_{table}")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
+    .config("spark.driver.memory", "1500m")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+cat = StoreCatalog(root)
+rows = spark.createDataFrame(
+    [(k, f"p{lo}") for k in range(lo, lo + 20)], "k long, status string"
+)
+v = cat.commit_multi(
+    spark, {table: (rows, {"mode": "append"})}, max_retries=16
+)
+print(f"CATWORKER_OK table={table} catalog_version={v}", flush=True)
+spark.stop()
+'''
+
+
+def test_cross_process_catalog_race_converges(spark, tmp_path):
+    """Deployment shape for the catalog commit point: THREE separate OS
+    processes (own JVM + SparkSession each) concurrently commit_multi
+    to three DIFFERENT tables of one catalog. Disjoint-table races must
+    all land via manifest-only rebase — one winner per catalog version,
+    final vector carries all three updates, fsck clean."""
+    import os as _os
+    import subprocess
+    import sys as _sys
+
+    root = str(tmp_path / "cat")
+    names = ["t_a", "t_b", "t_c"]
+    cat = StoreCatalog(root)
+    for i, n in enumerate(names):
+        _mkstore(spark, tmp_path / n, [i])
+        cat.register(n, str(tmp_path / n))
+    base_head = cat.head_version()
+
+    procs = []
+    for i, n in enumerate(names):
+        env = dict(_os.environ)
+        env.update({
+            "CATOCC_REPO": _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "CATOCC_ROOT": root, "CATOCC_TABLE": n, "CATOCC_LO": str(100 * (i + 1)),
+        })
+        procs.append((n, subprocess.Popen(
+            [_sys.executable, "-c", _CAT_PROC_WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )))
+
+    landed = {}
+    for n, p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker {n} failed:\n{out}\n{err[-3000:]}"
+        landed[n] = int(out.split("catalog_version=")[1].split()[0])
+
+    assert sorted(landed.values()) == [base_head + 1, base_head + 2, base_head + 3]
+    assert cat.head_version() == base_head + 3
+    final = cat.resolve()
+    for i, n in enumerate(names):
+        rows = {r.k for r in cat.read(spark, n).collect()}
+        assert rows == {i} | set(range(100 * (i + 1), 100 * (i + 1) + 20)), n
+        assert final[n][1] == 2  # every member store advanced exactly once
+    assert cat.fsck() == []
+
+
+def test_catalog_consistent_cdf_across_tables(spark, tmp_path):
+    """read_changes addressed by CATALOG versions: both tables' feeds
+    cut at the same transaction boundary; an unmoved table yields an
+    empty feed, not the store-head drift."""
+    a = _mkstore(spark, tmp_path / "a", [1, 2])
+    b = _mkstore(spark, tmp_path / "b", [10])
+    cat = StoreCatalog(str(tmp_path / "cat"))
+    cat.register("cur", a.path)
+    cat.register("hist", b.path)
+    v0 = cat.head_version()
+
+    # txn 1: both tables move
+    cat.commit_multi(spark, {
+        "cur": (spark.createDataFrame([(3, "n")], "k long, status string"),
+                {"mode": "append"}),
+        "hist": (spark.createDataFrame([(11, "n")], "k long, status string"),
+                 {"mode": "append"}),
+    })
+    v1 = cat.head_version()
+    # out-of-band store churn AFTER the catalog pin: must NOT leak into
+    # the catalog-addressed feed
+    a.commit(spark.createDataFrame([(99, "oob")], "k long, status string"),
+             mode="append")
+
+    cur_feed = cat.read_changes(spark, "cur", v0, v1, key_cols="k").collect()
+    hist_feed = cat.read_changes(spark, "hist", v0, v1, key_cols="k").collect()
+    assert {(r.k, r._change_type) for r in cur_feed} == {(3, "insert")}
+    assert {(r.k, r._change_type) for r in hist_feed} == {(11, "insert")}
+
+    # txn 2: only hist moves; cur's catalog-addressed feed is EMPTY
+    cat.commit_multi(spark, {
+        "hist": (spark.createDataFrame([(12, "n2")], "k long, status string"),
+                 {"mode": "append"}),
+    })
+    v2 = cat.head_version()
+    assert cat.read_changes(spark, "cur", v1, v2, key_cols="k").count() == 0
+    assert {
+        (r.k, r._change_type)
+        for r in cat.read_changes(spark, "hist", v1, v2, key_cols="k").collect()
+    } == {(12, "insert")}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not present"):
+        cat.read_changes(spark, "ghost", v0, v2)

@@ -80,6 +80,7 @@ VACUITY_AUDIT = {
         "store_branch_wap_merge": "one summary row per WAP stage (tagged pre-merge state, merged branch head), 2 by design; n_rows/sum_cents/n_updated hash-checked",
         "store_snapshot_time_travel": "one summary row per time-travelled version (2 versions committed), 2 by design",
         "ts_anomaly_mad": "rows exceeding the MAD threshold: the 2 synthetic spikes planted in the series; day+magnitude hash-checked",
+        "store_catalog_release_notes": "one release-notes row per member table of the 2-table catalog txn (cur, hist), 2 by design; per-table change_type/n_rows/sum_cents hash-checked",
     },
 }
 
