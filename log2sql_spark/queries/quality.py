@@ -1499,3 +1499,176 @@ def quality_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(num.cast("double") / denom, 6))
         .alias("kappa"),
     ).orderBy("source")
+
+
+@query(
+    "quality_classifier_pr_curve",
+    oracle=r"""
+    WITH scored AS (
+      SELECT CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS label,
+             len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS s
+      FROM documents
+    ), thresholds AS (
+      SELECT unnest(generate_series(10, 60, 10)) AS thr
+    ), cells AS (
+      SELECT thr,
+             sum(CASE WHEN s >= thr THEN label ELSE 0 END) AS tp,
+             sum(CASE WHEN s >= thr THEN 1 - label ELSE 0 END) AS fp,
+             sum(CASE WHEN s < thr THEN label ELSE 0 END) AS fn
+      FROM scored CROSS JOIN thresholds GROUP BY thr
+    )
+    SELECT CAST(thr AS BIGINT) AS thr,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+           CASE WHEN tp + fn = 0 THEN NULL
+                ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) END AS f1
+    FROM cells ORDER BY thr
+    """,
+)
+def quality_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 across an operating-threshold sweep — the
+    decision-side companion to quality_classifier_auc (AUC ranks; a
+    deployed gate needs ONE threshold, and this table is how it gets
+    picked). Exact end-to-end: every confusion cell is an integer
+    conditional sum, and each metric is one rounded division of
+    identical integers in both engines. F1 uses the algebraic
+    2tp/(2tp+fp+fn) form — no precision*recall float product.
+
+    Shape note: the 6 thresholds are 18 conditional-sum expressions in
+    ONE map-side-combined aggregate over a single scan, unpivoted to
+    rows afterwards — NOT a threshold crossJoin, which would re-
+    evaluate the tokenize-and-distinct scoring expression once per
+    (doc, threshold) pair (measured 4.9 s vs 1.6 s at sf1: the
+    broadcast nested-loop join evaluates unmaterialized projections
+    above the join)."""
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        F.when(F.col("text").like("%spark%"), 1).otherwise(0).alias("label"),
+        F.size(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias("s"),
+    )
+    thrs = [10, 20, 30, 40, 50, 60]
+    aggs = []
+    for t in thrs:
+        aggs += [
+            F.sum(F.when(F.col("s") >= t, F.col("label")).otherwise(0))
+            .cast("long").alias(f"tp_{t}"),
+            F.sum(F.when(F.col("s") >= t, 1 - F.col("label")).otherwise(0))
+            .cast("long").alias(f"fp_{t}"),
+            F.sum(F.when(F.col("s") < t, F.col("label")).otherwise(0))
+            .cast("long").alias(f"fn_{t}"),
+        ]
+    wide = scored.agg(*aggs)
+    stack = ", ".join(
+        f"{t}L, tp_{t}, fp_{t}, fn_{t}" for t in thrs
+    )
+    cells = wide.selectExpr(
+        f"stack({len(thrs)}, {stack}) as (thr, tp, fp, fn)"
+    )
+    return cells.select(
+        "thr", "tp", "fp", "fn",
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(None))
+        .otherwise(F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6))
+        .alias("precision"),
+        F.when(F.col("tp") + F.col("fn") == 0, F.lit(None))
+        .otherwise(F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6))
+        .alias("recall"),
+        F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, F.lit(None))
+        .otherwise(
+            F.round((2 * F.col("tp")) / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 6)
+        )
+        .alias("f1"),
+    ).orderBy("thr")
+
+
+@query(
+    "quality_classifier_gains_deciles",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS label,
+             len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS s
+      FROM documents
+    ), ranked AS (
+      SELECT label,
+             ntile(10) OVER (ORDER BY s DESC, doc_id) AS decile
+      FROM scored
+    ), per AS (
+      SELECT decile, count(*) AS n, sum(label) AS pos FROM ranked GROUP BY decile
+    ), tot AS (SELECT sum(pos) AS total_pos FROM per)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+           CAST(sum(pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+           round(CAST(sum(pos) OVER (ORDER BY decile) AS DOUBLE)
+                 / (SELECT total_pos FROM tot), 6) AS cum_capture
+    FROM per ORDER BY decile
+    """,
+)
+def quality_classifier_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains / lift table: rank the corpus by score descending, cut
+    into deciles, report each decile's positive capture and the
+    cumulative capture curve — the 'how much of the good data does the
+    top-k% hold' read that decides how aggressively a quality gate can
+    cut a 100 TB corpus. Determinism hinges on the tie-break:
+    (score DESC, doc_id) is a TOTAL order, so both engines assign
+    identical deciles — ntile over a non-unique order would be a
+    cross-engine coin flip on every tie.
+
+    Scale shape: the oracle's single global ntile window would pull
+    the whole corpus onto ONE partition. The Spark side derives the
+    identical decile assignment distributed: the global rank under
+    (s DESC, doc_id) decomposes into a per-score-group row_number
+    (partitioned window — scales with the group, not the corpus) plus
+    that group's base rank from a cumulative count over |distinct
+    scores| rows (a tiny window), and ntile's bucket-boundary
+    arithmetic ((N mod 10) leading buckets get one extra row) is then
+    a closed-form integer CASE on the rank. Same result, no
+    single-partition stage anywhere."""
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        "doc_id",
+        F.when(F.col("text").like("%spark%"), 1).otherwise(0).alias("label"),
+        F.size(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias("s"),
+    )
+    # base rank per score group: cumulative count over distinct scores
+    grp = scored.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    base = grp.select(
+        "s", F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("base_rank")
+    )
+    w_in = Window.partitionBy("s").orderBy("doc_id")
+    ranked_rows = (
+        scored.withColumn("rn", F.row_number().over(w_in))
+        .join(F.broadcast(base), "s")
+        .select("label", (F.col("base_rank") + F.col("rn")).alias("rank"))
+    )
+    n_total = scored.agg(F.count(F.lit(1)).alias("n_total"))
+    # ntile(10): with N = q*10 + r, the first r buckets hold q+1 rows
+    q = (F.col("n_total") / 10).cast("long")
+    r = F.col("n_total") % 10
+    cut = (q + 1) * r  # last rank served by the oversized buckets
+    decile = F.when(
+        F.col("rank") <= cut, F.ceil(F.col("rank") / (q + 1))
+    ).otherwise(r + F.ceil((F.col("rank") - cut) / q))
+    per = (
+        ranked_rows.crossJoin(F.broadcast(n_total))
+        .select("label", decile.cast("long").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("label").cast("long").alias("pos"))
+    )
+    total = per.agg(F.sum("pos").alias("total_pos"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "decile", "n", "pos",
+            F.sum("pos").over(w).cast("long").alias("cum_pos"),
+            F.round(F.sum("pos").over(w) / F.col("total_pos"), 6).alias("cum_capture"),
+        )
+        .orderBy("decile")
+    )

@@ -134,3 +134,42 @@ def test_kappa_degenerate_chance_only_is_null(spark, tmp_path):
     assert rows["src_const"].kappa is None
     assert rows["src_agree"].kappa == 1.0
     assert rows["src_flip"].kappa == -1.0
+
+
+def test_gains_decile_assignment_matches_ntile_on_awkward_n(spark, tmp_path):
+    """The distributed closed-form decile (base rank + per-group
+    row_number + ntile bucket arithmetic) must equal DuckDB's ntile(10)
+    on an N that exercises the oversized-bucket branch (N % 10 != 0)
+    and a tie group SPANNING a decile boundary."""
+    import duckdb
+
+    rows = []
+    # 23 docs: deciles 1-3 get 3 rows, 4-10 get 2 (ntile semantics).
+    # Give 7 docs the SAME score so the tie group crosses boundaries.
+    for i in range(23):
+        s_words = ["w%d" % j for j in range(5 if 8 <= i < 15 else 5 + i)]
+        text = ("spark " if i % 3 == 0 else "") + " ".join(s_words)
+        rows.append((i, text, "en", "src", len(text)))
+    sf = _write_docs(spark, tmp_path, rows)
+
+    got = {
+        r.decile: (r.n, r.pos, r.cum_pos)
+        for r in registry.all_queries()["quality_classifier_gains_deciles"](
+            spark, sf
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    ref = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            registry.all_oracles()["quality_classifier_gains_deciles"]
+        ).fetchall()
+    }
+    con.close()
+    assert got == ref
+    assert sum(n for n, _, _ in got.values()) == 23
+    assert [got[d][0] for d in sorted(got)][:4] == [3, 3, 3, 2]
