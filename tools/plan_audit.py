@@ -67,6 +67,8 @@ DISPOSITIONS = {
     "search_hybrid_rrf": "two rankers (BM25 + embedding) + rank windows + RRF merge — the stage count IS the hybrid-retrieval architecture; both rankers cut to top-k before the merge (runtime 8).",
     "setops_union_except_intersect": "EXCEPT and INTERSECT are each a distinct+join pair by SQL semantics; three set operators over pre-projected key columns (runtime 6).",
     "ts_anomaly_mad": "median + MAD need two exact rank passes (cum windows over |distinct values| per series) + the z-score join; value-count subtree reused at runtime (12 refs -> 5 distinct).",
+    "quality_classifier_gains_deciles": "the price of ntile WITHOUT a single-partition global window: score-group counts, a cumulative over |distinct scores| rows, per-group row_number, the broadcast base-rank join, decile rollup, 1-row total broadcast, final capture window — each exchange carries (label, rank/decile) pairs or tiny distinct-score relations, never documents; the single-window alternative is 3 exchanges and one partition holding the corpus (runtime collapses via reuse).",
+    "store_catalog_release_notes": "two member tables x the keyed-CDF stage family (diff's exceptAll legs + classification join, bounded by each table's txn churn) + per-table rollup + union — same per-commit shape as store_cdf_keyed_commits (9) applied across the catalog's two stores; exchanges carry changed rows only.",
     "ts_downsample_lttb": "bucket stats agg + two broadcast neighbor joins + 60-row argmax window; exchanges over |buckets|, never raw points (runtime 6).",
 }
 
