@@ -308,6 +308,45 @@ def dedup_scale(spark, sf_dir: str | None = None, best_of: int = 1) -> dict:
     }
 
 
+def substr_dedup_scale(spark, sf_dir: str | None = None, best_of: int = 1) -> dict:
+    """Exact-substring dedup (duplicate_spans — Lee et al. ExactSubstr,
+    round 13) on the same corpus recipe as dedup_scale: every document
+    plus exact copies of every 10th one behind a 3-token prefix (the
+    prefix shifts positions, so span arithmetic is exercised, and the
+    copies' bodies are full-length duplicate spans). The pipeline is
+    window-count + run-merge — linear in corpus TOKENS — so the 10x-docs
+    seconds ratio alongside the docs ratio is the per-round linearity
+    evidence."""
+    from pyspark.sql import functions as F
+
+    from log2sql_spark.operators.dedup import duplicate_spans
+    from log2sql_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir or SF_DIR).select(
+        "doc_id", "text"
+    )
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.lit("dup copy marker "), F.col("text")).alias("text"),
+        )
+    ).persist()
+    n_docs = corpus.count()
+    dt = float("inf")
+    n_spans = 0
+    for _ in range(best_of):
+        t0 = time.time()
+        n_spans = duplicate_spans(corpus, min_len=15).count()
+        dt = min(dt, time.time() - t0)
+    corpus.unpersist()
+    return {
+        "docs": n_docs,
+        "spans": n_spans,
+        "sec": round(dt, 3),
+        "docs_per_sec": round(n_docs / dt),
+    }
+
+
 def ppjoin_scale(spark, sf_dir: str | None = None, best_of: int = 1) -> dict:
     """Exact-threshold PPJoin dedup on the same corpus recipe as
     dedup_scale — the LOSSLESS counterpart to the MinHash pipeline,
@@ -982,6 +1021,15 @@ def _dedup_100x_anchor() -> dict | None:
     return anchor
 
 
+def _md5_workload() -> None:
+    import hashlib
+
+    h = hashlib.md5()
+    block = b"\x5a" * (1 << 20)
+    for _ in range(64):
+        h.update(block)
+
+
 def machine_state() -> dict:
     """Co-tenant noise fingerprint. Round 7 proved the need: byte-identical
     code swung ±24% on headline totals round-over-round, which made the
@@ -989,18 +1037,35 @@ def machine_state() -> dict:
     busy host. `cpu_calib_sec` times a fixed single-core workload (md5
     over 64 MiB) — a number that moves with host contention but never
     with this repo's code — so a reader can normalize: if calib moved
-    20%, a 20% headline move is machine state, not a regression."""
-    import hashlib
+    20%, a 20% headline move is machine state, not a regression.
 
-    t0 = time.time()
-    h = hashlib.md5()
-    block = b"\x5a" * (1 << 20)
-    for _ in range(64):
-        h.update(block)
-    calib = time.time() - t0
+    `cpu_calib_multi_sec` runs the SAME workload on every core at once
+    (hashlib releases the GIL on large buffers, so threads genuinely
+    parallelize). Round 12 proved the single-core probe is blind to
+    32-core contention: the committed r12 bench ran at loadavg 6->15
+    with single-core calib reading ~idle (0.115), and the +13% headline
+    drift cost a session of adjudication. A co-tenant burning cores
+    cannot hide from the all-core probe. Both calibs are best-of-3
+    after one warm-up lap (first-call page faults read +60% otherwise)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = os.cpu_count() or 1
+    single = multi = float("inf")
+    _md5_workload()  # warm-up lap outside the measured window
+    for _ in range(3):
+        t0 = time.time()
+        _md5_workload()
+        single = min(single, time.time() - t0)
+    with ThreadPoolExecutor(max_workers=n) as ex:
+        list(ex.map(lambda _: _md5_workload(), range(n)))  # warm-up
+        for _ in range(3):
+            t0 = time.time()
+            list(ex.map(lambda _: _md5_workload(), range(n)))
+            multi = min(multi, time.time() - t0)
     state: dict = {
-        "cpu_calib_sec": round(calib, 4),
-        "cpus": os.cpu_count(),
+        "cpu_calib_sec": round(single, 4),
+        "cpu_calib_multi_sec": round(multi, 4),
+        "cpus": n,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     try:
@@ -1023,9 +1088,102 @@ def machine_state() -> dict:
 # than the committed 9.778 s idle run; normalized they agree).
 _CALIB_REF_SEC = 0.1157
 
+# All-core calibration reference (round 13): the same md5 workload on
+# every core at once, best-of-3 after warm-up with the thread pool
+# built OUTSIDE the timed window, measured 0.139-0.143 s on this host
+# class with CPUs actually free (r13 idle runs; a standalone probe that
+# times pool construction reads ~0.22 — the reference is tied to THIS
+# measurement shape). Unlike the single-core probe this number RISES
+# when a co-tenant burns cores, so it is the admission signal: a bench
+# whose multi-core calib deviates >10% from this reference is recorded
+# but marked non-comparable.
+_CALIB_MULTI_REF_SEC = 0.140
+# Admission bands. loadavg1 4.0 admits the r10 run (3.36, decaying from
+# a finished job, calib idle — adjudicated comparable) and refuses the
+# r12 run (6.16 at start, rising — adjudicated contended).
+_ADMIT_LOAD1_MAX = 4.0
+_ADMIT_CALIB_DEV = 0.10
+
+
+def admission_verdict(state: dict, end: bool = False) -> dict:
+    """Contention admission for one machine_state() sample: admitted
+    iff loadavg sits inside the band AND both calibs are within 10% of
+    their committed idle references. Pure function of the state dict so
+    tests can pin the bands with synthetic states.
+
+    ``end=True`` (the post-run sample) skips the loadavg band: by then
+    loadavg is dominated by the bench's OWN just-finished 32-core Spark
+    work (the r13 first run ended at loadavg 11.8 on an otherwise idle
+    box — loadavg is a decaying average, i.e. a trailing indicator).
+    The live signal at the end is the calib pair: a co-tenant that
+    arrived MID-run is still burning cores when the end probe runs and
+    shows up in the multi-core calib, while the bench's own load is
+    gone the moment its last query finishes."""
+    reasons = []
+    load1 = state["loadavg"][0]
+    if not end and load1 > _ADMIT_LOAD1_MAX:
+        reasons.append(f"loadavg1 {load1} > {_ADMIT_LOAD1_MAX}")
+    multi = state.get("cpu_calib_multi_sec")
+    if multi is not None:
+        dev = multi / _CALIB_MULTI_REF_SEC - 1
+        if dev > _ADMIT_CALIB_DEV:
+            reasons.append(
+                f"multi-core calib {multi} is {dev:+.0%} vs idle ref "
+                f"{_CALIB_MULTI_REF_SEC}"
+            )
+    dev1 = state["cpu_calib_sec"] / _CALIB_REF_SEC - 1
+    if dev1 > _ADMIT_CALIB_DEV:
+        reasons.append(
+            f"single-core calib {state['cpu_calib_sec']} is {dev1:+.0%} "
+            f"vs idle ref {_CALIB_REF_SEC}"
+        )
+    return {"admitted": not reasons, "reasons": reasons}
+
+
+def admission_block(start: dict, end: dict, attempts: int = 1) -> dict:
+    """The BENCH.json admission record: verdicts at both ends of the
+    run (contention arriving MID-run, like r12's loadavg 6->15, fails
+    the end check), and the single `comparable` bit round-over-round
+    readers should gate on before reading wall-clock deltas as
+    regressions."""
+    sv, ev = admission_verdict(start), admission_verdict(end, end=True)
+    return {
+        "start": sv,
+        "end": ev,
+        "attempts": attempts,
+        "comparable": sv["admitted"] and ev["admitted"],
+        "refs": {
+            "cpu_calib_sec": _CALIB_REF_SEC,
+            "cpu_calib_multi_sec": _CALIB_MULTI_REF_SEC,
+            "loadavg1_max": _ADMIT_LOAD1_MAX,
+            "calib_dev_max": _ADMIT_CALIB_DEV,
+        },
+    }
+
+
+def _admit_with_retries(max_retries: int, sleep_sec: float = 60.0):
+    """Sample machine state; if out of band, wait and re-sample up to
+    ``max_retries`` times (the auto-retry-later path). Returns (state,
+    attempts) — the bench ALWAYS proceeds (the driver needs its JSON
+    line); a still-contended final sample just yields comparable=false."""
+    attempts = 0
+    while True:
+        attempts += 1
+        state = machine_state()
+        if admission_verdict(state)["admitted"] or attempts > max_retries:
+            return state, attempts
+        print(
+            f"# bench admission refused (attempt {attempts}): "
+            f"{admission_verdict(state)['reasons']}; retrying in {sleep_sec}s",
+            flush=True,
+        )
+        time.sleep(sleep_sec)
+
 
 def main() -> None:
-    machine_start = machine_state()
+    machine_start, admit_attempts = _admit_with_retries(
+        int(os.environ.get("SPARK_GRAFT_BENCH_ADMIT_RETRIES", "2"))
+    )
     spark = get_spark("log2sql_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.all_queries()
@@ -1072,6 +1230,19 @@ def main() -> None:
         "sec_ratio": round(sec_ratio, 2),
         "linear": sec_ratio <= 1.2 * docs_ratio,
     }
+    ss_base = substr_dedup_scale(spark, best_of=2)
+    ss_10x = substr_dedup_scale(spark, ensure_sf1_dir(), best_of=2)
+    ss_sec_ratio = ss_10x["sec"] / max(ss_base["sec"], 1e-9)
+    ss_docs_ratio = ss_10x["docs"] / max(ss_base["docs"], 1)
+    substr_lin = {
+        "base": ss_base,
+        "at_10x_docs": ss_10x,
+        "docs_ratio": round(ss_docs_ratio, 2),
+        "sec_ratio": round(ss_sec_ratio, 2),
+        # window-count + run-merge is linear in corpus tokens; allow the
+        # same fixed-overhead slack band as the LSH gate
+        "linear": ss_sec_ratio <= 1.2 * ss_docs_ratio,
+    }
     pp_base = ppjoin_scale(spark, best_of=2)
     pp_10x = ppjoin_scale(spark, ensure_sf1_dir(), best_of=2)
     pp_sec_ratio = pp_10x["sec"] / max(pp_base["sec"], 1e-9)
@@ -1103,7 +1274,9 @@ def main() -> None:
     calib_mid = (
         machine_start["cpu_calib_sec"] + machine_end["cpu_calib_sec"]
     ) / 2
+    admission = admission_block(machine_start, machine_end, admit_attempts)
     full = {
+        "comparable": admission["comparable"],
         "metric": "headline_queries_total_wall",
         "value": round(sum(times.values()), 3),
         "value_calib_norm": round(
@@ -1119,6 +1292,7 @@ def main() -> None:
         "cdc_replay_linearity": cdc_lin,
         "dedup_scale": dedup,
         "dedup_linearity": dedup_lin,
+        "substr_dedup_linearity": substr_lin,
         "ppjoin_linearity": ppjoin_lin,
         "store_lifecycle_linearity": lifecycle,
         "dedup_100x": _dedup_100x_anchor(),
@@ -1128,6 +1302,7 @@ def main() -> None:
         "machine": {
             "start": machine_start,
             "end": machine_end,
+            "admission": admission,
             "note": (
                 "headline/sf1 are best-of-N; cpu_calib_sec times a fixed "
                 "single-core md5 workload that moves with host contention, "
@@ -1146,6 +1321,7 @@ def main() -> None:
     compact = {
         "metric": full["metric"],
         "value": full["value"],
+        "comparable": admission["comparable"],
         "value_calib_norm": full["value_calib_norm"],
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in times.items()},
@@ -1161,6 +1337,7 @@ def main() -> None:
         },
         "cdc_stream_events_per_sec": cdc_stream["events_per_sec"],
         "dedup_lsh_sec_ratio_at_10x_docs": dedup_lin["sec_ratio"],
+        "substr_dedup_sec_ratio_at_10x_docs": substr_lin["sec_ratio"],
         "lifecycle_linear_at_12x": lifecycle["linear_at_12x"],
         "cdf_churn_fixed_ratio": lifecycle["cdf_churn_fixed_ratio"],
         "machine_calib_sec": machine_start["cpu_calib_sec"],

@@ -373,6 +373,15 @@ def store_main(argv: list[str]) -> int:
             cg.add_argument("--expire-keep-last", type=int, default=None,
                             help="drop catalog versions beyond the newest N "
                                  "and release their store pins")
+            cg.add_argument("--janitor", action="store_true", default=False,
+                            help="reap orphan cat-* pin tags older than "
+                                 "--older-than-hours that no live catalog "
+                                 "version records (crash debris of a pin "
+                                 "without a publish, or an expire that died "
+                                 "before unpinning)")
+            sp.add_argument("--older-than-hours", type=float, default=1.0,
+                            help="janitor age gate (default 1h) so in-flight "
+                                 "writers' pins are never reaped")
             sp.add_argument("--at-version", type=int, default=None,
                             help="resolve this catalog version (default: head)")
         if name == "merge-branch":
@@ -400,6 +409,10 @@ def store_main(argv: list[str]) -> int:
         if args.expire_keep_last is not None:
             for v in cat.expire(keep_last=args.expire_keep_last):
                 print(f"v{v}")
+            return 0
+        if args.janitor:
+            for t in cat.janitor(older_than_secs=args.older_than_hours * 3600):
+                print(t)
             return 0
         for tname, (tpath, tver) in cat.resolve(args.at_version).items():
             print(_json.dumps({"table": tname, "path": tpath, "version": tver}))

@@ -60,6 +60,79 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
     )
 
 
+def word_ngrams_pos(col: Column, n: int) -> Column:
+    """POSITIONAL word n-grams: array element i (0-based after
+    posexplode) is the n-gram starting at token i — NOT distinct and
+    order-preserving, because substring-dedup span arithmetic needs the
+    token offset of every window. Same zip_with construction as
+    :func:`word_ngrams` (O(n·len), never the O(len²) lambda-indexing
+    shape); the final slice cuts the null-padded partial grams at the
+    tail."""
+    toks = tokens(col)
+    grams = toks
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 15,
+) -> DataFrame:
+    """Length-agnostic exact-substring dedup (Lee et al. 2022's
+    ExactSubstr, distributed): every MAXIMAL duplicated token span of
+    length >= ``min_len`` anywhere in the corpus, as (id, span_start,
+    span_len) in token offsets. The suffix-array result without a
+    suffix array's global sort of every suffix:
+
+    1. one posexplode emits (doc, pos, md5(window)) per token position
+       — hashes shuffle, never text;
+    2. one window-count over the hash marks duplicated positions (the
+       overwhelming unique-window majority dies here); a duplicated
+       substring of length m appears as m-min_len+1 CONSECUTIVE
+       duplicated window positions;
+    3. a per-doc lag/sum window merges consecutive positions into
+       maximal runs; run [a, b] is the span [a, b+min_len-1].
+
+    Cost is linear in corpus tokens with two shuffle keys (hash, then
+    doc): both partition cleanly at 100 TB, the hot aggregate is a
+    count (map-side partial), and there is no candidate pair join to
+    blow up on duplicate clusters. Same-doc repeats count as
+    duplicates, matching the reference algorithm."""
+    pos = docs.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams_pos(F.col(text_col), min_len)).alias(
+            "pos", "gram"
+        ),
+    ).select(id_col, "pos", F.md5("gram").alias("h"))
+    dup = pos.withColumn(
+        "n", F.count("*").over(Window.partitionBy("h"))
+    ).filter(F.col("n") >= 2)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = dup.withColumn(
+        "brk",
+        F.when(F.lag("pos").over(w) == F.col("pos") - 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("run_id", F.sum("brk").over(w))
+    return (
+        runs.groupBy(id_col, "run_id")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") - F.min("pos") + min_len)
+            .cast("bigint")
+            .alias("span_len"),
+        )
+        .select(id_col, "span_start", "span_len")
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group by content hash; keep the smallest id as the canonical doc.
 

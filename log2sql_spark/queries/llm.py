@@ -1332,6 +1332,92 @@ def llm_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dedup_substring",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 60
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id,
+             'copy ' || CAST(doc_id AS VARCHAR)
+               || ' of prior document follows now ' || text AS text
+      FROM documents WHERE doc_id < 25
+    ),
+    tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM corpus
+    ),
+    pos AS (
+      SELECT doc_id, i - 1 AS pos, md5(array_to_string(toks[i:i+14], ' ')) AS h
+      FROM tok, LATERAL unnest(range(1, greatest(len(toks) - 13, 1))) AS g(i)
+    ),
+    dup AS (
+      SELECT doc_id, pos
+      FROM (SELECT *, count(*) OVER (PARTITION BY h) AS c FROM pos)
+      WHERE c >= 2
+    ),
+    runs AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       = pos - 1 THEN 0 ELSE 1 END AS brk
+      FROM dup
+    ),
+    rid AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+      FROM runs
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) - min(pos) + 15 AS BIGINT) AS span_len
+    FROM rid
+    GROUP BY doc_id, run_id
+    ORDER BY doc_id, span_start
+    """,
+)
+def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-agnostic exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr step of C4/Pile curation): every MAXIMAL duplicated
+    token span of length >= 15 in the corpus, as (doc_id, span_start,
+    span_len). The fixed-window detector (llm_repeated_passages) can
+    only say "this 12-gram repeats"; this one recovers the full extent
+    of each duplicated region whatever its length — the suffix-array
+    result, distributed.
+
+    Shape (never all-pairs, never a suffix array's global sort of
+    every suffix): a duplicated substring of length m >= L appears as
+    a run of m-L+1 CONSECUTIVE duplicated L-token windows, so (1) one
+    posexplode emits (doc, pos, md5(window)) — hashes shuffle, never
+    text; (2) one window-count over the hash marks duplicated
+    positions (the unique-window majority dies here); (3) a per-doc
+    lag/sum window merges consecutive positions into maximal runs.
+    Cost is linear in corpus tokens with two shuffle keys (hash, then
+    doc) — at 100 TB both partition cleanly and the hot aggregate is
+    a count, not a candidate join. Same-doc repeats count as
+    duplicates, matching the reference algorithm. Corpus plants
+    25 full copies behind a 7-token prefix, so copies' spans start at
+    offset 7 — position arithmetic is oracle-checked, not just
+    membership. Pipeline shape documented on
+    operators.dedup.duplicate_spans; 10x-docs linearity measured
+    per-round in BENCH.json (substr_dedup_linearity)."""
+    from log2sql_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    orig = docs.filter(F.col("doc_id") < 60)
+    copies = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(
+            F.lit("copy "),
+            F.col("doc_id").cast("string"),
+            F.lit(" of prior document follows now "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    corpus = orig.unionByName(copies)
+    return duplicate_spans(corpus, min_len=15).orderBy("doc_id", "span_start")
+
+
+@query(
     "llm_ann_recall_eval",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),

@@ -662,6 +662,65 @@ def store_zorder_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "store_hilbert_pruned_read",
+    oracle="""
+    SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+           event_id % 97 AS bucket
+    FROM events
+    WHERE user_id BETWEEN 40 AND 60
+      AND round(value * 100) BETWEEN 2000 AND 6000
+      AND event_id % 97 BETWEEN 10 AND 50
+    ORDER BY user_id, event_id
+    """,
+)
+def store_hilbert_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert as a FIRST-CLASS store layout (round 13, promoted from
+    the standalone rewrite of layout_hilbert_box_read): events
+    committed with ``layout="hilbert"`` on THREE dimensions via the
+    N-dim Skilling key (operators/zorder.py::hilbert_key_nd), per-file
+    [min, max] stats for every dimension in the manifest, read back
+    through the same ``read_pruned_box`` contract as z-order — plus
+    the leading-dimension pruned MERGE and layout-preserving compact
+    (tests/test_hilbert.py). The oracle reads the raw table, so a row
+    wrongly skipped by the 3-D box prune breaks the hash; the measured
+    files-hit comparison vs z-order at 3 dims is also in
+    tests/test_hilbert.py (Hilbert <= Morton on every box)."""
+    from log2sql_spark.store import SnapshotStore
+
+    def build():
+        s = SnapshotStore(scratch_dir("log2sql_hboxstore_"))
+        events = load_table(spark, "events", sf_dir).select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            (F.col("event_id") % 97).alias("bucket"),
+        )
+        s.commit(
+            events,
+            mode="overwrite",
+            cluster_by=["user_id", "cents", "bucket"],
+            layout="hilbert",
+            target_files=8,
+        )
+        return s
+
+    store = _cached_build("hbox_events", sf_dir, build)
+    return (
+        store.read_pruned_box(
+            spark,
+            {"user_id": (40, 60), "cents": (2000, 6000), "bucket": (10, 50)},
+        )
+        .filter(
+            F.col("user_id").between(40, 60)
+            & F.col("cents").between(2000, 6000)
+            & F.col("bucket").between(10, 50)
+        )
+        .select("user_id", "event_id", "cents", "bucket")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
     "store_schema_evolution_read",
     oracle="""
     WITH base AS (
@@ -2052,3 +2111,44 @@ def store_catalog_release_notes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return notes("cur", "cur").unionByName(notes("hist", "hist")).orderBy("tbl")
+
+
+@query(
+    "store_catalog_cdf_batch",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 1000
+    )
+    SELECT 'cur' AS tbl, 'insert' AS change_type,
+           CAST(k + 200000 AS BIGINT) AS k, CAST(42 AS BIGINT) AS cents
+    FROM base WHERE k % 100 = 7
+    UNION ALL
+    SELECT 'hist', 'insert', k, cents + 1 FROM base WHERE k % 10 = 3
+    ORDER BY tbl, k
+    """,
+)
+def store_catalog_cdf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level batch twin of the ``catalog_cdf`` streaming source
+    (round 13): ``StoreCatalog.read_changes_all`` unions every member
+    table's keyed change feed between two CATALOG versions under a
+    ``_table`` column — ONE frame that provably describes one
+    transaction's cross-table footprint (the streaming source emits
+    exactly these rows per catalog version;
+    tests/test_catalog_cdf_stream.py pins batch == stream). The oracle
+    recomputes the txn's per-table inserts relationally, so the hash
+    match checks table attribution AND row content, not just counts."""
+    cat, v_before = _cached_build(
+        "txn_catalog", sf_dir, lambda: _build_txn_catalog(spark, sf_dir)
+    )
+    return (
+        cat.read_changes_all(spark, v_before, cat.head_version(), key_cols="k")
+        .select(
+            F.col("_table").alias("tbl"),
+            F.col("_change_type").alias("change_type"),
+            "k",
+            "cents",
+        )
+        .orderBy("tbl", "k")
+    )

@@ -64,4 +64,11 @@ def get_spark(app_name: str = "log2sql_spark", cpus: str | None = None) -> Spark
     from log2sql_spark.sources.cdf_datasource import register as register_cdf
 
     register_cdf(spark)
+    # expose spark.readStream.format("catalog_cdf") (multi-table
+    # transaction-consistent CDF stream over a StoreCatalog)
+    from log2sql_spark.sources.catalog_cdf_datasource import (
+        register as register_catalog_cdf,
+    )
+
+    register_catalog_cdf(spark)
     return spark

@@ -172,8 +172,10 @@ class Snapshot:
 
     @property
     def zorder_cols(self) -> list[str]:
-        """The z-order dimensions (cluster_by holds them comma-joined)."""
-        if self.layout != "zorder" or not self.cluster_by:
+        """The multi-dimensional clustering columns (cluster_by holds
+        them comma-joined) — z-order and Hilbert layouts share every
+        read/merge/prune path; only the write-side sort key differs."""
+        if self.layout not in ("zorder", "hilbert") or not self.cluster_by:
             return []
         return self.cluster_by.split(",")
 
@@ -370,20 +372,27 @@ class SnapshotStore:
         return entries
 
     def _write_data_zorder(
-        self, df: DataFrame, version: int, cols: list[str], target_files: int
+        self, df: DataFrame, version: int, cols: list[str], target_files: int,
+        layout: str = "zorder",
     ) -> list[dict]:
-        """Morton z-order layout: files range-partitioned on the
-        interleaved z-value (operators/zorder.py), with per-file
-        [min, max] stats recorded for EVERY dimension — the multi-
-        dimensional skipping index. A predicate on ANY clustered
-        column prunes files; a single-key range sort can only ever
-        skip on its one key."""
-        from log2sql_spark.operators.zorder import zorder_key
+        """Multi-dimensional clustered layout: files range-partitioned
+        on a space-filling-curve value (operators/zorder.py — Morton
+        z-value for ``layout="zorder"``, Skilling Hilbert index for
+        ``layout="hilbert"``), with per-file [min, max] stats recorded
+        for EVERY dimension — the multi-dimensional skipping index. A
+        predicate on ANY clustered column prunes files; a single-key
+        range sort can only ever skip on its one key. The Hilbert
+        curve's no-diagonal-jump locality tightens each file's
+        per-dimension spans at equal file count, so box predicates
+        overlap fewer files (measured in tests/test_hilbert.py); the
+        pruning CONTRACT is identical because it reads only the stats."""
+        from log2sql_spark.operators.zorder import hilbert_key_nd, zorder_key
 
         data_root = os.path.join(self.path, "data")
         os.makedirs(data_root, exist_ok=True)
         data_abs = tempfile.mkdtemp(prefix=f"v{version}-", dir=data_root)
-        z = zorder_key(df, cols)
+        key_fn = hilbert_key_nd if layout == "hilbert" else zorder_key
+        z = key_fn(df, cols)
         (
             df.withColumn("_z", z)
             .repartitionByRange(target_files, "_z")
@@ -552,12 +561,18 @@ class SnapshotStore:
             ]
             if failures:
                 raise ExpectationError(failures)
-        if layout not in ("range", "hash", "zorder"):
-            raise ValueError(f"layout must be range|hash|zorder, got {layout!r}")
+        if layout not in ("range", "hash", "zorder", "hilbert"):
+            raise ValueError(
+                f"layout must be range|hash|zorder|hilbert, got {layout!r}"
+            )
         if isinstance(cluster_by, (list, tuple)):
             cluster_by = ",".join(cluster_by)
-        if layout == "zorder" and (cluster_by is None or "," not in cluster_by):
-            raise ValueError("zorder layout needs >=2 comma-separated cluster_by cols")
+        if layout in ("zorder", "hilbert") and (
+            cluster_by is None or "," not in cluster_by
+        ):
+            raise ValueError(
+                f"{layout} layout needs >=2 comma-separated cluster_by cols"
+            )
         version = 1 if parent is None else parent + 1
         schema_json = df.schema.json()
         # Appends inherit the column mapping (old files still carry
@@ -621,9 +636,9 @@ class SnapshotStore:
         n_buckets = target_files if layout == "hash" else None
         if cluster_by is not None and layout == "hash":
             entries = self._write_data_hash(df, version, cluster_by, target_files)
-        elif cluster_by is not None and layout == "zorder":
+        elif cluster_by is not None and layout in ("zorder", "hilbert"):
             entries = self._write_data_zorder(
-                df, version, cluster_by.split(","), target_files
+                df, version, cluster_by.split(","), target_files, layout=layout
             )
         else:
             entries = self._write_data(df, version, cluster_by, target_files)
@@ -1363,10 +1378,10 @@ class SnapshotStore:
                 spark, snap, changes, keys[0], version_cols, op_col, delete_op,
                 merge_schema=merge_schema,
             ))
-        # A zorder store prunes merges on its LEADING dimension (its
-        # entries carry per-dimension stats instead of flat min/max).
+        # A zorder/hilbert store prunes merges on its LEADING dimension
+        # (its entries carry per-dimension stats instead of flat min/max).
         zorder_keyed = (
-            snap.layout == "zorder"
+            snap.layout in ("zorder", "hilbert")
             and len(keys) == 1
             and snap.zorder_cols
             and keys[0] == snap.zorder_cols[0]
@@ -1438,7 +1453,8 @@ class SnapshotStore:
         version = parent + 1
         if zorder_keyed:
             new_entries = self._write_data_zorder(
-                merged, version, snap.zorder_cols, max(1, len(touched))
+                merged, version, snap.zorder_cols, max(1, len(touched)),
+                layout=snap.layout,
             )
         else:
             new_entries = self._write_data(
@@ -1900,11 +1916,11 @@ class SnapshotStore:
             raise ValueError("delete_where_mor requires an existing snapshot")
         snap = self.snapshot(parent)
         if key_cols is None:
-            if not snap.cluster_by or snap.layout == "zorder":
+            if not snap.cluster_by or snap.layout in ("zorder", "hilbert"):
                 raise ValueError(
                     "delete_where_mor needs key_cols on an unclustered or "
-                    "zorder store (the cluster key is the default only for "
-                    "range/hash layouts)"
+                    "zorder/hilbert store (the cluster key is the default "
+                    "only for range/hash layouts)"
                 )
             keys = [snap.cluster_by]
         else:
@@ -2802,10 +2818,12 @@ class SnapshotStore:
         if head is None:
             raise ValueError("compact_small on an empty store")
         snap = self.snapshot(head)
-        if (snap.layout == "hash" and snap.has_buckets) or snap.layout == "zorder":
-            # hash files must stay bucket-pure; zorder files carry
-            # multi-dim stats a plain range write cannot reproduce —
-            # both fall back to the full rewrite
+        if (snap.layout == "hash" and snap.has_buckets) or snap.layout in (
+            "zorder", "hilbert",
+        ):
+            # hash files must stay bucket-pure; zorder/hilbert files
+            # carry multi-dim stats a plain range write cannot
+            # reproduce — both fall back to the full rewrite
             return self.compact(spark, target_files=max(target_files, 8))
         threshold = int(min_file_mb * 1024 * 1024)
 
@@ -2984,7 +3002,7 @@ class SnapshotStore:
             )
         snap = self.snapshot(head)
         key_col = key_col or (
-            snap.zorder_cols[0] if snap.layout == "zorder" else snap.cluster_by
+            snap.zorder_cols[0] if snap.zorder_cols else snap.cluster_by
         )
         if key_col is None:
             raise ValueError("pass key_col: the store is not clustered")

@@ -15,12 +15,22 @@ This module is that catalog over :class:`SnapshotStore`:
   point is a filesystem primitive, not a lock; losers get
   ``ConflictError`` and rebase).
 * **Atomicity** — ``commit_multi`` first lands each table's rows as an
-  ORDINARY store commit (crash here leaves an unreferenced store
-  version: invisible through the catalog, vacuum fodder — exactly the
-  orphan-data-file story one level down), then publishes ONE catalog
-  manifest pinning all the new versions. Readers that resolve through
-  the catalog (``read``/``resolve``) see the old vector or the new
-  vector, never a mix.
+  ORDINARY store commit, then publishes ONE catalog manifest pinning
+  all the new versions. Readers that resolve through the catalog
+  (``read``/``resolve``) see the old vector or the new vector, never a
+  mix. If the catalog publish loses to a same-table writer, the loser
+  COMPENSATES: each store whose head is still the loser's own commit
+  gets a metadata-only ``restore`` to its pre-transaction version, so
+  the aborted rows never surface through a later catalog advance (an
+  uncompensated aborted version would sit on the store's linear chain
+  and leak into the table's next successful commit for append/merge
+  modes). Two residual windows remain and are deliberate: a CRASH
+  between the store commits and the catalog publish leaves versions no
+  one compensates (the replay/caller must re-drive the transaction —
+  for the streaming path the idempotent merges make this safe), and a
+  third writer stacking a commit on top of the loser's within the race
+  window makes that table uncompensatable (reported in the raised
+  ConflictError as ``uncompensated``; caller must reconcile).
 * **Isolation from vacuum** — publishing catalog version N creates an
   Iceberg-style tag (``cat-<id>-v{N}-<attempt-nonce>``, recorded in
   the manifest) on every member store at its pinned version, so a
@@ -164,9 +174,19 @@ class StoreCatalog:
         version pinning all the new store versions. ``max_retries``
         covers the CATALOG race only (disjoint-table rebase is
         manifest-only); per-store commit kwargs may carry their own
-        max_retries for the store-level race."""
+        max_retries for the store-level race.
+
+        On a catalog ConflictError (same table moved by a concurrent
+        writer) the store commits this attempt landed are rolled back
+        with metadata-only ``restore`` commits, so cross-table
+        atomicity holds for aborted writers too — no aborted rows ride
+        into the table's next successful catalog advance. A store whose
+        head already moved past our commit (a third writer stacked on
+        top inside the race window) cannot be compensated; its name is
+        carried on the raised error as ``exc.uncompensated``."""
         head = self.snapshot()
         pins: dict[str, tuple[str, int]] = {}
+        committed: list[tuple[SnapshotStore, int, int, str]] = []
         for name, (df, kwargs) in writes.items():
             entry = head["tables"].get(name)
             if entry is None:
@@ -174,9 +194,27 @@ class StoreCatalog:
                     f"table {name!r} not registered in catalog; register() first"
                 )
             store = SnapshotStore(entry["path"])
+            parent = store.head_version()
             v = store.commit(df, **kwargs)
+            committed.append((store, parent, v, name))
             pins[name] = (entry["path"], v)
-        return self._commit_pins(pins, base=head, max_retries=max_retries)
+        try:
+            return self._commit_pins(pins, base=head, max_retries=max_retries)
+        except ConflictError as exc:
+            uncompensated: list[str] = []
+            for store, parent, v, name in committed:
+                # Compensate only when the chain top is still OUR
+                # commit: restoring under someone else's head would
+                # silently revert THEIR rows.
+                if store.head_version() == v and parent is not None:
+                    try:
+                        store.restore(parent)
+                    except (ConflictError, ValueError):
+                        uncompensated.append(name)
+                else:
+                    uncompensated.append(name)
+            exc.uncompensated = uncompensated  # type: ignore[attr-defined]
+            raise
 
     def _commit_pins(
         self,
@@ -303,6 +341,53 @@ class StoreCatalog:
             spark, lo["version"], hi["version"], key_cols=key_cols
         )
 
+    def read_changes_all(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int,
+        key_cols=None,
+        tables: list[str] | None = None,
+    ) -> DataFrame:
+        """Every member table's keyed change feed between two CATALOG
+        versions, unioned with a ``_table`` column — the batch twin of
+        the ``catalog_cdf`` streaming source. All feeds cut at the same
+        transaction boundaries (the catalog vectors), so a consumer
+        diffing N tables reads ONE frame that provably describes the
+        same transactions. A table present only in the to-vector
+        (registered mid-range) contributes its full pinned state as
+        inserts at ``_commit_version`` = its pin. Member schemas must
+        match (they do for the CDC-apply stores; heterogeneous
+        catalogs should read per-table via read_changes)."""
+        from pyspark.sql import functions as F
+
+        to_snap = self.snapshot(to_version)
+        from_snap = self.snapshot(from_version)
+        names = sorted(tables if tables is not None else to_snap["tables"])
+        out: DataFrame | None = None
+        for name in names:
+            hi = to_snap["tables"].get(name)
+            if hi is None:
+                raise ValueError(
+                    f"table {name!r} not in catalog version {to_version}"
+                )
+            if name in from_snap["tables"]:
+                feed = self.read_changes(
+                    spark, name, from_version, to_version, key_cols=key_cols
+                )
+            else:
+                store = SnapshotStore(hi["path"])
+                feed = store.read(spark, version=hi["version"]).select(
+                    "*",
+                    F.lit("insert").alias("_change_type"),
+                    F.lit(hi["version"]).cast("long").alias("_commit_version"),
+                )
+            feed = feed.select(F.lit(name).alias("_table"), "*")
+            out = feed if out is None else out.unionByName(feed)
+        if out is None:
+            raise ValueError("catalog has no tables to read changes for")
+        return out
+
     def fsck(self) -> list[str]:
         """Catalog-level integrity check: every live catalog version
         must resolve — each pinned (path, version) exists in its member
@@ -347,7 +432,64 @@ class StoreCatalog:
         dropped = []
         for v in vs[:-keep_last] if len(vs) > keep_last else []:
             snap = self.snapshot(v)
-            self._unpin(snap["tables"], snap["tag"])
+            # Manifest FIRST, pins second: a crash between the two
+            # degrades to a safe orphan tag (janitor() reaps it later).
+            # The old order left a listed catalog version whose pins
+            # were already gone — a reader/vacuum racing the crash
+            # window could resolve a version whose store data was
+            # reclaimable.
             os.remove(os.path.join(self._dir, f"v{v}.json"))
+            self._unpin(snap["tables"], snap["tag"])
             dropped.append(v)
+        return dropped
+
+    def janitor(
+        self,
+        older_than_secs: float = 3600.0,
+        now: float | None = None,
+        extra_store_paths: tuple[str, ...] = (),
+    ) -> list[str]:
+        """Reap orphan pin tags: ``cat-<catalog_id>-*`` tags on member
+        stores that no live catalog manifest records. Two crash windows
+        create them — a writer that ``_pin``-ed then died before
+        ``_publish`` (its tags pin store versions forever, no manifest
+        to ``expire``), and an ``expire`` that removed the manifest
+        then died before unpinning. Age-gated (default 1 h) so an
+        in-flight writer's pins — created microseconds before its
+        publish — are never reaped out from under it. Scans every store
+        referenced by a live manifest plus ``extra_store_paths`` (for
+        stores whose only referencing manifest was itself expired).
+        Returns ``store_path:tag`` for each dropped tag."""
+        now = time.time() if now is None else now
+        live_tags = set()
+        paths = {os.path.abspath(p) for p in extra_store_paths}
+        for v in self.versions():
+            snap = self.snapshot(v)
+            live_tags.add(snap["tag"])
+            for entry in snap["tables"].values():
+                paths.add(entry["path"])
+        prefix = f"cat-{self.catalog_id}-"
+        dropped: list[str] = []
+        for p in sorted(paths):
+            d = os.path.join(p, "_refs", "tags")
+            if not os.path.isdir(d):
+                continue
+            store = SnapshotStore(p)
+            for f in sorted(os.listdir(d)):
+                name = f[:-5]
+                if not (f.endswith(".json") and name.startswith(prefix)):
+                    continue
+                if name in live_tags:
+                    continue
+                try:
+                    with open(os.path.join(d, f)) as fh:
+                        created = json.load(fh).get("created_at", now)
+                except (OSError, json.JSONDecodeError):
+                    continue
+                if now - created > older_than_secs:
+                    try:
+                        store.drop_tag(name)
+                        dropped.append(f"{p}:{name}")
+                    except ValueError:
+                        pass  # concurrent janitor got it first
         return dropped

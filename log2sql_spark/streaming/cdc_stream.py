@@ -563,7 +563,10 @@ def apply_changes_to_catalog(
 
     Tables with no changes in a batch carry their previous pin
     unchanged into the new catalog version (the manifest copies them),
-    so resolve() is always the full consistent vector. At 100 TB: per
+    so resolve() is always the full consistent vector. Changes for
+    ``db.table`` values NOT in ``tables`` are never silently dropped:
+    they land in ``root_dir/_dead_letter/batch=<id>`` and the names
+    ride in the manifest's ``meta.unrouted``. At 100 TB: per
     batch, each table's merge cost tracks that table's change
     footprint (hash-bucket pruning), and the catalog adds O(tables)
     JSON metadata — the atomicity is free at data scale.
@@ -585,9 +588,21 @@ def apply_changes_to_catalog(
         if t not in cat.snapshot()["tables"]:
             cat.register(t, store.path)
 
+    def applied_batch_id() -> int:
+        # Scan back to the most recent manifest CARRYING a batch_id —
+        # head.meta alone is not the watermark: an interleaved catalog
+        # publish without one (register() of a new table, the CLI's
+        # `store catalog --register`) would reset it to -1 and let a
+        # replayed micro-batch republish a duplicate catalog version.
+        for v in reversed(cat.versions()):
+            b = cat.snapshot(v).get("meta", {}).get("batch_id")
+            if b is not None:
+                return b
+        return -1
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         head = cat.snapshot()
-        if head.get("meta", {}).get("batch_id", -1) >= batch_id:
+        if applied_batch_id() >= batch_id:
             return  # replayed micro-batch: vector already published
         envelope = read_binlog_batch_files(spark, batch_df)
         resolved = resolve_columns(envelope, catalog)
@@ -613,6 +628,19 @@ def apply_changes_to_catalog(
             touched = {
                 r._tbl for r in changes_all.select("_tbl").distinct().collect()
             }
+            # db.table values in the dump but not routed to any store:
+            # dead-letter the rows (same discipline as
+            # split_catalog_misses) and record the names in the catalog
+            # manifest meta — silently dropping changes for an
+            # unregistered table is data loss wearing a filter's
+            # clothes.
+            unrouted = sorted(touched - set(stores))
+            if unrouted:
+                changes_all.filter(F.col("_tbl").isin(unrouted)).write.mode(
+                    "overwrite"
+                ).parquet(
+                    os.path.join(root_dir, "_dead_letter", f"batch={batch_id}")
+                )
             pins: dict[str, tuple[str, int]] = {}
             for t, store in stores.items():
                 if t not in touched:
@@ -629,7 +657,10 @@ def apply_changes_to_catalog(
             changes_all.unpersist()
         # publish even when pins is empty: the batch_id watermark must
         # advance or an empty replayed batch would re-publish later ones
-        cat._commit_pins(pins, base=head, meta={"batch_id": batch_id})
+        meta = {"batch_id": batch_id}
+        if unrouted:
+            meta["unrouted"] = unrouted
+        cat._commit_pins(pins, base=head, meta=meta)
 
     lines = read_binlog_line_stream(spark, in_dir)
     return (

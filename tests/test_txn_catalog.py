@@ -243,6 +243,14 @@ def test_cli_catalog_register_resolve_expire(spark, tmp_path, capsys):
     cat = StoreCatalog(cat_dir)
     assert cat.versions() == [2]
 
+    # janitor via CLI: plant an orphan pin tag, reap with age gate 0
+    orphan = cat._tag_name(77, "cafe0123")
+    cat._pin({"cur": {"path": a.path, "version": 1}}, orphan)
+    assert main(["store", "catalog", cat_dir, "--janitor",
+                 "--older-than-hours", "-1"]) == 0
+    assert capsys.readouterr().out.strip() == f"{a.path}:{orphan}"
+    assert orphan not in SnapshotStore(a.path).tags()
+
 
 def test_catalog_fsck_detects_damage(spark, tmp_path):
     """fsck is clean on a healthy catalog, and names the exact problem
@@ -398,3 +406,139 @@ def test_catalog_consistent_cdf_across_tables(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not present"):
         cat.read_changes(spark, "ghost", v0, v2)
+
+
+# ---------------------------------------------------------------------------
+# round 13: abort compensation + pin-tag janitor (r12 ADVICE items)
+# ---------------------------------------------------------------------------
+
+
+def test_aborted_commit_multi_compensates_store_commits(spark, tmp_path, monkeypatch):
+    """Cross-table atomicity for ABORTED writers: a commit_multi that
+    loses the catalog race rolls its store commits back (metadata-only
+    restore), so the aborted rows never ride into the table's next
+    successful catalog advance — the r12-advice leak."""
+    a = _mkstore(spark, tmp_path / "a", [1])
+    b = _mkstore(spark, tmp_path / "b", [10])
+    cat1 = StoreCatalog(str(tmp_path / "cat"))
+    cat1.register("cur", a.path)
+    cat1.register("hist", b.path)
+
+    # winner's store commit exists already; its catalog publish will be
+    # injected between the loser's store commits and catalog publish
+    a.commit(spark.createDataFrame([(2, "w1")], "k long, status string"),
+             mode="append")
+    winner_cur_v = a.head_version()
+
+    cat2 = StoreCatalog(str(tmp_path / "cat"))
+    real = cat2._commit_pins
+
+    def race(pins, base=None, **kw):
+        cat1._commit_pins({"cur": (a.path, winner_cur_v)})
+        return real(pins, base=base, **kw)
+
+    monkeypatch.setattr(cat2, "_commit_pins", race)
+    with pytest.raises(ConflictError) as ei:
+        cat2.commit_multi(spark, {
+            "cur": (spark.createDataFrame([(3, "w2")], "k long, status string"),
+                    {"mode": "append"}),
+            "hist": (spark.createDataFrame([(30, "w2")], "k long, status string"),
+                     {"mode": "append"}),
+        })
+    assert ei.value.uncompensated == []
+
+    # both store HEADS mirror the pre-transaction states
+    assert {r.k for r in a.read(spark).collect()} == {1, 2}
+    assert {r.k for r in b.read(spark).collect()} == {10}
+    # the aborted versions stay time-travel-visible but the next
+    # successful catalog advance of each table carries no aborted rows
+    cat1.commit_multi(spark, {
+        "hist": (spark.createDataFrame([(11, "w3")], "k long, status string"),
+                 {"mode": "append"}),
+    })
+    assert {r.k for r in cat1.read(spark, "hist").collect()} == {10, 11}
+    assert {r.k for r in cat1.read(spark, "cur").collect()} == {1, 2}
+
+
+def test_aborted_commit_multi_reports_uncompensated_stacked_table(
+    spark, tmp_path, monkeypatch
+):
+    """A third writer stacking a store commit ON TOP of the loser's
+    inside the race window makes that table uncompensatable — the
+    loser must not restore under someone else's head. The name rides
+    on the raised error."""
+    a = _mkstore(spark, tmp_path / "a", [1])
+    cat1 = StoreCatalog(str(tmp_path / "cat"))
+    cat1.register("cur", a.path)
+
+    cat2 = StoreCatalog(str(tmp_path / "cat"))
+    real = cat2._commit_pins
+
+    def race(pins, base=None, **kw):
+        # winner stacks a commit ON TOP of the loser's and pins it
+        a.commit(spark.createDataFrame([(9, "w1")], "k long, status string"),
+                 mode="append")
+        cat1._commit_pins({"cur": (a.path, a.head_version())})
+        return real(pins, base=base, **kw)
+
+    monkeypatch.setattr(cat2, "_commit_pins", race)
+    with pytest.raises(ConflictError) as ei:
+        cat2.commit_multi(spark, {
+            "cur": (spark.createDataFrame([(3, "w2")], "k long, status string"),
+                    {"mode": "append"}),
+        })
+    assert ei.value.uncompensated == ["cur"]
+    # the winner's pinned state (which includes the loser's rows — the
+    # winner appended on top of them) is untouched
+    assert {r.k for r in cat1.read(spark, "cur").collect()} == {1, 3, 9}
+
+
+def test_janitor_reaps_only_old_orphan_pin_tags(spark, tmp_path):
+    import time as _time
+
+    a = _mkstore(spark, tmp_path / "a", [1])
+    cat = StoreCatalog(str(tmp_path / "cat"))
+    cat.register("cur", a.path)
+    live = {t for t in SnapshotStore(a.path).tags() if t.startswith("cat-")}
+
+    # a writer that _pin-ed then died before _publish
+    orphan = cat._tag_name(99, "deadbeef")
+    cat._pin({"cur": {"path": a.path, "version": 1}}, orphan)
+    assert orphan in SnapshotStore(a.path).tags()
+
+    # fresh orphan: inside the age gate (an in-flight writer), kept
+    assert cat.janitor(older_than_secs=3600.0) == []
+    assert orphan in SnapshotStore(a.path).tags()
+
+    # old orphan: reaped; live catalog pins untouched
+    dropped = cat.janitor(older_than_secs=3600.0, now=_time.time() + 7200)
+    assert dropped == [f"{a.path}:{orphan}"]
+    after = {t for t in SnapshotStore(a.path).tags() if t.startswith("cat-")}
+    assert after == live
+
+
+def test_expire_crash_window_degrades_to_orphan_tag(spark, tmp_path, monkeypatch):
+    """expire() now removes the manifest FIRST: a crash before the
+    unpin leaves an orphan tag (safe — janitor reaps it), never a
+    listed catalog version whose pins are already gone."""
+    a = _mkstore(spark, tmp_path / "a", [1])
+    cat = StoreCatalog(str(tmp_path / "cat"))
+    cat.register("cur", a.path)
+    v1_tag = cat.snapshot()["tag"]
+    a.commit(spark.createDataFrame([(2, "x")], "k long, status string"),
+             mode="append")
+    cat._commit_pins({"cur": (a.path, a.head_version())})
+
+    monkeypatch.setattr(cat, "_unpin", lambda *args, **kw: None)  # crash here
+    dropped = cat.expire(keep_last=1)
+    assert dropped == [1]
+    assert cat.versions() == [2]  # manifest gone despite the "crash"
+    assert v1_tag in SnapshotStore(a.path).tags()  # orphan tag debris
+
+    cat2 = StoreCatalog(str(tmp_path / "cat"))  # un-patched instance
+    import time as _time
+
+    reaped = cat2.janitor(older_than_secs=3600.0, now=_time.time() + 7200)
+    assert f"{a.path}:{v1_tag}" in reaped
+    assert v1_tag not in SnapshotStore(a.path).tags()
+    assert cat2.fsck() == []

@@ -249,3 +249,23 @@ def test_zorder_key_locality_beats_concatenation(spark):
     zrange = max(zmap.values()) - min(zmap.values())
     mean_gap = sum(z_deltas) / len(z_deltas)
     assert mean_gap < zrange / 8, (mean_gap, zrange)
+
+
+def test_layout_rewrite_swap_recovers_after_crash(spark, grid_dir):
+    """A crash between the two swap renames leaves the dataset at
+    <path>.zorder.old; the next rewrite invocation restores it before
+    proceeding, so the data is never lost (r12 ADVICE)."""
+    import os
+
+    from log2sql_spark.operators.zorder import zorder_parquet
+
+    before = {(r.x, r.y, r.payload) for r in spark.read.parquet(grid_dir).collect()}
+    # simulate the crash window: path renamed aside, new dir never moved in
+    os.rename(grid_dir, grid_dir + ".zorder.old")
+    assert not os.path.exists(grid_dir)
+
+    n = zorder_parquet(spark, grid_dir, ["x", "y"], target_file_mb=1)
+    after = {(r.x, r.y, r.payload) for r in spark.read.parquet(grid_dir).collect()}
+    assert after == before
+    assert n >= 1
+    assert not os.path.exists(grid_dir + ".zorder.old")
