@@ -303,6 +303,11 @@ def store_main(argv: list[str]) -> int:
             sp.add_argument("--by", required=True,
                             help="comma-separated cluster columns (>=2)")
             sp.add_argument("--target-files", type=int, default=8)
+            sp.add_argument("--curve", choices=("zorder", "hilbert"),
+                            default="zorder",
+                            help="space-filling curve: Morton (default) or "
+                                 "Hilbert (tighter per-dimension file spans "
+                                 "for box predicates; 2-4 columns)")
         if name == "rename-column":
             sp.add_argument("--from", dest="rename_from", required=True)
             sp.add_argument("--to", dest="rename_to", required=True)
@@ -586,7 +591,7 @@ def store_main(argv: list[str]) -> int:
             store.read(spark, apply_policies=False),  # rewrite raw, owner path
             mode="overwrite",
             cluster_by=args.by,
-            layout="zorder",
+            layout=args.curve,
             target_files=args.target_files,
             generated=head.generated,
             policies=head.policies,

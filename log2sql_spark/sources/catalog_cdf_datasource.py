@@ -10,8 +10,9 @@ boundary. This source subscribes at the CATALOG level instead
 micro-batch carries EVERY member table's keyed changes between the
 pinned store versions of consecutive catalog vectors. A transaction
 published by ``commit_multi`` (or the streaming
-``apply_changes_to_catalog``) therefore arrives as one atomic batch —
-all tables, same ``_catalog_version``, never split.
+``apply_changes_to_catalog``) therefore arrives atomically — all
+tables, same ``_catalog_version``, never split across batches (a
+batch may carry several whole versions, see the reader docstring).
 
 Exactly-once composes from the offset mechanics: Spark checkpoints the
 catalog version; a restart replays the same version range through
@@ -105,9 +106,16 @@ class CatalogCdfDataSource(DataSource):
 
 class CatalogCdfStreamReader(SimpleDataSourceStreamReader):
     """Offset = last emitted CATALOG version. Each trigger emits, for
-    up to ``maxVersionsPerTrigger`` (default 1) new catalog versions,
+    up to ``maxVersionsPerTrigger`` (default 16) new catalog versions,
     every member table's changes between the pinned store versions of
-    consecutive vectors — one atomic batch per transaction."""
+    consecutive vectors. The atomicity contract is that a batch
+    boundary NEVER splits a catalog version: all tables' rows of one
+    transaction share a batch (and a ``_catalog_version`` tag); a
+    batch may carry several whole versions — same as Delta's streaming
+    CDF batching multiple commits under maxFilesPerTrigger. (The
+    default is not 1 because availableNow prefetches the simple-reader
+    ONCE per trigger cycle: rationing one version per read would
+    strand the rest until the next restart.)"""
 
     def __init__(self, schema: StructType, options):
         self.root = _local_path(options.get("path"))
@@ -116,7 +124,7 @@ class CatalogCdfStreamReader(SimpleDataSourceStreamReader):
         # member fields = schema minus (_table, _catalog_version, _change_type)
         self.fields = [f.name for f in schema.fields[:-3]]
         self.member_schema = StructType(list(schema.fields[:-3]))
-        self.max_versions = int(options.get("maxVersionsPerTrigger", 1))
+        self.max_versions = int(options.get("maxVersionsPerTrigger", 16))
         self.starting = int(options.get("startingVersion", 0))
         t = options.get("tables")
         self.tables = [x.strip() for x in t.split(",")] if t else None

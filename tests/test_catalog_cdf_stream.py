@@ -107,13 +107,25 @@ def test_restart_mid_vector_is_exactly_once(spark, tmp_path):
     _txn(spark, cat, 4, 40)  # new txn arrives while "crashed"
     _drain(spark, root, out, ckpt, key="k")
 
+    # the recovery run REPLAYS the crashed batch byte-identically and
+    # stops (availableNow bounds a run by the work available at start,
+    # and a restored uncommitted batch IS that work) — nothing
+    # duplicated, nothing lost
     rows = spark.read.parquet(str(out)).collect()
     keyed = [
         (r._catalog_version, r._table, r.k, r._change_type) for r in rows
     ]
     assert len(keyed) == len(set(keyed)), "replayed batch duplicated rows"
-    # parquet sink replay rewrote the crashed batch once; the new txn
-    # streamed exactly once on top of the pre-crash rows
+    assert len(set(keyed)) == n_before
+
+    # the next drain streams the txn that arrived during the crash,
+    # exactly once on top of the replayed history
+    _drain(spark, root, out, ckpt, key="k")
+    rows = spark.read.parquet(str(out)).collect()
+    keyed = [
+        (r._catalog_version, r._table, r.k, r._change_type) for r in rows
+    ]
+    assert len(keyed) == len(set(keyed))
     assert len(set(keyed)) == n_before + 2
     by_ver = {}
     for t in keyed:

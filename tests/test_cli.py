@@ -153,6 +153,15 @@ def test_cli_store_history_and_zorder(spark, tmp_path, capsys):
     assert [h["version"] for h in lines] == [1, 2]
     assert lines[1]["layout"] == "zorder"
 
+    # --curve hilbert: same rewrite commit, Hilbert layout (round 13)
+    assert main(["store", "zorder", path, "--by", "a,b",
+                 "--curve", "hilbert", "--cpus", "4"]) == 0
+    assert capsys.readouterr().out.strip() == "v3"
+    snap3 = store.snapshot(3)
+    assert snap3.layout == "hilbert"
+    assert snap3.has_dim_stats("a") and snap3.has_dim_stats("b")
+    assert store.read(spark).count() == 1000
+
 
 def test_cli_store_vacuum(spark, tmp_path, capsys):
     import os

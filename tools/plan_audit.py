@@ -40,6 +40,7 @@ DISPOSITIONS = {
     "graph_pagerank_trade": "unrolled rank iterations: one exchange per iteration over 16-byte (node, rank) pairs; the iteration count is the algorithm, not a data re-read (runtime 6).",
     "join_relational_division": "count-cover division: per-customer count(DISTINCT priority) expands to Spark's two-phase distinct aggregate, plus the 5-row divisor distinct and its 1-row broadcast count — static 8 is those expansions, all keyed on custkey or broadcast; the alternative double-NOT-EXISTS plan re-scans orders per candidate.",
     "llm_ann_ivfpq_adc": "eval harness re-deriving exact top-k to grade the ADC approximation; the production op is the manifest-pruned probe at 2-3 exchanges; stages carry k-bounded candidates (static 9 -> runtime 5).",
+    "store_catalog_cdf_batch": "union of TWO member tables' keyed CDF feeds (read_changes_all): each feed is the store diff's full-outer classify (~4 exchanges) over batch-sized rewritten footprints, never the tables — the static 9 is 2 feeds + the final sort; per-table cost tracks that table's change footprint (runtime_metrics: 1.5k shuffle records at sf0.01).",
     "llm_ann_ivfpq_recall": "recall eval computes exact AND approximate top-k plus their join — the exact baseline exists only to grade the index (static 14 -> runtime 7 via reuse).",
     "llm_ann_recall_eval": "same eval family: brute-force baseline vs IVF candidates; stages carry (query, id, dist) triples bounded by k*|queries| (runtime 9).",
     "llm_bigram_logprob": "bigram LM: unigram agg + bigram agg + smoothing join + per-doc fold, each map-side combined over |distinct grams| (runtime 6).",

@@ -76,10 +76,16 @@ def _stage_rows(spark):
             pass
     store = jsc.statusStore()
     jvm = spark._jvm
-    empty_status = jvm.java.util.ArrayList()
-    empty_q = jvm.java.util.ArrayList()
-    empty_task = jvm.java.util.ArrayList()
-    seq = store.stageList(empty_status, False, False, empty_q, empty_task)
+    # Scala default args compile to `name$default$N` getters — use them
+    # for params 2-5 (details, withSummaries, quantiles double[], task
+    # statuses) so the call survives signature drift across versions.
+    seq = store.stageList(
+        jvm.java.util.ArrayList(),
+        getattr(store, "stageList$default$2")(),
+        getattr(store, "stageList$default$3")(),
+        getattr(store, "stageList$default$4")(),
+        getattr(store, "stageList$default$5")(),
+    )
     out = []
     for i in range(seq.size()):
         sd = seq.apply(i)
