@@ -133,6 +133,49 @@ def duplicate_spans(
     )
 
 
+def apply_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 15,
+) -> DataFrame:
+    """The APPLY step of exact-substring dedup: excise every duplicated
+    span :func:`duplicate_spans` found from every document — the
+    conservative remove-everywhere policy (a fully-duplicated document
+    comes back empty; keep-one-occurrence at the document level is the
+    keeper policies' job, see ``dedup_keep_best``). Returns (id,
+    kept_tokens, removed_tokens, cleaned_text).
+
+    Shape: the spans collect per doc (a FEW structs each — maximal
+    runs, not positions) and join back to the corpus; the excision is
+    one JVM ``filter`` lambda with the token index probed against the
+    span array — no token-level explode, no per-doc re-sort, so the
+    apply pass adds one broadcast-small join + a map-only projection
+    on top of the detection cost."""
+    spans = duplicate_spans(docs, text_col, id_col, min_len)
+    span_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("_spans")
+    )
+    toks_sql = f"split(trim(`{text_col}`), '\\\\s+')"
+    kept_sql = (
+        f"filter({toks_sql}, (x, i) -> NOT coalesce("
+        f"exists(_spans, s -> i >= s.span_start AND "
+        f"i < s.span_start + s.span_len), false))"
+    )
+    return (
+        docs.join(span_arr, id_col, "left")
+        .withColumn("_kept", F.expr(kept_sql))
+        .select(
+            F.col(id_col),
+            F.size("_kept").cast("bigint").alias("kept_tokens"),
+            (F.expr(f"size({toks_sql})") - F.size("_kept"))
+            .cast("bigint")
+            .alias("removed_tokens"),
+            F.concat_ws(" ", "_kept").alias("cleaned_text"),
+        )
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group by content hash; keep the smallest id as the canonical doc.
 

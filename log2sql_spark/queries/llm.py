@@ -1418,6 +1418,111 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dedup_substring_apply",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 60
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id,
+             'copy ' || CAST(doc_id AS VARCHAR)
+               || ' of prior document follows now ' || text AS text
+      FROM documents WHERE doc_id < 25
+    ),
+    tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM corpus
+    ),
+    pos AS (
+      SELECT doc_id, i - 1 AS pos, md5(array_to_string(toks[i:i+14], ' ')) AS h
+      FROM tok, LATERAL unnest(range(1, greatest(len(toks) - 13, 1))) AS g(i)
+    ),
+    dup AS (
+      SELECT doc_id, pos
+      FROM (SELECT *, count(*) OVER (PARTITION BY h) AS c FROM pos)
+      WHERE c >= 2
+    ),
+    runs AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       = pos - 1 THEN 0 ELSE 1 END AS brk
+      FROM dup
+    ),
+    rid AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+      FROM runs
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) - min(pos) + 15 AS span_len
+      FROM rid GROUP BY doc_id, run_id
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, unnest(range(span_start, span_start + span_len)) AS pos
+      FROM spans
+    ),
+    tokpos AS (
+      SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+      FROM tok, LATERAL unnest(range(1, len(toks) + 1)) AS g(i)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM tokpos t ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5
+      FROM kept GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(len(t.toks) - coalesce(a.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+           coalesce(a.cleaned_md5, md5('')) AS cleaned_md5
+    FROM corpus c
+    JOIN tok t USING (doc_id)
+    LEFT JOIN agg a ON a.doc_id = c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def llm_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of exact-substring dedup (round 13): excise every
+    duplicated span llm_dedup_substring detects from every document and
+    emit per-doc (kept_tokens, removed_tokens, md5(cleaned_text)) — the
+    transform that actually produces the cleaned corpus, remove-
+    everywhere policy (a fully-duplicated doc comes back empty with
+    md5('')). Hashing the reconstructed text makes the oracle check the
+    EXCISION itself — token order, boundaries, and whitespace joining —
+    not just the removal counts. Shape on top of detection: spans
+    collect per doc (a few structs, never positions), one left join
+    back to the corpus, and a map-only JVM filter lambda probing the
+    token index against the span array — no token explode, no per-doc
+    sort (operators/dedup.py::apply_duplicate_spans)."""
+    from log2sql_spark.operators.dedup import apply_duplicate_spans
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    orig = docs.filter(F.col("doc_id") < 60)
+    copies = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(
+            F.lit("copy "),
+            F.col("doc_id").cast("string"),
+            F.lit(" of prior document follows now "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    corpus = orig.unionByName(copies)
+    return (
+        apply_duplicate_spans(corpus, min_len=15)
+        .select(
+            "doc_id",
+            "kept_tokens",
+            "removed_tokens",
+            F.md5("cleaned_text").alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "llm_ann_recall_eval",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),

@@ -1672,3 +1672,70 @@ def quality_classifier_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "quality_classifier_brier_calibration",
+    oracle=r"""
+    WITH scored AS (
+      SELECT CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS y,
+             least(100, len(list_distinct(regexp_split_to_array(trim(text), '\s+')))) AS p
+      FROM documents
+    )
+    SELECT CAST(least(9, p // 10) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST((100 * sum(p)) // count(*) AS BIGINT) AS mean_p_bp,
+           CAST((10000 * sum(y)) // count(*) AS BIGINT) AS pos_rate_bp,
+           CAST(sum((p - 100 * y) * (p - 100 * y)) AS BIGINT) AS brier_num
+    FROM scored
+    GROUP BY least(9, p // 10)
+    ORDER BY bin
+    """,
+)
+def quality_classifier_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) curve + per-bin Brier numerators for
+    the quality classifier — the eval that says whether a score is an
+    honest PROBABILITY, which AUC (pure ranking) cannot: a perfectly
+    ranked but systematically over-confident score gates a 100 TB
+    corpus at the wrong threshold. The capped score is read as a
+    percent; per predicted-probability decile bin the output carries
+    mean predicted (bp), observed positive rate (bp), and the exact
+    integer Brier numerator sum((p - 100y)^2) — comparing mean_p_bp vs
+    pos_rate_bp per bin IS the reliability diagram, and
+    sum(brier_num)/(n*100^2) is the Brier score. All-integer
+    arithmetic (integer cross-multiplied rates, integer squared
+    residuals) so both engines hash identically; ONE map-side-combined
+    groupBy over <=10 bins — nothing here shuffles documents.
+
+    Reference analog: none; completes the classifier-eval family
+    (AUC ranking, PR trade-off, gains capture, kappa agreement,
+    calibration honesty)."""
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        F.when(F.col("text").like("%spark%"), 1).otherwise(0).alias("y"),
+        F.least(
+            F.lit(100),
+            F.size(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))),
+        ).alias("p"),
+    )
+    return (
+        scored.groupBy(
+            F.least(F.lit(9), F.expr("p div 10")).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("sy"),
+            F.sum("p").alias("sp"),
+            F.sum(
+                (F.col("p") - 100 * F.col("y")) * (F.col("p") - 100 * F.col("y"))
+            ).alias("brier_num"),
+        )
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            F.expr("(100 * sp) div n").cast("long").alias("mean_p_bp"),
+            F.expr("(10000 * sy) div n").cast("long").alias("pos_rate_bp"),
+            F.col("brier_num").cast("long").alias("brier_num"),
+        )
+        .orderBy("bin")
+    )
