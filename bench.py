@@ -1021,6 +1021,20 @@ def _dedup_100x_anchor() -> dict | None:
     return anchor
 
 
+def _substr_100x_anchor() -> dict | None:
+    """Same recorded-not-rerun pattern for the exact-substring dedup
+    family (tools/substr_100x.py): the per-round signal is
+    substr_dedup_linearity's one decade; this anchor pins the second
+    (5.5k -> 550k docs) for the round-13 duplicate_spans operator."""
+    p = os.path.join(_REPO, "tools", "substr_100x.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        anchor = json.load(f)
+    anchor["provenance"] = "tools/substr_100x.json (one-time run; see tools/substr_100x.py)"
+    return anchor
+
+
 def _md5_workload() -> None:
     import hashlib
 
@@ -1296,6 +1310,7 @@ def main() -> None:
         "ppjoin_linearity": ppjoin_lin,
         "store_lifecycle_linearity": lifecycle,
         "dedup_100x": _dedup_100x_anchor(),
+        "substr_100x": _substr_100x_anchor(),
         "sf1": sf1,
         "sf10_linearity": sf10,
         "sf": sf_val,
