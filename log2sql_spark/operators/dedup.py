@@ -105,17 +105,38 @@ def duplicate_spans(
     count (map-side partial), and there is no candidate pair join to
     blow up on duplicate clusters. Same-doc repeats count as
     duplicates, matching the reference algorithm."""
-    pos = docs.select(
+    pos = positional_window_hashes(docs, text_col, id_col, min_len)
+    dup = pos.withColumn(
+        "n", F.count("*").over(Window.partitionBy("h"))
+    ).filter(F.col("n") >= 2)
+    return merge_positions_to_spans(dup, id_col, min_len)
+
+
+def positional_window_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 15,
+) -> Column:
+    """(id, pos, h) — the md5 of the ``min_len``-token window starting
+    at each token offset. The positional index exact-substring dedup
+    runs on; hashes shuffle, never text."""
+    return docs.select(
         F.col(id_col),
         F.posexplode(word_ngrams_pos(F.col(text_col), min_len)).alias(
             "pos", "gram"
         ),
     ).select(id_col, "pos", F.md5("gram").alias("h"))
-    dup = pos.withColumn(
-        "n", F.count("*").over(Window.partitionBy("h"))
-    ).filter(F.col("n") >= 2)
+
+
+def merge_positions_to_spans(
+    dup_positions: DataFrame, id_col: str = "doc_id", min_len: int = 15
+) -> DataFrame:
+    """Per-doc run-merge: consecutive duplicated window positions
+    [a..b] become the maximal span (a, b - a + min_len). Shared by the
+    batch detector and the streaming incremental recompute."""
     w = Window.partitionBy(id_col).orderBy("pos")
-    runs = dup.withColumn(
+    runs = dup_positions.withColumn(
         "brk",
         F.when(F.lag("pos").over(w) == F.col("pos") - 1, F.lit(0)).otherwise(
             F.lit(1)
