@@ -973,6 +973,117 @@ def llm_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_kmeans_silhouette",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id % 25 = 0 AND vec_id < 625
+    ),
+    v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+    d AS (
+      SELECT id, cid, 1 - ({_cos_sql('vec', 'cvec')}) AS d FROM v, cent
+    ),
+    r AS (
+      SELECT id, cid, d,
+             row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+      FROM d
+    ),
+    p AS (
+      SELECT id,
+             max(CASE WHEN rn = 1 THEN cid END) AS cluster,
+             max(CASE WHEN rn = 1 THEN d END) AS a,
+             max(CASE WHEN rn = 2 THEN d END) AS b
+      FROM r WHERE rn <= 2 GROUP BY id
+    ),
+    s AS (
+      SELECT cluster,
+             CAST(floor(1e6 * CASE WHEN greatest(a, b) = 0 THEN 0.0
+                        ELSE (b - a) / greatest(a, b) END) AS BIGINT) AS s_ppm
+      FROM p
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(s_ppm) // count(*) AS BIGINT) AS mean_silhouette_ppm
+    FROM s GROUP BY cluster ORDER BY cluster
+    """,
+)
+def llm_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality eval: SIMPLIFIED silhouette (centroid-based —
+    Pampalk's variant; the O(n^2) pairwise form is exactly what a 100 TB
+    corpus cannot afford) per cluster over the embedding corpus. a =
+    cosine distance to the assigned (nearest) centroid, b = distance to
+    the runner-up, s = (b - a)/max(a, b) in [-0..1]: clusters whose mean
+    sits near 0 are the ones SemDeDup/k-means curation should not trust.
+    Completes the eval family the ANN side already has (recall@k for
+    IVF/PQ/LSH): the k-means trainer gets its quality number too.
+
+    Shape: |V| x 25 broadcast-centroid distances (map-side nested loop,
+    no corpus shuffle), ONE per-vector window shared by the assigned
+    and runner-up ranks, one groupBy(cluster). Cross-engine exactness:
+    both distances come from the same IEEE expression, per-vector s is
+    floor-quantized to ppm BEFORE aggregation, and the cluster mean is
+    an integer division of integer sums — no float-summation order
+    anywhere. Distance ties broken by centroid id on both engines."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    # FIXED 25-centroid codebook (vec_id % 25 == 0, < 625): the
+    # centroid count is a model parameter — deriving it from the corpus
+    # (every 25th vector) made |V| x |C| quadratic in the corpus and
+    # the sf1 budget run caught it at ~2000 centroids.
+    cent = emb.filter(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 625)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    # Per-SIDE norms computed once (the r5 IVF-assignment lesson: the
+    # pairwise expression would re-fold |a| and |b| per (vec, centroid)
+    # pair — 3x the flops for identical IEEE values).
+    from log2sql_spark.operators.similarity import _dot, _norm
+
+    vecs = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    ).withColumn("vn", _norm(F.col("vec")))
+    cent = cent.withColumn("cn", _norm(F.col("cvec")))
+    d = vecs.crossJoin(F.broadcast(cent)).select(
+        "id",
+        "cid",
+        (
+            F.lit(1)
+            - F.try_divide(
+                _dot(F.col("vec"), F.col("cvec")), F.col("vn") * F.col("cn")
+            )
+        ).alias("d"),
+    )
+    w = Window.partitionBy("id").orderBy("d", "cid")
+    per = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("cid"))).alias("cluster"),
+            F.max(F.when(F.col("rn") == 1, F.col("d"))).alias("a"),
+            F.max(F.when(F.col("rn") == 2, F.col("d"))).alias("b"),
+        )
+    )
+    s = per.select(
+        "cluster",
+        F.floor(
+            1e6
+            * F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
+                (F.col("b") - F.col("a")) / F.greatest("a", "b")
+            )
+        )
+        .cast("long")
+        .alias("s_ppm"),
+    )
+    return (
+        s.groupBy(F.col("cluster").cast("long").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("sum(s_ppm) div count(*)").cast("long").alias("mean_silhouette_ppm"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@query(
     "llm_knn_classify",
     oracle=f"""
     WITH q AS (
