@@ -117,7 +117,7 @@ def positional_window_hashes(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_len: int = 15,
-) -> Column:
+) -> DataFrame:
     """(id, pos, h) — the md5 of the ``min_len``-token window starting
     at each token offset. The positional index exact-substring dedup
     runs on; hashes shuffle, never text."""
@@ -165,7 +165,20 @@ def apply_duplicate_spans(
     conservative remove-everywhere policy (a fully-duplicated document
     comes back empty; keep-one-occurrence at the document level is the
     keeper policies' job, see ``dedup_keep_best``). Returns (id,
-    kept_tokens, removed_tokens, cleaned_text).
+    kept_tokens, removed_tokens, cleaned_text)."""
+    spans = duplicate_spans(docs, text_col, id_col, min_len)
+    return excise_spans(docs, spans, text_col=text_col, id_col=id_col)
+
+
+def excise_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Excise the given (id, span_start, span_len) token spans from
+    ``docs`` — the shared excision kernel of the batch apply above and
+    the streaming incremental apply (streaming/substr_stream.py).
 
     Shape: the spans collect per doc (a FEW structs each — maximal
     runs, not positions) and join back to the corpus; the excision is
@@ -173,7 +186,6 @@ def apply_duplicate_spans(
     span array — no token-level explode, no per-doc re-sort, so the
     apply pass adds one broadcast-small join + a map-only projection
     on top of the detection cost."""
-    spans = duplicate_spans(docs, text_col, id_col, min_len)
     span_arr = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_len")).alias("_spans")
     )

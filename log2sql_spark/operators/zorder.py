@@ -207,6 +207,7 @@ def _swap_in(path: str, tmp: str, suffix: str) -> None:
         os.rename(tmp, path)
     except BaseException:
         os.rename(old, path)  # roll back: the dataset stays readable
+        shutil.rmtree(tmp, ignore_errors=True)  # reclaim the orphaned rewrite
         raise
     shutil.rmtree(old, ignore_errors=True)
 
@@ -214,12 +215,16 @@ def _swap_in(path: str, tmp: str, suffix: str) -> None:
 def _recover_swap(path: str, suffix: str) -> None:
     """If a prior run died between the two swap renames, ``path`` is
     missing and the pre-rewrite data sits at ``<path><suffix>.old`` —
-    restore it before proceeding."""
+    restore it before proceeding. A leftover ``<path><suffix>.tmp``
+    from the aborted rewrite is reclaimed too (the rewrite will be
+    redone from scratch)."""
     import os
+    import shutil
 
     old = path.rstrip("/") + suffix + ".old"
     if not os.path.exists(path) and os.path.isdir(old):
         os.rename(old, path)
+        shutil.rmtree(path.rstrip("/") + suffix + ".tmp", ignore_errors=True)
 
 
 def zorder_parquet(

@@ -223,7 +223,12 @@ def cdc_update_flashback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE events (+500 cents) → flashback SQL restoring the original
     amount, in reverse position order (fixes README.md:23-27).
     ``apply_rank`` encodes the reverse ordering so the order-insensitive
-    hash still verifies it."""
+    hash still verifies it. The output is a serial rollback script, so
+    a TOTAL apply order is semantic — but the rank is computed
+    DISTRIBUTED (r14): per-128KiB-block row_number + cumulative block
+    offsets over |log bytes / 128KiB| (block, count) pairs, never a
+    single-task sort over the events themselves (positions are unique
+    byte offsets, so no tie-break is needed)."""
     rows = _orders_subset(spark, sf_dir)
     events = [
         {
@@ -239,12 +244,22 @@ def cdc_update_flashback(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _write_dump(events)
     cat = catalog_from_dict(spark, _CATALOG_SPEC)
     df = binlog_to_sql(spark, path, cat, flashback=True)
-    from pyspark.sql import Window as W
+    from log2sql_spark.operators.ranks import distributed_global_rank
 
-    return df.select(
-        "start_pos",
-        "sql_text",
-        (F.row_number().over(W.orderBy(F.desc("start_pos"))) - 1).cast("long").alias("apply_rank"),
+    return (
+        distributed_global_rank(
+            df,
+            "start_pos",
+            [],
+            descending=True,
+            coarse=F.floor(F.col("start_pos") / 131072),
+            out="__r",
+        )
+        .select(
+            "start_pos",
+            "sql_text",
+            (F.col("__r") - 1).cast("long").alias("apply_rank"),
+        )
     )
 
 
@@ -1511,10 +1526,12 @@ def cdc_flashback_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-pass printer cannot produce (README.md:23-27). apply_rank
     encodes that ordering for the order-insensitive hash; the oracle
     rebuilds every inverted statement and its rank by string
-    arithmetic."""
+    arithmetic. The total order is semantic (a serial rollback script),
+    but the rank is computed DISTRIBUTED (r14): per-FILE row_number
+    (position desc inside each rotation) + cumulative per-file count
+    offsets over |files| rows — the two-small-aggregates decomposition,
+    no single-task sort over the events."""
     import os as _os
-
-    from pyspark.sql import Window as W
 
     from log2sql_spark.cdc import binlog_to_sql
     from log2sql_spark.sources.binlog_fixture import render_binlog
@@ -1557,14 +1574,21 @@ def cdc_flashback_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     cat = catalog_from_dict(spark, _CATALOG_SPEC)
     df = binlog_to_sql(spark, paths, cat, flashback=True, start_datetime=ts_mid)
+    from log2sql_spark.operators.ranks import distributed_global_rank
+
     f_num = F.regexp_extract("file", r"mysql-bin\.(\d+)\.txt", 1).cast("int")
-    return df.select(
-        f_num.alias("f"),
+    ranked = distributed_global_rank(
+        df.withColumn("f", f_num),
+        "f",
+        [F.desc("start_pos")],
+        descending=True,
+        out="__r",
+    )
+    return ranked.select(
+        "f",
         "start_pos",
         "sql_text",
-        (
-            F.row_number().over(W.orderBy(F.desc(f_num), F.desc("start_pos"))) - 1
-        ).cast("long").alias("apply_rank"),
+        (F.col("__r") - 1).cast("long").alias("apply_rank"),
     ).orderBy("f", "start_pos")
 
 

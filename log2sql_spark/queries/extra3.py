@@ -1542,12 +1542,14 @@ def events_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     (integer form (9n+9) DIV 10), with a user_id tie-break so both
     engines select the same row even among equal latencies. No
     percentile_cont interpolation (float, engine-specific) and no
-    approx sketch — when the ranked set is PER-CONVERTED-USER (one
-    row per user after the funnel windows collapse the event stream)
-    the global sort is |users|-sized and an exact answer is cheap at
-    any event volume; the same plan over raw events would be wrong to
-    ship, which is precisely the aggregate-then-sort discipline the
-    rest of the suite's global sorts follow.
+    approx sketch — the ranked set is PER-CONVERTED-USER (one row per
+    user after the funnel windows collapse the event stream), and the
+    global rank is computed DISTRIBUTED (r14): per-latency-group
+    row_number + cumulative base rank over |distinct integer
+    latencies| (time-range-bounded, never |users|) via
+    ``distributed_global_rank``, and the total count as a 1-row
+    broadcast aggregate — no Exchange SinglePartition over row data,
+    unlike the oracle's global window, with bit-identical kth picks.
 
     Reference analog: none (extension surface, SURVEY.md §2.2).
     """
@@ -1583,13 +1585,13 @@ def events_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
             ).cast("long").alias("s"),
         )
     )
-    w = Window.orderBy("s", "user_id")
-    ranked = lat.select(
-        "s",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("n"),
+    from log2sql_spark.operators.ranks import distributed_global_rank
+
+    n_total = lat.agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        distributed_global_rank(lat, "s", ["user_id"], out="rn")
+        .crossJoin(F.broadcast(n_total))
+        .select("s", "rn", "n")
     )
     return ranked.groupBy(F.col("n").cast("long").alias("n_converted")).agg(
         F.min("s").cast("long").alias("min_s"),

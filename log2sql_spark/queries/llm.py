@@ -2809,6 +2809,84 @@ def llm_ann_indexed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_ann_drift_report",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centv
+      FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 625
+    ), base AS (
+      SELECT vec_id AS id, embedding AS vec FROM embeddings
+      WHERE vec_id % 2 = 0
+    ), allv AS (
+      SELECT vec_id AS id, embedding AS vec FROM embeddings
+    ), ab AS (
+      SELECT id, centroid_id,
+             row_number() OVER (PARTITION BY id
+               ORDER BY {_cos_sql('vec', 'centv')} DESC, centroid_id) AS rn
+      FROM base, cent
+    ), build_counts AS (
+      SELECT centroid_id, count(*) AS build_n FROM ab WHERE rn = 1 GROUP BY 1
+    ), al AS (
+      SELECT id, centroid_id,
+             row_number() OVER (PARTITION BY id
+               ORDER BY {_cos_sql('vec', 'centv')} DESC, centroid_id) AS rn
+      FROM allv, cent
+    ), live_counts AS (
+      SELECT centroid_id, count(*) AS live_n FROM al WHERE rn = 1 GROUP BY 1
+    ), cells AS (
+      SELECT centroid_id,
+             coalesce(build_n, 0) AS build_n,
+             coalesce(live_n, 0) AS live_n
+      FROM build_counts FULL OUTER JOIN live_counts USING (centroid_id)
+    ), tot AS (
+      SELECT sum(build_n) AS bt, sum(live_n) AS lt FROM cells
+    )
+    SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
+           CAST(build_n AS BIGINT) AS build_n,
+           CAST(live_n AS BIGINT) AS live_n,
+           CAST(10000 * build_n // bt AS BIGINT) AS build_share_bp,
+           CAST(10000 * live_n // lt AS BIGINT) AS live_share_bp,
+           CAST(abs(10000 * live_n // lt - 10000 * build_n // bt)
+                AS BIGINT) AS drift_bp,
+           CAST(abs(10000 * live_n // lt - 10000 * build_n // bt) >= 100
+                AS INTEGER) AS rebuild_cell
+    FROM cells, tot
+    ORDER BY centroid_id
+    """,
+)
+def llm_ann_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-balance drift monitor (r14, verdict #3): the index is
+    built from the even half of the corpus (persisting the build-time
+    per-cell histogram beside the centroid store), the odd half arrives
+    later via ``append_to_index`` against the frozen quantizer, and
+    ``index_drift_report`` compares live vs build per-cell corpus
+    shares in exact integer basis points — the rebuild trigger
+    ``append_to_index``'s docstring promises. A cell whose share moved
+    >= 100 bp flags rebuild_cell = 1. The FIXED 25-centroid codebook
+    (vec_id % 25 == 0 AND < 625 — the silhouette-query lesson: model
+    parameters, never corpus-derived) keeps the assignment |V| x 25 at
+    any scale; the monitor itself is one count aggregate over the index
+    + two |cells| joins + a 1-row totals broadcast. The oracle
+    re-derives both histograms from scratch assignments in SQL, so
+    every count, share, and verdict bit is hash-checked."""
+    import os
+
+    from log2sql_spark.operators.ann_index import (
+        append_to_index,
+        build_ivf_index,
+        index_drift_report,
+    )
+    from log2sql_spark.scratch import scratch_dir
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 625))
+    idx = os.path.join(scratch_dir("log2sql_anndrift_"), "ivf")
+    build_ivf_index(spark, idx, emb.filter(F.col("vec_id") % 2 == 0), centroids)
+    append_to_index(spark, idx, emb.filter(F.col("vec_id") % 2 == 1))
+    return index_drift_report(spark, idx, threshold_bp=100).orderBy("centroid_id")
+
+
+@query(
     "llm_tokenizer_fertility",
     oracle=r"""
     WITH per_doc AS (

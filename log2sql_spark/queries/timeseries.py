@@ -533,12 +533,22 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (recency / frequency / monetary
     quartiles) — the classic marketing-analytics rollup. One hash
-    aggregate builds the per-user profile; each quartile is an ntile
-    over the |users| profile rows with a user_id tie-break so bucket
-    edges are deterministic cross-engine. The global sorts run over
-    per-user PROFILES, never events — at 100 TB that is |users| rows,
-    and a real deployment would swap ntile for approx quantile cuts to
-    avoid even that (llm_approx_percentile shows the sketch)."""
+    aggregate builds the per-user profile; each quartile is an exact
+    ntile over the |users| profile rows with a user_id tie-break so
+    bucket edges are deterministic cross-engine.
+
+    Scale shape (r14): the oracle's three global ntile windows would
+    each pull every profile row onto ONE partition. The Spark side
+    derives the identical quartile assignment distributed via
+    ``distributed_global_rank`` (the gains-deciles decomposition):
+    per-group row_number + cumulative base rank over the distinct
+    coarse keys — recency coarsened to the DAY (calendar-bounded),
+    frequency grouped on itself (small-integer counts), monetary on
+    10-dollar buckets (value-range-bounded) — then ntile's bucket
+    arithmetic closed-form from the rank. Bit-identical to the
+    single-window oracle, no single-partition stage over row data."""
+    from log2sql_spark.operators.ranks import distributed_global_rank, ntile_from_rank
+
     events = load_table(spark, "events", sf_dir)
     rfm = (
         events.filter(F.col("event_type") == "purchase")
@@ -549,17 +559,27 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_CENTS("value")).alias("monetary"),
         )
     )
-    q = lambda col: F.ntile(4).over(  # noqa: E731
-        Window.orderBy(F.col(col), F.col("user_id"))
-    ).cast("bigint")
+    ranked = distributed_global_rank(
+        rfm, "last_ts", ["user_id"], coarse=F.to_date("last_ts"), out="r_rank"
+    )
+    ranked = distributed_global_rank(ranked, "frequency", ["user_id"], out="f_rank")
+    ranked = distributed_global_rank(
+        ranked,
+        "monetary",
+        ["user_id"],
+        coarse=F.floor(F.col("monetary") / 1000),
+        out="m_rank",
+    )
+    n_total = rfm.agg(F.count(F.lit(1)).alias("n_total"))
     return (
-        rfm.select(
+        ranked.crossJoin(F.broadcast(n_total))
+        .select(
             "user_id",
             "frequency",
             "monetary",
-            q("last_ts").alias("r_q"),
-            q("frequency").alias("f_q"),
-            q("monetary").alias("m_q"),
+            ntile_from_rank(F.col("r_rank"), F.col("n_total"), 4).alias("r_q"),
+            ntile_from_rank(F.col("f_rank"), F.col("n_total"), 4).alias("f_q"),
+            ntile_from_rank(F.col("m_rank"), F.col("n_total"), 4).alias("m_q"),
         )
         .orderBy("user_id")
     )
@@ -2126,9 +2146,15 @@ def events_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the targeting cutoff is read from. ntile is deterministic under
     its total order (score desc, user_id — the RFM precedent); both
     engines truncate the signed uplift toward zero (the Mann-Kendall
-    division verification). One per-user aggregate, one |users|-row
-    ntile sort, one 10-row window — events shuffle once."""
+    division verification). One per-user aggregate, one 10-row window
+    — events shuffle once, and the decile assignment is the
+    distributed gains-deciles decomposition (r14: per-score-group
+    row_number + cumulative base rank over |distinct scores| — scores
+    are small-integer engagement counts — + closed-form ntile), not a
+    single-partition |users|-row sort."""
     from pyspark.sql import Window as W
+
+    from log2sql_spark.operators.ranks import distributed_global_rank, ntile_from_rank
 
     events = load_table(spark, "events", sf_dir)
     users = events.groupBy("user_id").agg(
@@ -2139,8 +2165,13 @@ def events_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("converted"),
     ).withColumn("variant", F.col("user_id") % 2)
-    ranked = users.withColumn(
-        "decile", F.ntile(10).over(W.orderBy(F.desc("score"), F.asc("user_id")))
+    n_total = users.agg(F.count(F.lit(1)).alias("n_total"))
+    ranked = (
+        distributed_global_rank(
+            users, "score", ["user_id"], descending=True, out="rank"
+        )
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("decile", ntile_from_rank(F.col("rank"), F.col("n_total"), 10))
     )
     per = ranked.groupBy("decile").agg(
         F.count(F.when(F.col("variant") == 1, 1)).cast("long").alias("t_n"),
@@ -2865,7 +2896,14 @@ def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Classic SAX derives breakpoints from the Gaussian over z-normalized
     values (floats); the equi-depth variant keeps the whole pipeline
     integer-exact cross-engine and adapts to the actual distribution.
-    Shape: two map-side-combinable aggregates + one 30-row window."""
+    Shape: two map-side-combinable aggregates + one 30-row window.
+
+    Unpartitioned-window disposition (r14 audit): the global ntile's
+    input is the PAA relation — at most |event_types| x 6 month
+    segments (calendar-bounded, ~30 rows at any data scale), so the
+    single-partition stage is over a fixed-size post-aggregate
+    relation, not row data; the RFM/uplift/funnel family, whose ntile
+    inputs grow with |users|, uses distributed_global_rank instead."""
     events = load_table(spark, "events", sf_dir)
     daily = events.groupBy(
         "event_type", F.date_trunc("day", "ts").cast("date").alias("d")

@@ -184,8 +184,21 @@ class CatalogCdfStreamReader(SimpleDataSourceStreamReader):
             old = old_vec.get(name)
             lo = old["version"] if old else 0
             hi = entry["version"]
-            if hi <= lo:
-                continue  # unmoved pin (or re-pointed backward): no changes
+            if hi == lo:
+                continue  # unmoved pin: no changes
+            if hi < lo:
+                # A restore/re-point to an OLDER store version. Silently
+                # advancing would be indistinguishable from "no change"
+                # downstream while history the subscriber already saw is
+                # being rewritten — fail loudly (mirror of the
+                # expired-version error) so the consumer resubscribes
+                # from a fresh offset instead of reading a torn feed.
+                raise ValueError(
+                    f"catalog_cdf: table {name!r} pin moved backward "
+                    f"({lo} -> {hi}) at catalog v{version} — the feed is "
+                    "no longer append-consistent for this table; restart "
+                    "the subscription from the current catalog version"
+                )
             store = SnapshotStore(entry["path"])
             reader = self._store_reader(entry["path"])
             for sv in range(lo + 1, hi + 1):

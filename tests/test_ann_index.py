@@ -106,3 +106,53 @@ def test_append_to_index_matches_fresh_build(spark, tmp_path):
     direct = ivf_topk(queries, emb, centroids, k=5, nprobe=3)
     indexed = ivf_topk_indexed(spark, idx, queries, k=5, nprobe=3)
     assert _rows(indexed) == _rows(direct)
+
+
+def test_drift_report_flips_on_skewed_append(spark, tmp_path):
+    """index_drift_report (r14, verdict #3): balanced at build time ->
+    every cell verdict 0; after a batch concentrated on ONE cell
+    appends, that cell's share moves past the threshold and its
+    rebuild_cell verdict flips to 1 — the rebuild trigger
+    append_to_index documents."""
+    from log2sql_spark.operators.ann_index import (
+        append_to_index,
+        index_drift_report,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    centroids = emb.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 625))
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, idx, emb, centroids)
+
+    # build-time histogram persisted beside the centroid store
+    hist = SnapshotStore(idx + "_build_hist").read(spark)
+    n_total = load_table(spark, "embeddings", SF).count()
+    assert hist.agg(F.sum("build_n")).head()[0] == n_total
+
+    # freshly built: live == build everywhere, zero drift
+    rep0 = index_drift_report(spark, idx, threshold_bp=100)
+    assert rep0.filter(F.col("rebuild_cell") == 1).count() == 0
+    assert rep0.agg(F.max("drift_bp")).head()[0] == 0
+
+    # skewed append: many copies of one cell's member vectors (fresh
+    # ids) — assignment against the frozen quantizer lands them all in
+    # the same cell
+    hot = emb.filter(F.col("vec_id") == 1).select("embedding")
+    n_hot = max(50, n_total // 3)
+    skew = (
+        spark.range(n_hot)
+        .select((F.col("id") + 1_000_000).alias("vec_id"))
+        .crossJoin(F.broadcast(hot))
+    )
+    append_to_index(spark, idx, skew)
+
+    rep1 = index_drift_report(spark, idx, threshold_bp=100)
+    flagged = rep1.filter(F.col("rebuild_cell") == 1)
+    assert flagged.count() >= 1
+    # the flagged cell is the one that GAINED share
+    top = flagged.orderBy(F.desc("drift_bp")).head()
+    assert top.live_share_bp > top.build_share_bp
+    # counts reconcile: live total = build total + appended rows
+    assert rep1.agg(F.sum("live_n")).head()[0] == n_total + n_hot
+    # the build-time reference histogram is immutable under appends
+    assert rep1.agg(F.sum("build_n")).head()[0] == n_total

@@ -191,3 +191,34 @@ def test_batch_twin_matches_stream(spark, tmp_path):
         ("cur", 3, 30, "insert"),
         ("hist", 103, 31, "insert"),
     }
+
+
+def test_backward_pin_raises_instead_of_silent_skip(spark, tmp_path):
+    """A table restored/re-pointed to an OLDER store version must fail
+    the feed loudly (r13 advice): silently skipping the rewind while the
+    offset advances is indistinguishable from 'no change' downstream,
+    yet history the subscriber already consumed has been rewritten."""
+    root, out, ckpt = tmp_path / "cat", tmp_path / "out", tmp_path / "ckpt"
+    cat = _mkcat(spark, root)
+    _txn(spark, cat, 3, 30)                  # catalog v3: cur -> store v2
+    _drain(spark, root, out, ckpt, key="k")  # consumer caught up through v3
+    # Re-point cur BACKWARD to store v1 (a restore-style re-point) -> v4.
+    cur_path = cat.snapshot()["tables"]["cur"]["path"]
+    cat._commit_pins({"cur": (cur_path, 1)})
+    q = (
+        spark.readStream.format("catalog_cdf")
+        .option("key", "k")
+        .load(str(root))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination(120)
+        exc = q.exception()
+        if exc is not None:
+            raise exc
+        raise AssertionError("backward pin was consumed without error")
+    assert "moved backward" in str(ei.value)

@@ -350,3 +350,43 @@ def test_hilbert_nd_box_pruning_beats_zorder_at_3d(spark, tmp_path):
         h_total += h_hit
         z_total += z_hit
     assert h_total <= z_total, (h_total, z_total)
+
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_hilbert_key_nd_matches_python_reference_at_production_bits(spark, n):
+    """Sampled SQL-vs-Python parity at bits=16 — the clamped PRODUCTION
+    default every store write uses (r13 advice: the full-grid tests pin
+    only bits<=4, leaving the high-bit paths of the SQL expression —
+    shiftleft widths, the 62-bit clamp — untested point-for-point).
+    Random coordinate sample plus the two grid corners, which pin the
+    min/max bounds so the double normalization is replicated exactly
+    in the Python expectation (same IEEE op sequence, same toward-zero
+    truncation)."""
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from log2sql_spark.operators.zorder import hilbert_index_py, hilbert_key_nd
+
+    bits = 16
+    top = (1 << bits) - 1
+    rng = random.Random(20260816 + n)
+    pts = {tuple(rng.randrange(top + 1) for _ in range(n)) for _ in range(300)}
+    pts |= {tuple([0] * n), tuple([top] * n)}  # pin lo=0, hi=top
+    cols = ["x", "y", "z"][:n]
+    df = spark.createDataFrame(
+        sorted(pts), ", ".join(f"{c} long" for c in cols)
+    )
+    got = {
+        tuple(r[c] for c in cols): r.h
+        for r in df.withColumn("h", hilbert_key_nd(df, cols, bits=bits)).collect()
+    }
+
+    def norm(v: int) -> int:  # replicate _norm_exprs' double arithmetic
+        return int((float(v) - 0.0) / float(top) * top)
+
+    for p in pts:
+        want = hilbert_index_py([norm(v) for v in p], bits)
+        assert got[p] == want, (p, got[p], want)
+    # every index fits under the bigint sign bit (the 62-bit clamp)
+    assert all(0 <= h < (1 << (n * bits)) for h in got.values())

@@ -384,3 +384,63 @@ def test_agg_percentiles_has_no_percentile_buffer(spark, qs):
     assert "percentile" not in plan.lower(), plan[:2000]
     assert "ObjectHashAggregate" not in plan, plan[:2000]
     assert "HashAggregate" in plan
+
+
+# ---- r14: unpartitioned-window audit flag (verdict #1) --------------------
+
+
+def test_unpartitioned_raw_window_flag_fires_and_stays_quiet(spark):
+    """Liveness for plan_audit's gwin flag: a global-ORDER-BY window
+    over raw rows must count; a partitioned window, a post-aggregate
+    global window, and a limit-bounded top-k rank window must not."""
+    from pyspark.sql import Window
+
+    from log2sql_spark.plans.explain import unpartitioned_raw_window_count
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+
+    raw_global = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("o_orderkey"))
+    )
+    assert unpartitioned_raw_window_count(raw_global) == 1
+
+    partitioned = df.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        ),
+    )
+    assert unpartitioned_raw_window_count(partitioned) == 0
+
+    post_agg = (
+        df.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cum", F.sum("n").over(Window.orderBy("o_orderpriority")))
+    )
+    assert unpartitioned_raw_window_count(post_agg) == 0
+
+    topk = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+    ).filter(F.col("rn") <= 10)
+    assert unpartitioned_raw_window_count(topk) == 0
+
+
+def test_migrated_rank_queries_have_no_single_partition_row_stage(spark, qs):
+    """The r14 global-ntile/rank migrations (RFM, uplift deciles, funnel
+    quantiles, both flashback ranks) carry no unpartitioned window over
+    non-aggregated input, and the replacement partitioned row_number is
+    present (the closed-form ntile replaced F.ntile entirely)."""
+    from log2sql_spark.plans.explain import unpartitioned_raw_window_count
+
+    for name in (
+        "events_rfm_segmentation",
+        "events_uplift_by_decile",
+        "events_funnel_latency_quantiles",
+        "cdc_update_flashback",
+        "cdc_flashback_point_in_time",
+    ):
+        df = qs[name](spark, SF)
+        assert unpartitioned_raw_window_count(df) == 0, name
+        plan = explain_str(df)
+        assert "row_number" in plan, name
+        assert "ntile" not in plan, name

@@ -24,6 +24,7 @@ from log2sql_spark.plans.explain import (  # noqa: E402
     explain_str,
     pushed_filters,
     shuffle_count,
+    unpartitioned_raw_window_count,
 )
 
 
@@ -35,10 +36,13 @@ from log2sql_spark.plans.explain import (  # noqa: E402
 # fails the audit: every future flag must be adjudicated or fixed.
 DISPOSITIONS = {
     "events_cohort_ltv_curve": "cohort LTV = first-seen agg + revenue join + (cohort, age) rollup + cohort-size agg + running window: the 6 static exchanges are those stages, and the first_seen subtree (referenced by both the revenue join and the size agg) reuses at runtime; every post-join stage runs over |cohorts x ages|, never events (sf1 1.47 s).",
-    "events_funnel_latency_quantiles": "3-stage funnel needs one min-agg per stage by definition + exact-quantile cum window over |distinct latencies|; every aggregate map-side combined over |users|, raw events scanned once (runtime 5).",
+    "events_funnel_latency_quantiles": "3-stage funnel (one min-agg per stage by definition) + the r14 distributed exact-rank decomposition (distributed_global_rank: latency-group counts, cum offsets over |distinct integer latencies|, per-group row_number, broadcast base join, 1-row total broadcast) replacing the old single-partition window; the static 20 is the funnel subtree restated by the rank's three consumers — exchange reuse collapses it at runtime, every stage keyed over |users| or |distinct latencies|, raw events scanned once (sf1 2.26 s).",
+    "events_rfm_segmentation": "three exact quartiles via distributed_global_rank chained on one per-user profile aggregate — each rank contributes a group-count agg + a partitioned row_number + a broadcast base join (x3 = the static 24; the profile subtree is restated per rank and reuses at runtime); every exchange carries per-user PROFILE rows or tiny distinct-group relations (day buckets / small-int frequencies / 10-dollar monetary buckets), never events, and no Exchange SinglePartition over row data — the single-window alternative is 4 exchanges with |users| rows on one task (sf1 2.29 s).",
+    "events_uplift_by_decile": "uplift harness: per-user aggregate + distributed gains-deciles decile assignment (group counts over |distinct small-int scores|, partitioned row_number, broadcast base + 1-row total) + per-decile rollup + 10-row cum window; static 9 = those stages, all over per-user rows or tinier (sf1 1.42 s).",
     "events_markov_prediction_eval": "train/eval harness: transition counts, per-state argmax, next-event join, accuracy rollup — each stage over |state pairs| << events (runtime 6).",
     "graph_pagerank_trade": "unrolled rank iterations: one exchange per iteration over 16-byte (node, rank) pairs; the iteration count is the algorithm, not a data re-read (runtime 6).",
     "join_relational_division": "count-cover division: per-customer count(DISTINCT priority) expands to Spark's two-phase distinct aggregate, plus the 5-row divisor distinct and its 1-row broadcast count — static 8 is those expansions, all keyed on custkey or broadcast; the alternative double-NOT-EXISTS plan re-scans orders per candidate.",
+    "llm_ann_drift_report": "drift monitor = one count aggregate over the index + full-outer join of two |cells| histograms + 1-row totals broadcast; the static 6 includes the hist-store and index scans' exchanges, all over |cells| (25) rows — runtime_metrics: 81 shuffle records at sf0.01; sf10 probe 7.2 s warm, ratio 1.61x vs sf1.",
     "llm_ann_ivfpq_adc": "eval harness re-deriving exact top-k to grade the ADC approximation; the production op is the manifest-pruned probe at 2-3 exchanges; stages carry k-bounded candidates (static 9 -> runtime 5).",
     "store_catalog_cdf_batch": "union of TWO member tables' keyed CDF feeds (read_changes_all): each feed is the store diff's full-outer classify (~4 exchanges) over batch-sized rewritten footprints, never the tables — the static 9 is 2 feeds + the final sort; per-table cost tracks that table's change footprint (runtime_metrics: 1.5k shuffle records at sf0.01).",
     "llm_ann_ivfpq_recall": "recall eval computes exact AND approximate top-k plus their join — the exact baseline exists only to grade the index (static 14 -> runtime 7 via reuse).",
@@ -91,16 +95,21 @@ def main() -> int:
                     len(pushed_filters(df)),
                     "PY!" if "BatchEvalPython" in plan else "",
                     "pandas" if ("InPandas" in plan or "ArrowEvalPython" in plan) else "",
+                    unpartitioned_raw_window_count(df),
                 )
             )
         except Exception as exc:  # noqa: BLE001
-            rows.append((name, -1, -1, -1, f"ERR {str(exc)[:40]}", ""))
-    print(f"{'query':38} {'xchg':>4} {'bcast':>5} {'push':>4}  flags")
-    for name, xchg, bcast, push, py, pandas in sorted(rows):
+            rows.append((name, -1, -1, -1, f"ERR {str(exc)[:40]}", "", 0))
+    print(f"{'query':38} {'xchg':>4} {'bcast':>5} {'push':>4} {'gwin':>4}  flags")
+    for name, xchg, bcast, push, py, pandas, gwin in sorted(rows):
         flags = " ".join(x for x in (py, pandas) if x)
-        print(f"{name:38} {xchg:>4} {bcast:>5} {push:>4}  {flags}")
-    worst = [r for r in rows if r[1] >= 6 or r[4] == "PY!"]
-    print(f"\n{len(rows)} queries; {len(worst)} flagged (>=6 shuffles or row-Python)")
+        print(f"{name:38} {xchg:>4} {bcast:>5} {push:>4} {gwin:>4}  {flags}")
+    worst = [r for r in rows if r[1] >= 6 or r[4] == "PY!" or r[6] > 0]
+    print(
+        f"\n{len(rows)} queries; {len(worst)} flagged "
+        "(>=6 shuffles, row-Python, or an unpartitioned window over "
+        "non-aggregated input)"
+    )
     print("\n## Flagged-plan dispositions\n")
     missing = []
     for name, xchg, *_ in sorted(worst):
