@@ -1035,6 +1035,23 @@ def _substr_100x_anchor() -> dict | None:
     return anchor
 
 
+def _substr_compact_anchor() -> dict | None:
+    """Recorded-not-rerun anchor for the substr-stream store lifecycle
+    (tools/substr_compact_bench.py, r14 verdict #2): ~50 micro-batches,
+    then compact_substr_store — file counts and current_spans read
+    seconds before/after, span set verified identical. Re-run the tool
+    when the substr store layout changes."""
+    p = os.path.join(_REPO, "tools", "substr_compact.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        anchor = json.load(f)
+    anchor["provenance"] = (
+        "tools/substr_compact.json (one-time run; see tools/substr_compact_bench.py)"
+    )
+    return anchor
+
+
 def _md5_workload() -> None:
     import hashlib
 
@@ -1311,6 +1328,7 @@ def main() -> None:
         "store_lifecycle_linearity": lifecycle,
         "dedup_100x": _dedup_100x_anchor(),
         "substr_100x": _substr_100x_anchor(),
+        "substr_compaction": _substr_compact_anchor(),
         "sf1": sf1,
         "sf10_linearity": sf10,
         "sf": sf_val,
