@@ -1035,6 +1035,20 @@ def _substr_100x_anchor() -> dict | None:
     return anchor
 
 
+def _asof_100x_anchor() -> dict | None:
+    """Same recorded-not-rerun pattern for the as-of join kernel
+    (tools/asof_100x.py, round 14): the per-round signal is the
+    join_asof headline query; this anchor pins full-table events x
+    orders at 100x rows for the union+window one-shuffle plan."""
+    p = os.path.join(_REPO, "tools", "asof_100x.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        anchor = json.load(f)
+    anchor["provenance"] = "tools/asof_100x.json (one-time run; see tools/asof_100x.py)"
+    return anchor
+
+
 def _substr_compact_anchor() -> dict | None:
     """Recorded-not-rerun anchor for the substr-stream store lifecycle
     (tools/substr_compact_bench.py, r14 verdict #2): ~50 micro-batches,
@@ -1328,6 +1342,7 @@ def main() -> None:
         "store_lifecycle_linearity": lifecycle,
         "dedup_100x": _dedup_100x_anchor(),
         "substr_100x": _substr_100x_anchor(),
+        "asof_100x": _asof_100x_anchor(),
         "substr_compaction": _substr_compact_anchor(),
         "sf1": sf1,
         "sf10_linearity": sf10,

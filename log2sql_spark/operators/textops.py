@@ -292,6 +292,140 @@ def with_c4_line_stats(
     ).drop("_w", "_chunks")
 
 
+GOPHER_REP_NS = [2, 3, 4, 5, 10]
+
+
+def repetition_char_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_words: int = 12,
+) -> DataFrame:
+    """Gopher repetition filters in their published CHARACTER-fraction
+    form (Rae et al. 2021, Table A1) — the complement to
+    ``repetition_metrics`` (count fractions) and ``with_gopher_rules``
+    (word/line rules).
+
+    Per document, as exact integers:
+
+    - ``n_lines`` / ``dup_lines`` / ``dup_line_chars`` — duplicate-line
+      count and the characters in beyond-first occurrences, over the
+      same deterministic ``line_words``-word chunks as
+      ``with_c4_line_stats`` (the synthetic corpus is one line per doc,
+      so the chunking is part of the cross-engine contract).
+    - ``top{2,3,4}_chars`` — characters covered by the most frequent
+      word n-gram (count × joined length). Ties break by
+      (count, length, md5) descending in BOTH engines, so the verdict
+      is deterministic.
+    - ``dup{5,10}_chars`` — characters in beyond-first occurrences of
+      duplicated n-grams, i.e. Σ (count−1)·len over grams with
+      count ≥ 2. This is the occurrence-sum form (what Dolma/DataTrove
+      compute per gram), not Gopher's positional character-coverage —
+      overlapping occurrences are counted per occurrence, a documented
+      superset that keeps the metric a pure aggregate.
+    - ``rep_pass`` — the Table A1 thresholds (dup-line ≤30%, dup-line
+      chars ≤20%, top 2/3/4-gram ≤20/18/16%, dup 5/10-gram ≤15/10% of
+      ``length(text)``), each evaluated by integer cross-multiplication
+      so the verdict hashes identically cross-engine.
+
+    Plan shape: one explode of per-doc (n, md5, len) structs → ONE
+    count aggregate keyed (doc, n, hash) (map-side partial) → per-doc
+    rollup. The shuffle carries 16-byte digests and small ints, never
+    gram text; every key is doc-bounded, so at 100 TB this scales as a
+    map-combine word-count, the cheapest distributed shape there is.
+    """
+    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    base = docs.select("doc_id", F.length("text").cast("long").alias("text_chars"))
+    # Stage the word array as a real column — lambdas below must slice a
+    # plain attribute, not the split() expression (the with_c4_line_stats
+    # O(n²) lesson: the expression re-tokenizes per element otherwise).
+    staged = docs.withColumn("_w", _words(F.col("text")))
+    words = F.col("_w")
+
+    n_chunks = F.ceil(F.size(words) / F.lit(line_words)).cast("int")
+    lines = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+            lambda i: F.array_join(F.slice(words, i * line_words + 1, line_words), " "),
+        ),
+        lambda c: F.length(c) > 0,
+    )
+
+    def grams(n: int) -> Column:
+        # Guard: Spark sequence(1, k) with k < 1 DESCENDS instead of
+        # returning empty — short docs must yield an empty gram list.
+        return F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - n + 1),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            ),
+        ).otherwise(F.expr("array()").cast("array<string>"))
+
+    def tagged(n: int, arr: Column) -> Column:
+        return F.transform(
+            arr,
+            lambda g: F.struct(
+                F.lit(n).cast("int").alias("n"),
+                F.md5(g).alias("h"),
+                F.length(g).cast("long").alias("glen"),
+            ),
+        )
+
+    all_grams = F.concat(tagged(0, lines), *[tagged(n, grams(n)) for n in GOPHER_REP_NS])
+    cnt = (
+        staged.select("doc_id", F.explode(all_grams).alias("g"))
+        .select("doc_id", "g.n", "g.h", "g.glen")
+        .groupBy("doc_id", "n", "h")
+        # glen is functionally determined by h; max() is just the legal
+        # way to carry it through the aggregate.
+        .agg(F.count("*").alias("c"), F.max("glen").alias("glen"))
+    )
+    per_n = cnt.groupBy("doc_id", "n").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") - 1).alias("dupx"),
+        F.sum((F.col("c") - 1) * F.col("glen")).alias("dupch"),
+        F.max(F.struct("c", "glen", "h")).alias("top"),
+    )
+
+    def pick(n: int, col: str) -> Column:
+        return F.sum(F.when(F.col("n") == n, F.col(col)))
+
+    per_doc = per_n.select(
+        "doc_id", "n", "total", "dupx", "dupch",
+        (F.col("top.c") * F.col("top.glen")).alias("topch"),
+    ).groupBy("doc_id").agg(
+        pick(0, "total").alias("n_lines"),
+        pick(0, "dupx").alias("dup_lines"),
+        pick(0, "dupch").alias("dup_line_chars"),
+        pick(2, "topch").alias("top2_chars"),
+        pick(3, "topch").alias("top3_chars"),
+        pick(4, "topch").alias("top4_chars"),
+        pick(5, "dupch").alias("dup5_chars"),
+        pick(10, "dupch").alias("dup10_chars"),
+    )
+
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    metrics = [
+        "n_lines", "dup_lines", "dup_line_chars", "top2_chars",
+        "top3_chars", "top4_chars", "dup5_chars", "dup10_chars",
+    ]
+    joined = base.join(per_doc, "doc_id", "left").select(
+        "doc_id", "text_chars", *[z(m).alias(m) for m in metrics]
+    )
+    tc = F.col("text_chars")
+    passes = (
+        (F.lit(10) * F.col("dup_lines") <= F.lit(3) * F.col("n_lines"))
+        & (F.lit(5) * F.col("dup_line_chars") <= tc)
+        & (F.lit(5) * F.col("top2_chars") <= tc)
+        & (F.lit(50) * F.col("top3_chars") <= F.lit(9) * tc)
+        & (F.lit(25) * F.col("top4_chars") <= F.lit(4) * tc)
+        & (F.lit(20) * F.col("dup5_chars") <= F.lit(3) * tc)
+        & (F.lit(10) * F.col("dup10_chars") <= tc)
+    )
+    return joined.select("*", passes.cast("int").alias("rep_pass"))
+
+
 def with_code_prose_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Append code-vs-prose detection features + the verdict — the
     curation signal a pretraining mix uses to route documents to a

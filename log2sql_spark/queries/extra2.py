@@ -1488,6 +1488,262 @@ def er_blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "er_fellegi_sunter_weights",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(c_custkey AS BIGINT) AS id, lower(c_name) AS name,
+             c_acctbal AS bal, CAST(c_nationkey AS INTEGER) AS nat,
+             c_mktsegment AS seg
+      FROM customer WHERE c_custkey < 2000
+    ), dirty AS (
+      SELECT id + 100000 AS id,
+             name[:len(name)-1] || 'x' AS name,
+             CASE WHEN id % 2 = 0 THEN bal + 1 ELSE bal END AS bal,
+             nat,
+             CASE WHEN id % 3 = 0 THEN reverse(seg) ELSE seg END AS seg
+      FROM base WHERE id % 7 = 0
+    ), recs AS (
+      SELECT * FROM base UNION ALL SELECT * FROM dirty
+    ), cand AS (
+      SELECT CAST(b.id = a.id + 100000 AS INT) AS is_true,
+             CAST(a.name = b.name AS INT) AS ag_name,
+             CAST(a.bal = b.bal AS INT) AS ag_bal,
+             CAST(a.nat = b.nat AS INT) AS ag_nat,
+             CAST(a.seg = b.seg AS INT) AS ag_seg
+      FROM recs a JOIN recs b
+        ON substr(a.name, 10, 8) = substr(b.name, 10, 8)
+       AND a.id < b.id
+    ), tot AS (
+      SELECT CAST(sum(is_true) AS BIGINT) AS n_true,
+             CAST(sum(1 - is_true) AS BIGINT) AS n_false,
+             CAST(sum(is_true * ag_name) AS BIGINT) AS t_name,
+             CAST(sum((1 - is_true) * ag_name) AS BIGINT) AS f_name,
+             CAST(sum(is_true * ag_bal) AS BIGINT) AS t_bal,
+             CAST(sum((1 - is_true) * ag_bal) AS BIGINT) AS f_bal,
+             CAST(sum(is_true * ag_nat) AS BIGINT) AS t_nat,
+             CAST(sum((1 - is_true) * ag_nat) AS BIGINT) AS f_nat,
+             CAST(sum(is_true * ag_seg) AS BIGINT) AS t_seg,
+             CAST(sum((1 - is_true) * ag_seg) AS BIGINT) AS f_seg
+      FROM cand
+    )
+    SELECT u.field, tot.n_true, tot.n_false,
+           u.agree_true, u.agree_false,
+           CAST(u.agree_true * 10000 // tot.n_true AS BIGINT) AS m_bp,
+           CAST(u.agree_false * 10000 // tot.n_false AS BIGINT) AS u_bp
+    FROM tot, (
+      SELECT 'acctbal' AS field, t_bal AS agree_true, f_bal AS agree_false FROM tot
+      UNION ALL SELECT 'name_exact', t_name, f_name FROM tot
+      UNION ALL SELECT 'nation', t_nat, f_nat FROM tot
+      UNION ALL SELECT 'segment', t_seg, f_seg FROM tot
+    ) u
+    ORDER BY field
+    """,
+)
+def er_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter (JASA 1969) parameter estimation — the
+    probabilistic-record-linkage step between er_blocking_quality_eval
+    (candidate generation) and er_customer_survivorship (merge): the
+    per-field m-probability (agreement rate among TRUE matched pairs)
+    and u-probability (among false candidate pairs), in truncating
+    basis points from exact integer counts. log2(m/u) per field is the
+    classic match weight; the logs stay OUT of the query (cross-engine
+    libm drift) — consumers derive them from the exact m_bp/u_bp.
+
+    The corpus is er_blocking's: customers + planted dirty twins
+    behind the substr(10,8) block key, with a deterministic per-field
+    perturbation model (name always perturbed -> m=0 shows a
+    fully-broken field; acctbal perturbed for even ids -> m~5000;
+    nation copied -> m=10000 with a data-dependent u from the real
+    25-nation distribution; segment perturbed for id%3=0). The u side
+    is measured from real non-match field collisions, not synthesized.
+
+    Plan: the blocked self-join (bounded by block sizes — the point of
+    blocking), one aggregate folding all per-field agreement counts in
+    a single pass (no per-field re-scan), a 4-row stack. At 100 TB the
+    cost is the candidate join er_blocking_quality_eval already
+    bounds; everything downstream is one map-side-combined aggregate.
+
+    Reference analog: none (LLM-pipeline extension, SURVEY.md §2.2).
+    """
+    customer = load_table(spark, "customer", sf_dir)
+    base = customer.filter(F.col("c_custkey") < 2000).select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.lower("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_nationkey").cast("int").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    dirty = base.filter(F.col("id") % 7 == 0).select(
+        (F.col("id") + 100000).alias("id"),
+        F.concat(
+            F.expr("substring(name, 1, length(name) - 1)"), F.lit("x")
+        ).alias("name"),
+        F.when(F.col("id") % 2 == 0, F.col("bal") + 1).otherwise(F.col("bal")).alias("bal"),
+        F.col("nat"),
+        F.when(F.col("id") % 3 == 0, F.reverse(F.col("seg"))).otherwise(F.col("seg")).alias("seg"),
+    )
+    recs = base.unionByName(dirty)
+    a, b = recs.alias("a"), recs.alias("b")
+    cand = a.join(
+        b,
+        (F.expr("substring(a.name, 10, 8)") == F.expr("substring(b.name, 10, 8)"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        (F.col("b.id") == F.col("a.id") + 100000).cast("int").alias("is_true"),
+        (F.col("a.name") == F.col("b.name")).cast("int").alias("ag_name"),
+        (F.col("a.bal") == F.col("b.bal")).cast("int").alias("ag_bal"),
+        (F.col("a.nat") == F.col("b.nat")).cast("int").alias("ag_nat"),
+        (F.col("a.seg") == F.col("b.seg")).cast("int").alias("ag_seg"),
+    )
+    one = F.lit(1)
+    tot = cand.agg(
+        F.sum("is_true").cast("long").alias("n_true"),
+        F.sum(one - F.col("is_true")).cast("long").alias("n_false"),
+        *[
+            x
+            for f in ("name", "bal", "nat", "seg")
+            for x in (
+                F.sum(F.col("is_true") * F.col(f"ag_{f}")).cast("long").alias(f"t_{f}"),
+                F.sum((one - F.col("is_true")) * F.col(f"ag_{f}")).cast("long").alias(f"f_{f}"),
+            )
+        ],
+    )
+    return tot.select(
+        F.expr(
+            "stack(4, 'acctbal', t_bal, f_bal, 'name_exact', t_name, f_name,"
+            " 'nation', t_nat, f_nat, 'segment', t_seg, f_seg)"
+        ).alias("field", "agree_true", "agree_false"),
+        "n_true",
+        "n_false",
+    ).select(
+        "field",
+        "n_true",
+        "n_false",
+        "agree_true",
+        "agree_false",
+        F.expr("CAST(agree_true * 10000 DIV n_true AS BIGINT)").alias("m_bp"),
+        F.expr("CAST(agree_false * 10000 DIV n_false AS BIGINT)").alias("u_bp"),
+    ).orderBy("field")
+
+
+@query(
+    "er_fellegi_sunter_classify",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(c_custkey AS BIGINT) AS id, lower(c_name) AS name,
+             c_acctbal AS bal, CAST(c_nationkey AS INTEGER) AS nat,
+             c_mktsegment AS seg
+      FROM customer WHERE c_custkey < 2000
+    ), dirty AS (
+      SELECT id + 100000 AS id,
+             name[:len(name)-1] || 'x' AS name,
+             CASE WHEN id % 2 = 0 THEN bal + 1 ELSE bal END AS bal,
+             nat,
+             CASE WHEN id % 3 = 0 THEN reverse(seg) ELSE seg END AS seg
+      FROM base WHERE id % 7 = 0
+    ), recs AS (
+      SELECT * FROM base UNION ALL SELECT * FROM dirty
+    ), scored AS (
+      SELECT CAST(b.id = a.id + 100000 AS INT) AS is_true,
+             CAST(CASE WHEN a.name = b.name THEN 3000 ELSE -500 END
+                + CASE WHEN a.bal = b.bal THEN 2500 ELSE -800 END
+                + CASE WHEN a.nat = b.nat THEN 1200 ELSE -3000 END
+                + CASE WHEN a.seg = b.seg THEN 800 ELSE -1500 END AS BIGINT)
+               AS score
+      FROM recs a JOIN recs b
+        ON substr(a.name, 10, 8) = substr(b.name, 10, 8)
+       AND a.id < b.id
+    ), verdicts AS (
+      SELECT is_true,
+             CASE WHEN score >= 4000 THEN 'match'
+                  WHEN score >= 0 THEN 'possible'
+                  ELSE 'non_match' END AS verdict,
+             score
+      FROM scored
+    )
+    SELECT verdict, is_true,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(score) AS BIGINT) AS min_score,
+           CAST(max(score) AS BIGINT) AS max_score
+    FROM verdicts
+    GROUP BY verdict, is_true
+    ORDER BY verdict, is_true
+    """,
+)
+def er_fellegi_sunter_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Fellegi–Sunter DECISION rule over the same blocked corpus as
+    er_fellegi_sunter_weights: each candidate pair's agreement vector
+    folds into an integer match score (fixed milli-weights per field —
+    model parameters, the production values come from the weights
+    query's m/u estimates), two thresholds carve match / possible
+    (clerical review) / non-match, and the output is the confusion
+    matrix against the planted truth with per-cell score ranges. The
+    deliberately imperfect weights leave true pairs in the possible
+    and non-match cells — FS's three-way decision zone, hash-checked
+    rather than idealized.
+
+    Plan: one blocked self-join (bounded by block sizes) + one
+    map-side-combined aggregate over (verdict, is_true) — nothing
+    downstream of the join exceeds six rows.
+
+    Reference analog: none (LLM-pipeline extension, SURVEY.md §2.2).
+    """
+    customer = load_table(spark, "customer", sf_dir)
+    base = customer.filter(F.col("c_custkey") < 2000).select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.lower("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_nationkey").cast("int").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    dirty = base.filter(F.col("id") % 7 == 0).select(
+        (F.col("id") + 100000).alias("id"),
+        F.concat(
+            F.expr("substring(name, 1, length(name) - 1)"), F.lit("x")
+        ).alias("name"),
+        F.when(F.col("id") % 2 == 0, F.col("bal") + 1).otherwise(F.col("bal")).alias("bal"),
+        F.col("nat"),
+        F.when(F.col("id") % 3 == 0, F.reverse(F.col("seg"))).otherwise(F.col("seg")).alias("seg"),
+    )
+    recs = base.unionByName(dirty)
+    a, b = recs.alias("a"), recs.alias("b")
+
+    def w(cond: Column, agree: int, disagree: int) -> Column:
+        return F.when(cond, F.lit(agree)).otherwise(F.lit(disagree))
+
+    scored = a.join(
+        b,
+        (F.expr("substring(a.name, 10, 8)") == F.expr("substring(b.name, 10, 8)"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        (F.col("b.id") == F.col("a.id") + 100000).cast("int").alias("is_true"),
+        (
+            w(F.col("a.name") == F.col("b.name"), 3000, -500)
+            + w(F.col("a.bal") == F.col("b.bal"), 2500, -800)
+            + w(F.col("a.nat") == F.col("b.nat"), 1200, -3000)
+            + w(F.col("a.seg") == F.col("b.seg"), 800, -1500)
+        ).cast("long").alias("score"),
+    )
+    verdicts = scored.select(
+        "is_true",
+        "score",
+        F.when(F.col("score") >= 4000, F.lit("match"))
+        .when(F.col("score") >= 0, F.lit("possible"))
+        .otherwise(F.lit("non_match"))
+        .alias("verdict"),
+    )
+    return (
+        verdicts.groupBy("verdict", "is_true")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("score").cast("long").alias("min_score"),
+            F.max("score").cast("long").alias("max_score"),
+        )
+        .orderBy("verdict", "is_true")
+    )
+
+
+@query(
     "udtf_table_argument_sessions",
     oracle="""
     WITH e AS (

@@ -2588,6 +2588,113 @@ def llm_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_embedding_power_iteration",
+    oracle="""
+    WITH idx AS (SELECT CAST(range AS INTEGER) AS j FROM range(64)),
+    x AS (
+      SELECT vec_id, j,
+             CAST(round((CAST(embedding[j + 1] AS DOUBLE)
+                         + ((j * 37) % 13 - 6) * 0.06) * 1000) AS BIGINT) AS xq
+      FROM embeddings, idx
+    ),
+    v0 AS (SELECT j, CAST(1000 AS BIGINT) AS v FROM idx),
+    s1 AS (SELECT vec_id, sum(xq * v) AS s FROM x JOIN v0 USING (j) GROUP BY vec_id),
+    u1 AS (SELECT j, sum(xq * s) AS u FROM x JOIN s1 USING (vec_id) GROUP BY j),
+    w1 AS (SELECT j, (u * 1000) // (SELECT max(abs(u)) FROM u1) AS v FROM u1),
+    s2 AS (SELECT vec_id, sum(xq * v) AS s FROM x JOIN w1 USING (j) GROUP BY vec_id),
+    u2 AS (SELECT j, sum(xq * s) AS u FROM x JOIN s2 USING (vec_id) GROUP BY j),
+    w2 AS (SELECT j, (u * 1000) // (SELECT max(abs(u)) FROM u2) AS v FROM u2),
+    s3 AS (SELECT vec_id, sum(xq * v) AS s FROM x JOIN w2 USING (j) GROUP BY vec_id),
+    u3 AS (SELECT j, sum(xq * s) AS u FROM x JOIN s3 USING (vec_id) GROUP BY j),
+    w3 AS (SELECT j, (u * 1000) // (SELECT max(abs(u)) FROM u3) AS v FROM u3)
+    SELECT w1.j AS dim,
+           CAST(w1.v AS BIGINT) AS v1,
+           CAST(w2.v AS BIGINT) AS v2,
+           CAST(w3.v AS BIGINT) AS v3
+    FROM w1 JOIN w2 ON w1.j = w2.j JOIN w3 ON w1.j = w3.j
+    ORDER BY dim
+    """,
+)
+def llm_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by THREE fixed
+    power-iteration steps v_{k+1} = trunc(X^T(X v_k) * 1000 / max|.|),
+    computed entirely in exact integer arithmetic: coordinates are
+    round(x*1000) milli-units (the llm_embedding_gram_matrix contract),
+    the per-step renormalization is integer trunc-division (Spark
+    ``div`` == DuckDB ``//``), so every iterate is bit-identical
+    cross-engine — no float summation-order drift anywhere.
+
+    The synthetic corpus is near-isotropic (top eigengap λ2/λ1 ≈ 0.98
+    — no start vector converges in few steps), so the query plants a
+    deterministic rank-1 spike first: every vector is shifted by
+    s_j = ((j*37) % 13 - 6) * 0.06, the same move llm_pii_redact makes
+    for PII. With the spike the gap is λ2/λ1 < 0.01 and the iterate
+    reaches the true top eigenvector by step 2 — pinned against
+    numpy.linalg.eigh in tests/test_llm_ops.py (cosine >= 0.999).
+
+    This is the LARGE-d complement to llm_embedding_gram_matrix: the
+    gram route ships d(d+1)/2 cells to the driver and eigen-solves
+    locally — perfect for d=64, impossible for d ~ 1e5 (d² cells). The
+    power iterate never materializes d²: each step is one broadcast of
+    the 64-row v, one per-vector dot (groupBy vec_id, map-side
+    partial), one per-dimension fold (groupBy j), and a 1-row max —
+    the textbook distributed iterate (same posture as
+    graph_pagerank_trade: one keyed pass per iteration, the iteration
+    count IS the algorithm). The static plan restates each iterate's
+    lineage (the unrolled-loop cost, biggest static exchange count in
+    the registry); at runtime exchange reuse + AQE collapse it to a
+    handful of stages — measured 4.8k shuffle records / 415 KB at
+    sf0.01 — and a deeper-k deployment would checkpoint each iterate
+    to truncate lineage. Integer headroom: max|u*1000| measured
+    1.6e15 at sf0.01, ~1.6e17 at sf10 — inside int64; corpora past
+    ~1e6 vectors drop the quantization scale, documented here as part
+    of the contract.
+
+    Reference analog: none (LLM-pipeline extension, SURVEY.md §2.2).
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    par = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < par:
+        emb = emb.repartition(par)
+    x = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda c, i: F.round(
+                    (c.cast("double") + ((i * 37) % 13 - 6) * 0.06) * 1000
+                ).cast("long"),
+            )
+        ).alias("j", "xq"),
+    )
+    v = x.select("j").distinct().withColumn("v", F.lit(1000).cast("long"))
+    iterates = []
+    for _ in range(3):
+        s = (
+            x.join(F.broadcast(v), "j")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("xq") * F.col("v")).alias("s"))
+        )
+        u = (
+            x.join(s, "vec_id")
+            .groupBy("j")
+            .agg(F.sum(F.col("xq") * F.col("s")).alias("u"))
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        v = u.crossJoin(F.broadcast(m)).select(
+            "j", F.expr("(u * 1000) div m").alias("v")
+        )
+        iterates.append(v)
+    return (
+        iterates[0].select("j", F.col("v").alias("v1"))
+        .join(iterates[1].select("j", F.col("v").alias("v2")), "j")
+        .join(iterates[2].select("j", F.col("v").alias("v3")), "j")
+        .select(F.col("j").alias("dim"), "v1", "v2", "v3")
+        .orderBy("dim")
+    )
+
+
+@query(
     "llm_dedup_containment",
     oracle=r"""
     WITH corpus AS (

@@ -71,6 +71,104 @@ def llm_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_gopher_repetition_chars",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS text_chars,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS w
+      FROM documents
+    ), u AS (
+      SELECT doc_id, 0 AS n,
+             unnest(list_filter(list_transform(
+               generate_series(0, greatest(CAST(ceil(len(w) / 12.0) AS INT) - 1, 0)),
+               i -> array_to_string(list_slice(w, CAST(i AS INT) * 12 + 1,
+                                               CAST(i AS INT) * 12 + 12), ' ')),
+               x -> len(x) > 0)) AS g
+      FROM d
+      UNION ALL
+      SELECT doc_id, 2, unnest(list_transform(generate_series(1, len(w) - 1),
+        i -> array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 1), ' '))) FROM d
+      UNION ALL
+      SELECT doc_id, 3, unnest(list_transform(generate_series(1, len(w) - 2),
+        i -> array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 2), ' '))) FROM d
+      UNION ALL
+      SELECT doc_id, 4, unnest(list_transform(generate_series(1, len(w) - 3),
+        i -> array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 3), ' '))) FROM d
+      UNION ALL
+      SELECT doc_id, 5, unnest(list_transform(generate_series(1, len(w) - 4),
+        i -> array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 4), ' '))) FROM d
+      UNION ALL
+      SELECT doc_id, 10, unnest(list_transform(generate_series(1, len(w) - 9),
+        i -> array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 9), ' '))) FROM d
+    ), cnt AS (
+      SELECT doc_id, n, md5(g) AS h, CAST(length(g) AS BIGINT) AS glen,
+             CAST(count(*) AS BIGINT) AS c
+      FROM u GROUP BY doc_id, n, g
+    ), per AS (
+      SELECT doc_id, n, sum(c) AS total, sum(c - 1) AS dupx,
+             sum((c - 1) * glen) AS dupch
+      FROM cnt GROUP BY doc_id, n
+    ), top AS (
+      SELECT doc_id, n, c * glen AS topch
+      FROM (SELECT cnt.*, row_number() OVER (
+              PARTITION BY doc_id, n ORDER BY c DESC, glen DESC, h DESC) AS rn
+            FROM cnt)
+      WHERE rn = 1
+    ), pv AS (
+      SELECT per.doc_id,
+             sum(CASE WHEN per.n = 0 THEN total END) AS n_lines,
+             sum(CASE WHEN per.n = 0 THEN dupx END) AS dup_lines,
+             sum(CASE WHEN per.n = 0 THEN dupch END) AS dup_line_chars,
+             sum(CASE WHEN per.n = 2 THEN topch END) AS top2_chars,
+             sum(CASE WHEN per.n = 3 THEN topch END) AS top3_chars,
+             sum(CASE WHEN per.n = 4 THEN topch END) AS top4_chars,
+             sum(CASE WHEN per.n = 5 THEN dupch END) AS dup5_chars,
+             sum(CASE WHEN per.n = 10 THEN dupch END) AS dup10_chars
+      FROM per LEFT JOIN top ON per.doc_id = top.doc_id AND per.n = top.n
+      GROUP BY per.doc_id
+    )
+    SELECT d.doc_id, text_chars,
+           CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(dup_lines, 0) AS BIGINT) AS dup_lines,
+           CAST(coalesce(dup_line_chars, 0) AS BIGINT) AS dup_line_chars,
+           CAST(coalesce(top2_chars, 0) AS BIGINT) AS top2_chars,
+           CAST(coalesce(top3_chars, 0) AS BIGINT) AS top3_chars,
+           CAST(coalesce(top4_chars, 0) AS BIGINT) AS top4_chars,
+           CAST(coalesce(dup5_chars, 0) AS BIGINT) AS dup5_chars,
+           CAST(coalesce(dup10_chars, 0) AS BIGINT) AS dup10_chars,
+           CAST(10 * coalesce(dup_lines, 0) <= 3 * coalesce(n_lines, 0)
+            AND 5 * coalesce(dup_line_chars, 0) <= text_chars
+            AND 5 * coalesce(top2_chars, 0) <= text_chars
+            AND 50 * coalesce(top3_chars, 0) <= 9 * text_chars
+            AND 25 * coalesce(top4_chars, 0) <= 4 * text_chars
+            AND 20 * coalesce(dup5_chars, 0) <= 3 * text_chars
+            AND 10 * coalesce(dup10_chars, 0) <= text_chars AS INTEGER) AS rep_pass
+    FROM d LEFT JOIN pv ON d.doc_id = pv.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def llm_gopher_repetition_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters in their published character-fraction
+    form (Rae et al. 2021 Table A1): duplicate-line count/char
+    fractions over the C4-contract 12-word chunks, top 2/3/4-gram char
+    coverage (deterministic (count, len, md5) tie-break), duplicated
+    5/10-gram beyond-first-occurrence chars, and the integer-exact
+    pass verdict — operators/textops.py:repetition_char_stats.
+
+    One explode → one (doc, n, md5) count (map-side partial) → per-doc
+    rollup; the shuffle carries digests and small ints, never gram
+    text. Complements llm_repetition_metrics (count fractions) and
+    llm_gopher_filter (word/line rules)."""
+    from log2sql_spark.operators.textops import repetition_char_stats
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)  # single corpus file: use all cores
+    return repetition_char_stats(docs).orderBy("doc_id")
+
+
+@query(
     "llm_contamination_check",
     oracle=rf"""
     WITH w AS (

@@ -445,6 +445,80 @@ def test_c4_line_rules_punct_blocklist_dedup(spark):
     assert out[4]["n_short_lines"] == 1 and out[4]["c4_keep_doc"] == 0
 
 
+def test_repetition_char_stats_crafted(spark):
+    """Exercise the repetition-char branches the synthetic corpus cannot
+    vary: duplicated 12-word lines, a duplicated 10-gram, the spam
+    worst case, and the empty doc — all with hand-computed integers."""
+    from log2sql_spark.operators.textops import repetition_char_stats
+
+    chunk12 = " ".join(f"w{i}" for i in range(12))  # 12 distinct words
+    dup_lines_doc = " ".join([chunk12] * 4)  # 4 identical 12-word lines
+    a10 = [f"a{i}" for i in range(10)]
+    mid5 = [f"m{i}" for i in range(5)]
+    dup10_doc = " ".join(a10 + mid5 + a10)  # ONE duplicated 10-gram
+    benign = " ".join(f"unique{i}" for i in range(30))
+    spam = " ".join(["spam"] * 40)
+    rows = [(1, dup_lines_doc), (2, dup10_doc), (3, benign), (4, spam), (5, "")]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_char_stats(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    # 4 identical lines: 3 beyond-first occurrences, chars = 3*len(chunk)
+    assert out[1]["n_lines"] == 4 and out[1]["dup_lines"] == 3
+    assert out[1]["dup_line_chars"] == 3 * len(chunk12)
+    assert out[1]["rep_pass"] == 0  # dup-line fraction 0.75 > 0.30
+    # exactly one duplicated 10-gram (the repeated a-block)
+    assert out[2]["dup10_chars"] == len(" ".join(a10))
+    assert out[2]["rep_pass"] == 0  # 10*dup10 > text_chars here
+    # all-distinct words: no duplication anywhere; top2 is one gram's len
+    assert out[3]["dup_lines"] == 0 and out[3]["dup5_chars"] == 0
+    assert out[3]["dup10_chars"] == 0 and out[3]["rep_pass"] == 1
+    assert out[3]["top2_chars"] == len("unique28 unique29")  # count 1, max len+md5 tie-break
+    # 40x 'spam': top 2-gram 'spam spam' occurs 39x, 9 chars each
+    assert out[4]["top2_chars"] == 39 * len("spam spam")
+    assert out[4]["rep_pass"] == 0
+    # empty doc: all metrics zero, vacuous pass
+    assert out[5]["text_chars"] == 0 and out[5]["n_lines"] == 0
+    assert out[5]["rep_pass"] == 1
+
+
+def test_power_iteration_converges_to_top_eigenvector(spark):
+    """The integer power iterate must land on the TRUE top eigenvector
+    of the spiked quantized matrix (numpy.linalg.eigh ground truth),
+    not merely match its own oracle — cosine >= 0.999 by step 3, and
+    steps 2/3 agree in direction (converged)."""
+    import numpy as np
+
+    from log2sql_spark.queries.llm import llm_embedding_power_iteration
+
+    out = (
+        llm_embedding_power_iteration(spark, "/root/testdata/sf0.001")
+        .orderBy("dim")
+        .collect()
+    )
+    v2 = np.array([r["v2"] for r in out], dtype=np.float64)
+    v3 = np.array([r["v3"] for r in out], dtype=np.float64)
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    j = np.arange(X.shape[1])
+    Xq = np.round((X + ((j * 37) % 13 - 6) * 0.06) * 1000)
+    _, V = np.linalg.eigh(Xq.T @ Xq)
+    top = V[:, -1]
+
+    cos3 = abs(v3 @ top) / (np.linalg.norm(v3) * np.linalg.norm(top))
+    cos23 = abs(v2 @ v3) / (np.linalg.norm(v2) * np.linalg.norm(v3))
+    assert cos3 >= 0.999, cos3
+    assert cos23 >= 0.999, cos23
+
+
 def test_cdc_chunks_shift_robust(spark):
     """The point of content-defined chunking: a leading insertion must
     NOT shift later chunk boundaries — the tail chunks of the edited

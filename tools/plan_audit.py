@@ -49,6 +49,8 @@ DISPOSITIONS = {
     "llm_ann_recall_eval": "same eval family: brute-force baseline vs IVF candidates; stages carry (query, id, dist) triples bounded by k*|queries| (runtime 9).",
     "llm_bigram_logprob": "bigram LM: unigram agg + bigram agg + smoothing join + per-doc fold, each map-side combined over |distinct grams| (runtime 6).",
     "llm_bm25_search": "BM25 = df agg + doclen agg + postings join + score fold + top-k — the Lucene stage count; each stage over the 3 query terms' manifest-pruned postings (runtime 8).",
+    "llm_embedding_power_iteration": "unrolled 3-step power iterate: the static plan restates each iterate's lineage (exponential static count, the unrolled-loop cost); runtime exchange reuse + AQE broadcast of the per-vector dot relation collapse it — measured 4.8k shuffle records / 415 KB total at sf0.01; iteration count is the algorithm (pagerank posture), deeper k would checkpoint per iterate.",
+    "llm_gopher_repetition_chars": "Gopher char-fraction repetition: one explode -> (doc,n,hash) count -> (doc,n) rollup -> doc rollup + broadcast base join; 6 static exchanges are the word-count ladder, every key doc-bounded, shuffles carry md5 digests and small ints, never gram text.",
     "llm_boilerplate_ngrams": "df-capped n-gram mining: gram hash agg -> df filter -> per-doc containment fold; shuffles 16 B gram digests, never text (runtime 6).",
     "llm_contamination_check": "eval-vs-train gram overlap: two gram aggregates + semi-join + per-doc rollup; the eval side is broadcast-small (runtime 6).",
     "llm_curation_e2e": "the whole curation funnel in ONE plan (quality gates -> exact dedup -> decontaminate -> split): 7 exchanges is the sum of the 4 stage minimums, each keyed on 16 B digests (runtime 7).",
