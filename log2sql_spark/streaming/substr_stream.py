@@ -499,12 +499,25 @@ def compact_substr_store(
             continue
         gen = _compact_gen(root)
         through = max([gen, *_batch_ids(root)])
-        if through <= gen:
-            continue  # nothing new since the last compaction
-        # clear any incomplete generation from a prior crash
+        # Recovery FIRST, even with nothing new to fold: a crash inside
+        # a prior compaction can leave (a) an incomplete ``.tmp``
+        # generation, (b) folded batch dirs <= gen, (c) the superseded
+        # predecessor ``compact=<old>`` — readers already ignore all
+        # three, so this is disk reclamation, not correctness; without
+        # it a store that never receives another batch leaks them
+        # forever (the pre-r14 short-circuit skipped straight past).
         for entry in os.listdir(root):
             if entry.endswith(".tmp"):
                 shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+            elif entry.startswith("compact=") and int(entry[8:]) < gen:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+        for bid in _batch_ids(root):
+            if bid <= gen:
+                shutil.rmtree(
+                    os.path.join(root, f"batch={bid}"), ignore_errors=True
+                )
+        if through <= gen:
+            continue  # nothing new since the last compaction
         df = _read_root(spark, root, schema)
         if mode == "latest":
             df = _latest_per_doc(df)

@@ -181,6 +181,83 @@ def test_compaction_bounds_read_cost_and_preserves_equivalence(spark, tmp_path):
     )
 
 
+def test_compaction_crash_windows_recovered(spark, tmp_path):
+    """Crash injection for compact_substr_store's three windows:
+    (1) crash after writing the ``.tmp`` generation (before rename) —
+    readers ignore it, the next compaction clears it; (2) crash after
+    the rename but before dropping the folded batch dirs; (3) crash
+    before removing the superseded predecessor generation. For (2) and
+    (3) the recovery must run EVEN WITH NO NEW BATCHES — the pre-r14
+    short-circuit leaked them forever on a store that never ingests
+    again. Reader results must be byte-identical through every state."""
+    import os
+    import shutil
+
+    from log2sql_spark.streaming.substr_stream import compact_substr_store
+
+    store = str(tmp_path / "store")
+    seen: list[tuple] = []
+    for bid in range(6):
+        text = DOC_A_COPY if bid % 3 == 0 else _tok(16, f"b{bid}_")
+        rows = [(1000 + bid, text)]
+        seen.extend(rows)
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [r[0] for r in rows],
+                          "text": [r[1] for r in rows]})
+        )
+        process_substr_batch(df, store, bid)
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in seen],
+                      "text": [r[1] for r in seen]})
+    )
+    want = _spanset(duplicate_spans(corpus, min_len=15))
+    spans_root = os.path.join(store, "spans")
+
+    compact_substr_store(spark, store)
+    assert os.listdir(spans_root) == ["compact=5"]
+
+    # window 1: incomplete .tmp generation from a crashed compaction
+    os.makedirs(os.path.join(spans_root, "compact=9.tmp"))
+    assert _spanset(current_spans(spark, store)) == want  # reader blind to it
+
+    # windows 2+3: resurrect a folded batch dir and a superseded
+    # predecessor generation (what a crash mid-cleanup leaves behind)
+    shutil.copytree(
+        os.path.join(spans_root, "compact=5"),
+        os.path.join(spans_root, "batch=3"),
+    )
+    shutil.copytree(
+        os.path.join(spans_root, "compact=5"),
+        os.path.join(spans_root, "compact=2"),
+    )
+    # readers ignore both (no double counting)
+    assert _spanset(current_spans(spark, store)) == want
+
+    # recovery with NOTHING new to fold must reclaim all three
+    compact_substr_store(spark, store)
+    assert os.listdir(spans_root) == ["compact=5"]
+    assert _spanset(current_spans(spark, store)) == want
+
+    # and the store still ingests + compacts normally afterwards
+    seen.append((2000, DOC_A))
+    process_substr_batch(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [2000], "text": [DOC_A]})
+        ),
+        store,
+        6,
+    )
+    compact_substr_store(spark, store)
+    assert os.listdir(spans_root) == ["compact=6"]
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in seen],
+                      "text": [r[1] for r in seen]})
+    )
+    assert _spanset(current_spans(spark, store)) == _spanset(
+        duplicate_spans(corpus, min_len=15)
+    )
+
+
 def test_reingested_doc_id_fails_loudly(spark, tmp_path):
     """Append-only contract (r13 advice): a doc_id re-arriving in a
     LATER batch must raise instead of silently self-colliding in the
