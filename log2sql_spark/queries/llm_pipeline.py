@@ -101,7 +101,8 @@ def llm_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, 10, unnest(list_transform(generate_series(1, len(w) - 9),
         i -> array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 9), ' '))) FROM d
     ), cnt AS (
-      SELECT doc_id, n, md5(g) AS h, CAST(length(g) AS BIGINT) AS glen,
+      SELECT doc_id, n, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h,
+             CAST(length(g) AS BIGINT) AS glen,
              CAST(count(*) AS BIGINT) AS c
       FROM u GROUP BY doc_id, n, g
     ), per AS (
