@@ -493,7 +493,15 @@ def minhash_dedup_pairs(
     grams = exploded_grams(docs, n, text_col, id_col).persist()
     sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col, grams=grams)
     cands = lsh_candidate_pairs(sigs, bands, max_bucket_size=max_bucket_size)
-    gram_sets = grams.groupBy("id").agg(F.collect_list("gram").alias("gset"))
+    # Verify on 8-byte gram hashes, not gram text: per-doc grams are
+    # already distinct, so |intersect| and |union| — hence the Jaccard —
+    # are unchanged (collisions aside), while the collect_list shuffle
+    # and the two per-candidate arrays shrink from ~20-30 B of text per
+    # gram to 8 B (guide §2.3 "shuffle keys and metadata instead of
+    # payloads").
+    gram_sets = grams.groupBy("id").agg(
+        F.collect_list(F.xxhash64("gram")).alias("gset")
+    )
     return (
         cands.join(gram_sets.withColumnsRenamed({"id": "id_a", "gset": "ga"}), "id_a")
         .join(gram_sets.withColumnsRenamed({"id": "id_b", "gset": "gb"}), "id_b")

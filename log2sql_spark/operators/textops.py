@@ -363,16 +363,23 @@ def repetition_char_stats(
         ).otherwise(F.expr("array()").cast("array<string>"))
 
     def tagged(n: int, arr: Column) -> Column:
-        # md5_long, not the 32-char hex digest: the exploded relation is
+        # An 8-byte hash, not the gram text: the exploded relation is
         # |docs| x ~6 x |words| rows, and the 8-byte hash (vs 32+ byte
         # string) halves both the shuffle width and the partial-agg
         # hash-table entry — the difference between a linear and a
         # spill-bent sf10 curve (measured: 122 s -> linear at 500k docs).
+        # xxhash64, not md5_long: the hash is only a grouping key and a
+        # (count, glen) tie-break of last resort — every output column is
+        # built from c and glen, so any 64-bit hash yields the same
+        # result (collisions aside) and xxhash64 is pure codegen while
+        # md5 pays a hex-string digest + conv() parse per gram
+        # (measured: the per-gram compute dominates this operator's sf10
+        # cost).
         return F.transform(
             arr,
             lambda g: F.struct(
                 F.lit(n).cast("int").alias("n"),
-                md5_long(g).alias("h"),
+                F.xxhash64(g).alias("h"),
                 F.length(g).cast("long").alias("glen"),
             ),
         )

@@ -478,7 +478,9 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toksdf = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     # the exploded token stream feeds doclen, tf and df — persist it
     toksdf = toksdf.persist()
-    qterms = spark.createDataFrame([(t,) for t in _QUERY_TERMS_RRF], "tok string")
+    from log2sql_spark.localrel import values_df
+
+    qterms = values_df(spark, [(t,) for t in _QUERY_TERMS_RRF], "tok string")
 
     doclen = toksdf.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("double").alias("dl")
@@ -636,7 +638,10 @@ def llm_mix_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_prob = {
         s: min(1.0, math.sqrt(med_share / sh)) for s, sh in shares.items()
     }
-    probs = spark.createDataFrame(
+    from log2sql_spark.localrel import values_df
+
+    probs = values_df(
+        spark,
         [
             (r.source, int(r.n_docs), int(r.toks), keep_prob[r.source])
             for r in per_src

@@ -842,7 +842,10 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         )
         _DPP_CACHE[key] = fact_dir
     fact = spark.read.parquet(_DPP_CACHE[key])
-    dim = spark.createDataFrame(
+    from log2sql_spark.localrel import values_df
+
+    dim = values_df(
+        spark,
         [
             ("1-URGENT", 1),
             ("2-HIGH", 4),

@@ -392,9 +392,12 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from log2sql_spark.operators.skew import salted_join
 
     li = load_table(spark, "lineitem", sf_dir)
-    dim = spark.createDataFrame(
+    from log2sql_spark.localrel import values_df
+
+    dim = values_df(
+        spark,
         [("A", "returned-accepted"), ("N", "not-returned"), ("R", "returned")],
-        ["l_returnflag", "flag_name"],
+        "l_returnflag string, flag_name string",
     )
     return (
         salted_join(li, dim, keys=["l_returnflag"], buckets=16, salt_cols=["l_orderkey"])

@@ -208,7 +208,9 @@ def graph_bfs_trade_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tiny graph: collect-free iteration, but persist the edge list so
     # the 4-table build runs once, not once per hop
     edges = edges.persist()
-    dist = spark.createDataFrame([(0, 0)], "node bigint, d int")
+    from log2sql_spark.localrel import values_df
+
+    dist = values_df(spark, [(0, 0)], "node bigint, d int")
     for k in range(1, 7):
         frontier = (
             edges.join(F.broadcast(dist), edges.src == dist.node)

@@ -71,7 +71,9 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     toks = toks.persist()
-    qterms = spark.createDataFrame([(t,) for t in _QUERY_TERMS], "tok string")
+    from log2sql_spark.localrel import values_df
+
+    qterms = values_df(spark, [(t,) for t in _QUERY_TERMS], "tok string")
 
     doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
     stats = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).crossJoin(
@@ -239,8 +241,10 @@ def sort_global_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pid, n in counts:
         offsets[pid] = acc
         acc += n
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "pid int, off bigint"
+    from log2sql_spark.localrel import values_df
+
+    off_df = values_df(
+        spark, [(pid, off) for pid, off in offsets.items()], "pid int, off bigint"
     )
     return (
         local.join(F.broadcast(off_df), "pid")

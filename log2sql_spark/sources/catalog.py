@@ -40,12 +40,27 @@ CATALOG_SCHEMA = T.StructType(
 
 def catalog_from_dict(spark: SparkSession, spec: dict) -> DataFrame:
     """Build a catalog DataFrame from ``{"db.table": {"columns": [...],
-    "key_columns": [...]}}``."""
+    "key_columns": [...]}}``.
+
+    Rendered as a SQL ``VALUES`` literal (a JVM LocalRelation) via
+    :func:`~log2sql_spark.localrel.values_df`, not
+    ``createDataFrame(rows)``: the latter plans as a pickled Python RDD
+    (``Scan ExistingRDD``), so every execution that broadcasts the
+    catalog first runs a Python-worker job just to deserialize these few
+    rows — measurable fixed overhead on every CDC query execution."""
+    from log2sql_spark.localrel import values_df
+
     rows = []
     for qualified, info in spec.items():
         db, _, table = qualified.partition(".")
-        rows.append((db, table, list(info["columns"]), list(info.get("key_columns", []))))
-    return spark.createDataFrame(rows, CATALOG_SCHEMA)
+        rows.append(
+            (db, table, list(info["columns"]), list(info.get("key_columns", [])))
+        )
+    return values_df(
+        spark,
+        rows,
+        "db string, table string, columns array<string>, key_columns array<string>",
+    )
 
 
 def catalog_from_json(spark: SparkSession, path: str) -> DataFrame:
