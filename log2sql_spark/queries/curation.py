@@ -223,17 +223,25 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # presentation-only). The bit test lives in a SQL lambda because
     # the PySpark shiftright/shiftleft wrappers only take int-literal
     # shifts.
-    def _bit_sql(start: int) -> str:
-        p = (
-            f"pmod(cast(conv(substr(md5(g), {start}, 15), 16, 10) as bigint),"
-            f" {_BLOOM_BITS})"
-        )
-        return (
-            f"(shiftright(element_at(_bm, cast({p} div 64 as int) + 1),"
-            f" cast({p} % 64 as int)) & 1) = 1"
-        )
-
-    cond = " AND ".join(_bit_sql(s) for s in _BLOOM_SLICES)
+    # md5 ONCE per gram: higher-order lambdas are interpreted (no
+    # codegen common-subexpression elimination), so spelling the three
+    # bit probes inline made every gram pay 3 md5 digests (and every
+    # position a second conv parse for the % 64). Hoist through nested
+    # transforms — grams -> md5 hex -> the k positions -> forall bit
+    # test — and each gram costs 1 md5 + k convs (guide §1.2 "per-task
+    # work"); the arithmetic per probe is unchanged, so verdicts and
+    # false positives are bit-identical.
+    slices = ", ".join(str(s) for s in _BLOOM_SLICES)
+    flagged_sql = (
+        "size(filter("
+        "  transform(transform(_grams, g -> md5(g)),"
+        f"            h -> transform(array({slices}),"
+        "                            s -> pmod(cast(conv(substr(h, s, 15), 16, 10)"
+        f"                                          as bigint), {_BLOOM_BITS}))),"
+        "  ps -> forall(ps, p ->"
+        "          (shiftright(element_at(_bm, cast(p div 64 as int) + 1),"
+        "                      cast(p % 64 as int)) & 1) = 1)))"
+    )
     # The probe's parallelism is inherited from the input partitioning;
     # a small compressed corpus file would run the md5-heavy lambda on
     # 1-2 cores. Spread the narrow doc rows first (same fix as
@@ -252,9 +260,7 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size("_grams").cast("long").alias("n_grams"),
-            F.expr(f"cast(size(filter(_grams, g -> {cond})) as bigint)").alias(
-                "n_flagged"
-            ),
+            F.expr(f"cast({flagged_sql} as bigint)").alias("n_flagged"),
         )
         .withColumn("contaminated", F.col("n_flagged") > 0)
         .orderBy("doc_id")

@@ -1296,20 +1296,29 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     level of recommendation/affinity mining, a family the registry
     lacked."""
     li = load_table(spark, "lineitem", sf_dir)
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    # op feeds three consumers (order count, item counts, baskets);
-    # persist so the distinct shuffle runs once.
-    op = op.persist()
-    n_orders = op.agg(F.count_distinct("o").cast("long").alias("n"))
-    item = op.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    # Pair generation per BASKET, not a self-join: one shuffle builds
-    # the sorted parts array per order, then C(basket,2) pairs fall out
-    # of per-row array combinatorics (flatten of suffix slices) — the
-    # self-join formulation shuffles the (order, part) rows twice and
-    # sort-merges them; this shape halves the sf1 wall time.
-    baskets = op.groupBy("o").agg(F.sort_array(F.collect_list("p")).alias("ps"))
+    # ONE shuffle builds the per-order basket: collect_set dedups
+    # (order, part) inside the aggregate, so the former standalone
+    # DISTINCT exchange over |lineitem| wide rows is gone, and order
+    # count + per-part counts both derive from the persisted baskets
+    # (count of rows, explode of the already-distinct arrays) instead
+    # of re-shuffling the (o, p) relation (guide §2.4: two operations
+    # keyed the same way share one exchange).
+    baskets = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .persist()
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    item = (
+        baskets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # Pair generation per BASKET, not a self-join: C(basket,2) pairs
+    # fall out of per-row array combinatorics (flatten of suffix
+    # slices) — the self-join formulation shuffles the (order, part)
+    # rows twice and sort-merges them; this shape halves the sf1 wall.
     pairs_arr = F.flatten(
         F.transform(
             "ps",

@@ -1041,26 +1041,39 @@ def llm_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     ).withColumn("vn", _norm(F.col("vec")))
     cent = cent.withColumn("cn", _norm(F.col("cvec")))
-    d = vecs.crossJoin(F.broadcast(cent)).select(
-        "id",
-        "cid",
-        (
-            F.lit(1)
-            - F.try_divide(
-                _dot(F.col("vec"), F.col("cvec")), F.col("vn") * F.col("cn")
-            )
-        ).alias("d"),
+    # The 25 centroids fold into ONE array row (sorted by cid — unique,
+    # so the sort never compares the vector field) broadcast to every
+    # task: per-vector assigned/runner-up distances become a map-side
+    # array_sort over 25 (d, cid) structs instead of a 25x-row explode
+    # through a per-id window shuffle + re-aggregation (guide §2.4
+    # "remove shuffles outright"). array_sort on the struct orders by
+    # (d, cid) exactly like the former Window.orderBy("d", "cid"), so
+    # cluster/a/b are bit-identical; the only remaining exchange is the
+    # 25-key cluster aggregate.
+    cent_arr = cent.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cvec", "cn"))).alias("cents")
     )
-    w = Window.partitionBy("id").orderBy("d", "cid")
-    per = (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 2)
-        .groupBy("id")
-        .agg(
-            F.max(F.when(F.col("rn") == 1, F.col("cid"))).alias("cluster"),
-            F.max(F.when(F.col("rn") == 1, F.col("d"))).alias("a"),
-            F.max(F.when(F.col("rn") == 2, F.col("d"))).alias("b"),
-        )
+    per = vecs.crossJoin(F.broadcast(cent_arr)).select(
+        "id",
+        F.array_sort(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    (
+                        F.lit(1)
+                        - F.try_divide(
+                            _dot(F.col("vec"), c["cvec"]), F.col("vn") * c["cn"]
+                        )
+                    ).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ).alias("ds"),
+    ).select(
+        "id",
+        F.col("ds")[0]["cid"].alias("cluster"),
+        F.col("ds")[0]["d"].alias("a"),
+        F.col("ds")[1]["d"].alias("b"),
     )
     s = per.select(
         "cluster",
