@@ -263,7 +263,12 @@ def ngram_jaccard_pairs(
     which point the pair is boilerplate, not duplication. Pass
     ``max_gram_df=None`` for the exact verifier/oracle behavior."""
     if grams is None:
-        grams = exploded_grams(docs, n, text_col, id_col)
+        # grams feeds up to four consumers (sizes / df table / both
+        # sides of the candidate self-join / verify gram sets); persist
+        # so the explode runs once, not once per consumer — a BROADCAST
+        # candidate join shares no exchange between its sides, so
+        # ReuseExchange alone does not dedupe the upstream.
+        grams = exploded_grams(docs, n, text_col, id_col).persist()
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     join_grams = grams
     if max_gram_df is not None:
@@ -273,6 +278,8 @@ def ngram_jaccard_pairs(
                 gram_df.filter((F.col("df") >= 2) & (F.col("df") <= max_gram_df)),
                 "gram",
             ).select("id", "gram")
+            # referenced by both sides of the self-join below
+            .persist()
         )
         cands = (
             join_grams.alias("a")
@@ -281,7 +288,11 @@ def ngram_jaccard_pairs(
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct()
         )
-        gram_sets = grams.groupBy("id").agg(F.collect_list("gram").alias("gset"))
+        gram_sets = (
+            grams.groupBy("id")
+            .agg(F.collect_list("gram").alias("gset"))
+            .persist()  # joined on both the id_a and id_b side
+        )
         return (
             cands.join(gram_sets.withColumnsRenamed({"id": "id_a", "gset": "ga"}), "id_a")
             .join(gram_sets.withColumnsRenamed({"id": "id_b", "gset": "gb"}), "id_b")
@@ -421,7 +432,13 @@ def lsh_candidate_pairs(
     while bounding per-bucket fan-out. Off (None) by default so the
     exact-oracle queries keep full pair enumeration;
     ``lsh_bucket_stats`` makes the trade-off observable."""
-    exploded = banded_slices(signatures, bands)
+    # Persist the band relation before the self-join (same reuse
+    # argument as simhash_near_dup_pairs): a small signature set gets a
+    # BROADCAST band join whose build side shares no exchange with the
+    # stream side, so the whole signature pipeline would otherwise run
+    # once per join side (sf0.1 A/B: candidate stage 0.79 s -> 0.25 s).
+    # State is |ids| x bands slice rows, freed by clearCache/GC.
+    exploded = banded_slices(signatures, bands).persist()
     if max_bucket_size is None:
         return (
             exploded.alias("a")
@@ -433,8 +450,13 @@ def lsh_candidate_pairs(
     # One shuffle on (band, slice) computes both bucket size and the
     # star center; unbounded frames need no sort within the bucket.
     w = Window.partitionBy("band", "slice")
-    sized = exploded.withColumn("bucket_n", F.count("*").over(w)).withColumn(
-        "bucket_min", F.min("id").over(w)
+    # sized feeds three consumers (both sides of the small-bucket
+    # self-join + the star branch); persist so the bucket-stats window
+    # runs once rather than once per consumer.
+    sized = (
+        exploded.withColumn("bucket_n", F.count("*").over(w))
+        .withColumn("bucket_min", F.min("id").over(w))
+        .persist()
     )
     small = sized.filter(F.col("bucket_n") <= max_bucket_size).select(
         "band", "slice", "id"
@@ -513,9 +535,13 @@ def minhash_dedup_pairs(
     # and the two per-candidate arrays shrink from ~20-30 B of text per
     # gram to 8 B (guide §2.3 "shuffle keys and metadata instead of
     # payloads").
+    # gram_sets is joined twice (id_a and id_b side); persist so the
+    # collect_list aggregate over the cached grams runs once, not once
+    # per join side (sf0.1 A/B: full pipeline 0.63 s -> 0.39 s on top of
+    # the band-relation persist).
     gram_sets = grams.groupBy("id").agg(
         F.collect_list(F.xxhash64("gram")).alias("gset")
-    )
+    ).persist()
     return (
         cands.join(gram_sets.withColumnsRenamed({"id": "id_a", "gset": "ga"}), "id_a")
         .join(gram_sets.withColumnsRenamed({"id": "id_b", "gset": "gb"}), "id_b")
@@ -651,6 +677,15 @@ def simhash_near_dup_pairs(
             )
         ).alias("b"),
     ).select("id", "simhash", F.col("b.band_idx"), F.col("b.band_bits"))
+    # Persist the band relation before the self-join: with a small
+    # fingerprint set the planner picks a BROADCAST join, whose build
+    # side shares no exchange with the stream side — so without this the
+    # entire upstream (e.g. the token-vote aggregate, or the multimodal
+    # synth+decode Python stages) executes once PER JOIN SIDE. A
+    # sort-merge join would dedupe via ReuseExchange; the cache makes
+    # the reuse explicit for every join strategy. 16 bytes x bands per
+    # asset, dropped with the session's clearCache between bench runs.
+    exploded = exploded.persist()
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(b, ["band_idx", "band_bits"])
@@ -747,8 +782,10 @@ def ngram_containment_pairs(
     no float compare crosses an engine boundary.
     """
     # word_ngrams is already per-doc distinct — (id, gram) needs no
-    # dedup shuffle here.
-    grams = exploded_grams(docs, n, text_col, id_col)
+    # dedup shuffle here. Persisted: grams feeds sizes, the df table
+    # and both sides of the candidate self-join (same multi-consumer
+    # reuse as ngram_jaccard_pairs).
+    grams = exploded_grams(docs, n, text_col, id_col).persist()
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     join_grams = grams
     if max_gram_df is not None:
@@ -756,7 +793,7 @@ def ngram_containment_pairs(
         join_grams = grams.join(
             gram_df.filter((F.col("df") >= 2) & (F.col("df") <= max_gram_df)),
             "gram",
-        ).select("id", "gram")
+        ).select("id", "gram").persist()
     inter = (
         join_grams.alias("a")
         .join(join_grams.alias("b"), "gram")
@@ -895,10 +932,12 @@ def ppjoin_pairs(
     bounded by Σ_g df_prefix(g)², with the rarity order pushing
     df_prefix far below raw df."""
     num, den = threshold
+    # toks feeds sizes, the df table, the prefix ranking, and the
+    # verify gram sets; persist so the gram explode runs once.
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("tok"),
-    )
+    ).persist()
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     df_tbl = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window
@@ -918,6 +957,8 @@ def ppjoin_pairs(
             <= F.col("n") - F.expr(f"({num} * n + {den - 1}) DIV {den}") + 1
         )
         .select("id", "tok", "n")
+        # both sides of the prefix self-join read this
+        .persist()
     )
     cand = (
         ranked.alias("a")
@@ -940,7 +981,7 @@ def ppjoin_pairs(
     # explode-join alternative re-shuffles every gram occurrence per
     # candidate and measured 5x slower on a duplicate-heavy corpus
     # where candidates (rightly) number in the hundreds of thousands.
-    gram_sets = toks.groupBy("id").agg(F.collect_list("tok").alias("gset"))
+    gram_sets = toks.groupBy("id").agg(F.collect_list("tok").alias("gset")).persist()
     return (
         cand.join(
             gram_sets.select(F.col("id").alias("id_a"), F.col("gset").alias("ga")),

@@ -842,19 +842,32 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         )
         _DPP_CACHE[key] = fact_dir
     fact = spark.read.parquet(_DPP_CACHE[key])
-    from log2sql_spark.localrel import values_df
+    # The dim must stay a FILE SCAN with a Filter node above it: DPP's
+    # PartitionPruning rule only injects the pruning subquery when the
+    # build side carries a selective predicate, and a VALUES literal
+    # (values_df) gets its filter constant-folded into the
+    # LocalRelation by ConvertToLocalRelation — killing DPP entirely.
+    # A 5-row parquet fixture keeps the Filter, is still JVM-only (no
+    # Python worker), and the broadcast exchange is reused as the
+    # pruning subquery exactly as documented above.
+    dim_key = ("dpp_dim", sf_dir)
+    if dim_key not in _DPP_CACHE:
+        from log2sql_spark.localrel import values_df
 
-    dim = values_df(
-        spark,
-        [
-            ("1-URGENT", 1),
-            ("2-HIGH", 4),
-            ("3-MEDIUM", 24),
-            ("4-NOT SPECIFIED", 72),
-            ("5-LOW", 168),
-        ],
-        "pri string, sla_hours int",
-    ).filter(F.col("sla_hours") <= 4)
+        dim_dir = scratch_dir("log2sql_dpp_dim_")
+        values_df(
+            spark,
+            [
+                ("1-URGENT", 1),
+                ("2-HIGH", 4),
+                ("3-MEDIUM", 24),
+                ("4-NOT SPECIFIED", 72),
+                ("5-LOW", 168),
+            ],
+            "pri string, sla_hours int",
+        ).write.mode("overwrite").parquet(dim_dir)
+        _DPP_CACHE[dim_key] = dim_dir
+    dim = spark.read.parquet(_DPP_CACHE[dim_key]).filter(F.col("sla_hours") <= 4)
     return (
         fact.join(F.broadcast(dim), "pri")
         .groupBy("pri", "sla_hours")

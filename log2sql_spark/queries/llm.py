@@ -1956,10 +1956,23 @@ def llm_multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     media = synthesize_gradient_images(ids)
-    copies = media.filter(F.col("asset_id") < 30).withColumn(
-        "asset_id", F.col("asset_id") + 10000
+    # Duplicate the 8-byte HASHES, not the payloads: the copies' bytes
+    # are identical to their originals', and aHash is a pure function of
+    # content, so re-labeling fingerprints is bit-identical to
+    # re-synthesizing + re-decoding the copies — which, spelled as a
+    # union of two branches over the synth mapInPandas subtree, ran the
+    # Python synth+decode stages TWICE per execution (the branch point
+    # sits below any exchange, so nothing reuses it; guide §2.4 /
+    # measured in OPTIMIZATION_r14.md §12).
+    base_hashes = image_ahash(media)
+    hashes = base_hashes.select(
+        F.explode(
+            F.when(
+                F.col("id") < 30, F.array(F.col("id"), F.col("id") + 10000)
+            ).otherwise(F.array(F.col("id")))
+        ).alias("id"),
+        "simhash",
     )
-    hashes = image_ahash(media.unionByName(copies))
     return simhash_near_dup_pairs(hashes, bits=60, max_hamming=3).orderBy(
         "id_a", "id_b"
     )
@@ -2025,10 +2038,20 @@ def llm_multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFr
         .select("doc_id")
     )
     media = synthesize_audio(ids)
-    copies = media.filter(F.col("asset_id") < 30).withColumn(
-        "asset_id", F.col("asset_id") + 10000
+    # Same hash-level copy duplication as llm_multimodal_image_ahash:
+    # the energy fingerprint is a pure function of the payload bytes and
+    # the copies are byte-identical, so re-labeling the 8-byte hashes is
+    # bit-identical to re-synthesizing + re-decoding the copy branch —
+    # and avoids running the Python synth+decode stages twice.
+    base_hashes = audio_fingerprint(media)
+    hashes = base_hashes.select(
+        F.explode(
+            F.when(
+                F.col("id") < 30, F.array(F.col("id"), F.col("id") + 10000)
+            ).otherwise(F.array(F.col("id")))
+        ).alias("id"),
+        "simhash",
     )
-    hashes = audio_fingerprint(media.unionByName(copies))
     return simhash_near_dup_pairs(hashes, bits=60, max_hamming=3).orderBy(
         "id_a", "id_b"
     )
