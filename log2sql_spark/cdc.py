@@ -16,14 +16,22 @@ from log2sql_spark.sources.catalog import resolve_columns
 
 
 def envelope_to_sql(
-    envelope: DataFrame, catalog: DataFrame, flashback: bool = False, **filters
+    envelope: DataFrame,
+    catalog: DataFrame,
+    flashback: bool = False,
+    ordered: bool = True,
+    **filters,
 ) -> DataFrame:
     """parse-agnostic back half of the pipeline: envelope → filter →
     catalog resolve → codegen. Shared by the whole-file, chunked, and
-    streaming front-ends."""
+    streaming front-ends. ``ordered=False`` (flashback only) skips the
+    presentation sort for rank-deriving consumers that encode the apply
+    order in a column instead of in row order."""
     envelope = filter_events(envelope, **filters)
     resolved = resolve_columns(envelope, catalog)
-    return flashback_sql(resolved) if flashback else replay_sql(resolved)
+    if flashback:
+        return flashback_sql(resolved, ordered=ordered)
+    return replay_sql(resolved)
 
 
 def binlog_to_sql(
@@ -32,6 +40,7 @@ def binlog_to_sql(
     catalog: DataFrame,
     flashback: bool = False,
     split_chunk_bytes: int | None = None,
+    ordered: bool = True,
     **filters,
 ) -> DataFrame:
     """Full pipeline. ``filters`` forwards to
@@ -50,4 +59,6 @@ def binlog_to_sql(
         envelope = read_binlog_split(spark, path, chunk_bytes=split_chunk_bytes)
     else:
         envelope = read_binlog(spark, path)
-    return envelope_to_sql(envelope, catalog, flashback=flashback, **filters)
+    return envelope_to_sql(
+        envelope, catalog, flashback=flashback, ordered=ordered, **filters
+    )

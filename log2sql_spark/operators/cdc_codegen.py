@@ -151,15 +151,45 @@ def with_sql_text(resolved: DataFrame, flashback: bool = False, no_pk: bool = Fa
 
 
 def replay_sql(resolved: DataFrame) -> DataFrame:
-    """Forward replay, in original binlog order (file, position)."""
-    return with_sql_text(resolved, flashback=False).orderBy(
-        "file", "start_pos", "event_seq"
+    """Forward replay, in original binlog order (file, position).
+
+    The rendered relation is persisted before the global sort: a range
+    exchange computes its partition bounds by a SAMPLING pass over its
+    child, and this child (scan → Arrow parse → broadcast resolve →
+    codegen) contains no materialized exchange below the sort — so
+    without the cache the whole Python parse executes twice per run
+    (once for bounds, once for the shuffle). Caching makes the sample
+    and the sort read the same one-parse result (guide §5: reuse whose
+    recompute cost — a full re-parse — exceeds the memory it holds);
+    spills to disk at scale, freed by the session's clearCache."""
+    from pyspark.storagelevel import StorageLevel
+
+    rendered = with_sql_text(resolved, flashback=False).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    return rendered.orderBy("file", "start_pos", "event_seq")
 
 
-def flashback_sql(resolved: DataFrame) -> DataFrame:
+def flashback_sql(resolved: DataFrame, ordered: bool = True) -> DataFrame:
     """Rollback script: inverted ops in **reverse** order — fixes the
-    reference's known gap (README.md:23-27, forward-ordered flashback)."""
-    return with_sql_text(resolved, flashback=True).orderBy(
+    reference's known gap (README.md:23-27, forward-ordered flashback).
+    Persisted before the sort for the same range-sampling reason as
+    :func:`replay_sql`; downstream multi-consumer operators (the
+    flashback apply-rank aggregate + join) also re-read the cache
+    instead of re-parsing.
+
+    ``ordered=False`` skips the global sort: callers that derive the
+    apply order from the VALUES (the distributed apply-rank queries)
+    don't consume row order, so sorting before them is a dead range
+    exchange + its sampling pass — they encode the same reverse order
+    in the rank column instead."""
+    from pyspark.storagelevel import StorageLevel
+
+    rendered = with_sql_text(resolved, flashback=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if not ordered:
+        return rendered
+    return rendered.orderBy(
         F.desc("file"), F.desc("start_pos"), F.desc("event_seq")
     )

@@ -243,7 +243,11 @@ def cdc_update_flashback(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     path = _write_dump(events)
     cat = catalog_from_dict(spark, _CATALOG_SPEC)
-    df = binlog_to_sql(spark, path, cat, flashback=True)
+    # ordered=False: the apply order is ENCODED in apply_rank (computed
+    # from start_pos values), so the flashback presentation sort would
+    # be a dead range exchange + a sampling pass re-reading the cache —
+    # the rank operator's aggregate/join consumers don't see row order.
+    df = binlog_to_sql(spark, path, cat, flashback=True, ordered=False)
     from log2sql_spark.operators.ranks import distributed_global_rank
 
     return (
@@ -1573,7 +1577,12 @@ def cdc_flashback_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in (1, 2, 3)
     ]
     cat = catalog_from_dict(spark, _CATALOG_SPEC)
-    df = binlog_to_sql(spark, paths, cat, flashback=True, start_datetime=ts_mid)
+    # ordered=False: apply order is encoded in apply_rank and the final
+    # presentation orderBy below — the intermediate flashback sort would
+    # be dead work (see cdc_update_flashback).
+    df = binlog_to_sql(
+        spark, paths, cat, flashback=True, ordered=False, start_datetime=ts_mid
+    )
     from log2sql_spark.operators.ranks import distributed_global_rank
 
     f_num = F.regexp_extract("file", r"mysql-bin\.(\d+)\.txt", 1).cast("int")

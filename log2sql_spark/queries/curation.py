@@ -481,49 +481,47 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, "documents", sf_dir)
-    toksdf = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    # the exploded token stream feeds doclen, tf and df — persist it
-    toksdf = toksdf.persist()
-    from log2sql_spark.localrel import values_df
-
-    qterms = values_df(spark, [(t,) for t in _QUERY_TERMS_RRF], "tok string")
-
-    doclen = toksdf.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("double").alias("dl")
-    )
-    stats = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).crossJoin(
-        doclen.agg(F.avg("dl").alias("avgdl"))
-    )
-    qtoks = toksdf.join(F.broadcast(qterms), "tok")
-    tf = qtoks.groupBy("doc_id", "tok").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
-    )
-    df_ = qtoks.groupBy("tok").agg(
-        F.count_distinct("doc_id").cast("double").alias("df")
+    # Lexical branch: same map-side shape as llm_bm25_search — per-doc
+    # dl and the four tfs are array arithmetic over ONE materialized
+    # split (no token-stream explode/persist, no (doc, tok) shuffle);
+    # the corpus scalars fall out of one single-row aggregate. A term
+    # the doc lacks contributes exact +0.0 to the double sum, so the
+    # per-doc score is the same sum the exploded formulation computed.
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    tf_cols = [
+        F.size(F.filter("_toks", lambda x: x == t)).cast("double").alias(f"_tf{i}")
+        for i, t in enumerate(_QUERY_TERMS_RRF)
+    ]
+    per_doc = toked.select(
+        "doc_id", F.size("_toks").cast("double").alias("dl"), *tf_cols
+    ).persist()
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.when(F.col("dl") > 0, F.col("dl"))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("double")).alias(f"_df{i}")
+            for i in range(len(_QUERY_TERMS_RRF))
+        ],
     )
     k1, b = 1.2, 0.75
+
+    def _term_score(i: int):
+        tf, df = F.col(f"_tf{i}"), F.col(f"_df{i}")
+        idf = F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        return F.when(
+            tf > 0,
+            idf * tf * (k1 + 1)
+            / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        ).otherwise(F.lit(0.0))
+
+    score = _term_score(0)
+    for i in range(1, len(_QUERY_TERMS_RRF)):
+        score = score + _term_score(i)
+    any_tf = F.greatest(*[F.col(f"_tf{i}") for i in range(len(_QUERY_TERMS_RRF))])
     bm25 = (
-        tf.join(F.broadcast(df_), "tok")
-        .join(doclen, "doc_id")
+        per_doc.filter(any_tf > 0)
         .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(
-                    F.log(
-                        1
-                        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                    )
-                    * F.col("tf")
-                    * (k1 + 1)
-                    / (
-                        F.col("tf")
-                        + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-                    )
-                ),
-                6,
-            ).alias("score")
-        )
+        .select("doc_id", F.round(score, 6).alias("score"))
     )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     bm25_rank = (

@@ -60,49 +60,80 @@ _K1, _B = 1.2, 0.75
     """,
 )
 def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-20 for a fixed term query (k1=1.2, b=0.75). One explode
-    over the corpus feeds three aggregates: per-doc length, per-(doc,
-    term) tf (the join against the 4-term query list prunes before the
-    shuffle), and per-term df; n_docs/avgdl are a broadcast scalar.
-    Scores round to 6dp BEFORE the ordering so the ranking is
-    cross-engine deterministic (ties broken by doc_id)."""
+    """BM25 top-20 for a fixed term query (k1=1.2, b=0.75).
+
+    The per-document statistics the formula needs — doc length and the
+    four per-term tfs — are pure functions of one document's token
+    array, so they are computed MAP-SIDE (size + four array filters over
+    one materialized split; the token array goes through its own
+    projection so the non-cheap split is evaluated once, not once per
+    referencing expression). Nothing explodes and no (doc, token) row
+    ever shuffles — the r13 shape persisted the full token stream and
+    paid a (doc, tok) aggregate + a doclen aggregate + a join to stitch
+    them back (guide §2.3/§2.4: the token stream was a proxy relation
+    whose only use was counting; count inside the array instead).
+
+    Corpus-level scalars (n_docs, avgdl, the four dfs) fall out of ONE
+    single-row aggregate over the per-doc stats, broadcast back via
+    crossJoin; scoring is then a map-side expression and top-20 is a
+    TakeOrdered, so the whole query is: scan → project → [1-row agg] →
+    score → top-k. Per-term scores sum in fixed term order (a term the
+    doc lacks contributes exact +0.0, so the double sum is unchanged);
+    scores round to 6dp BEFORE the ordering so the ranking is
+    cross-engine deterministic (ties broken by doc_id).
+
+    avgdl averages over docs that HAVE a token row in the exploded
+    formulation — i.e. docs whose token array is non-empty — replicated
+    here by averaging ``when(dl > 0, dl)`` (split of a trimmed string
+    never yields an empty array in practice, but exactness is free)."""
     from log2sql_spark.operators.dedup import tokens
 
     docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    toks = toks.persist()
-    from log2sql_spark.localrel import values_df
-
-    qterms = values_df(spark, [(t,) for t in _QUERY_TERMS], "tok string")
-
-    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
-    stats = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).crossJoin(
-        doclen.agg(F.avg("dl").alias("avgdl"))
+    # own projection: keeps the split from being inlined into every
+    # consumer expression below (CollapseProject retains the split —
+    # non-cheap, multiply-referenced)
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    tf_cols = [
+        F.size(F.filter("_toks", lambda x: x == t)).cast("double").alias(f"_tf{i}")
+        for i, t in enumerate(_QUERY_TERMS)
+    ]
+    # per_doc feeds the 1-row stats aggregate AND the scoring branch;
+    # persist (|docs| x 6 numeric columns — tiny) so the corpus
+    # tokenizes once, not once per branch.
+    per_doc = toked.select(
+        "doc_id",
+        F.size("_toks").cast("double").alias("dl"),
+        *tf_cols,
+    ).persist()
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.when(F.col("dl") > 0, F.col("dl"))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("double")).alias(f"_df{i}")
+            for i in range(len(_QUERY_TERMS))
+        ],
     )
-    qtoks = toks.join(F.broadcast(qterms), "tok")
-    tf = qtoks.groupBy("doc_id", "tok").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
-    )
-    # df falls out of tf for free: one row per (doc, term) — no second
-    # pass over the token stream
-    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df), "tok")
-        .join(doclen, "doc_id")
+
+    def term_score(i: int):
+        tf, df = F.col(f"_tf{i}"), F.col(f"_df{i}")
+        idf = F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        return F.when(
+            tf > 0,
+            idf * tf * (_K1 + 1)
+            / (tf + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))),
+        ).otherwise(F.lit(0.0))
+
+    score = term_score(0)
+    for i in range(1, len(_QUERY_TERMS)):
+        score = score + term_score(i)
+    any_tf = F.greatest(*[F.col(f"_tf{i}") for i in range(len(_QUERY_TERMS))])
+    return (
+        per_doc.filter(any_tf > 0)
         .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "term_score",
-            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * F.col("tf")
-            * (_K1 + 1)
-            / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))),
-        )
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+        .select("doc_id", F.round(score, 6).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
-    return scored
 
 
 @query(

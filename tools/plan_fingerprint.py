@@ -74,6 +74,14 @@ def compute_all(spark, sf_dir: str, names: list[str] | None = None) -> dict:
             out[name] = fingerprint_df(fn(spark, sf_dir))
         except Exception as exc:  # noqa: BLE001
             out[name] = {"error": str(exc)[:200]}
+        # Operators persist() shared subtrees as they build; a persisted
+        # relation registers in the CacheManager immediately, so WITHOUT
+        # clearing, a LATER query whose plan contains the same subtree
+        # fingerprints with an InMemoryRelation swapped in — making
+        # fingerprints depend on registry iteration order. Clear per
+        # query (same hygiene as runtime_metrics/bench) so each
+        # fingerprint sees only its own caches.
+        spark.catalog.clearCache()
     return out
 
 
