@@ -49,6 +49,16 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
+    # Semi-join prefilter (guide §3.2): the left side is bounded (<2000
+    # events) while the right side is EVERY order — orders for users
+    # absent from the left can never surface in the output (their
+    # carried rows die at the _side=1 filter), so dropping them BELOW
+    # the dedup window shrinks both the window shuffle and the union
+    # shuffle by the users-not-in-events fraction. Whole (user_id, ts)
+    # window groups are kept or dropped, so rn is unchanged. Only valid
+    # because the left key set is small enough to broadcast — which the
+    # query's own event_id bound guarantees at any scale.
+    event_users = events.select("user_id").distinct()
     orders = (
         load_table(spark, "orders", sf_dir)
         .select(
@@ -57,6 +67,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_totalprice",
         )
+        .join(F.broadcast(event_users), "user_id", "left_semi")
         .withColumn(
             "rn",
             F.row_number().over(

@@ -945,6 +945,14 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     right = (
         load_table(spark, "lineitem", sf_dir)
+        # Mirror the left side's key bound (guide §3.2 / §6): the as-of
+        # kernel equi-joins on the key, so lineitem rows with
+        # l_orderkey >= 4000 can never match any left row — the literal
+        # predicate pushes to the parquet scan (PushedFilters), dropping
+        # them before the dedup window instead of shuffling them all.
+        # Whole (l_orderkey, l_shipdate) window groups are kept or
+        # dropped, so rn is unchanged.
+        .filter(F.col("l_orderkey") < 4000)
         .select("l_orderkey", "l_shipdate", "l_linenumber", "l_quantity")
         .withColumn(
             "rn",
@@ -1284,7 +1292,12 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase") & (F.col("user_id") < 40)
     ).select("event_id", "user_id", "ts")
     right = (
-        events.filter(F.col("event_type") == "view")
+        # Mirror the left side's key bound (guide §3.2 / §6): views for
+        # user_id >= 40 can never match a left purchase, so the literal
+        # predicate pushes to the parquet scan and the dedup window +
+        # union shuffle see only the 40 users' views. Whole (user_id,
+        # ts) window groups are kept or dropped, so rn is unchanged.
+        events.filter((F.col("event_type") == "view") & (F.col("user_id") < 40))
         .select("event_id", "user_id", "ts", cents.alias("view_cents"))
         .withColumn(
             "rn",
