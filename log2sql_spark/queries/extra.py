@@ -57,8 +57,10 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle by the users-not-in-events fraction. Whole (user_id, ts)
     # window groups are kept or dropped, so rn is unchanged. Only valid
     # because the left key set is small enough to broadcast — which the
-    # query's own event_id bound guarantees at any scale.
-    event_users = events.select("user_id").distinct()
+    # query's own event_id bound guarantees at any scale. No .distinct():
+    # left_semi tolerates duplicate build rows (<=2000 here), and the
+    # dedup aggregate would cost its own exchange.
+    event_users = events.select("user_id")
     orders = (
         load_table(spark, "orders", sf_dir)
         .select(

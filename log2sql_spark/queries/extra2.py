@@ -934,9 +934,12 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from log2sql_spark.operators.asof import asof_join
 
+    # Shared key bound: the left filter and the right-side prefilter
+    # below MUST agree or the mirror silently drops valid matches.
+    key_bound = 4000
     left = (
         load_table(spark, "orders", sf_dir)
-        .filter(F.col("o_orderkey") < 4000)
+        .filter(F.col("o_orderkey") < key_bound)
         .select(
             F.col("o_orderkey").alias("key"),
             F.col("o_orderdate").alias("ts"),
@@ -947,12 +950,12 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "lineitem", sf_dir)
         # Mirror the left side's key bound (guide §3.2 / §6): the as-of
         # kernel equi-joins on the key, so lineitem rows with
-        # l_orderkey >= 4000 can never match any left row — the literal
-        # predicate pushes to the parquet scan (PushedFilters), dropping
-        # them before the dedup window instead of shuffling them all.
-        # Whole (l_orderkey, l_shipdate) window groups are kept or
-        # dropped, so rn is unchanged.
-        .filter(F.col("l_orderkey") < 4000)
+        # l_orderkey >= key_bound can never match any left row — the
+        # literal predicate pushes to the parquet scan (PushedFilters),
+        # dropping them before the dedup window instead of shuffling
+        # them all. Whole (l_orderkey, l_shipdate) window groups are
+        # kept or dropped, so rn is unchanged.
+        .filter(F.col("l_orderkey") < key_bound)
         .select("l_orderkey", "l_shipdate", "l_linenumber", "l_quantity")
         .withColumn(
             "rn",
@@ -1288,16 +1291,20 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, "events", sf_dir)
     cents = F.round(F.col("value") * 100).cast("bigint")
+    # Shared key bound: the left filter and the right-side prefilter
+    # below MUST agree or the mirror silently drops valid matches.
+    user_bound = 40
     left = events.filter(
-        (F.col("event_type") == "purchase") & (F.col("user_id") < 40)
+        (F.col("event_type") == "purchase") & (F.col("user_id") < user_bound)
     ).select("event_id", "user_id", "ts")
     right = (
         # Mirror the left side's key bound (guide §3.2 / §6): views for
-        # user_id >= 40 can never match a left purchase, so the literal
-        # predicate pushes to the parquet scan and the dedup window +
-        # union shuffle see only the 40 users' views. Whole (user_id,
-        # ts) window groups are kept or dropped, so rn is unchanged.
-        events.filter((F.col("event_type") == "view") & (F.col("user_id") < 40))
+        # user_id >= user_bound can never match a left purchase, so the
+        # literal predicate pushes to the parquet scan and the dedup
+        # window + union shuffle see only those users' views. Whole
+        # (user_id, ts) window groups are kept or dropped, so rn is
+        # unchanged.
+        events.filter((F.col("event_type") == "view") & (F.col("user_id") < user_bound))
         .select("event_id", "user_id", "ts", cents.alias("view_cents"))
         .withColumn(
             "rn",
