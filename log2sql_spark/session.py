@@ -45,16 +45,17 @@ def get_spark(app_name: str = "log2sql_spark", cpus: str | None = None) -> Spark
         # many files and 8 MB splits would mean 12.5M scan tasks of pure
         # scheduling overhead.
         .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
-        # Scan parallelism is min(maxPartitionBytes, max(openCostInBytes,
-        # bytes/core)): the default 4 MB openCost floor caps a 10 MB
-        # sf0.1 fact table at ~3 scan tasks on 32 cores. 256 KB keeps the
-        # floor near a realistic file-open cost on fast local storage and
-        # lets bytes/core govern instead, so scan tasks track the core
-        # count at ANY input size (measured: q1 -36% at sf0.1; identical
-        # splits at sf1+ where bytes/core already dominates). A spinning-
-        # disk/object-store deploy would raise it toward the 4 MB default
-        # to pack more per open; env-overridable for that reason.
-        .config("spark.sql.files.openCostInBytes", os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(256 * 1024)))
+        # openCostInBytes stays at Spark's 4 MB default. r14 dropped the
+        # floor to 256 KB (10 MB sf0.1 fact tables then scan as ~31
+        # tasks instead of ~3); warmed best-of-N A/Bs looked faster, but
+        # under the driver's cold fresh-JVM protocol the extra task
+        # scheduling was a flat +0.05-0.3 s tax on every scan-bound
+        # query (r14: 15 headline queries regressed 20-50%; r15 cold
+        # A/B: q1/q5/agg_rollup consistently ~0.1 s better at 4 MB,
+        # nothing better at 256 KB). Splits are identical at sf1+ where
+        # bytes/core exceeds the floor, so the default loses nothing at
+        # scale. Env-overridable for deploys with different open costs.
+        .config("spark.sql.files.openCostInBytes", os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(4 * 1024 * 1024)))
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark reads it
         # as LongType nanos under this flag (converted in sources.tables).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
