@@ -789,22 +789,46 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_text_stats(with_lang_id(corpus))
         .select("doc_id", "text", "lang_pred", "quality_score", "n_tokens")
     )
-    topw = (
-        corpus.select(
-            "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
-        )
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("topw"))
+    # topw (max token multiplicity) map-side: the longest equal-run in
+    # the SORTED token array — O(n log n) per doc, replacing the
+    # explode + two-level aggregate + join (guide §2.4: the old shape
+    # re-scanned documents and shuffled every token twice to compute a
+    # per-doc scalar). The fold's greatest() mirrors max(count) exactly:
+    # split() never yields NULLs, and acc.prev starts NULL so the first
+    # token opens a run of 1 (NULL == x is NULL -> otherwise(1)).
+    sorted_toks = F.array_sort(F.split(F.trim(F.col("text")), r"\s+"))
+    topw_col = F.aggregate(
+        sorted_toks,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"] == x, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"] == x, acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    keeper = corpus.select(
+    # The keeper rank applies directly to the fused per-doc relation:
+    # row_number over the SAME (md5(text), doc_id) window the old
+    # standalone keeper used, so rk is unchanged — doc_id is unique in
+    # the corpus, so the old equi-joins were 1:1 row stitching that two
+    # broadcast joins paid for. One scan pass, one window exchange.
+    fused = feats.select(
         "doc_id",
+        "lang_pred",
+        "quality_score",
+        "n_tokens",
+        topw_col.alias("topw"),
         F.row_number()
-        .over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
+        .over(W.partitionBy(F.md5(F.col("text"))).orderBy("doc_id"))
         .alias("rk"),
     )
-    j = feats.join(topw, "doc_id").join(keeper, "doc_id")
     reason = (
         F.when(F.col("lang_pred") != "en", "lang")
         .when(F.col("quality_score") < 0.5, "quality")
@@ -812,7 +836,7 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("rk") > 1, "duplicate")
     )
     return (
-        j.select(
+        fused.select(
             "doc_id",
             reason.alias("reject_reason"),
             reason.isNull().cast("int").alias("kept"),
