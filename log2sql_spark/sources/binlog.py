@@ -112,7 +112,52 @@ def _strip_type_comment(raw: str) -> str:
     containing ``" /*"`` survive because the pattern rejects ``*/``
     inside the comment body.
     """
+    # Fast paths (guide §1.2 per-task work — this runs once per
+    # row-image value, the hottest call after the timestamp parse):
+    # no comment opener at all, or the overwhelmingly common clean
+    # shape "<value> /*comment*/" — a space-preceded final comment with
+    # no nested openers/closers, where slicing equals the regex sub
+    # (the opener is provably the regex's leftmost viable start: any
+    # earlier start would contain it in the tempered body and fail).
+    # Anything else falls back to the tempered regex.
+    if "/*" not in raw:
+        return raw.strip()
+    end = raw.rstrip()
+    i = end.rfind(" /*")
+    if (
+        i > 0
+        and end.endswith("*/")
+        and len(end) - 2 >= i + 3  # closer must not overlap the opener
+        # window [-1): a token may straddle the body/closer boundary
+        # (e.g. "/*" at len-3 using the closer's "*"); the regex's
+        # per-char lookaheads reject those too
+        and "*/" not in end[i + 3 : -1]
+        and "/*" not in end[i + 3 : -1]
+    ):
+        return end[:i].strip()
     return _TYPE_COMMENT_RE.sub("", raw).strip()
+
+
+def _parse_header_ts(s: str) -> datetime | None:
+    """``yymmdd h:mm:ss`` → datetime, replicating
+    ``datetime.strptime(s, "%y%m%d %H:%M:%S")`` (including its 69-pivot
+    two-digit-year rule and ValueError → None on out-of-range fields)
+    without strptime's ~20 us/call locale machinery — one call per
+    binlog event, the single hottest line of the parse profile."""
+    try:
+        date_part, time_part = s.split()
+        yy = int(date_part[:2])
+        hh, mm, ss = time_part.split(":")
+        return datetime(
+            yy + (2000 if yy <= 68 else 1900),
+            int(date_part[2:4]),
+            int(date_part[4:6]),
+            int(hh),
+            int(mm),
+            int(ss),
+        )
+    except ValueError:
+        return None
 
 
 def parse_binlog_lines(lines: list[str], file: str = "") -> list[dict]:
@@ -182,19 +227,19 @@ def parse_binlog_lines_with_state(
         line = raw.rstrip("\r\n")
         if not line.startswith("###"):
             # --- header / statement zone ---
-            m = _AT_RE.match(line)
-            if m:
-                flush()
-                start_pos = int(m.group(1))
-                continue
-            m = _HDR_RE.match(line)
-            if m:
-                stop_pos = int(m.group(2))
-                try:
-                    event_ts = datetime.strptime(m.group(1), "%y%m%d %H:%M:%S")
-                except ValueError:
-                    event_ts = None
-                continue
+            # Both header regexes require a leading '#': skip them for
+            # statement lines (BEGIN/COMMIT/GTID/DDL) outright.
+            if line.startswith("#"):
+                m = _AT_RE.match(line)
+                if m:
+                    flush()
+                    start_pos = int(m.group(1))
+                    continue
+                m = _HDR_RE.match(line)
+                if m:
+                    stop_pos = int(m.group(2))
+                    event_ts = _parse_header_ts(m.group(1))
+                    continue
             stripped = line.strip()
             if ddl is None:
                 if stripped.lower().startswith("use "):
@@ -245,6 +290,21 @@ def parse_binlog_lines_with_state(
 
         # --- row-image zone: '### ...' pseudo-SQL ---
         body = line[3:].strip()
+        # Value lines ('@N=...') are the most frequent ### shape (one
+        # per column per row image); dispatch them before the DML regex
+        # so they never pay it. A value line cannot match _DML_RE (it
+        # anchors on INSERT/UPDATE/DELETE) and a non-@ line cannot match
+        # _VALUE_RE, so the reorder changes no outcome; the original
+        # `if cur is None: continue` guard is folded into the branch.
+        if body.startswith("@"):
+            if cur is not None and image is not None:
+                m = _VALUE_RE.match(body)
+                if m:
+                    # Split on the FIRST '=' only (regex anchors the
+                    # ordinal), so '=' inside values survives — unlike
+                    # log2sql.py:48.
+                    cur[image][m.group(1)] = _strip_type_comment(m.group(2))
+            continue
         m = _DML_RE.match(body)
         if m:
             flush()
@@ -275,11 +335,6 @@ def parse_binlog_lines_with_state(
         if upper == "SET":
             image = "after"
             continue
-        m = _VALUE_RE.match(body)
-        if m and image is not None:
-            # Split on the FIRST '=' only (regex anchors the ordinal), so
-            # '=' inside values survives — unlike log2sql.py:48.
-            cur[image][m.group(1)] = _strip_type_comment(m.group(2))
 
     flush()
     out = []

@@ -69,10 +69,13 @@ def stream_apply_sql(
         if stmts:
             executor(stmts)
 
+    # Discovery-only stream, one row per file (binaryFile prunes
+    # `content` when unselected) — same shape as read_binlog_line_stream.
     lines = (
-        spark.readStream.format("text")
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length bigint, content binary")
         .load(in_dir)
-        .select(F.input_file_name().alias("file"), "value")
+        .select(F.col("path").alias("file"))
     )
     return (
         lines.writeStream.foreachBatch(process)

@@ -41,12 +41,22 @@ def _trigger_kwargs(trigger_interval: float | None) -> dict:
     return {"processingTime": f"{trigger_interval} seconds"}
 
 def read_binlog_line_stream(spark: SparkSession, in_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
-    reader = spark.readStream.format("text")
+    """File-discovery stream: one row per FILE, content never read.
+
+    The stream exists for discovery + checkpoint bookkeeping only
+    (foreachBatch re-reads the batch's files wholetext, where line
+    order is trivially per-file). The earlier text-format source
+    delivered every LINE of every file into the micro-batch just so
+    process() could distinct() the file names back out of it — a full
+    read + a per-batch aggregation over row data that discovery never
+    needed (guide §6). binaryFile prunes `content` when unselected, so
+    the micro-batch is one row per file."""
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length bigint, content binary"
+    )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    # Only `file` matters downstream (foreachBatch re-reads wholetext);
-    # `value` rides along because the text source always emits it.
-    return reader.load(in_dir).select(F.input_file_name().alias("file"), "value")
+    return reader.load(in_dir).select(F.col("path").alias("file"))
 
 
 def stream_binlog_to_sql(
@@ -108,16 +118,18 @@ def stream_binlog_to_sql(
                 "file", "event_seq", "op", "db", "table", "start_pos",
                 "stop_pos", "event_ts", "pos_info", "sql_text",
             )
-            .withColumn("batch_id", F.lit(batch_id))
-            # Partition by batch_id + dynamic partition overwrite: a
-            # micro-batch retried from the checkpoint after a partial
-            # write replaces ONLY its own partition instead of appending
-            # duplicate rows — the idempotent-sink contract foreachBatch
-            # leaves to the caller.
+            # Batch-keyed overwrite of the batch's OWN partition
+            # directory: a micro-batch retried from the checkpoint after
+            # a partial write replaces only its own rows — the
+            # idempotent-sink contract foreachBatch leaves to the
+            # caller. Writing the partition path directly produces the
+            # exact layout partitionBy("batch_id") + dynamic overwrite
+            # did (batch_id read back via partition-dir inference) while
+            # skipping the Hive dynamic-overwrite staging commit, which
+            # cost ~1.4 s on a cold first batch for a single-partition
+            # write (measured A/B; guide §6 commit overhead).
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(out_dir)
+            .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
         )
 
     lines = read_binlog_line_stream(spark, in_dir, max_files_per_trigger)
@@ -332,10 +344,12 @@ def apply_changes_to_snapshot_store(
         if auto_compact_files and store.file_count() > auto_compact_files:
             store.compact(spark)
 
-    # observe(): per-micro-batch input line counts surface in the
-    # query's streaming progress (observedMetrics.cdc_audit) — the
+    # observe(): per-micro-batch input counts surface in the query's
+    # streaming progress (observedMetrics.cdc_audit) — the
     # applied-vs-received audit an operator reconciles against the
     # source, collected on the SAME scan, never by a second read.
+    # (Counts FILES since the discovery stream became one-row-per-file;
+    # Debezium transport still counts records.)
     if transport == "debezium":
         from log2sql_spark.sources.debezium import read_debezium_topic_stream
 

@@ -103,10 +103,14 @@ def stream_binlog_exactly_once(
             envelope, catalog, out_dir, gtid_store_dir, batch_id
         )
 
-    reader = spark.readStream.format("text")
+    # Discovery-only stream, one row per file (binaryFile prunes
+    # `content` when unselected) — same shape as read_binlog_line_stream.
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length bigint, content binary"
+    )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    lines = reader.load(in_dir).select(F.input_file_name().alias("file"))
+    lines = reader.load(in_dir).select(F.col("path").alias("file"))
     return (
         lines.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint_dir)

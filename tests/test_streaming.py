@@ -386,14 +386,16 @@ def test_apply_changes_to_snapshot_store(spark, tmp_path):
     ])
     q = apply_changes_to_snapshot_store(spark, str(in_dir), cat, str(store_dir), str(ckpt), key_col="id")
     q.awaitTermination(120)
-    # the observe() audit: per-batch input line counts ride the
-    # streaming progress, no second scan
+    # the observe() audit: per-batch input FILE counts ride the
+    # streaming progress, no second scan (the discovery stream is one
+    # row per file since it moved to binaryFile; content is re-read
+    # wholetext inside the batch)
     audited = sum(
         p["observedMetrics"]["cdc_audit"]["n_lines"]
         for p in q.recentProgress
         if p.get("observedMetrics", {}).get("cdc_audit")
     )
-    assert audited == sum(1 for _ in open(in_dir / "bin.000001.txt"))
+    assert audited == 1  # one dump file in this batch
     store = SnapshotStore(str(store_dir))
     head1 = store.head_version()
     rows = {r["key"]: r["after"] for r in store.read(spark).select("key", "after").collect()}
