@@ -813,7 +813,14 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     was built from — verifying the pandas path end-to-end."""
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
     media = documents_as_media(docs)
-    return fake_decode_features(media).orderBy("asset_id")
+    # coalesce(1) + sortWithinPartitions == orderBy here (total order,
+    # identical rows) but plans with NO exchange: a range sort's
+    # sampling pass would execute the Python-boundary child a second
+    # time (guide §2.4), and the input is bounded (<300 docs) by the
+    # query's own filter at any scale, so one sort task is the floor.
+    return (
+        fake_decode_features(media).coalesce(1).sortWithinPartitions("asset_id")
+    )
 
 
 @query(
@@ -855,7 +862,11 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     media = synthesize_images(docs)
-    return decode_image_features(media).orderBy("asset_id")
+    # bounded input (<300 docs): exchange-free total sort, see
+    # llm_multimodal_features
+    return (
+        decode_image_features(media).coalesce(1).sortWithinPartitions("asset_id")
+    )
 
 
 @query(
@@ -891,7 +902,13 @@ def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
     )
-    return audio_features(synthesize_audio(docs)).orderBy("asset_id")
+    # bounded input (<200 docs): exchange-free total sort, see
+    # llm_multimodal_features
+    return (
+        audio_features(synthesize_audio(docs))
+        .coalesce(1)
+        .sortWithinPartitions("asset_id")
+    )
 
 
 @query(
@@ -932,7 +949,13 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
     )
-    return resize_features(synthesize_gradient_images(docs), 4, 3).orderBy("asset_id")
+    # bounded input (<200 docs): exchange-free total sort, see
+    # llm_multimodal_features
+    return (
+        resize_features(synthesize_gradient_images(docs), 4, 3)
+        .coalesce(1)
+        .sortWithinPartitions("asset_id")
+    )
 
 
 @query(
@@ -967,8 +990,12 @@ def llm_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
     )
-    return video_frame_features(synthesize_videos(docs), every=2).orderBy(
-        "asset_id", "frame_idx"
+    # bounded input (<200 docs): exchange-free total sort, see
+    # llm_multimodal_features
+    return (
+        video_frame_features(synthesize_videos(docs), every=2)
+        .coalesce(1)
+        .sortWithinPartitions("asset_id", "frame_idx")
     )
 
 
