@@ -36,11 +36,18 @@ def _revenue_exact() -> F.Column:
     Both inputs are 2-decimal-exact doubles; per-row scaled products are
     exact integers, so the sum is bit-identical in any engine and any
     summation order — required for the cross-engine hash compare.
-    DECIMAL (not int64) accumulation: the 2-factor product sum would
-    overflow long around sf10; decimal(38) survives sf100+."""
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(20,0)")
-    disc_pct = F.round((1 - F.col("l_discount")) * 100, 0).cast("decimal(5,0)")
-    return F.sum(cents * disc_pct) / 10000.0
+
+    The per-row product multiplies LONGs (pure codegen): per-row values
+    do not grow with data size (cents ~1e7 for TPC-H prices; even 1e9
+    x 100 is far under 2^63), while decimal multiplication materializes
+    a BigDecimal per row (measured ~45% of q1's runtime). Only the SUM
+    grows with scale, so only the accumulator is DECIMAL — the long
+    product is cast once and summed as decimal(20,0) (sum result
+    decimal(30,0), exact past sf100k); values and output type (double
+    after /1e4) are identical to the old all-decimal form."""
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_pct = F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    return F.sum((cents * disc_pct).cast("decimal(20,0)")) / 10000.0
 
 
 # ---------------------------------------------------------------------------
@@ -82,9 +89,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    cents_dec = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(20,0)")
-    disc_pct = F.round((1 - F.col("l_discount")) * 100, 0).cast("decimal(5,0)")
-    tax_pct = F.round((1 + F.col("l_tax")) * 100, 0).cast("decimal(5,0)")
+    # long per-row products + decimal accumulators — see _revenue_exact
+    disc_pct = F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    tax_pct = F.round((1 + F.col("l_tax")) * 100, 0).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -92,8 +99,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
             F.sum("l_quantity").alias("sum_qty"),
             (F.sum(cents) / 100.0).alias("sum_base_price"),
-            (F.sum(cents_dec * disc_pct) / 10000.0).alias("sum_disc_price"),
-            (F.sum(cents_dec * disc_pct * tax_pct) / 1000000.0).alias("sum_charge"),
+            (F.sum((cents * disc_pct).cast("decimal(20,0)")) / 10000.0).alias(
+                "sum_disc_price"
+            ),
+            (
+                F.sum((cents * disc_pct * tax_pct).cast("decimal(20,0)"))
+                / 1000000.0
+            ).alias("sum_charge"),
             (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
             (F.sum(cents) / 100.0 / F.count("*")).alias("avg_price"),
             (F.sum(F.round(F.col("l_discount") * 100, 0).cast("long")) / 100.0 / F.count("*")).alias(

@@ -20,8 +20,10 @@ def _rev_cents() -> F.Column:
     """Exact scaled-decimal sum of extendedprice*(1-discount); divide by
     1e4 after aggregation (see relational._revenue_exact for rationale)."""
     return F.sum(
-        F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(20,0)")
-        * F.round((1 - F.col("l_discount")) * 100, 0).cast("decimal(5,0)")
+        (
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+        ).cast("decimal(20,0)")
     )
 
 
@@ -50,8 +52,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         (
             F.sum(
-                F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(20,0)")
-                * F.round(F.col("l_discount") * 100, 0).cast("decimal(5,0)")
+                (
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                    * F.round(F.col("l_discount") * 100, 0).cast("long")
+                ).cast("decimal(20,0)")
             )
             / 10000.0
         ).alias("revenue"),
@@ -154,9 +158,10 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
     )
     part = load_table(spark, "part", sf_dir)
-    rev = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(20,0)") * F.round(
-        (1 - F.col("l_discount")) * 100, 0
-    ).cast("decimal(5,0)")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    ).cast("decimal(20,0)")
     return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
         (
             100.0
@@ -193,9 +198,10 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
     )
-    rev = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(20,0)") * F.round(
-        (1 - F.col("l_discount")) * 100, 0
-    ).cast("decimal(5,0)")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    ).cast("decimal(20,0)")
     return j.filter(cond).agg(
         (F.sum(rev) / 10000.0).alias("revenue"), F.count("*").alias("n")
     )
@@ -344,9 +350,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
-    volume = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(20,0)") * F.round(
-        (1 - F.col("l_discount")) * 100, 0
-    ).cast("decimal(5,0)")
+    volume = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    ).cast("decimal(20,0)")
     return (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -707,13 +714,17 @@ def q9_product_profit(spark, sf_dir):
     supp = load_table(spark, "supplier", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     nation = load_table(spark, "nation", sf_dir)
+    # long per-row arithmetic + decimal accumulator (see
+    # relational._revenue_exact): every factor is per-row bounded
+    # (cents ~1e7, pct <= 200, qty <= 50, x60), so the signed term fits
+    # long with ~7 orders of magnitude of headroom at any scale.
     profit_term = (
-        F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(20,0)")
-        * F.round((1 - F.col("l_discount")) * 100, 0).cast("decimal(5,0)")
-        - F.round(F.col("p_retailprice") * 100, 0).cast("decimal(20,0)")
-        * F.col("l_quantity").cast("decimal(5,0)")
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+        - F.round(F.col("p_retailprice") * 100, 0).cast("long")
+        * F.col("l_quantity").cast("long")
         * 60
-    )
+    ).cast("decimal(20,0)")
     return (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
